@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.{Tables => T, Exact}
+
+/** Core analytics surface: aggregation, joins (broadcast / semi / anti /
+  * outer), windows, rollup, distinct aggregates, top-k, set ops.
+  *
+  * Scale notes (100 TB thinking, verified via .explain on sf0.1):
+  *  - dimension sides (nation, region, customer at small SF) are broadcast
+  *    explicitly — no shuffle of the fact table for those joins;
+  *  - aggregations are partial (map-side combine) by construction via
+  *    groupBy().agg() — Catalyst plans HashAggregate(partial) → shuffle →
+  *    HashAggregate(final);
+  *  - global top-k is orderBy().limit(k) which Spark plans as
+  *    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+  *    driver, never a full sort.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 pricing summary: partial-aggregatable group-by over the
+    // largest table; sums routed through exact decimals.
+    "a01_agg_pricing" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount")))
+            * (lit(1) + Exact.dec(col("l_tax")))).cast("double").as("sum_charge"),
+          (Exact.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (Exact.dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("rflag", "lstatus")),
+
+    // Broadcast hash join: fact orders ⋈ dim customer (dim broadcast ⇒ the
+    // fact side never shuffles).
+    "a02_join_broadcast" -> ((s, dir) =>
+      T.orders(s, dir)
+        .join(broadcast(T.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), Exact.dsum(col("o_totalprice")).as("total_value"))
+        .orderBy("c_mktsegment")),
+
+    // Multi-way star join (Q5-ish): lineitem ⋈ orders shuffles on orderkey;
+    // customer/nation/region are broadcast dims.
+    "a03_join_star" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+      val o = T.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Left-semi join (EXISTS): customers that placed at least one order.
+    "a04_semi_join" -> ((s, dir) =>
+      T.customer(s, dir)
+        .join(T.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Left-anti join (NOT EXISTS): customers with no orders.
+    "a05_anti_join" -> ((s, dir) =>
+      T.customer(s, dir)
+        .join(T.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Left-outer join with null-skipping count.
+    "a06_outer_join" -> ((s, dir) =>
+      T.part(s, dir)
+        .join(T.lineitem(s, dir), col("l_partkey") === col("p_partkey"), "left_outer")
+        .groupBy("p_partkey")
+        .agg(count(col("l_orderkey")).as("n_lineitems"))
+        .orderBy("p_partkey")),
+
+    // Ranking window: top-3 orders by value per priority class.
+    "a07_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Running-total window (exact decimal running sum → double).
+    "a08_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.orders(s, dir)
+        .withColumn("running_total", sum(Exact.dec(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Rollup (grouping sets): subtotal + grand-total rows.
+    "a09_rollup" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .rollup(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("rflag").asc_nulls_first, col("lstatus").asc_nulls_first)),
+
+    // Distinct aggregate.
+    "a10_distinct_agg" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+             countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("rflag")),
+
+    // Global top-k: planned as TakeOrderedAndProject (no full sort).
+    "a11_topk" -> ((s, dir) =>
+      T.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)),
+
+    // Set intersection: nations present in both supplier and customer.
+    "a12_intersect" -> ((s, dir) =>
+      T.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+        .intersect(T.customer(s, dir).select(col("c_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // Set difference: nations with customers but no suppliers.
+    "a13_except" -> ((s, dir) =>
+      T.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .except(T.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // Scalar-function potpourri: string / date-part / math.
+    "a14_scalar_funcs" -> ((s, dir) =>
+      T.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          length(col("o_orderpriority")).as("prio_len"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).as("oyear"),
+          month(col("o_orderdate")).as("omonth"),
+          dayofmonth(col("o_orderdate")).as("oday"),
+          floor(col("o_totalprice")).as("floor_price"))
+        .orderBy("o_orderkey")),
+
+    // Array-column basics over embeddings.
+    "a15_array_funcs" -> ((s, dir) =>
+      T.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first_val"),
+          col("label"))
+        .orderBy("vec_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a01_agg_pricing" ->
+      """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY rflag, lstatus ORDER BY rflag, lstatus""",
+    "a02_join_broadcast" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "a03_join_star" ->
+      """SELECT r_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "a04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "a05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "a06_outer_join" ->
+      """SELECT p_partkey, CAST(count(l_orderkey) AS BIGINT) AS n_lineitems
+         FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
+         GROUP BY p_partkey ORDER BY p_partkey""",
+    "a07_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderpriority, rn""",
+    "a08_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "a09_rollup" ->
+      """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rflag ASC NULLS FIRST, lstatus ASC NULLS FIRST""",
+    "a10_distinct_agg" ->
+      """SELECT l_returnflag AS rflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+         FROM lineitem GROUP BY l_returnflag ORDER BY rflag""",
+    "a11_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "a12_intersect" ->
+      """SELECT s_nationkey AS nationkey FROM supplier
+         INTERSECT SELECT c_nationkey FROM customer ORDER BY nationkey""",
+    "a13_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "a14_scalar_funcs" ->
+      """SELECT o_orderkey,
+           upper(o_orderstatus) AS status_u,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+           o_orderstatus || '-' || o_orderpriority AS status_prio,
+           CAST(year(o_orderdate) AS INTEGER) AS oyear,
+           CAST(month(o_orderdate) AS INTEGER) AS omonth,
+           CAST(day(o_orderdate) AS INTEGER) AS oday,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_price
+         FROM orders ORDER BY o_orderkey""",
+    "a15_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_val, label
+         FROM embeddings ORDER BY vec_id"""
+  )
+}

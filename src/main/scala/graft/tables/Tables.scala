@@ -1,0 +1,54 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver test data (TESTDATA.md).
+  *
+  * Every query entry in [[graft.SparkEntry]] reads through here so the
+  * scan shape (schema pruning, filter pushdown) is uniform. At cluster
+  * scale these would be catalog tables; locally they are bare parquet
+  * directories, which exercises the identical DataSource V2 scan path.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}
+
+/** Cross-engine determinism helpers.
+  *
+  * The driver's correctness gate hash-compares our parquet output against
+  * DuckDB running the oracle SQL on the same tables. Floating point must
+  * therefore be bit-identical, not merely close:
+  *
+  *  - Aggregating doubles directly is order-dependent; we route money-like
+  *    columns through DECIMAL(12,2) (exact) and cast the final result to
+  *    double — both engines then produce the identical IEEE value.
+  *  - `round()` implementations differ at representation boundaries
+  *    (Java BigDecimal-of-shortest-string vs C-style); `floor(x*s+0.5)/s`
+  *    is pure IEEE arithmetic and bit-identical in both engines.
+  */
+object Exact {
+  /** Deterministic half-up rounding to 2 decimal places (see above). */
+  def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+
+  /** Deterministic half-up rounding to 6 decimal places. */
+  def round6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
+
+  /** Exact decimal view of a 2-decimal money column stored as double. */
+  def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Exact sum of a 2-decimal money column, returned as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+}
