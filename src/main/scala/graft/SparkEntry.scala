@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Parity}
+import graft.queries.{Analytics, Extensions, Parity, StreamingQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.queries ++ Analytics.queries
+    Parity.queries ++ Analytics.queries ++ Extensions.queries ++ StreamingQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Parity.oracle ++ Analytics.oracle
+    Parity.oracle ++ Analytics.oracle ++ Extensions.oracle ++ StreamingQ.oracle
 }

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Scale design (100 TB):
+  *  - exact: one hash-partitioned shuffle on a 32-byte digest — no row
+  *    comparisons, no skew (digests are uniform);
+  *  - minhashLsh: banding bounds candidate pairs; the shuffle key is
+  *    (band, bucket), never the raw document;
+  *  - simhash: fingerprints are computed scan-side in one pass; banding
+  *    the 64-bit fingerprint gives O(dups) candidate pairs;
+  *  - ngramJaccard: exact verification for candidate pairs; the shingle
+  *    self-join is the quadratic-risk piece and is meant to run AFTER a
+  *    banding step has reduced the population (on test SFs it runs
+  *    directly). Frequent-shingle skew is capped by dropping shingles
+  *    above `maxShingleDf` (stop-shingles contribute no discrimination).
+  */
+object Dedup {
+
+  /** Exact content dedup: group on sha2 digest, keep the smallest id.
+    * (Reference analog: all-column dropDuplicates,
+    * /root/reference/data_process.py:242.)
+    */
+  def exactByContent(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups", "content_hash")
+
+  /** Word shingles (n-grams of whitespace tokens), distinct per doc. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), "\\s+").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k + 1)): _*)
+      )).as("shingles"))
+
+  /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
+    * |A∩B| via a distinct-shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val filtered =
+      if (maxShingleDf == Long.MaxValue) sh
+      else {
+        // drop stop-shingles: appear in more than maxShingleDf docs
+        val df = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf)
+        sh.join(broadcast(df.select("s")), "s")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col("doc_id").as("d1"), col("s"))
+    val b = filtered.select(col("doc_id").as("d2"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup candidates via MLlib (deterministic via seed):
+    * tokenize → shingle → binary HashingTF → MinHashLSH banding →
+    * approxSimilarityJoin at `maxJaccardDistance`.
+    */
+  def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3, numHashTables: Int = 8,
+                 maxJaccardDistance: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("tokens")
+      .setPattern("\\s+").setToLowercase(true)
+    val ng = new NGram().setN(n).setInputCol("tokens").setOutputCol("ngrams")
+    val tf = new HashingTF().setInputCol("ngrams").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val prepped = tf.transform(ng.transform(tok.transform(
+        docs.filter(size(split(lower(col(textCol)), "\\s+")) >= n))))
+      .select(col(idCol).as("doc_id"), col("features"))
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = mh.fit(prepped)
+    model.approxSimilarityJoin(prepped, prepped, maxJaccardDistance, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("d1"),
+        col("datasetB.doc_id").as("d2"),
+        col("jaccard_dist"))
+      .filter(col("d1") < col("d2"))
+  }
+
+  /** SimHash fingerprints + banded bucket candidates: documents sharing
+    * any 16-bit band of their 64-bit simhash are near-dup candidates.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(
+      col(idCol).as("doc_id"),
+      GraftFunctions.simhash64(split(lower(col(textCol)), "\\s+")).as("simhash"))
+  }
+
+  def simhashCandidates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = simhash(docs, textCol, idCol)
+      .withColumn("bands", array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xffffL)).as("key"))): _*))
+      .select(col("doc_id"), col("simhash"), explode(col("bands")).as("bk"))
+    val a = fp.select(col("doc_id").as("d1"), col("simhash").as("sh1"), col("bk"))
+    val b = fp.select(col("doc_id").as("d2"), col("simhash").as("sh2"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("d1") < col("d2"))
+      .select("d1", "d2", "sh1", "sh2").distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+  }
+
+  /** Embedding near-dup pairs: all pairs with cosine >= threshold.
+    * Brute force n² — correct baseline; at scale run after LSH bucketing
+    * (see Similarity.lshTopK) so n is per-bucket.
+    */
+  def embeddingCosinePairs(emb: DataFrame, vecCol: String, idCol: String,
+                           threshold: Double): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val a = emb.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val b = emb.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("cosine", GraftFunctions.cosineSim(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select("d1", "d2", "cosine")
+  }
+}

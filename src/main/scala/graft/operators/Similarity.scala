@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - bruteForceTopK: exact cosine top-k. The query side is broadcast, the
+  *    candidate side streams through a fused codegen cosine loop, and the
+  *    per-query top-k is a rank-window over (similarity, id). At cluster
+  *    scale this is a map-side broadcast join + per-partition partial
+  *    top-k — no candidate shuffle until the final k·|queries| rows.
+  *  - lshTopK: scale path. Normalized vectors + euclidean
+  *    BucketedRandomProjectionLSH (cosine distance is a monotone function
+  *    of euclidean distance on the unit sphere: cos = 1 - d²/2), so only
+  *    bucket-colliding pairs are scored.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k nearest candidates.
+    * Similarity is rounded to 1e-6 (deterministically) before ranking so
+    * results are reproducible across engines and run orders; ties break
+    * on candidate id.
+    */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        floor(GraftFunctions.cosineSim(col("qv"), col("cv")) * 1000000 + lit(0.5)) / 1000000)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
+  /** Approximate top-k via random-hyperplane-style LSH (deterministic via
+    * seed). Vectors are L2-normalized, hashed with euclidean LSH, and only
+    * bucket-colliding pairs are scored; cosine recovered as 1 - d²/2.
+    */
+  def lshTopK(candidates: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              bucketLength: Double = 1.0, numHashTables: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    def prep(df: DataFrame, id: String): DataFrame = {
+      val norm = sqrt(aggregate(
+        transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      df.select(col(idCol).as(id),
+          array_to_vector(transform(col(vecCol), x => x.cast("double") / norm)).as("nv"))
+        .filter(col(id).isNotNull)
+    }
+    val c = prep(candidates, "cand_id")
+    val q = prep(queries, "query_id")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("nv").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(c)
+    // euclidean distance 2.0 on unit vectors covers the whole cosine range
+    val joined = model.approxSimilarityJoin(q, c, 2.0, "dist")
+      .select(
+        col("datasetA.query_id").as("query_id"),
+        col("datasetB.cand_id").as("cand_id"),
+        (lit(1.0) - col("dist") * col("dist") / 2).as("cosine"))
+      .filter(col("query_id") =!= col("cand_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
+  /** Per-label centroids in long format (label, dim, centroid value).
+    * Mean is computed per (label, dimension) after posexplode — a single
+    * partial-aggregatable shuffle keyed on (label, pos).
+    */
+  def labelCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    emb
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((floor(sum(col("v").cast("double")) / count(lit(1)) * 1000000 + lit(0.5)) / 1000000)
+        .as("centroid_val"))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All pure narrow transforms over built-in (codegen'd) expressions —
+  * they run inside the scan's WholeStageCodegen stage with no shuffle,
+  * so they scale linearly with input bytes.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Deliberately small and deterministic; real pipelines would load a
+    * broadcast dictionary.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un"))
+
+  private def tokens(textCol: Column): Column = split(lower(textCol), "\\s+")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Stopword-hit language scores + argmax prediction (ties resolved in
+    * fixed en > de > es > fr order; no hits → "und" = undetermined).
+    */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs
+      .withColumn("en_hits", hitCount(toks, stopwords("en")))
+      .withColumn("de_hits", hitCount(toks, stopwords("de")))
+      .withColumn("es_hits", hitCount(toks, stopwords("es")))
+      .withColumn("fr_hits", hitCount(toks, stopwords("fr")))
+    val best = greatest(col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"))
+    scored.withColumn("pred_lang",
+      when(best === 0, lit("und"))
+        .when(col("en_hits") === best, lit("en"))
+        .when(col("de_hits") === best, lit("de"))
+        .when(col("es_hits") === best, lit("es"))
+        .otherwise(lit("fr")))
+  }
+
+  /** Quality metrics: token count, mean token length, punctuation ratio,
+    * stopword ratio, plus a composite 0/1 quality gate. All ratios are
+    * single divisions of exact integers (bit-deterministic).
+    */
+  def qualityScore(docs: DataFrame, textCol: String,
+                   minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val punct = "[.,!?;:]"
+    docs
+      .withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        length(regexp_replace(t, "\\s+", "")).cast("double") / size(toks))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, punct, ""))).cast("double") / length(t))
+      .withColumn("stopword_ratio",
+        hitCount(toks, stopwords("en")).cast("double") / size(toks))
+      .withColumn("quality_ok",
+        when(col("n_tokens").between(minTokens, maxTokens) &&
+             col("punct_ratio") < 0.3, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count (words, digit
+    * runs, and single punctuation marks as separate tokens).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("ws_tokens", size(tokens(t)))
+      .withColumn("bpe_tokens", size(regexp_extract_all(t, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))))
+  }
+
+  /** Content fingerprints: an md5 of the normalized text (cross-engine
+    * checkable) and the engine's native 64-bit rolling hash (codegen'd
+    * Catalyst expression — see graft.functions.RollingHash).
+    */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val normalized = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    docs
+      .withColumn("fp_md5", md5(normalized))
+      .withColumn("fp_rolling", GraftFunctions.rollingHash(normalized))
+  }
+}

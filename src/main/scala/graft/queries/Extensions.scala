@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tables.{Tables => T}
+
+/** LLM-training-data pipeline operators as driver queries: dedup family,
+  * similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle coverage: everything SQL-expressible has a DuckDB oracle;
+  * minhash / LSH / simhash / rolling-hash queries are deterministic
+  * (fixed seeds) but not SQL-expressible → rows-only driver check.
+  */
+object Extensions {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup via content hash: one shuffle on a uniform digest.
+    "x01_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByContent(T.documents(s, dir), "text", "doc_id")
+        .orderBy("keep_id")),
+
+    // Exact n-gram Jaccard near-dup pairs.
+    "x02_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(T.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.2)
+        .orderBy("d1", "d2")),
+
+    // MinHash+LSH candidates (MLlib, seeded) — not SQL-expressible.
+    "x03_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(T.documents(s, dir), "text", "doc_id",
+          numHashTables = 8, maxJaccardDistance = 0.9)
+        .orderBy("d1", "d2")),
+
+    // SimHash fingerprints (custom Catalyst expression) — rows-only.
+    "x04_simhash" -> ((s, dir) =>
+      Dedup.simhash(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // Brute-force cosine top-k ANN (codegen'd cosine expression).
+    "x05_ann_bruteforce" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (seeded, approximate) — rows-only.
+    "x06_ann_lsh" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Stopword-heuristic language identification.
+    "x07_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(T.documents(s, dir), "text")
+        .select("doc_id", "lang", "en_hits", "de_hits", "es_hits", "fr_hits", "pred_lang")
+        .orderBy("doc_id")),
+
+    // Quality metrics + composite gate.
+    "x08_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(T.documents(s, dir), "text")
+        .select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+                "stopword_ratio", "quality_ok")
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace + BPE-ish regex.
+    "x09_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(T.documents(s, dir), "text")
+        .select("doc_id", "ws_tokens", "bpe_tokens")
+        .orderBy("doc_id")),
+
+    // Cross-engine-checkable md5 fingerprint of normalized text.
+    "x10_fingerprint_md5" -> ((s, dir) =>
+      TextAnalysis.fingerprints(T.documents(s, dir), "text")
+        .select("doc_id", "fp_md5")
+        .orderBy("doc_id")),
+
+    // Native rolling-hash fingerprint (codegen'd) — rows-only.
+    "x11_fingerprint_rolling" -> ((s, dir) =>
+      TextAnalysis.fingerprints(T.documents(s, dir), "text")
+        .select("doc_id", "fp_rolling")
+        .orderBy("doc_id")),
+
+    // Multimodal plumbing: binary payload → typed per-partition decode.
+    "x12_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.documentsAsMedia(s, T.documents(s, dir)))
+        .toDF()
+        .select("doc_id", "media_type", "byte_len", "n_frames", "sample_rate")
+        .orderBy("doc_id")),
+
+    // Per-label embedding centroids (long format).
+    "x13_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(T.embeddings(s, dir), "embedding", "label")
+        .orderBy("label", "pos"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups,
+           sha256(text) AS content_hash
+         FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "x02_dedup_jaccard" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT d1, d2, CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
+         FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+         WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2
+         ORDER BY d1, d2""",
+    "x05_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, cand_id,
+             floor(
+               list_sum(list_transform(range(1, len(qv)+1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+               * 1000000 + 0.5) / 1000000 AS cosine
+           FROM q, c WHERE query_id <> cand_id)
+         SELECT query_id, rank, cand_id, cosine FROM (
+           SELECT query_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "x07_lang_id" ->
+      """WITH w AS (
+           SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+         scored AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS INTEGER) AS en_hits,
+             CAST(len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS INTEGER) AS de_hits,
+             CAST(len(list_filter(ws, t -> list_contains(['el','la','de','y','es','un'], t))) AS INTEGER) AS es_hits,
+             CAST(len(list_filter(ws, t -> list_contains(['le','la','de','et','est','un'], t))) AS INTEGER) AS fr_hits
+           FROM w)
+         SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+           CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+                WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+                WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+                WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+         FROM scored ORDER BY doc_id""",
+    "x08_text_quality" ->
+      """WITH w AS (
+           SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(ws) AS INTEGER) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(ws) AS mean_token_len,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+               / len(ws) AS stopword_ratio
+           FROM w)
+         SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+           CASE WHEN n_tokens BETWEEN 10 AND 100000 AND punct_ratio < 0.3
+                THEN 1 ELSE 0 END AS quality_ok
+         FROM m ORDER BY doc_id""",
+    "x09_token_counts" ->
+      """SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "x10_fingerprint_md5" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5
+         FROM documents ORDER BY doc_id""",
+    "x12_multimodal_features" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+           CAST(octet_length(CAST(text AS BLOB)) // 1024 + 1 AS INTEGER) AS n_frames,
+           16000 AS sample_rate
+         FROM documents ORDER BY doc_id""",
+    "x13_label_centroids" ->
+      """SELECT label, CAST(pos AS INTEGER) AS pos,
+           floor(sum(v) / count(*) * 1000000 + 0.5) / 1000000 AS centroid_val
+         FROM (
+           SELECT label, unnest(range(0, len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings)
+         GROUP BY label, pos ORDER BY label, pos"""
+  )
+}

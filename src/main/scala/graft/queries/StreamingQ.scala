@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.EventStreams
+import graft.tables.{Tables => T}
+
+/** Streaming-shaped transformations run in batch over the `events` table.
+  * The same EventStreams functions power the Structured Streaming surface
+  * (watermarked variants, tested with MemoryStream in
+  * EventStreamsSpec) — the batch oracle here checks the shared semantics.
+  */
+object StreamingQ {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "st01_tumbling_window" -> ((s, dir) =>
+      EventStreams.tumblingCounts(T.events(s, dir), "1 hour")
+        .orderBy("w_start", "event_type")),
+
+    "st02_sliding_window" -> ((s, dir) =>
+      EventStreams.slidingCounts(T.events(s, dir), "1 hour", "30 minutes")
+        .orderBy("w_start", "event_type")),
+
+    "st03_session_window" -> ((s, dir) =>
+      EventStreams.sessionize(T.events(s, dir), "10 minutes")
+        .orderBy("user_id", "s_start")),
+
+    "st04_first_events" -> ((s, dir) =>
+      EventStreams.firstEvents(T.events(s, dir))
+        .orderBy("user_id", "event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st01_tumbling_window" ->
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "st02_sliding_window" ->
+      """SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP) AS w_start,
+             event_type FROM events
+           UNION ALL
+           SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS TIMESTAMP),
+             event_type FROM events)
+         GROUP BY w_start, event_type ORDER BY w_start, event_type""",
+    "st03_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS s_start,
+           CAST(max(ts) + INTERVAL 10 MINUTE AS TIMESTAMP) AS s_end,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "st04_first_events" ->
+      """SELECT user_id, event_type, CAST(min(ts) AS TIMESTAMP) AS first_ts
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+  )
+}

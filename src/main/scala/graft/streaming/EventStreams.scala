@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream transformations, written against DataFrame so the same
+  * logic runs in batch (driver test table `events`) and in Structured
+  * Streaming (`readStream` + watermark). The streaming variants append a
+  * watermark for state eviction; semantics are otherwise identical —
+  * that equivalence is what the batch oracle checks.
+  *
+  * Scale notes: all four are keyed-state aggregations whose shuffle key
+  * includes the window/user key, so state partitions horizontally; the
+  * watermark bounds state size for unbounded input.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts + min/max per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("min_v"), col("max_v"))
+
+  /** Sliding-window counts (width/slide) per event type. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with the given inactivity gap. */
+  def sessionize(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n_events"))
+
+  /** First-occurrence dedup per (user, event type) — streaming analog:
+    * dropDuplicates with watermark; batch analog: min(ts) groupBy.
+    */
+  def firstEvents(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"))
+
+  /** Streaming wrappers: identical transforms with a watermark bound. */
+  def tumblingCountsStream(events: DataFrame, width: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark), width)
+
+  def sessionizeStream(events: DataFrame, gap: String = "10 minutes",
+                       watermark: String = "30 minutes"): DataFrame =
+    sessionize(events.withWatermark("ts", watermark), gap)
+}

@@ -21,7 +21,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "events")
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read the raw nanos as long (legacy conf)
+    * and rebuild a micros timestamp — the driver data is micro-precision,
+    * so the floor-division is lossless.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }
