@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class GraftFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("cosine_sim matches a hand computation (codegen path)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(df.head().getDouble(0) - expected) < 1e-12)
+  }
+
+  test("cosine_sim: identical vectors → 1.0; zero vector → null") {
+    val df = Seq(
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("cosine_sim interpreted eval matches codegen result") {
+    val expr = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0f, 1.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    val viaPlan = Seq((Array(1.0f, 2.0f), Array(2.0f, 1.0f))).toDF("a", "b")
+      .select(GraftFunctions.cosineSim(col("a"), col("b"))).head().getDouble(0)
+    assert(interpreted === viaPlan)
+  }
+
+  test("rolling_hash is deterministic and matches a reference computation") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+    val got = Seq("hello world", "").toDF("t")
+      .select(GraftFunctions.rollingHash(col("t")).as("h")).as[Long].collect()
+    assert(got(0) === ref("hello world"))
+    assert(got(1) === ref(""))
+  }
+
+  test("simhash64: identical token sets equal; similar sets near in Hamming") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val similar = base.updated(0, "changed")
+    val distinct = (1 to 40).map(i => s"other$i")
+    val hashes = Seq(base, base, similar, distinct).toDF("t")
+      .select(GraftFunctions.simhash64(col("t")).as("h")).as[Long].collect()
+    assert(hashes(0) === hashes(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(0), hashes(2)) < ham(hashes(0), hashes(3)))
+    assert(ham(hashes(0), hashes(2)) <= 16)
+  }
+}

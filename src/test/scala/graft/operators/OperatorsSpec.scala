@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over a lazy dog"),     // near dup
+    (3L, "completely different text with other words here entirely"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val out = Dedup.exactByContent(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(0) === 0L && out(0).getLong(1) === 2L)
+  }
+
+  test("ngram jaccard: exact dups similarity 1.0; near dups high; unrelated absent") {
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("simhash candidates rank exact dup closer than near dup") {
+    val cand = Dedup.simhashCandidates(docs, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap
+    assert(cand((0L, 1L)) === 0)
+  }
+
+  test("brute-force topk returns k ranked neighbors with self excluded") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 1, 3L), (0L, 2, 1L)))
+  }
+
+  test("lang id picks the language with most stopword hits") {
+    val d = Seq((0L, "the cat of the house is here"), (1L, "der hund und die katze ist ein"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "text").select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) === "en")
+    assert(out(1L) === "de")
+  }
+
+  test("multimodal stub decode: deterministic features from payload bytes") {
+    val media = Multimodal.documentsAsMedia(spark, docs)
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    val text0 = "the quick brown fox jumps over the lazy dog"
+    assert(feats(0L).byte_len === text0.getBytes("UTF-8").length)
+    assert(feats(0L).n_frames === text0.length / 1024 + 1)
+    assert(feats(0L).checksum === text0.getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+    assert(feats(0L).checksum === feats(1L).checksum)
+  }
+}
