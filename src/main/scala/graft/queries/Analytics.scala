@@ -169,7 +169,38 @@ object Analytics {
           size(col("embedding")).as("dim"),
           element_at(col("embedding"), 1).as("first_val"),
           col("label"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // JSON scalar extraction from a string column.
+    "a16_json_extract" -> ((s, dir) =>
+      T.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")),
+
+    // Pivot (conditional aggregation with explicit value list).
+    "a17_pivot" -> ((s, dir) =>
+      T.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .orderBy("user_id")),
+
+    // SQL string interface: the same text runs in spark.sql and DuckDB.
+    "a18_sql_interface" -> ((s, dir) => {
+      T.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // Set-valued aggregation with a deterministic order.
+    "a19_collect_set" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))
+        .orderBy("rflag"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -261,6 +292,26 @@ object Analytics {
     "a15_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
            embedding[1] AS first_val, label
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+    "a16_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+         FROM events ORDER BY event_id""",
+    // NULLIF mirrors Spark's pivot semantics: a (user, type) combo with no
+    // rows aggregates to NULL, not 0.
+    "a17_pivot" ->
+      """SELECT user_id,
+           nullif(count(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+           nullif(count(*) FILTER (WHERE event_type = 'error'), 0) AS error,
+           nullif(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+           nullif(count(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+           nullif(count(*) FILTER (WHERE event_type = 'view'), 0) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "a18_sql_interface" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+              CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "a19_collect_set" ->
+      """SELECT l_returnflag AS rflag, list_sort(list(DISTINCT l_linestatus)) AS statuses
+         FROM lineitem GROUP BY 1 ORDER BY rflag"""
   )
 }

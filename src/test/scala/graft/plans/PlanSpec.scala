@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.Union
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.tables.{Tables => T}
+
+/** Plan-shape regression tests: the physical characteristics that make
+  * these operators survive a 100× scale-up, asserted on the actual plans
+  * so a refactor cannot silently regress them.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("timestamp range filter pushes down to the parquet scan") {
+    val df = T.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_orderdate"),
+      s"no pushed filter in scan:\n$scan")
+    // column pruning: only the two referenced columns are read
+    assert(scan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp"),
+      s"scan reads more than needed:\n$scan")
+  }
+
+  test("dimension join broadcasts; fact side does not shuffle for it") {
+    val df = graft.queries.Analytics.queries("a02_join_broadcast")(spark, sf)
+    assert(planString(df).contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val df = graft.queries.Analytics.queries("a11_topk")(spark, sf)
+    assert(planString(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("group-by aggregation is partial (map-side combine) before the shuffle") {
+    val df = graft.queries.Analytics.queries("a01_agg_pricing")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("partial_sum") || s.contains("partial_count"), s)
+  }
+
+  test("merge rule: disjoint filter-union collapses the double scan") {
+    GraftExtensions.install(spark)
+    val li = T.lineitem(spark, sf)
+    val union = li.filter(upper(col("l_returnflag")).isin("A", "R"))
+      .unionByName(li.filter(upper(col("l_returnflag")).isin("N")))
+    val optimized = union.queryExecution.optimizedPlan
+    assert(optimized.collect { case u: Union => u }.isEmpty,
+      s"union not merged:\n$optimized")
+
+    // semantics unchanged vs the rule disabled
+    val expected = {
+      spark.conf.set("spark.graft.mergeDisjointFilterUnions", "false")
+      try union.count() finally
+        spark.conf.set("spark.graft.mergeDisjointFilterUnions", "true")
+    }
+    assert(union.count() === expected)
+  }
+
+  test("merge rule: OVERLAPPING filter-union is left alone (bag semantics)") {
+    GraftExtensions.install(spark)
+    val li = T.lineitem(spark, sf)
+    val union = li.filter(upper(col("l_returnflag")).isin("A", "N"))
+      .unionByName(li.filter(upper(col("l_returnflag")).isin("N")))
+    val optimized = union.queryExecution.optimizedPlan
+    assert(optimized.collect { case u: Union => u }.nonEmpty,
+      "overlapping union must NOT merge — it would change duplicate counts")
+  }
+
+  test("merge rule: different sources are left alone") {
+    GraftExtensions.install(spark)
+    val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))
+    val o = T.orders(spark, sf).select(col("o_orderstatus").as("f"))
+    val union = li.filter(col("f") === "A").unionByName(o.filter(col("f") === "F"))
+    assert(union.queryExecution.optimizedPlan.collect { case u: Union => u }.nonEmpty)
+  }
+}

@@ -20,9 +20,8 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    if len(df):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # normalize dtypes that differ in representation only
+    # normalize dtypes that differ in representation only (before sorting —
+    # arrays must become tuples to be orderable)
     for c in df.columns:
         if df[c].dtype == np.float32:
             df[c] = df[c].astype(np.float64)
@@ -34,8 +33,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                     len(sample) and type(sample.iloc[0]).__name__ == "date"):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             else:
-                df[c] = df[c].apply(
-                    lambda v: [float(x) for x in v] if isinstance(v, (list, np.ndarray)) else v)
+                def to_tuple(v):
+                    if isinstance(v, (list, np.ndarray)):
+                        return tuple(float(x) if isinstance(x, (float, np.floating))
+                                     else x for x in v)
+                    return v
+                df[c] = df[c].apply(to_tuple)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 
