@@ -200,6 +200,57 @@ object Analytics {
       T.lineitem(s, dir)
         .groupBy(col("l_returnflag").as("rflag"))
         .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))
+        .orderBy("rflag")),
+
+    // As-of (point-in-time) join: each event annotated with its user's
+    // most recent purchase at-or-before the event. One key shuffle —
+    // see graft.operators.AsOfJoin. Oracle: DuckDB's native ASOF JOIN.
+    "a20_asof_join" -> ((s, dir) => {
+      val ev = T.events(s, dir).select("event_id", "user_id", "ts", "event_type")
+      val purchases = T.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      graft.operators.AsOfJoin.asofBackward(
+          ev, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
+          payload = Map("ts" -> "last_purchase_ts", "value" -> "last_purchase_value"),
+          tieBreak = Some("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // Exact percentiles (linear interpolation), rounded deterministically.
+    "a21_percentile" -> ((s, dir) =>
+      T.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          (floor(percentile(col("o_totalprice"), lit(0.5)) * 1000000 + lit(0.5)) / 1000000)
+            .as("median_price"),
+          (floor(percentile(col("o_totalprice"), lit(0.9)) * 1000000 + lit(0.5)) / 1000000)
+            .as("p90_price"))
+        .orderBy("status")),
+
+    // Date spine: generated month series (sequence + explode) left-joined
+    // to per-month order counts.
+    "a22_date_spine" -> ((s, dir) => {
+      val o = T.orders(s, dir)
+      val bounds = o.agg(
+        date_trunc("month", min(col("o_orderdate"))).as("mn"),
+        date_trunc("month", max(col("o_orderdate"))).as("mx"))
+      val spine = bounds.select(
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 month"))).as("month_start"))
+      val counts = o.groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(counts, Seq("month_start"), "left")
+        .select(col("month_start"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("month_start")
+    }),
+
+    // HyperLogLog approximate distinct — algorithm-specific values, so
+    // rows-only driver check (deterministic for fixed input).
+    "a23_approx_distinct" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("rflag"))
   )
 
@@ -312,6 +363,34 @@ object Analytics {
          FROM orders GROUP BY 1 ORDER BY 1""",
     "a19_collect_set" ->
       """SELECT l_returnflag AS rflag, list_sort(list(DISTINCT l_linestatus)) AS statuses
-         FROM lineitem GROUP BY 1 ORDER BY rflag"""
+         FROM lineitem GROUP BY 1 ORDER BY rflag""",
+    "a20_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
+           CAST(p.ts AS TIMESTAMP) AS last_purchase_ts,
+           p.value AS last_purchase_value
+         FROM events e
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                         WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts >= p.ts
+         ORDER BY e.event_id""",
+    "a21_percentile" ->
+      """SELECT o_orderstatus AS status,
+           floor(quantile_cont(o_totalprice, 0.5) * 1000000 + 0.5) / 1000000 AS median_price,
+           floor(quantile_cont(o_totalprice, 0.9) * 1000000 + 0.5) / 1000000 AS p90_price
+         FROM orders GROUP BY 1 ORDER BY status""",
+    "a22_date_spine" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(
+             date_trunc('month', (SELECT min(o_orderdate) FROM orders)),
+             date_trunc('month', (SELECT max(o_orderdate) FROM orders)),
+             INTERVAL 1 MONTH)) AS month_start),
+         counts AS (
+           SELECT date_trunc('month', o_orderdate) AS month_start,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT CAST(s.month_start AS TIMESTAMP) AS month_start,
+           coalesce(c.n_orders, 0) AS n_orders
+         FROM spine s LEFT JOIN counts c ON s.month_start = c.month_start
+         ORDER BY month_start"""
   )
 }
