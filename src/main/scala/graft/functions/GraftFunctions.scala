@@ -94,6 +94,76 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** L2-normalize a numeric array in one pass, returning array<double>.
+  * A lambda formulation (`transform(v, x => x / sqrt(aggregate(v, ...)))`)
+  * re-evaluates the norm aggregate per element after Catalyst inlines the
+  * alias — O(n²) per row; this expression is O(n) and codegen'd.
+  * Zero-norm or null input → null.
+  */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"l2_normalize expects array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elemType match {
+        case FloatType => arr.getFloat(i).toDouble
+        case _ => arr.getDouble(i)
+      }
+      out(i) = x; ss += x * x; i += 1
+    }
+    if (ss == 0.0) null
+    else {
+      val inv = 1.0 / java.lang.Math.sqrt(ss)
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss"); val out = ctx.freshName("out")
+      val inv = ctx.freshName("inv")
+      val get = elemType match {
+        case FloatType => s"(double) $a.getFloat($i)"
+        case _ => s"$a.getDouble($i)"
+      }
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = $get; $out[$i] = v; $ss += v * v;
+         |}
+         |if ($ss == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $inv = 1.0 / java.lang.Math.sqrt($ss);
+         |  for (int $i = 0; $i < $n; $i++) { $out[$i] *= $inv; }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit polynomial rolling-hash fingerprint of a string (document
   * fingerprinting). h = Σ h*B + byte, wrapping in 64-bit arithmetic —
   * deterministic, codegen'd, and cheap enough to run inline in a scan.
@@ -187,9 +257,12 @@ object GraftFunctions {
       (es: Seq[Expression]) => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       (es: Seq[Expression]) => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("l2_normalize",
+      (es: Seq[Expression]) => L2Normalize(es.head), "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
+  def l2Normalize(c: Column): Column = call_function("l2_normalize", c)
 }

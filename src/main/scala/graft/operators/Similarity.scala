@@ -49,15 +49,13 @@ object Similarity {
     */
   def lshTopK(candidates: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              bucketLength: Double = 1.0, numHashTables: Int = 4,
+              bucketLength: Double = 1.0, numHashTables: Int = 2,
               seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
     def prep(df: DataFrame, id: String): DataFrame = {
-      val norm = sqrt(aggregate(
-        transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x))
       df.select(col(idCol).as(id),
-          array_to_vector(transform(col(vecCol), x => x.cast("double") / norm)).as("nv"))
-        .filter(col(id).isNotNull)
+          array_to_vector(GraftFunctions.l2Normalize(col(vecCol))).as("nv"))
+        .filter(col("nv").isNotNull)
     }
     val c = prep(candidates, "cand_id")
     val q = prep(queries, "query_id")

@@ -27,7 +27,13 @@ object StreamingQ {
 
     "st04_first_events" -> ((s, dir) =>
       EventStreams.firstEvents(T.events(s, dir))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // Custom keyed state (flatMapGroupsWithState); in batch ≡ plain agg.
+    "st05_stateful_stats" -> ((s, dir) =>
+      EventStreams.statefulUserStats(T.events(s, dir))
+        .toDF()
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -62,6 +68,11 @@ object StreamingQ {
          FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""",
     "st04_first_events" ->
       """SELECT user_id, event_type, CAST(min(ts) AS TIMESTAMP) AS first_ts
-         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "st05_stateful_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS first_ts,
+           CAST(max(ts) AS TIMESTAMP) AS last_ts
+         FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-stream transformations, written against DataFrame so the same
   * logic runs in batch (driver test table `events`) and in Structured
@@ -44,6 +47,36 @@ object EventStreams {
     events
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(col("ts")).as("first_ts"))
+
+  /** Per-user lifetime stats via explicit keyed state
+    * (flatMapGroupsWithState) — the custom-state surface for logic the
+    * built-in windowed aggregations can't express. In streaming the
+    * state carries totals across micro-batches (Update mode); in batch
+    * each key is processed once, so the output equals a plain
+    * aggregation — which is what the driver's SQL oracle certifies.
+    */
+  final case class UserStats(user_id: Long, n_events: Long,
+                             first_ts: Timestamp, last_ts: Timestamp)
+
+  def statefulUserStats(events: DataFrame): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[UserStats]) =>
+          val batch = rows.map(_._2).toSeq
+          val merged = (state.getOption.toSeq ++ batch.map(t => UserStats(user, 1L, t, t)))
+            .reduce { (a, b) =>
+              UserStats(user, a.n_events + b.n_events,
+                if (a.first_ts.before(b.first_ts)) a.first_ts else b.first_ts,
+                if (a.last_ts.after(b.last_ts)) a.last_ts else b.last_ts)
+            }
+          state.update(merged)
+          Iterator.single(merged)
+      }
+  }
 
   /** Streaming wrappers: identical transforms with a watermark bound. */
   def tumblingCountsStream(events: DataFrame, width: String = "1 hour",

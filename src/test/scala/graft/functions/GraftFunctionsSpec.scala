@@ -39,6 +39,18 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(interpreted === viaPlan)
   }
 
+  test("l2_normalize produces unit vectors; zero vector → null") {
+    val rows = Seq(
+      (Array(3.0f, 4.0f), "ok"),
+      (Array(0.0f, 0.0f), "zero"))
+      .toDF("v", "tag")
+      .select(col("tag"), GraftFunctions.l2Normalize(col("v")).as("nv"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    val ok = rows("ok").get.asInstanceOf[scala.collection.Seq[Double]]
+    assert(math.abs(ok(0) - 0.6) < 1e-12 && math.abs(ok(1) - 0.8) < 1e-12)
+    assert(rows("zero").isEmpty)
+  }
+
   test("rolling_hash is deterministic and matches a reference computation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))

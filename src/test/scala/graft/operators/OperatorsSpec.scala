@@ -28,6 +28,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pairs.keys.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("native minhash: exact dups estimate 1.0; unrelated docs below threshold") {
+    val pairs = Dedup.minhashNative(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minEstimate = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)))
+  }
+
   test("simhash candidates rank exact dup closer than near dup") {
     val cand = Dedup.simhashCandidates(docs, "text", "doc_id")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4))).toMap

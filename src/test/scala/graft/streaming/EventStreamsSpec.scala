@@ -44,6 +44,33 @@ class EventStreamsSpec extends SparkTestBase {
       batch.orderBy("w_start", "event_type").collect().toSeq)
   }
 
+  test("stateful user stats carry keyed state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.statefulUserStats(input.toDF())
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(events.take(3)) // batch 1: user1 ×2, user2 ×1
+      q.processAllAvailable()
+      input.addData(events.drop(3)) // batch 2: user1 ×1, user2 ×1
+      q.processAllAvailable()
+    } finally q.stop()
+    // memory sink in Update mode appends each update; the LAST row per
+    // user holds the accumulated totals across both batches.
+    val finalRows = spark.table("stateful_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalRows === Map(1L -> 3L, 2L -> 2L))
+
+    // batch mode: identical to a plain aggregation
+    val batch = EventStreams.statefulUserStats(events.toDF())
+      .collect().map(s => s.user_id -> s.n_events).toMap
+    assert(batch === Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("streaming session windows equal the batch transform") {
     val streamed = runStream(EventStreams.sessionizeStream(_, "10 minutes", "1 hour"),
       "session_out")
