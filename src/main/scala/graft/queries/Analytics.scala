@@ -251,6 +251,28 @@ object Analytics {
         .groupBy(col("l_returnflag").as("rflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
              countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("rflag")),
+
+    // Custom typed Aggregator (exact integer-cents money stats).
+    "a24_typed_agg" -> ((s, dir) => {
+      val moneyStats = udaf(graft.functions.TypedAggregators.MoneyStatsAgg,
+        org.apache.spark.sql.Encoders.scalaDouble)
+      T.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(moneyStats(col("o_totalprice")).as("stats"))
+        .select(col("status"), col("stats.n").as("n"),
+          col("stats.min_cents"), col("stats.max_cents"), col("stats.sum_cents"))
+        .orderBy("status")
+    }),
+
+    // Salted two-phase aggregation: identical result to a direct group-by
+    // (the oracle), skew-proof shuffle profile (graft.operators.Skew).
+    "a25_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountSum(
+          T.lineitem(s, dir), Seq("l_returnflag"),
+          Exact.dec(col("l_extendedprice")), "sum_price")
+        .select(col("l_returnflag").as("rflag"), col("n"),
+          col("sum_price").cast("double").as("sum_price"))
         .orderBy("rflag"))
   )
 
@@ -391,6 +413,17 @@ object Analytics {
          SELECT CAST(s.month_start AS TIMESTAMP) AS month_start,
            coalesce(c.n_orders, 0) AS n_orders
          FROM spine s LEFT JOIN counts c ON s.month_start = c.month_start
-         ORDER BY month_start"""
+         ORDER BY month_start""",
+    "a24_typed_agg" ->
+      """SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS min_cents,
+           CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS max_cents,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders GROUP BY 1 ORDER BY status""",
+    "a25_salted_agg" ->
+      """SELECT l_returnflag AS rflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY 1 ORDER BY rflag"""
   )
 }

@@ -72,6 +72,40 @@ class PlanSpec extends SparkTestBase {
       "overlapping union must NOT merge — it would change duplicate counts")
   }
 
+  test("bucketed tables join co-located: no shuffle exchange in the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets")
+    T.lineitem(spark, sf).write
+      .option("path", s"$dir/li").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    T.orders(spark, sf).write
+      .option("path", s"$dir/o").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val plan = planString(joined)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join should not shuffle the fact side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted join equals the plain join (skew mitigation is transparent)") {
+    val li = T.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val p = T.part(spark, sf).select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = li.join(p, Seq("l_partkey")).count()
+    val salted = graft.operators.Skew.saltedJoinSmall(li, p, "l_partkey", saltBuckets = 8).count()
+    assert(salted === plain)
+  }
+
   test("merge rule: different sources are left alone") {
     GraftExtensions.install(spark)
     val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))
