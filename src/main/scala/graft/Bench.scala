@@ -20,6 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
 
     // Warmup: touch every table and exercise join/agg/window codegen once.
     try {

@@ -199,6 +199,61 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
   }
 
+  /** Connected-components keep-one: collapse near-dup PAIRS into groups
+    * and elect the minimum id as each group's canonical representative.
+    *
+    * Iterative min-label propagation to fixpoint: each node's label is
+    * the min over itself and its neighbors' labels; convergence in
+    * O(component diameter) rounds. The fixpoint (per-component min) is
+    * unique, so results are deterministic and SQL-checkable via a
+    * recursive-CTE transitive closure. Each round is one self-join +
+    * aggregate — all shuffles keyed on node id, so it scales like the
+    * classic large-star/small-star map-reduce algorithms.
+    *
+    * @param pairs two id columns (d1, d2), e.g. from [[ngramJaccard]].
+    * @return (doc_id, canonical_id) for every doc in `docs`; docs in no
+    *         pair map to themselves.
+    */
+  def connectedComponentsKeepOne(docs: DataFrame, idCol: String,
+                                 pairs: DataFrame,
+                                 maxIterations: Int = 20): DataFrame = {
+    val d1 = pairs.columns(0); val d2 = pairs.columns(1)
+    // symmetric edge list (+ implicit self edges via the label join)
+    val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
+      .unionByName(pairs.select(col(d2).as("src"), col(d1).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst_label")).as("neighbor_label"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changes = updated.join(labels.withColumnRenamed("label", "old_label"), Seq("node"))
+        .filter(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine >= threshold.
     * Brute force n² — correct baseline; at scale run after LSH bucketing
     * (see Similarity.lshTopK) so n is per-bucket.

@@ -100,6 +100,8 @@ object MergeDisjointFilterUnions extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => MergeDisjointFilterUnions)
+    ext.injectOptimizerRule(_ => TopKViaWindowRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ()
   }
 }
@@ -108,7 +110,11 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(MergeDisjointFilterUnions)) {
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ MergeDisjointFilterUnions
+        spark.experimental.extraOptimizations ++ Seq(MergeDisjointFilterUnions, TopKViaWindowRewrite)
+    }
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     }
   }
 }

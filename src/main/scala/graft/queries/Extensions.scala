@@ -97,7 +97,17 @@ object Extensions {
     // Per-label embedding centroids (long format).
     "x13_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(T.embeddings(s, dir), "embedding", "label")
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+
+    // Near-dup keep-one: connected components over Jaccard pairs, min id
+    // elected canonical. Oracle: recursive-CTE transitive closure.
+    "x14_dedup_keepone" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.2)
+        .select("d1", "d2")
+      Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,6 +204,31 @@ object Extensions {
            SELECT label, unnest(range(0, len(embedding))) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS v
            FROM embeddings)
-         GROUP BY label, pos ORDER BY label, pos"""
+         GROUP BY label, pos ORDER BY label, pos""",
+    "x14_dedup_keepone" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT d1, d2 FROM (
+             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i
+           JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+           WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2),
+         edges AS (
+           SELECT d1 AS a, d2 AS b FROM pairs
+           UNION SELECT d2, d1 FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT d.doc_id,
+           coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id), d.doc_id),
+                    d.doc_id) AS canonical_id
+         FROM documents d ORDER BY d.doc_id"""
   )
 }

@@ -42,6 +42,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(cand((0L, 1L)) === 0)
   }
 
+  test("connected components keep-one elects min id per group; singletons self-map") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // components: {0,1,2} (chained), {3,4}; 5 isolated
+    val pairs = Seq((1L, 2L), (0L, 1L), (3L, 4L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponentsKeepOne(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
   test("brute-force topk returns k ranked neighbors with self excluded") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.tables.{Tables => T}
+
+class TopKPerKeySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rankQuery(k: Int) = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  test("window+filter top-k rewrites to TopKPerKeyExec and matches the window result") {
+    GraftExtensions.install(spark)
+    val df = rankQuery(3)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      df.queryExecution.executedPlan.toString)
+
+    val rewritten = df.collect().toSeq
+    val baseline = {
+      spark.conf.set("spark.graft.topkRewrite", "false")
+      try rankQuery(3).collect().toSeq
+      finally spark.conf.set("spark.graft.topkRewrite", "true")
+    }
+    assert(rewritten === baseline)
+    assert(rewritten.size === 15) // 5 priorities × 3
+  }
+
+  test("rewrite leaves non-top-k windows and non-literal bounds alone") {
+    GraftExtensions.install(spark)
+    // rank() instead of row_number: not rewritten
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+    val notRewritten = T.orders(spark, sf)
+      .withColumn("r", rank().over(w)).filter(col("r") <= 3)
+    assert(!notRewritten.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+
+    // row_number kept as a column without a filter: not rewritten
+    val noFilter = T.orders(spark, sf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    assert(!noFilter.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
+
+  test("rewritten a07 matches its recorded shape at larger k than group size") {
+    GraftExtensions.install(spark)
+    // k larger than some groups: every row flows through with correct ranks
+    val all = rankQuery(100000).collect()
+    val expected = T.orders(spark, sf).count()
+    assert(all.length === expected)
+  }
+}
