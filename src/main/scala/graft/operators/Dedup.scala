@@ -216,13 +216,44 @@ object Dedup {
     */
   def connectedComponentsKeepOne(docs: DataFrame, idCol: String,
                                  pairs: DataFrame,
-                                 maxIterations: Int = 20): DataFrame = {
+                                 maxIterations: Int = 20,
+                                 maxDriverEdges: Long = 1000000L): DataFrame = {
     val d1 = pairs.columns(0); val d2 = pairs.columns(1)
     // symmetric edge list (+ implicit self edges via the label join)
     val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
       .unionByName(pairs.select(col(d2).as("src"), col(d1).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Near-dup pair sets are orders of magnitude smaller than the corpus
+    // (they already passed a similarity threshold); below maxDriverEdges
+    // a driver-side union-find replaces the iterative join loop — one
+    // collect instead of O(diameter) Spark jobs. The distributed loop
+    // below remains the scale path.
+    if (edges.count() <= maxDriverEdges) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins → canonical = component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val labelDf = nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "label")
+      return docs.select(col(idCol).as("doc_id"))
+        .join(broadcast(labelDf), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
+    }
 
     var labels = edges.select(col("src").as("node"))
       .distinct()
@@ -264,7 +295,8 @@ object Dedup {
     val a = emb.select(col(idCol).as("d1"), col(vecCol).as("v1"))
     val b = emb.select(col(idCol).as("d2"), col(vecCol).as("v2"))
     a.join(b, col("d1") < col("d2"))
-      .withColumn("cosine", GraftFunctions.cosineSim(col("v1"), col("v2")))
+      .withColumn("cosine",
+        floor(GraftFunctions.cosineSim(col("v1"), col("v2")) * 1000000 + lit(0.5)) / 1000000)
       .filter(col("cosine") >= threshold)
       .select("d1", "d2", "cosine")
   }

@@ -99,6 +99,12 @@ object Extensions {
       Similarity.labelCentroids(T.embeddings(s, dir), "embedding", "label")
         .orderBy("label", "pos")),
 
+    // Embedding-cosine near-dup pairs: codegen cosine over a triangular
+    // self-join (threshold tuned to this corpus's cosine range).
+    "x15_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(T.embeddings(s, dir), "embedding", "vec_id", 0.4)
+        .orderBy("d1", "d2")),
+
     // Near-dup keep-one: connected components over Jaccard pairs, min id
     // elected canonical. Oracle: recursive-CTE transitive closure.
     "x14_dedup_keepone" -> ((s, dir) => {
@@ -205,6 +211,27 @@ object Extensions {
              CAST(unnest(embedding) AS DOUBLE) AS v
            FROM embeddings)
          GROUP BY label, pos ORDER BY label, pos""",
+    "x15_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+         SELECT a.vec_id AS d1, b.vec_id AS d2,
+           floor(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+             * 1000000 + 0.5) / 1000000 AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE floor(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+             * 1000000 + 0.5) / 1000000 >= 0.4
+         ORDER BY d1, d2""",
     "x14_dedup_keepone" ->
       """WITH RECURSIVE w AS (
            SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),

@@ -46,9 +46,16 @@ class OperatorsSpec extends SparkTestBase {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     // components: {0,1,2} (chained), {3,4}; 5 isolated
     val pairs = Seq((1L, 2L), (0L, 1L), (3L, 4L)).toDF("d1", "d2")
-    val got = Dedup.connectedComponentsKeepOne(ids, "doc_id", pairs)
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L)
+    // driver union-find path (default) and distributed label-propagation
+    // path (forced with maxDriverEdges = 0) must agree.
+    val viaDriver = Dedup.connectedComponentsKeepOne(ids, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    val viaLoop = Dedup.connectedComponentsKeepOne(ids, "doc_id", pairs,
+        maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === expected)
+    assert(viaLoop === expected)
   }
 
   test("brute-force topk returns k ranked neighbors with self excluded") {

@@ -36,6 +36,24 @@ class EventStreamsSpec extends SparkTestBase {
     spark.table(name)
   }
 
+  test("file-based readStream: parquet source -> watermarked agg -> memory sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    events.toDF().write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(events.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = EventStreams.tumblingCountsStream(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_stream_out")
+    val batch = EventStreams.tumblingCounts(events.toDF(), "1 hour")
+    assert(streamed.orderBy("w_start", "event_type").collect().toSeq ===
+      batch.orderBy("w_start", "event_type").collect().toSeq)
+  }
+
   test("streaming tumbling counts equal the batch transform") {
     val streamed = runStream(EventStreams.tumblingCountsStream(_, "1 hour", "2 hours"),
       "tumbling_out")

@@ -1,0 +1,47 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Source/sink round-trips across the formats the engine supports:
+  * parquet (primary), csv with explicit schema (the reference's input
+  * path), json, and orc. Values must survive the round-trip exactly.
+  */
+class SourcesSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .select("doc_id", "lang", "n_chars")
+
+  private def roundTrip(fmt: String): Unit = {
+    val dir = Files.createTempDirectory(s"graft_src_$fmt").toString
+    docs.write.mode("overwrite").format(fmt).save(dir)
+    val back = spark.read.format(fmt)
+      .schema(docs.schema) // explicit schema: no inference pass (S1 parity)
+      .load(dir)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq, s"round-trip mismatch for $fmt")
+  }
+
+  test("parquet round-trip preserves values")(roundTrip("parquet"))
+  test("orc round-trip preserves values")(roundTrip("orc"))
+  test("json round-trip preserves values")(roundTrip("json"))
+
+  test("csv round-trip with header + explicit schema preserves values") {
+    val dir = Files.createTempDirectory("graft_src_csv").toString
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(docs.schema).csv(dir)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(one.count() === docs.filter(col("lang") === "en").count())
+  }
+}
