@@ -43,12 +43,19 @@ object Dedup {
     * element values, so tokenization happens O(n) times per row.
     */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    // Single-file (single-row-group) inputs scan as one task; spread the
+    // shingle computation across the cluster when the source is narrower
+    // than the available parallelism. No-op for well-partitioned input.
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val input =
+      if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
+      else docs
     val w = split(lower(col(textCol)), "\\s+")
     val m = size(w) - (n - 1)
     val shingleArr = (1 until n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
       zip_with(acc, slice(w, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
     }
-    docs
+    input
       .filter(size(w) >= n)
       .select(col(idCol).as("doc_id"), array_distinct(shingleArr).as("shingles"))
   }
