@@ -273,8 +273,47 @@ object Analytics {
           Exact.dec(col("l_extendedprice")), "sum_price")
         .select(col("l_returnflag").as("rflag"), col("n"),
           col("sum_price").cast("double").as("sum_price"))
-        .orderBy("rflag"))
+        .orderBy("rflag")),
+
+    // Correlated + IN subqueries through spark.sql — identical SQL text
+    // runs in DuckDB as the oracle.
+    "a26_subqueries" -> ((s, dir) => {
+      T.orders(s, dir).createOrReplaceTempView("orders")
+      T.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(subqueriesSql)
+    }),
+
+    // Cube: all grouping-set combinations.
+    "a27_cube" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .cube(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("rflag").asc_nulls_first, col("lstatus").asc_nulls_first)),
+
+    // Analytic lag window: days since the customer's previous order.
+    "a28_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
   )
+
+  /** Shared Spark/DuckDB SQL: orders that match their priority's maximum
+    * price (correlated scalar subquery) for customers in a balance band
+    * (IN subquery).
+    */
+  val subqueriesSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice
+       FROM orders o
+       WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                             WHERE o2.o_orderpriority = o.o_orderpriority)
+          OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9990)
+       ORDER BY o_orderkey"""
 
   val oracle: Map[String, String] = Map(
     "a01_agg_pricing" ->
@@ -424,6 +463,19 @@ object Analytics {
     "a25_salted_agg" ->
       """SELECT l_returnflag AS rflag, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
-         FROM lineitem GROUP BY 1 ORDER BY rflag"""
+         FROM lineitem GROUP BY 1 ORDER BY rflag""",
+    "a26_subqueries" -> subqueriesSql,
+    "a27_cube" ->
+      """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+           CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rflag ASC NULLS FIRST, lstatus ASC NULLS FIRST""",
+    "a28_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+             CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS DATE),
+             CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+         FROM orders ORDER BY o_custkey, o_orderkey"""
   )
 }

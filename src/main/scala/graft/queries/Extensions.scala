@@ -105,6 +105,18 @@ object Extensions {
       Dedup.embeddingCosinePairs(T.embeddings(s, dir), "embedding", "vec_id", 0.4)
         .orderBy("d1", "d2")),
 
+    // Corpus term statistics: document frequency of whitespace tokens
+    // (explode → two-level aggregation), top-50 by df.
+    "x16_token_freq" -> ((s, dir) => {
+      val toks = T.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(
+          split(lower(col("text")), "\\s+"))).as("token"))
+      toks.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(50)
+    }),
+
     // Near-dup keep-one: connected components over Jaccard pairs, min id
     // elected canonical. Oracle: recursive-CTE transitive closure.
     "x14_dedup_keepone" -> ((s, dir) => {
@@ -211,6 +223,12 @@ object Extensions {
              CAST(unnest(embedding) AS DOUBLE) AS v
            FROM embeddings)
          GROUP BY label, pos ORDER BY label, pos""",
+    "x16_token_freq" ->
+      """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
+           SELECT doc_id, unnest(list_distinct(
+             regexp_split_to_array(lower(text), '\s+'))) AS token
+           FROM documents)
+         GROUP BY token ORDER BY df DESC, token LIMIT 50""",
     "x15_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)
          SELECT a.vec_id AS d1, b.vec_id AS d2,
