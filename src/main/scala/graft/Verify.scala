@@ -23,6 +23,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Operator-persisted intermediates are deliberately NOT cleared
+    // between queries: Spark's CacheManager deduplicates by canonical
+    // plan, so queries sharing a subtree (e.g. the shingle table in
+    // x02/x14) reuse one cached copy; MEMORY_AND_DISK evicts under
+    // pressure. Measured: clearing per-query cost ~20% total runtime.
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

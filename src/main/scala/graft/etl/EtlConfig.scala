@@ -86,13 +86,15 @@ object EtlConfig {
     val fill = sec(m, "fill")
     val units = sec(m, "units")
     val out = sec(m, "output")
-    val fields = in("schema").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+    val fields = in.getOrElse("schema", fail("schema"))
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
       .asScala.toSeq.map { f =>
         val fm = f.asScala.toMap
         FieldSpec(str(fm, "name"), str(fm, "type"),
           fm.get("nullable").forall(_.toString.toBoolean))
       }
-    val indicators = m("indicators").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+    val indicators = m.getOrElse("indicators", fail("indicators"))
+      .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
       .asScala.toSeq.map { i =>
         val im = i.asScala.toMap
         IndicatorConf(str(im, "name"), str(im, "source"),

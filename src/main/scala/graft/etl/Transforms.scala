@@ -56,9 +56,11 @@ object Transforms {
   /** F3/U1 — per-indicator IN-list branches unioned by name (reference
     * :128-136). Bag semantics: overlapping values duplicate rows.
     */
-  def deliveryFilter(df: DataFrame, indicators: Seq[IndicatorConf]): DataFrame =
+  def deliveryFilter(df: DataFrame, indicators: Seq[IndicatorConf]): DataFrame = {
+    require(indicators.nonEmpty, "deliveryFilter requires at least one indicator family")
     indicators.map(i => df.filter(upper(col(i.source)).isin(i.values: _*)))
       .reduce(_ unionByName _)
+  }
 
   /** E4 — 0/1 indicator columns (reference :150-159). */
   def indicatorCols(df: DataFrame, indicators: Seq[IndicatorConf]): DataFrame =

@@ -236,8 +236,12 @@ object Dedup {
     // (they already passed a similarity threshold); below maxDriverEdges
     // a driver-side union-find replaces the iterative join loop — one
     // collect instead of O(diameter) Spark jobs. The distributed loop
-    // below remains the scale path.
-    if (edges.count() <= maxDriverEdges) {
+    // below remains the scale path, and also serves non-integral id
+    // types the driver path's Long union-find cannot represent.
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && edges.count() <= maxDriverEdges) {
       val spark = docs.sparkSession
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()
@@ -285,6 +289,11 @@ object Dedup {
       labels = updated
       converged = changes == 0
       iter += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations iterations " +
+          "(component diameter exceeds the bound); raise maxIterations")
     }
 
     docs.select(col(idCol).as("doc_id"))

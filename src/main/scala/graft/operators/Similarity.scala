@@ -80,11 +80,20 @@ object Similarity {
   /** Per-label centroids in long format (label, dim, centroid value).
     * Mean is computed per (label, dimension) after posexplode — a single
     * partial-aggregatable shuffle keyed on (label, pos).
+    *
+    * Elements are quantized to a 2^-20 grid BEFORE summation: grid
+    * addends of bounded magnitude sum exactly in double (≤ 26 mantissa
+    * bits used), so the aggregate is independent of accumulation order —
+    * a raw double sum is not, and would make the cross-engine
+    * hash-compare flaky at rounding boundaries.
     */
-  def labelCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame =
+  def labelCentroids(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val grid = 1048576 // 2^20
+    val q = floor(col("v").cast("double") * grid + lit(0.5)) / grid
     emb
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg((floor(sum(col("v").cast("double")) / count(lit(1)) * 1000000 + lit(0.5)) / 1000000)
+      .agg((floor(sum(q) / count(lit(1)) * 1000000 + lit(0.5)) / 1000000)
         .as("centroid_val"))
+  }
 }

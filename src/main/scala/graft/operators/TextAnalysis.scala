@@ -62,7 +62,9 @@ object TextAnalysis {
       .withColumn("mean_token_len",
         length(regexp_replace(t, "\\s+", "")).cast("double") / size(toks))
       .withColumn("punct_ratio",
-        (length(t) - length(regexp_replace(t, punct, ""))).cast("double") / length(t))
+        // empty text → null ratio, not an ANSI divide-by-zero
+        when(length(t) === 0, lit(null).cast("double"))
+          .otherwise((length(t) - length(regexp_replace(t, punct, ""))).cast("double") / length(t)))
       .withColumn("stopword_ratio",
         hitCount(toks, stopwords("en")).cast("double") / size(toks))
       .withColumn("quality_ok",

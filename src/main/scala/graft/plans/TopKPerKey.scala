@@ -48,11 +48,15 @@ object TopKViaWindowRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.topkRewrite", "true").toBoolean) return plan
     plan.transformUp {
+      // partitionSpec must be non-empty: with no keys the exec would run
+      // per input partition and a GLOBAL row_number top-k would wrongly
+      // return per-partition ranks. Global top-k already has an efficient
+      // plan (TakeOrderedAndProject) and is left to Spark.
       case f @ Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec), _)),
             partitionSpec, orderSpec, child, _))
           if spec.frameSpecification.isInstanceOf[SpecifiedWindowFrame] &&
-            orderSpec.nonEmpty =>
+            partitionSpec.nonEmpty && orderSpec.nonEmpty =>
         boundOf(cond, alias.toAttribute) match {
           case Some(k) if k > 0 =>
             TopKPerKeyPlan(partitionSpec, orderSpec, k, alias.toAttribute, child)

@@ -192,8 +192,9 @@ object Extensions {
            SELECT doc_id,
              CAST(len(ws) AS INTEGER) AS n_tokens,
              CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(ws) AS mean_token_len,
-             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-               / length(text) AS punct_ratio,
+             CASE WHEN length(text) = 0 THEN NULL
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_ratio,
              CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
                / len(ws) AS stopword_ratio
            FROM w)
@@ -217,7 +218,8 @@ object Extensions {
          FROM documents ORDER BY doc_id""",
     "x13_label_centroids" ->
       """SELECT label, CAST(pos AS INTEGER) AS pos,
-           floor(sum(v) / count(*) * 1000000 + 0.5) / 1000000 AS centroid_val
+           floor(sum(floor(v * 1048576 + 0.5) / 1048576) / count(*) * 1000000 + 0.5)
+             / 1000000 AS centroid_val
          FROM (
            SELECT label, unnest(range(0, len(embedding))) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS v

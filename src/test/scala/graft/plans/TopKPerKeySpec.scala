@@ -51,6 +51,19 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(!noFilter.queryExecution.executedPlan.toString.contains("TopKPerKey"))
   }
 
+  test("GLOBAL (unpartitioned) row_number top-k is NOT rewritten") {
+    GraftExtensions.install(spark)
+    // no partitionBy: the exec would return per-partition ranks — must
+    // stay on Spark's window plan.
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = T.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("o_orderkey", "rn")
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(df.count() === 5) // exactly 5 rows globally, not 5 per partition
+  }
+
   test("rewritten a07 matches its recorded shape at larger k than group size") {
     GraftExtensions.install(spark)
     // k larger than some groups: every row flows through with correct ranks
