@@ -54,6 +54,30 @@ class EventStreamsSpec extends SparkTestBase {
       batch.orderBy("w_start", "event_type").collect().toSeq)
   }
 
+  test("writeStream to a parquet file sink with checkpointing") {
+    val src = java.nio.file.Files.createTempDirectory("graft_sink_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt")
+    events.toDF().write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(events.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sunk = spark.read.parquet(out.toString)
+    val batch = events.toDF().filter($"event_type" === "click")
+      .select("user_id", "ts", "value")
+    assert(sunk.orderBy("user_id", "ts").collect().toSeq ===
+      batch.orderBy("user_id", "ts").collect().toSeq)
+  }
+
   test("streaming tumbling counts equal the batch transform") {
     val streamed = runStream(EventStreams.tumblingCountsStream(_, "1 hour", "2 hours"),
       "tumbling_out")
