@@ -290,6 +290,16 @@ object Analytics {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("rflag").asc_nulls_first, col("lstatus").asc_nulls_first)),
 
+    // Bag-semantics set operations (multiplicity-preserving).
+    "a29_intersect_all" -> ((s, dir) =>
+      T.lineitem(s, dir).select(col("l_suppkey").as("k"))
+        .intersectAll(T.orders(s, dir).select(col("o_custkey").as("k")))
+        .orderBy("k")),
+    "a30_except_all" -> ((s, dir) =>
+      T.supplier(s, dir).select(col("s_nationkey").as("k"))
+        .exceptAll(T.nation(s, dir).select(col("n_nationkey").as("k")))
+        .orderBy("k")),
+
     // Analytic lag window: days since the customer's previous order.
     "a28_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -465,6 +475,18 @@ object Analytics {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
          FROM lineitem GROUP BY 1 ORDER BY rflag""",
     "a26_subqueries" -> subqueriesSql,
+    "a29_intersect_all" ->
+      """SELECT * FROM (
+           SELECT l_suppkey AS k FROM lineitem
+           INTERSECT ALL
+           SELECT o_custkey FROM orders)
+         ORDER BY k""",
+    "a30_except_all" ->
+      """SELECT * FROM (
+           SELECT s_nationkey AS k FROM supplier
+           EXCEPT ALL
+           SELECT n_nationkey FROM nation)
+         ORDER BY k""",
     "a27_cube" ->
       """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
            CAST(count(*) AS BIGINT) AS n
