@@ -86,6 +86,34 @@ class EventStreamsSpec extends SparkTestBase {
       batch.orderBy("w_start", "event_type").collect().toSeq)
   }
 
+  test("watermark drops late data beyond the bound") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.tumblingCountsStream(input.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // batch 1: events in hour-0 and hour-5 — watermark advances to 4:30
+      input.addData(Seq(
+        Ev(t("2024-01-01 00:10:00"), 1L, "click", 1.0),
+        Ev(t("2024-01-01 05:00:00"), 1L, "click", 2.0)))
+      q.processAllAvailable()
+      // batch 2: one on-time event (hour-5) and one LATE event (hour-0,
+      // far behind the 4:30 watermark) — the late one must be dropped
+      input.addData(Seq(
+        Ev(t("2024-01-01 05:10:00"), 1L, "click", 3.0),
+        Ev(t("2024-01-01 00:20:00"), 1L, "click", 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("late_out")
+      .groupBy("w_start")
+      .agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(counts("2024-01-01 00:00:00.0") === 1L) // late event NOT counted
+    assert(counts("2024-01-01 05:00:00.0") === 2L) // on-time event counted
+  }
+
   test("stateful user stats carry keyed state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
