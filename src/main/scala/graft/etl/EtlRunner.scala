@@ -121,6 +121,7 @@ object EtlRunner {
 /** CLI: run the pipeline from a YAML config path. */
 object EtlMain {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val configPath = args.headOption.getOrElse(
       sys.error("usage: EtlMain <config.yaml> [master]"))
     val conf = EtlConfig.load(configPath)
@@ -137,5 +138,6 @@ object EtlMain {
       println(report.written.fold("write skipped: quality gate failed")(p =>
         s"wrote ${report.rowsOut} rows to $p"))
     } finally spark.stop()
+    println(f"pipeline wall clock incl. session start/stop: ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 }
