@@ -83,13 +83,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // sz rides along the self-join and the (functionally dependent)
-    // group keys, so set sizes never need separate join-backs. The
-    // persist matters even with only two consumers (measured 12.7s vs
-    // 7.5s without/with on sf0.1): both self-join sides re-derive the
-    // explode otherwise.
-    val flat = shingles(docs, textCol, idCol, n)
-      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // group keys, so set sizes never need separate join-backs.
+    val flat = shingleFlat(docs, textCol, idCol, n)
     flat.select(col("doc_id").as("d1"), col("sz").as("sz1"), col("s"))
       .join(flat.select(col("doc_id").as("d2"), col("sz").as("sz2"), col("s")), Seq("s"))
       .filter(col("d1") < col("d2"))
@@ -128,6 +123,18 @@ object Dedup {
       .filter(col("d1") < col("d2"))
   }
 
+  /** One exploded (doc_id, sz, shingle) row per distinct shingle,
+    * persisted. The persist matters even with only two consumers
+    * (measured 12.7s vs 7.5s on sf0.1): every consumer re-derives the
+    * explode otherwise. All shingle-based operators share this ONE plan
+    * shape so Spark's CacheManager (canonical-plan matching) reuses a
+    * single cached copy across queries in the same session.
+    */
+  def shingleFlat(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    shingles(docs, textCol, idCol, n)
+      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Native MinHash signatures: k permutation-style hashes
     * `(a·murmur3(shingle) + b) mod p` minimized per document — one
     * explode + one groupBy shuffle. Coefficients derive from `seed`, so
@@ -142,8 +149,7 @@ object Dedup {
     val coefs = Seq.fill(numHashes)(
       (rnd.nextInt((1 << 28) - 1).toLong + 1L, rnd.nextInt(1 << 28).toLong))
     val p = (1L << 61) - 1
-    val flat = shingles(docs, textCol, idCol, n)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val flat = shingleFlat(docs, textCol, idCol, n)
     val h = hash(col("s")).cast("long").bitwiseAND(lit(0xffffffffL))
     val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
       min((h * a + b) % p).as(s"h$i")
