@@ -62,6 +62,44 @@ object Multimodal {
     }
   }
 
+  /** A sampled "frame": offset into the payload + a deterministic
+    * checksum of its bytes (a real video pipeline would emit decoded
+    * frame tensors; the Spark-side shape — explode to one row per
+    * sampled frame — is the real contract).
+    */
+  case class FrameSample(doc_id: Long, frame_idx: Int, offset: Int, checksum: Long)
+
+  /** STUB frame sampling: every `frameBytes` window of the payload is a
+    * "frame"; sample every `everyN`-th. Deterministic from the bytes.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int = 256,
+                   everyN: Int = 4): Dataset[FrameSample] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val n = math.max(1, r.payload.length / frameBytes)
+      (0 until n by everyN).map { i =>
+        val from = i * frameBytes
+        val until = math.min(r.payload.length, from + frameBytes)
+        var sum = 0L
+        var j = from
+        while (j < until) { sum += (r.payload(j) & 0xff); j += 1 }
+        FrameSample(r.doc_id, i, from, sum)
+      }
+    }
+  }
+
+  /** STUB resize: shrink a payload by an integer factor via strided byte
+    * sampling (a real image pipeline would do pixel-space resampling).
+    * Preserves determinism and the binary-in/binary-out plumbing.
+    */
+  def resizeStub(records: Dataset[MediaRecord], factor: Int = 4): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val out = r.payload.indices.collect { case i if i % factor == 0 => r.payload(i) }.toArray
+      MediaRecord(r.doc_id, r.media_type, out)
+    }
+  }
+
   /** Decode + featurize a media dataset; one decoder per partition. */
   def extractFeatures(records: Dataset[MediaRecord],
                       decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {

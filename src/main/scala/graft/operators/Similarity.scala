@@ -77,6 +77,51 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
+  /** IVF-style ANN (inverted-file index): candidates are partitioned
+    * into cells by a seeded KMeans codebook; each query probes only its
+    * `nProbe` nearest cells and brute-forces within them. At scale the
+    * cell id is a partitioning/clustering column, so a probe touches
+    * 1/cells of the data; recall is tunable via nProbe.
+    */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              cells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    def vectorized(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"),
+        array_to_vector(transform(col(vecCol), _.cast("double"))).as(s"${id}_mlvec"))
+    val c = vectorized(candidates, "cand_id")
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(seed).setFeaturesCol("cand_id_mlvec").setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c)
+      .select(col("cand_id"), col("cand_id_vec"), col("cell"))
+    // centroids as a tiny broadcast table; each query scores all cells
+    // and keeps its nProbe nearest
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("cell_sim", GraftFunctions.cosineSim(col("qv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        floor(GraftFunctions.cosineSim(col("qv"), col("cand_id_vec")) * 1000000 + lit(0.5)) / 1000000)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
   /** Per-label centroids in long format (label, dim, centroid value).
     * Mean is computed per (label, dimension) after posexplode — a single
     * partial-aggregatable shuffle keyed on (label, pos).

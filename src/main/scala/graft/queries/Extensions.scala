@@ -105,6 +105,23 @@ object Extensions {
       Dedup.embeddingCosinePairs(T.embeddings(s, dir), "embedding", "vec_id", 0.4)
         .orderBy("d1", "d2")),
 
+    // IVF ANN: seeded KMeans codebook, probe nearest cells only — the
+    // partition-pruned scale path. Approximate → rows-only.
+    "x17_ann_ivf" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 10, cells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal frame sampling: one row per sampled payload window with
+    // a deterministic checksum (stubbed decode; real plumbing).
+    "x18_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.documentsAsMedia(s, T.documents(s, dir)))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")),
+
     // Corpus term statistics: document frequency of whitespace tokens
     // (explode → two-level aggregation), top-50 by df.
     "x16_token_freq" -> ((s, dir) => {

@@ -79,6 +79,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(1L) === "de")
   }
 
+  test("ivf topk probes cells and finds the clustered neighbor") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.05f, 0.95f)), (5L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0), "embedding", "vec_id",
+        k = 2, cells = 2, nProbe = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // probing only the nearest cell still finds the same-cluster vectors
+    assert(out.toSeq === Seq((1, 1L), (2, 2L)))
+  }
+
+  test("frame sampling and resize stubs are deterministic byte plumbing") {
+    val media = Multimodal.documentsAsMedia(spark, docs)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyN = 2)
+      .filter(_.doc_id == 0L).collect().sortBy(_.frame_idx)
+    val payload = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    assert(frames.head.offset === 0)
+    assert(frames.head.checksum === payload.take(16).map(_ & 0xff).sum.toLong)
+    val resized = Multimodal.resizeStub(media, factor = 4)
+      .filter(_.doc_id == 0L).head()
+    assert(resized.payload.length === (payload.length + 3) / 4)
+    assert(resized.payload(0) === payload(0))
+  }
+
   test("multimodal stub decode: deterministic features from payload bytes") {
     val media = Multimodal.documentsAsMedia(spark, docs)
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
