@@ -41,6 +41,12 @@ object Extensions {
       Dedup.simhash(T.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // SimHash banded near-dup candidates with Hamming distances.
+    "x19_simhash_candidates" -> ((s, dir) =>
+      Dedup.simhashCandidates(T.documents(s, dir), "text", "doc_id")
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")),
+
     // Brute-force cosine top-k ANN (codegen'd cosine expression).
     "x05_ann_bruteforce" -> ((s, dir) => {
       val emb = T.embeddings(s, dir)

@@ -28,6 +28,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pairs.keys.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("MLlib minhash variant also surfaces the exact-dup pair") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashTables = 4, maxJaccardDistance = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 0.0) // exact dup: jaccard distance 0
+  }
+
   test("native minhash: exact dups estimate 1.0; unrelated docs below threshold") {
     val pairs = Dedup.minhashNative(docs, "text", "doc_id",
         numHashes = 16, bands = 4, minEstimate = 0.1)
