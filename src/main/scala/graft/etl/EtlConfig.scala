@@ -67,14 +67,19 @@ object EtlConfig {
     fromMap(root.asScala.toMap)
   }
 
+  // a present-but-empty YAML key loads as null — treat it as missing so
+  // the error names the key instead of NPE-ing downstream
+  private def get(m: Map[String, Object], key: String): Object =
+    m.get(key).filter(_ != null).getOrElse(fail(key))
+
   private def sec(m: Map[String, Object], key: String): Map[String, Object] =
-    m.getOrElse(key, fail(key)).asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+    get(m, key).asInstanceOf[java.util.Map[String, Object]].asScala.toMap
 
   private def str(m: Map[String, Object], key: String): String =
-    m.getOrElse(key, fail(key)).toString
+    get(m, key).toString
 
   private def strs(m: Map[String, Object], key: String): Seq[String] =
-    m.getOrElse(key, fail(key)).asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString)
+    get(m, key).asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString)
 
   private def fail(key: String): Nothing =
     throw new IllegalArgumentException(s"missing config key: $key")
@@ -86,14 +91,14 @@ object EtlConfig {
     val fill = sec(m, "fill")
     val units = sec(m, "units")
     val out = sec(m, "output")
-    val fields = in.getOrElse("schema", fail("schema"))
+    val fields = get(in, "schema")
       .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
       .asScala.toSeq.map { f =>
         val fm = f.asScala.toMap
         FieldSpec(str(fm, "name"), str(fm, "type"),
           fm.get("nullable").forall(_.toString.toBoolean))
       }
-    val indicators = m.getOrElse("indicators", fail("indicators"))
+    val indicators = get(m, "indicators")
       .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
       .asScala.toSeq.map { i =>
         val im = i.asScala.toMap

@@ -55,6 +55,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // null element → null result
       val va = get(a, i, ta); val vb = get(b, i, tb)
       dot += va * vb; na += va * va; nb += vb * vb
       i += 1
@@ -76,12 +77,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { anyNull = true; break; }
          |  double $va = ${getter(a, i, ta)};
          |  double $vb = ${getter(b, i, tb)};
          |  $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;
          |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |if (anyNull || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -120,6 +123,7 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
     var ss = 0.0
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null // null element → null result
       val x = elemType match {
         case FloatType => arr.getFloat(i).toDouble
         case _ => arr.getDouble(i)
@@ -148,10 +152,12 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double[] $out = new double[$n];
          |double $ss = 0.0;
+         |boolean anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { anyNull = true; break; }
          |  double v = $get; $out[$i] = v; $ss += v * v;
          |}
-         |if ($ss == 0.0) {
+         |if (anyNull || $ss == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $inv = 1.0 / java.lang.Math.sqrt($ss);

@@ -40,7 +40,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val lpayType = left.select(struct(leftCols.map(left(_)): _*)).schema.head.dataType
 
-    val r = right.select(
+    // SQL join semantics: a null key never matches — drop null-key right
+    // rows so null-key left rows (alone in their window partition) get a
+    // null payload, exactly like ASOF ... ON l.k = r.k.
+    val r = right.filter(right(key).isNotNull).select(
       right(key).as("__key"),
       right(rightTs).as("__ts"),
       lit(0).as("__side"),

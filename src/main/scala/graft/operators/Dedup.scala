@@ -267,6 +267,7 @@ object Dedup {
       }
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
       val labelDf = nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "label")
+      edges.unpersist() // fully consumed by the collect above
       return docs.select(col(idCol).as("doc_id"))
         .join(broadcast(labelDf), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
@@ -318,7 +319,7 @@ object Dedup {
     val b = emb.select(col(idCol).as("d2"), col(vecCol).as("v2"))
     a.join(b, col("d1") < col("d2"))
       .withColumn("cosine",
-        floor(GraftFunctions.cosineSim(col("v1"), col("v2")) * 1000000 + lit(0.5)) / 1000000)
+        graft.tables.Exact.round6(GraftFunctions.cosineSim(col("v1"), col("v2"))))
       .filter(col("cosine") >= threshold)
       .select("d1", "d2", "cosine")
   }

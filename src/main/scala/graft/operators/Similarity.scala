@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
+import graft.tables.Exact
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -33,8 +34,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cosine",
-        floor(GraftFunctions.cosineSim(col("qv"), col("cv")) * 1000000 + lit(0.5)) / 1000000)
+      .withColumn("cosine", Exact.round6(GraftFunctions.cosineSim(col("qv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored
@@ -115,8 +115,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cand_id"))
     probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cosine",
-        floor(GraftFunctions.cosineSim(col("qv"), col("cand_id_vec")) * 1000000 + lit(0.5)) / 1000000)
+      .withColumn("cosine", Exact.round6(GraftFunctions.cosineSim(col("qv"), col("cand_id_vec"))))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "cand_id", "cosine")
@@ -138,7 +137,6 @@ object Similarity {
     emb
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg((floor(sum(q) / count(lit(1)) * 1000000 + lit(0.5)) / 1000000)
-        .as("centroid_val"))
+      .agg(Exact.round6(sum(q) / count(lit(1))).as("centroid_val"))
   }
 }

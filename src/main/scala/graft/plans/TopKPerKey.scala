@@ -57,8 +57,9 @@ object TopKViaWindowRewrite extends Rule[LogicalPlan] {
             partitionSpec, orderSpec, child, _))
           if spec.frameSpecification.isInstanceOf[SpecifiedWindowFrame] &&
             partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+        val maxK = conf.getConfString("spark.graft.topkRewrite.maxK", "10000").toInt
         boundOf(cond, alias.toAttribute) match {
-          case Some(k) if k > 0 =>
+          case Some(k) if k > 0 && k <= maxK =>
             TopKPerKeyPlan(partitionSpec, orderSpec, k, alias.toAttribute, child)
           case _ => f
         }
@@ -78,6 +79,14 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * planner inserts the exchange); inside each partition it streams rows
   * once, keeping the k best per key under `order`, then emits
   * (childRow, rank) with rank 1..k in sort order.
+  *
+  * Memory: O(distinct keys per partition × k) copied rows on heap — the
+  * same order as the operator's OUTPUT per partition, but held at once
+  * rather than streamed like Spark's spillable window sort. The rewrite
+  * is bounded by spark.graft.topkRewrite.maxK (default 10000) and can
+  * be disabled entirely with spark.graft.topkRewrite=false; extreme
+  * key-cardinality-per-partition workloads should size partitions (AQE)
+  * or disable the rewrite.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],

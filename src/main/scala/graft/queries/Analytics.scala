@@ -205,15 +205,18 @@ object Analytics {
     // As-of (point-in-time) join: each event annotated with its user's
     // most recent purchase at-or-before the event. One key shuffle —
     // see graft.operators.AsOfJoin. Oracle: DuckDB's native ASOF JOIN.
+    // The right side is pre-deduplicated to one row per (user, ts)
+    // (arg-max by event_id) so equal-timestamp ties cannot make the
+    // cross-engine compare depend on DuckDB's arbitrary tie choice.
     "a20_asof_join" -> ((s, dir) => {
       val ev = T.events(s, dir).select("event_id", "user_id", "ts", "event_type")
       val purchases = T.events(s, dir)
         .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
       graft.operators.AsOfJoin.asofBackward(
           ev, purchases, key = "user_id", leftTs = "ts", rightTs = "ts",
-          payload = Map("ts" -> "last_purchase_ts", "value" -> "last_purchase_value"),
-          tieBreak = Some("event_id"))
+          payload = Map("ts" -> "last_purchase_ts", "value" -> "last_purchase_value"))
         .orderBy("event_id")
     }),
 
@@ -222,10 +225,8 @@ object Analytics {
       T.orders(s, dir)
         .groupBy(col("o_orderstatus").as("status"))
         .agg(
-          (floor(percentile(col("o_totalprice"), lit(0.5)) * 1000000 + lit(0.5)) / 1000000)
-            .as("median_price"),
-          (floor(percentile(col("o_totalprice"), lit(0.9)) * 1000000 + lit(0.5)) / 1000000)
-            .as("p90_price"))
+          Exact.round6(percentile(col("o_totalprice"), lit(0.5))).as("median_price"),
+          Exact.round6(percentile(col("o_totalprice"), lit(0.9))).as("p90_price"))
         .orderBy("status")),
 
     // Date spine: generated month series (sequence + explode) left-joined
@@ -440,8 +441,9 @@ object Analytics {
            CAST(p.ts AS TIMESTAMP) AS last_purchase_ts,
            p.value AS last_purchase_value
          FROM events e
-         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                         WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value
+                         FROM events WHERE event_type = 'purchase'
+                         GROUP BY user_id, ts) p
            ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id""",
     "a21_percentile" ->
