@@ -301,6 +301,36 @@ object Analytics {
         .exceptAll(T.nation(s, dir).select(col("n_nationkey").as("k")))
         .orderBy("k")),
 
+    // String-function battery (cross-engine-identical subset).
+    "a31_string_funcs" -> ((s, dir) =>
+      T.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          lpad(col("c_mktsegment"), 12, "*").as("seg_lpad"),
+          rpad(col("c_mktsegment"), 12, "*").as("seg_rpad"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("seg_trim"),
+          regexp_replace(col("c_name"), "0", "#").as("name_repl"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          instr(col("c_name"), "00").as("name_pos"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_trans"),
+          element_at(split(col("c_name"), "#"), 2).as("name_num"))
+        .orderBy("c_custkey")),
+
+    // Math-function battery (IEEE-exact subset: no libm transcendentals,
+    // whose last-ulp results vary across implementations).
+    "a32_math_funcs" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          signum(col("l_discount") - 0.05).as("disc_sign"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+          pmod(col("l_linenumber"), lit(3)).as("ln_mod"),
+          greatest(col("l_tax"), col("l_discount")).as("tax_max"),
+          least(col("l_tax"), col("l_discount")).as("tax_min"),
+          ceil(col("l_extendedprice")).as("price_ceil"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Analytic lag window: days since the customer's previous order.
     "a28_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -477,6 +507,27 @@ object Analytics {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
          FROM lineitem GROUP BY 1 ORDER BY rflag""",
     "a26_subqueries" -> subqueriesSql,
+    "a31_string_funcs" ->
+      """SELECT c_custkey,
+           lpad(c_mktsegment, 12, '*') AS seg_lpad,
+           rpad(c_mktsegment, 12, '*') AS seg_rpad,
+           trim('  ' || c_mktsegment || '  ') AS seg_trim,
+           regexp_replace(c_name, '0', '#', 'g') AS name_repl,
+           reverse(c_mktsegment) AS seg_rev,
+           CAST(strpos(c_name, '00') AS INTEGER) AS name_pos,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_trans,
+           split_part(c_name, '#', 2) AS name_num
+         FROM customer ORDER BY c_custkey""",
+    "a32_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(mod(l_linenumber, 3) AS INTEGER) AS ln_mod,
+           greatest(l_tax, l_discount) AS tax_max,
+           least(l_tax, l_discount) AS tax_min,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "a29_intersect_all" ->
       """SELECT * FROM (
            SELECT l_suppkey AS k FROM lineitem
