@@ -308,6 +308,30 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
   }
 
+  /** The composed scale path for exact near-dup detection: SimHash
+    * banding generates candidates (O(dups), never quadratic), then the
+    * exact n-gram Jaccard is computed ONLY for candidate pairs via
+    * array_intersect over their shingle sets. Recall is bounded by the
+    * banding (near-dups at the threshold margin may miss a band);
+    * precision is exact.
+    */
+  def bandedJaccard(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, threshold: Double = 0.5,
+                    maxHamming: Int = 16): DataFrame = {
+    val cand = simhashCandidates(docs, textCol, idCol)
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2")
+    val sets = shingles(docs, textCol, idCol, n)
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine >= threshold.
     * Brute force n² — correct baseline; at scale run after LSH bucketing
     * (see Similarity.lshTopK) so n is per-bucket.

@@ -41,6 +41,13 @@ object Extensions {
       Dedup.simhash(T.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // Composed scale path: SimHash banding → exact Jaccard verification
+    // of candidates only. Rows-only (simhash not SQL-expressible).
+    "x20_banded_jaccard" -> ((s, dir) =>
+      Dedup.bandedJaccard(T.documents(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.2, maxHamming = 24)
+        .orderBy("d1", "d2")),
+
     // SimHash banded near-dup candidates with Hamming distances.
     "x19_simhash_candidates" -> ((s, dir) =>
       Dedup.simhashCandidates(T.documents(s, dir), "text", "doc_id")

@@ -65,6 +65,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaLoop === expected)
   }
 
+  test("banded jaccard (simhash candidates → exact verify) finds dups exactly") {
+    val pairs = Dedup.bandedJaccard(docs, "text", "doc_id",
+        n = 3, threshold = 0.3, maxHamming = 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0) // exact dup survives banding, jaccard exact
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("brute-force topk returns k ranked neighbors with self excluded") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),

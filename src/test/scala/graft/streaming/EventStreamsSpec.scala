@@ -141,6 +141,21 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch === Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("streaming sliding windows equal the batch transform") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(events)
+    val q = EventStreams.slidingCounts(input.toDF().withWatermark("ts", "2 hours"),
+        "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = EventStreams.slidingCounts(events.toDF(), "1 hour", "30 minutes")
+    assert(spark.table("sliding_out").orderBy("w_start", "event_type").collect().toSeq ===
+      batch.orderBy("w_start", "event_type").collect().toSeq)
+  }
+
   test("streaming session windows equal the batch transform") {
     val streamed = runStream(EventStreams.sessionizeStream(_, "10 minutes", "1 hour"),
       "session_out")
