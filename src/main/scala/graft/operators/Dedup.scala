@@ -321,7 +321,9 @@ object Dedup {
     val cand = simhashCandidates(docs, textCol, idCol)
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2")
+    // both verification joins consume the shingle sets — materialize once
     val sets = shingles(docs, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sets.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
