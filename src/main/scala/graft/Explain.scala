@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(sys.error("usage: Explain <query> [sfDir]"))
+    val name = args.headOption.getOrElse(sys.error("usage: Explain <query>|list [sfDir]"))
+    if (name == "list") {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
