@@ -28,6 +28,18 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(fromYaml === inCode)
   }
 
+  test("a present-but-empty YAML key fails with the key name, not an NPE") {
+    import scala.jdk.CollectionConverters._
+    val base = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture)))
+    // blank out the renames mapping: "renames:" with no value loads as null
+    val patched = base.replaceAll("(?s)renames:.*?column_order", "renames:\ncolumn_order")
+    val m = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](patched).asScala.toMap
+    val e = intercept[IllegalArgumentException](EtlConfig.fromMap(m))
+    assert(e.getMessage.contains("renames"))
+  }
+
   test("indicator condition values are deduplicated at load") {
     val c = EtlConfig.fromMap(rawMapWithDupValues)
     assert(c.indicators.head.values === Seq("A", "B"))

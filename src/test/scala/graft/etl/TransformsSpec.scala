@@ -36,6 +36,12 @@ class TransformsSpec extends SparkTestBase {
     assert(Transforms.deliveryFilter(df, inds).count() === 2)
   }
 
+  test("delivery filter rejects an empty indicator list with a clear message") {
+    val df = deliveries(("GT", "ZPRE", "m", 1, 1, "CS"))
+    val e = intercept[IllegalArgumentException](Transforms.deliveryFilter(df, Nil))
+    assert(e.getMessage.contains("at least one indicator"))
+  }
+
   test("country filter: TODOS sentinel is case-insensitive bypass") {
     val df = deliveries(("GT", "ZPRE", "m", 1, 1, "CS"), ("SV", "ZPRE", "m", 1, 1, "CS"))
     def conf(v: String) = RunConf("T", "2000-01-01", "2100-01-01",

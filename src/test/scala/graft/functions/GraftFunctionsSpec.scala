@@ -51,6 +51,13 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(rows("zero").isEmpty)
   }
 
+  test("cosine_sim and l2_normalize return null on null array elements") {
+    val rows = spark.sql(
+      """SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS c,
+                l2_normalize(array(CAST(NULL AS FLOAT), 1.0F)) AS n""").head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
+
   test("rolling_hash is deterministic and matches a reference computation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
