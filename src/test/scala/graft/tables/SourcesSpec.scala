@@ -36,6 +36,19 @@ class SourcesSpec extends SparkTestBase {
       docs.orderBy("doc_id").collect().toSeq)
   }
 
+  test("text source round-trip: one line per document") {
+    val dir = Files.createTempDirectory("graft_src_text").toString
+    val lines = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text") // single string column is the text sink contract
+    lines.write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() === lines.count())
+    assert(back.select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("value")))).head().getLong(0) ===
+      lines.select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("text")))).head().getLong(0))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
