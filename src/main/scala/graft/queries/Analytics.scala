@@ -331,6 +331,20 @@ object Analytics {
           ceil(col("l_extendedprice")).as("price_ceil"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Date-function battery (cross-engine-identical subset; dayofweek is
+    // excluded — Spark is 1=Sunday, DuckDB 0=Sunday).
+    "a33_date_funcs" -> ((s, dir) =>
+      T.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          last_day(col("o_orderdate")).as("month_end"),
+          quarter(col("o_orderdate")).as("oquarter"),
+          dayofyear(col("o_orderdate")).as("oday_of_year"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("omonth_start"))
+        .orderBy("o_orderkey")),
+
     // Analytic lag window: days since the customer's previous order.
     "a28_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -507,6 +521,15 @@ object Analytics {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
          FROM lineitem GROUP BY 1 ORDER BY rflag""",
     "a26_subqueries" -> subqueriesSql,
+    "a33_date_funcs" ->
+      """SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS oquarter,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS oday_of_year,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS omonth_start
+         FROM orders ORDER BY o_orderkey""",
     "a31_string_funcs" ->
       """SELECT c_custkey,
            lpad(c_mktsegment, 12, '*') AS seg_lpad,

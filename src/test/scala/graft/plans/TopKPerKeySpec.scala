@@ -64,6 +64,32 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(df.count() === 5) // exactly 5 rows globally, not 5 per partition
   }
 
+  test("property: rewritten top-k equals the window plan on random data") {
+    GraftExtensions.install(spark)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = Gen.listOfN(300, for {
+      key <- Gen.choose(0, 7); v <- Gen.choose(0, 40); id <- Gen.choose(0L, 100000L)
+    } yield (key, v.toDouble, id))
+    (1 to 5).foreach { i =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(99L + i))
+        .zipWithIndex.map { case ((k, v, _), idx) => (k, v, idx.toLong) }
+      val df = rows.toDF("k", "v", "row_id").repartition(5)
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("row_id"))
+      def topk = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .select("k", "rn", "row_id")
+      assert(topk.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val rewritten = topk.collect().toSet
+      val baseline = {
+        spark.conf.set("spark.graft.topkRewrite", "false")
+        try topk.collect().toSet
+        finally spark.conf.set("spark.graft.topkRewrite", "true")
+      }
+      assert(rewritten === baseline, s"sample $i diverged")
+    }
+  }
+
   test("rewritten a07 matches its recorded shape at larger k than group size") {
     GraftExtensions.install(spark)
     // k larger than some groups: every row flows through with correct ranks
