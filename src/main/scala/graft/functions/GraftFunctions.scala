@@ -74,17 +74,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |boolean anyNull = false;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { anyNull = true; break; }
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  double $va = ${getter(a, i, ta)};
          |  double $vb = ${getter(b, i, tb)};
          |  $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;
          |}
-         |if (anyNull || $na == 0.0 || $nb == 0.0) {
+         |if ($anyNull || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -144,6 +145,7 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val ss = ctx.freshName("ss"); val out = ctx.freshName("out")
       val inv = ctx.freshName("inv")
+      val anyNull = ctx.freshName("anyNull"); val v = ctx.freshName("v")
       val get = elemType match {
         case FloatType => s"(double) $a.getFloat($i)"
         case _ => s"$a.getDouble($i)"
@@ -152,12 +154,12 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double[] $out = new double[$n];
          |double $ss = 0.0;
-         |boolean anyNull = false;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { anyNull = true; break; }
-         |  double v = $get; $out[$i] = v; $ss += v * v;
+         |  if ($a.isNullAt($i)) { $anyNull = true; break; }
+         |  double $v = $get; $out[$i] = $v; $ss += $v * $v;
          |}
-         |if (anyNull || $ss == 0.0) {
+         |if ($anyNull || $ss == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $inv = 1.0 / java.lang.Math.sqrt($ss);

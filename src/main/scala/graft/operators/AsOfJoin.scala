@@ -40,10 +40,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val lpayType = left.select(struct(leftCols.map(left(_)): _*)).schema.head.dataType
 
-    // SQL join semantics: a null key never matches — drop null-key right
-    // rows so null-key left rows (alone in their window partition) get a
-    // null payload, exactly like ASOF ... ON l.k = r.k.
-    val r = right.filter(right(key).isNotNull).select(
+    // SQL join semantics: a null key never matches, and a null right
+    // timestamp can never satisfy rightTs <= leftTs — drop both, so such
+    // rows neither match nor (nulls-first) shadow every left row.
+    val r = right.filter(right(key).isNotNull && right(rightTs).isNotNull).select(
       right(key).as("__key"),
       right(rightTs).as("__ts"),
       lit(0).as("__side"),

@@ -195,11 +195,14 @@ object Analytics {
                FROM orders GROUP BY 1 ORDER BY 1""")
     }),
 
-    // Set-valued aggregation with a deterministic order.
+    // Set-valued aggregation with a deterministic order. Serialized to a
+    // "|"-joined string: the driver harness hash-compares via pandas sort,
+    // which cannot sort raw array columns — a scalar column can be hashed
+    // on both sides while still pinning the full sorted-set semantics.
     "a19_collect_set" -> ((s, dir) =>
       T.lineitem(s, dir)
         .groupBy(col("l_returnflag").as("rflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), "|").as("statuses"))
         .orderBy("rflag")),
 
     // As-of (point-in-time) join: each event annotated with its user's
@@ -478,7 +481,8 @@ object Analytics {
               CAST(count(*) AS BIGINT) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
     "a19_collect_set" ->
-      """SELECT l_returnflag AS rflag, list_sort(list(DISTINCT l_linestatus)) AS statuses
+      """SELECT l_returnflag AS rflag,
+              array_to_string(list_sort(list(DISTINCT l_linestatus)), '|') AS statuses
          FROM lineitem GROUP BY 1 ORDER BY rflag""",
     "a20_asof_join" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,

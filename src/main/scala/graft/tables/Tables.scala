@@ -49,10 +49,17 @@ object Tables {
   *    is pure IEEE arithmetic and bit-identical in both engines.
   */
 object Exact {
-  /** Deterministic half-up rounding to 2 decimal places (see above). */
+  /** Deterministic half-up rounding to 2 decimal places (see above).
+    *
+    * NOTE: `floor(x*s+0.5)/s` rounds halves toward +infinity, which equals
+    * HALF_UP (away from zero) only for non-negative inputs. All rounded
+    * columns here are money/quantity values that are non-negative by
+    * construction; do not feed negative values without a sign-aware form.
+    */
   def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
 
-  /** Deterministic half-up rounding to 6 decimal places. */
+  /** Deterministic half-up rounding to 6 decimal places (non-negative
+    * inputs only — see [[round2]]). */
   def round6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
 
   /** Exact decimal view of a 2-decimal money column stored as double. */

@@ -58,6 +58,30 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(rows.isNullAt(0) && rows.isNullAt(1))
   }
 
+  test("two instances of each codegen expression in one projection compile") {
+    // Generated locals must come from ctx.freshName: with hardcoded names,
+    // two instances in one projection declare duplicate Java variables,
+    // Janino fails, and Spark silently falls back to interpreted eval.
+    // codegen.fallback=false turns that silent fallback into a test failure.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val row = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f)))
+        .toDF("a", "b")
+        .select(
+          GraftFunctions.cosineSim(col("a"), col("b")).as("c1"),
+          GraftFunctions.cosineSim(col("b"), col("a")).as("c2"),
+          GraftFunctions.l2Normalize(col("a")).as("n1"),
+          GraftFunctions.l2Normalize(col("b")).as("n2"),
+          GraftFunctions.rollingHash(lit("x")).as("h1"),
+          GraftFunctions.rollingHash(lit("y")).as("h2"))
+        .head()
+      assert(math.abs(row.getDouble(0) - 24.0 / 25.0) < 1e-12)
+      assert(row.getDouble(0) === row.getDouble(1))
+      val n1 = row.getSeq[Double](2)
+      assert(math.abs(n1(0) - 0.6) < 1e-12 && math.abs(n1(1) - 0.8) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("rolling_hash is deterministic and matches a reference computation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))

@@ -35,6 +35,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("T4") === None)        // key absent from right side
   }
 
+  test("asof backward: null right timestamps never match nor shadow") {
+    val left = Seq((1L, t("2024-01-01 00:00:10"), "L1"),
+                   (2L, t("2024-01-01 00:00:10"), "L2")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, None, 999.0),                                // null ts: must be ignored
+      (1L, Some(t("2024-01-01 00:00:05")), 1.0),
+      (2L, None, 999.0))                                // only a null-ts row → no match
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts", "ts", Map("v" -> "mv"))
+      .select("tag", "mv")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out("L1") === Some(1.0)) // not 999.0: null-ts row must not carry forward
+    assert(out("L2") === None)
+  }
+
   test("asof backward: equal-ts right duplicates resolved by tie-break") {
     val left = Seq((1L, t("2024-01-01 00:00:10"), "L")).toDF("k", "ts", "tag")
     val right = Seq(
