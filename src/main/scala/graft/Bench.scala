@@ -53,10 +53,14 @@ object Bench {
       val (a, b) = (p1(k), p2(k))
       k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = jsonMap(results.toMap)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"timing":"min"}""")
+    // Per-pass timings ride along so round-over-round regressions are
+    // attributable to code changes vs host contention noise.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"timing":"min","queries_pass1":${jsonMap(p1)},"queries_pass2":${jsonMap(p2)}}""")
     spark.stop()
   }
 }

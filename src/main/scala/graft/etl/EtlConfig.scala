@@ -44,6 +44,11 @@ final case class UnitConf(
 final case class QualityConf(
     minRows: Long, requiredColumns: Seq[String], notNullColumns: Seq[String])
 
+/** Reference-shaped logging destination (config.yaml `logging:` section);
+  * optional — absent section means console-only.
+  */
+final case class LoggingConf(logFile: Option[String], logLevel: String)
+
 final case class OutputConf(
     basePath: String, partitionBy: Seq[String], totalColumn: String)
 
@@ -56,7 +61,8 @@ final case class EtlConfig(
     units: UnitConf,
     renames: Map[String, String],
     columnOrder: Seq[String],
-    output: OutputConf)
+    output: OutputConf,
+    logging: LoggingConf = LoggingConf(None, "INFO"))
 
 object EtlConfig {
 
@@ -126,6 +132,11 @@ object EtlConfig {
       renames = renames,
       columnOrder = strs(m, "column_order"),
       output = OutputConf(str(out, "base_path"), strs(out, "partition_by"),
-        str(out, "total_column")))
+        str(out, "total_column")),
+      logging = m.get("logging").filter(_ != null).map { _ =>
+        val lg = sec(m, "logging")
+        LoggingConf(lg.get("log_file").map(_.toString),
+          lg.get("log_level").map(_.toString.toUpperCase).getOrElse("INFO"))
+      }.getOrElse(LoggingConf(None, "INFO")))
   }
 }

@@ -118,26 +118,53 @@ object EtlRunner {
   }
 }
 
-/** CLI: run the pipeline from a YAML config path. */
+/** CLI: run the pipeline from a YAML config path. Logging follows the
+  * reference's file+console shape (`asctime | LEVEL | funcName | msg`,
+  * /root/reference/data_process.py:11-33, 332-366) via [[PipeLog]].
+  */
 object EtlMain {
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     val configPath = args.headOption.getOrElse(
       sys.error("usage: EtlMain <config.yaml> [master]"))
     val conf = EtlConfig.load(configPath)
+    PipeLog.init(conf.logging)
     val spark = SparkSession.builder()
       .master(args.lift(1).getOrElse("local[*]"))
       .appName(s"graft_etl_${conf.run.environment}")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    PipeLog.info("main",
+      s"--- Sesion Spark iniciada en entorno: ${conf.run.environment} ---")
+    PipeLog.info("main", "Pipeline de procesamiento de datos iniciado")
     try {
       val report = EtlRunner.run(spark, conf)
-      report.inputGate.foreach(r => println(s"[dq-in] ${r.check}: ${r.passed} (${r.detail})"))
-      report.outputGate.foreach(r => println(s"[dq-out] ${r.check}: ${r.passed} (${r.detail})"))
-      println(report.written.fold("write skipped: quality gate failed")(p =>
-        s"wrote ${report.rowsOut} rows to $p"))
-    } finally spark.stop()
-    println(f"pipeline wall clock incl. session start/stop: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      report.inputGate.foreach { r =>
+        if (r.passed) PipeLog.info("run_dq_checks", s"[DQ INPUT APROBADA] ${r.check}: ${r.detail}")
+        else PipeLog.error("run_dq_checks", s"[DQ INPUT FALLIDA] ${r.check}: ${r.detail}")
+      }
+      report.outputGate.foreach { r =>
+        if (r.passed) PipeLog.info("run_dq_checks", s"[DQ OUTPUT APROBADA] ${r.check}: ${r.detail}")
+        else PipeLog.error("run_dq_checks", s"[DQ OUTPUT FALLIDA] ${r.check}: ${r.detail}")
+      }
+      report.written match {
+        case Some(p) =>
+          PipeLog.info("write_data", s"Escribiendo datos en: $p")
+          PipeLog.info("write_data", "Escritura exitosa.")
+          PipeLog.info("main", s"wrote ${report.rowsOut} rows to $p")
+        case None =>
+          PipeLog.error("main", "ERROR: Se encontró una falla en la Calidad de Datos")
+      }
+    } catch { case e: Throwable =>
+      PipeLog.critical("main", s"ERROR FATAL en el pipeline: ${e.getMessage}")
+      throw e
+    } finally {
+      spark.stop()
+      PipeLog.info("main", "Sesion Spark detenida")
+      PipeLog.info("main",
+        f"pipeline wall clock incl. session start/stop: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      PipeLog.close()
+    }
   }
 }

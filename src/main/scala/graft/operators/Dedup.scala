@@ -308,23 +308,19 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
   }
 
-  /** The composed scale path for exact near-dup detection: SimHash
-    * banding generates candidates (O(dups), never quadratic), then the
-    * exact n-gram Jaccard is computed ONLY for candidate pairs via
-    * array_intersect over their shingle sets. Recall is bounded by the
-    * banding (near-dups at the threshold margin may miss a band);
-    * precision is exact.
+  /** Exact Jaccard verification of CANDIDATE pairs only: each (d1, d2)
+    * joins its two shingle sets and computes |A∩B| / |A∪B| directly via
+    * array_intersect — O(candidates), never quadratic in the corpus.
+    * Precision of the result is exact by construction; recall equals the
+    * recall of the candidate generator feeding it.
     */
-  def bandedJaccard(docs: DataFrame, textCol: String, idCol: String,
-                    n: Int = 3, threshold: Double = 0.5,
-                    maxHamming: Int = 16): DataFrame = {
-    val cand = simhashCandidates(docs, textCol, idCol)
-      .filter(col("hamming") <= maxHamming)
-      .select("d1", "d2")
+  def verifyJaccard(docs: DataFrame, candidates: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // both verification joins consume the shingle sets — materialize once
     val sets = shingles(docs, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand
+    candidates.select("d1", "d2")
       .join(sets.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
@@ -334,9 +330,67 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Composed scale path, SimHash flavor: banding generates candidates
+    * (O(dups), never quadratic), then exact n-gram Jaccard is computed
+    * only for candidates ([[verifyJaccard]]). Precision is exact; recall
+    * is bounded by the banding — measured on the seeded corpus, 4×16-bit
+    * bands catch 21 of 25 true pairs (the misses sit at Hamming 5–8,
+    * where no 16-bit band is clean). Prefer [[bandedJaccardMinhash]]
+    * when recall at a similarity floor matters; SimHash banding shines
+    * when the fingerprint itself is the product (x04/x19).
+    */
+  def bandedJaccard(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, threshold: Double = 0.5,
+                    maxHamming: Int = 16): DataFrame = {
+    val cand = simhashCandidates(docs, textCol, idCol)
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2")
+    verifyJaccard(docs, cand, textCol, idCol, n, threshold)
+  }
+
+  /** MinHash LSH band-collision candidate pairs: documents sharing any
+    * band (hash of `numHashes/bands` consecutive signature components).
+    * A pair at Jaccard j survives with probability 1-(1-j^r)^L for
+    * r rows/band and L bands — with the r=2, L=8 defaults the miss
+    * probability at j ≥ 0.9 is ≤ (1-0.81)^8 ≈ 1.7e-6. The shuffle key is
+    * (band, bucket), never document content.
+    */
+  def minhashBandPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                       seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(docs, textCol, idCol, n, numHashes, seed)
+    val banded = sigs.select(col("doc_id"), explode(
+      array((0 until bands).map(b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*))
+      .as("bk"))
+    banded.select(col("doc_id").as("d1"), col("bk"))
+      .join(banded.select(col("doc_id").as("d2"), col("bk")), Seq("bk"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Composed scale path, MinHash flavor: band-collision candidates →
+    * exact Jaccard verification. With the default banding (r=2, L=8) the
+    * candidate set provably contains near-dup pairs with overwhelming
+    * probability (see [[minhashBandPairs]]); on the seeded corpus the
+    * output is IDENTICAL to the all-pairs [[ngramJaccard]] at the same
+    * threshold (pinned by RecallSpec), so the exact SQL oracle applies —
+    * while the shuffle volume stays O(candidates), not O(corpus²).
+    */
+  def bandedJaccardMinhash(docs: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           numHashes: Int = 16, bands: Int = 8,
+                           seed: Long = 42L): DataFrame = {
+    val cand = minhashBandPairs(docs, textCol, idCol, n, numHashes, bands, seed)
+    verifyJaccard(docs, cand, textCol, idCol, n, threshold)
+  }
+
   /** Embedding near-dup pairs: all pairs with cosine >= threshold.
-    * Brute force n² — correct baseline; at scale run after LSH bucketing
-    * (see Similarity.lshTopK) so n is per-bucket.
+    * Brute force n² via an inequality join (cartesian) — kept ONLY as the
+    * correctness baseline for [[embeddingCosinePairsBlocked]]'s test; the
+    * exposed query path is the blocked variant.
     */
   def embeddingCosinePairs(emb: DataFrame, vecCol: String, idCol: String,
                            threshold: Double): DataFrame = {
@@ -344,6 +398,90 @@ object Dedup {
     val a = emb.select(col(idCol).as("d1"), col(vecCol).as("v1"))
     val b = emb.select(col(idCol).as("d2"), col(vecCol).as("v2"))
     a.join(b, col("d1") < col("d2"))
+      .withColumn("cosine",
+        graft.tables.Exact.round6(GraftFunctions.cosineSim(col("v1"), col("v2"))))
+      .filter(col("cosine") >= threshold)
+      .select("d1", "d2", "cosine")
+  }
+
+  /** Exact all-pairs cosine via BLOCK-PAIR equi-joins — the distributed-
+    * GEMM shape. Each vector gets a block id (hash of its id mod
+    * `blocks`); the B(B+1)/2 unordered block pairs form a tiny broadcast
+    * table; vectors join their block's pair rows, so both joins are
+    * EQUI-joins shuffled on block ids — no cartesian node, per-task state
+    * bounded by two blocks (~2n/B vectors).
+    *
+    * Sub-near-dup thresholds (the corpus max cosine here is 0.51, every
+    * matched pair sits within 0.11 of the 0.4 threshold) make LSH recall
+    * collapse: a hyperplane band keeps a θ=66° pair with p≈0.63 per bit,
+    * so full recall needs more bucket-join volume than brute force.
+    * Exact O(n²) FLOPs is inherent at such thresholds; the scale answer
+    * is organizing them with bounded memory and full parallelism, which
+    * this shape does. For true near-dup mining (cos ≥ ~0.9) use
+    * [[embeddingCosinePairsBucketed]].
+    */
+  def embeddingCosinePairsBlocked(emb: DataFrame, vecCol: String, idCol: String,
+                                  threshold: Double, blocks: Int = 16): DataFrame = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val blockPairs = broadcast(
+      (for { i <- 0 until blocks; j <- i until blocks } yield (i, j)).toDF("ba", "bb"))
+    val v = emb.select(col(idCol), col(vecCol),
+      pmod(hash(col(idCol)), lit(blocks)).as("blk"))
+    // a pair (x,y) with blocks (i,j), i<j, is produced exactly once: x on
+    // the left via pair row (i,j), y on the right; same-block pairs
+    // deduplicate through the id inequality.
+    val left = v.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("blk").as("ba"))
+      .join(blockPairs, Seq("ba"))
+    val right = v.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("blk").as("bb"))
+    left.join(right, Seq("bb"))
+      .filter(col("ba") =!= col("bb") || col("d1") < col("d2"))
+      .withColumn("cosine",
+        graft.tables.Exact.round6(GraftFunctions.cosineSim(col("v1"), col("v2"))))
+      .filter(col("cosine") >= threshold)
+      .select(
+        least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"),
+        col("cosine"))
+  }
+
+  /** Approximate near-dup embedding pairs via seeded random-hyperplane
+    * LSH: per table, a vector's bucket is the sign pattern of `planes`
+    * hyperplane projections; only bucket-colliding pairs are scored
+    * exactly. Keep probability per table for a pair at angle θ is
+    * (1-θ/π)^planes; across L tables recall is 1-(1-p)^L — with the
+    * defaults, a cos ≥ 0.99 near-dup is missed with probability < 1e-4
+    * while near-orthogonal pairs almost never collide, so the bucket
+    * join is O(dups). This is the right tool ONLY in the near-dup
+    * regime; see [[embeddingCosinePairsBlocked]] for low thresholds.
+    */
+  def embeddingCosinePairsBucketed(emb: DataFrame, vecCol: String, idCol: String,
+                                   threshold: Double, dim: Int,
+                                   planes: Int = 8, tables: Int = 8,
+                                   seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val rnd = new scala.util.Random(seed)
+    val hyperplanes = Array.fill(tables, planes, dim)(rnd.nextGaussian())
+    val bucketCols = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val plane = typedLit(hyperplanes(t)(p).toSeq)
+        when(GraftFunctions.cosineSim(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+    }
+    val hashed = emb
+      .select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+      .withColumn("bk", explode(array(bucketCols: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = hashed.select(col("doc_id").as("d1"), col("bk"))
+      .join(hashed.select(col("doc_id").as("d2"), col("bk")), Seq("bk"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("d1"), col("vec").as("v1")), "d1")
+      .join(vecs.select(col("id").as("d2"), col("vec").as("v2")), "d2")
       .withColumn("cosine",
         graft.tables.Exact.round6(GraftFunctions.cosineSim(col("v1"), col("v2"))))
       .filter(col("cosine") >= threshold)

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * typed mapPartitions stage (one decoder instantiation per partition,
   * batched iteration — the Scala analog of an arrow-batched UDF).
   *
-  * The actual byte decoding is STUBBED (no image/audio libraries in this
-  * environment): [[StubDecoder]] derives deterministic fake features from
-  * the payload bytes. The Spark-side contract — schema, binary transport,
-  * per-partition batching, feature schema — is real and tested; swapping
-  * in a real decoder is a one-class change.
+  * Decoding: [[ImageDecoder]] REALLY decodes `image/`-typed payloads with the
+  * JDK's javax.imageio (PNG/BMP/GIF — no external deps, satisfies the
+  * offline build), emitting true width/height and a pixel-level RGB
+  * checksum; non-image types (audio/video codecs are not in this
+  * container) fall back to [[StubDecoder]]'s deterministic byte-derived
+  * features, honestly labeled as such.
   *
   * Scale notes: payload columns are only scanned when selected (parquet
   * column pruning keeps blobs untouched for metadata-only queries);
@@ -24,14 +25,17 @@ object Multimodal {
   /** A media row: opaque payload + routing metadata. */
   case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features; fields a real image/audio decoder would emit. */
+  /** Extracted features; width/height are real decoded dimensions for
+    * images, 0 for non-image payloads. */
   case class MediaFeatures(
       doc_id: Long,
       media_type: String,
       byte_len: Int,
       n_frames: Int,
       sample_rate: Int,
-      checksum: Long)
+      checksum: Long,
+      width: Int,
+      height: Int)
 
   /** Per-partition decoder contract (instantiated once per partition —
     * the place a real implementation would open codecs / native handles).
@@ -42,12 +46,12 @@ object Multimodal {
 
   object MediaFeatures {
     /** Decoder output before ids are re-attached. */
-    case class Partial(byteLen: Int, nFrames: Int, sampleRate: Int, checksum: Long)
+    case class Partial(byteLen: Int, nFrames: Int, sampleRate: Int, checksum: Long,
+                       width: Int = 0, height: Int = 0)
   }
 
-  /** Deterministic stand-in for a real codec: features derived from the
-    * bytes themselves. A real decoder (JPEG dims, PCM sample rate, video
-    * frame sampling) plugs in here.
+  /** Deterministic stand-in for codecs this container lacks (audio/video):
+    * features derived from the bytes themselves.
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): MediaFeatures.Partial = {
@@ -59,6 +63,44 @@ object Multimodal {
         nFrames = payload.length / 1024 + 1,
         sampleRate = 16000,
         checksum = sum)
+    }
+  }
+
+  /** REAL image decode via the JDK's javax.imageio: `image/`-typed payloads
+    * are decoded to pixels; checksum is the sum of 8-bit R+G+B over all
+    * pixels (deterministic across platforms for PNG/BMP, which are
+    * lossless). Undecodable image bytes → negative checksum sentinel so
+    * corrupt inputs are visible, not silently stubbed. Non-image types
+    * route to [[StubDecoder]].
+    */
+  object ImageDecoder extends Decoder {
+    def decode(mediaType: String, payload: Array[Byte]): MediaFeatures.Partial = {
+      if (!mediaType.startsWith("image/")) StubDecoder.decode(mediaType, payload)
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null)
+          MediaFeatures.Partial(payload.length, 0, 0, checksum = -1L)
+        else {
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures.Partial(
+            byteLen = payload.length,
+            nFrames = 1,
+            sampleRate = 0,
+            checksum = sum,
+            width = img.getWidth,
+            height = img.getHeight)
+        }
+      }
     }
   }
 
@@ -100,14 +142,48 @@ object Multimodal {
     }
   }
 
-  /** Decode + featurize a media dataset; one decoder per partition. */
+  /** Decode + featurize a media dataset; one decoder per partition.
+    * [[ImageDecoder]] routes by media type: real pixel decode for
+    * `image/`-typed, byte-derived features otherwise.
+    */
   def extractFeatures(records: Dataset[MediaRecord],
-                      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+                      decoder: Decoder = ImageDecoder): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.map { r =>
         val p = decoder.decode(r.media_type, r.payload)
-        MediaFeatures(r.doc_id, r.media_type, p.byteLen, p.nFrames, p.sampleRate, p.checksum)
+        MediaFeatures(r.doc_id, r.media_type, p.byteLen, p.nFrames, p.sampleRate,
+          p.checksum, p.width, p.height)
+      }
+    }
+  }
+
+  /** REAL image frame sampling: decode the payload and emit every
+    * `everyN`-th pixel ROW as a frame — frame_idx is the row index,
+    * offset the row's first-pixel linear offset, checksum the row's
+    * R+G+B sum. The Spark-side shape (flatMap explode to one row per
+    * sampled frame) is identical to [[sampleFrames]]; only the window
+    * source differs (decoded pixels vs raw bytes). Undecodable payloads
+    * yield no frames.
+    */
+  def sampleImageRows(records: Dataset[MediaRecord],
+                      everyN: Int = 2): Dataset[FrameSample] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val img =
+        if (r.media_type.startsWith("image/"))
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        else null
+      if (img == null) Seq.empty[FrameSample]
+      else (0 until img.getHeight by everyN).map { y =>
+        var sum = 0L
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        FrameSample(r.doc_id, y, y * img.getWidth, sum)
       }
     }
   }

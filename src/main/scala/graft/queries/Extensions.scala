@@ -8,9 +8,14 @@ import graft.tables.{Tables => T}
 /** LLM-training-data pipeline operators as driver queries: dedup family,
   * similarity search, text analysis, multimodal plumbing.
   *
-  * Oracle coverage: everything SQL-expressible has a DuckDB oracle;
-  * minhash / LSH / simhash / rolling-hash queries are deterministic
-  * (fixed seeds) but not SQL-expressible → rows-only driver check.
+  * Oracle coverage: everything SQL-expressible has a DuckDB oracle —
+  * including the custom hash fingerprints (simhash / rolling hash),
+  * whose 64-bit wrapping arithmetic is replayed in hugeint SQL, and the
+  * banded-minhash dedup (whose verified output equals the exact
+  * all-pairs join on this corpus; RecallSpec pins that equality). The
+  * remaining rows-only queries (x03 minhash estimates, x06 MLlib LSH,
+  * x17 KMeans IVF) are seeded-deterministic but depend on library
+  * internals; RecallSpec quantifies their recall against exact truth.
   */
 object Extensions {
   type Q = (SparkSession, String) => DataFrame
@@ -36,19 +41,24 @@ object Extensions {
           numHashes = 16, bands = 2, minEstimate = 0.2)
         .orderBy("d1", "d2")),
 
-    // SimHash fingerprints (custom Catalyst expression) — rows-only.
+    // SimHash fingerprints (custom Catalyst expression). Oracle: the
+    // FNV-1a + majority-vote arithmetic replayed in DuckDB hugeint SQL.
     "x04_simhash" -> ((s, dir) =>
       Dedup.simhash(T.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
-    // Composed scale path: SimHash banding → exact Jaccard verification
-    // of candidates only. Rows-only (simhash not SQL-expressible).
+    // Composed scale path: MinHash banding → exact Jaccard verification
+    // of candidates only. With r=2/L=8 banding the candidates contain
+    // every pair at j ≥ 0.9 with near-certainty (RecallSpec pins recall
+    // 1.0 on this corpus), so the output equals the all-pairs join and
+    // the exact x02 oracle applies — at O(candidates) shuffle volume.
     "x20_banded_jaccard" -> ((s, dir) =>
-      Dedup.bandedJaccard(T.documents(s, dir), "text", "doc_id",
-          n = 3, threshold = 0.2, maxHamming = 24)
+      Dedup.bandedJaccardMinhash(T.documents(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
         .orderBy("d1", "d2")),
 
-    // SimHash banded near-dup candidates with Hamming distances.
+    // SimHash banded near-dup candidates with Hamming distances. Oracle:
+    // fingerprints + 16-bit band self-join replayed in DuckDB SQL.
     "x19_simhash_candidates" -> ((s, dir) =>
       Dedup.simhashCandidates(T.documents(s, dir), "text", "doc_id")
         .select("d1", "d2", "hamming")
@@ -93,7 +103,9 @@ object Extensions {
         .select("doc_id", "fp_md5")
         .orderBy("doc_id")),
 
-    // Native rolling-hash fingerprint (codegen'd) — rows-only.
+    // Native rolling-hash fingerprint (codegen'd). Oracle: the wrapping
+    // 64-bit polynomial replayed in DuckDB hugeint SQL (ASCII corpus, so
+    // codepoints == UTF-8 bytes).
     "x11_fingerprint_rolling" -> ((s, dir) =>
       TextAnalysis.fingerprints(T.documents(s, dir), "text")
         .select("doc_id", "fp_rolling")
@@ -112,10 +124,12 @@ object Extensions {
       Similarity.labelCentroids(T.embeddings(s, dir), "embedding", "label")
         .orderBy("label", "pos")),
 
-    // Embedding-cosine near-dup pairs: codegen cosine over a triangular
-    // self-join (threshold tuned to this corpus's cosine range).
+    // Embedding-cosine pairs at a sub-near-dup threshold: exact block-
+    // pair equi-join (distributed-GEMM shape, no cartesian node — the
+    // corpus cosine range tops out at 0.51, so LSH cannot prune with
+    // full recall; see Dedup.embeddingCosinePairsBlocked).
     "x15_dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(T.embeddings(s, dir), "embedding", "vec_id", 0.4)
+      Dedup.embeddingCosinePairsBlocked(T.embeddings(s, dir), "embedding", "vec_id", 0.4)
         .orderBy("d1", "d2")),
 
     // IVF ANN: seeded KMeans codebook, probe nearest cells only — the
@@ -128,7 +142,8 @@ object Extensions {
     }),
 
     // Multimodal frame sampling: one row per sampled payload window with
-    // a deterministic checksum (stubbed decode; real plumbing).
+    // a deterministic checksum. Oracle: byte-window sums replayed in
+    // DuckDB (image-row sampling is the imageio path, fixture-tested).
     "x18_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.documentsAsMedia(s, T.documents(s, dir)))
@@ -148,36 +163,129 @@ object Extensions {
     }),
 
     // Near-dup keep-one: connected components over Jaccard pairs, min id
-    // elected canonical. Oracle: recursive-CTE transitive closure.
+    // elected canonical. Pairs come from the BANDED path (candidates →
+    // exact verify), so the composed pipeline is scale-safe end to end;
+    // RecallSpec pins banded pairs == all-pairs on this corpus, so the
+    // recursive-CTE transitive-closure oracle still applies.
     "x14_dedup_keepone" -> ((s, dir) => {
       val docs = T.documents(s, dir)
-      val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.2)
+      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
         .select("d1", "d2")
       Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs)
         .orderBy("doc_id")
     })
   )
 
+  /** The exact all-pairs n-gram Jaccard join in DuckDB SQL. Shared by
+    * x02 (direct all-pairs) and x20 (banded candidates → exact verify):
+    * the banded path's output is identical on this corpus (recall 1.0 at
+    * j ≥ 0.9 with r=2/L=8 banding — RecallSpec), so one oracle serves
+    * both.
+    */
+  private val exactJaccardSql =
+    """WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         FROM w WHERE len(ws) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT d1, d2, CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
+       FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2
+       ORDER BY d1, d2"""
+
+  /** SimHash fingerprints as UNSIGNED hugeints in DuckDB: FNV-1a per
+    * whitespace token (64-bit wrapping via mod 2^64), then a per-bit
+    * majority vote — the exact arithmetic of
+    * [[graft.functions.SimHash64]]. ASCII corpus ⇒ codepoints == UTF-8
+    * bytes, so `unicode()` per char replays the byte loop.
+    */
+  private val simhashUnsignedSql =
+    """toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+         FROM documents),
+       th AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(range(1, length(tok)+1),
+                 i -> CAST(unicode(tok[i]) AS HUGEINT))),
+             (acc, c) -> (xor(acc, c) * 1099511628211)
+               % CAST(18446744073709551616 AS HUGEINT)) AS h
+         FROM toks),
+       votes AS (
+         SELECT doc_id, bb.b AS b,
+           sum(CASE WHEN (h >> bb.b) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+         GROUP BY doc_id, bb.b),
+       fpu AS (
+         SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                    ELSE CAST(0 AS HUGEINT) END) AS hu
+         FROM votes GROUP BY doc_id)"""
+
+  /** Reinterpret an unsigned 64-bit hugeint as Spark's signed long. */
+  private def signed64(col: String): String =
+    s"""CAST(CASE WHEN $col >= CAST(9223372036854775808 AS HUGEINT)
+              THEN $col - CAST(18446744073709551616 AS HUGEINT)
+              ELSE $col END AS BIGINT)"""
+
   val oracle: Map[String, String] = Map(
+    "x20_banded_jaccard" -> exactJaccardSql,
+    "x04_simhash" ->
+      s"""WITH $simhashUnsignedSql
+         SELECT doc_id, ${signed64("hu")} AS simhash
+         FROM fpu ORDER BY doc_id""",
+    "x19_simhash_candidates" ->
+      s"""WITH $simhashUnsignedSql,
+         banded AS (
+           SELECT doc_id, hu, bb.b AS band,
+             (hu >> CAST(16 * bb.b AS INTEGER)) % 65536 AS key
+           FROM fpu, (SELECT unnest(range(0, 4)) AS b) bb),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.hu AS h1, b.hu AS h2
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+         FROM cand ORDER BY d1, d2""",
+    "x11_fingerprint_rolling" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN h - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE h END AS BIGINT) AS fp_rolling
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(range(1, length(text)+1),
+                   i -> CAST(unicode(text[i]) AS HUGEINT))),
+               (acc, c) -> (acc * 1000003 + c)
+                 % CAST(18446744073709551616 AS HUGEINT)) AS h
+           FROM documents)
+         ORDER BY doc_id""",
+    "x18_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+             unnest(range(0, greatest(1, octet_length(CAST(text AS BLOB)) // 256), 4)) AS frame_idx
+           FROM documents)
+         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(frame_idx * 256 AS INTEGER) AS "offset",
+           CAST(list_sum(list_transform(
+             range(CAST(frame_idx * 256 + 1 AS INTEGER),
+                   least(length(text), CAST(frame_idx * 256 + 256 AS INTEGER)) + 1),
+             i -> unicode(text[i]))) AS BIGINT) AS checksum
+         FROM f ORDER BY doc_id, frame_idx""",
     "x01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups,
            sha256(text) AS content_hash
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
-    "x02_dedup_jaccard" ->
-      """WITH w AS (
-           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
-         sh AS (
-           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
-             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-           FROM w WHERE len(ws) >= 3),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         SELECT d1, d2, CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jaccard
-         FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-         WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2
-         ORDER BY d1, d2""",
+    "x02_dedup_jaccard" -> exactJaccardSql,
     "x05_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
          c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),

@@ -51,15 +51,19 @@ object Tables {
 object Exact {
   /** Deterministic half-up rounding to 2 decimal places (see above).
     *
-    * NOTE: `floor(x*s+0.5)/s` rounds halves toward +infinity, which equals
-    * HALF_UP (away from zero) only for non-negative inputs. All rounded
-    * columns here are money/quantity values that are non-negative by
-    * construction; do not feed negative values without a sign-aware form.
+    * NOTE: `floor(x*s+0.5)/s` rounds halves toward +infinity. For the
+    * non-negative money/quantity columns this equals HALF_UP (away from
+    * zero). [[round6]] is also applied to cosine similarity (Similarity /
+    * Dedup), which can be negative: there a half lands toward +infinity
+    * rather than away from zero — still deterministic and matched by the
+    * identical floor formula on the DuckDB oracle side, just not HALF_UP
+    * in the BigDecimal sense. Use a sign-aware form if HALF_UP semantics
+    * ever matter for negative inputs.
     */
   def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
 
-  /** Deterministic half-up rounding to 6 decimal places (non-negative
-    * inputs only — see [[round2]]). */
+  /** Deterministic half-up rounding to 6 decimal places (halves of
+    * negative inputs round toward +infinity — see [[round2]]). */
   def round6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
 
   /** Exact decimal view of a 2-decimal money column stored as double. */

@@ -65,20 +65,24 @@ class GraftFunctionsSpec extends SparkTestBase {
     // codegen.fallback=false turns that silent fallback into a test failure.
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val row = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f)))
-        .toDF("a", "b")
+      // rolling_hash must hash COLUMNS here: a literal argument is foldable,
+      // so ConstantFolding would evaluate it before codegen and the
+      // duplicate-instance check would never reach RollingHash's Java.
+      val row = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f), "x", "y"))
+        .toDF("a", "b", "s1", "s2")
         .select(
           GraftFunctions.cosineSim(col("a"), col("b")).as("c1"),
           GraftFunctions.cosineSim(col("b"), col("a")).as("c2"),
           GraftFunctions.l2Normalize(col("a")).as("n1"),
           GraftFunctions.l2Normalize(col("b")).as("n2"),
-          GraftFunctions.rollingHash(lit("x")).as("h1"),
-          GraftFunctions.rollingHash(lit("y")).as("h2"))
+          GraftFunctions.rollingHash(col("s1")).as("h1"),
+          GraftFunctions.rollingHash(col("s2")).as("h2"))
         .head()
       assert(math.abs(row.getDouble(0) - 24.0 / 25.0) < 1e-12)
       assert(row.getDouble(0) === row.getDouble(1))
       val n1 = row.getSeq[Double](2)
       assert(math.abs(n1(0) - 0.6) < 1e-12 && math.abs(n1(1) - 0.8) < 1e-12)
+      assert(row.getLong(4) === 'x'.toLong && row.getLong(5) === 'y'.toLong)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
