@@ -142,13 +142,25 @@ object Dedup {
     * this explicit pipeline is ~3× cheaper at the same signature width
     * because it never materializes 2^16-dim sparse vectors.)
     */
+  /** The seeded (a, b) permutation coefficients behind
+    * [[minhashSignatures]] — exposed so the DuckDB oracle generator
+    * (graft.queries.Extensions) derives the SAME constants from the same
+    * seed instead of duplicating magic numbers.
+    */
+  def minhashCoefficients(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (rnd.nextInt((1 << 28) - 1).toLong + 1L, rnd.nextInt(1 << 28).toLong))
+  }
+
+  /** The MinHash modulus: the Mersenne prime 2^61-1. */
+  val MinhashPrime: Long = (1L << 61) - 1
+
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, numHashes: Int = 16,
                         seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(numHashes)(
-      (rnd.nextInt((1 << 28) - 1).toLong + 1L, rnd.nextInt(1 << 28).toLong))
-    val p = (1L << 61) - 1
+    val coefs = minhashCoefficients(numHashes, seed)
+    val p = MinhashPrime
     val flat = shingleFlat(docs, textCol, idCol, n)
     val h = hash(col("s")).cast("long").bitwiseAND(lit(0xffffffffL))
     val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>

@@ -32,7 +32,8 @@ object Extensions {
         .orderBy("d1", "d2")),
 
     // MinHash+LSH candidates (native shingle→minhash→band→bucket-join
-    // pipeline, seeded) — not SQL-expressible.
+    // pipeline, seeded). Oracle: the murmur3 + permutation-min + band
+    // arithmetic replayed in generated DuckDB SQL (Murmur3Sql).
     "x03_dedup_minhash" -> ((s, dir) =>
       // bands=2 (8 rows/band): measured 7x cheaper than bands=4 at
       // identical output on this corpus — stricter bands cut candidate
@@ -235,7 +236,118 @@ object Extensions {
               THEN $col - CAST(18446744073709551616 AS HUGEINT)
               ELSE $col END AS BIGINT)"""
 
+  /** Spark's Murmur3_x86_32 (the engine behind `hash()`) replayed as
+    * DuckDB SQL expression strings: 32-bit wrapping arithmetic via
+    * hugeint mod 2^32, rotations as shift-and-add. Validated
+    * value-exact against org.apache.spark.unsafe.hash.Murmur3_x86_32
+    * and the end-to-end x03 output. Expressions reference their inputs
+    * multiple times, so callers pass short column/lambda variable names.
+    */
+  private object Murmur3Sql {
+    private val M = "4294967296" // 2^32
+
+    private def rotl(x: String, r: Int): String =
+      s"((($x) * ${1L << r}) % $M + ($x) // ${1L << (32 - r)})"
+
+    /** k1 = rotl(k1 * 0xcc9e2d51, 15) * 0x1b873593 */
+    def mixK1(w: String): String = {
+      val t = s"((($w) * 3432918353) % $M)"
+      s"(((${rotl(t, 15)}) * 461845907) % $M)"
+    }
+
+    /** h1 = rotl(h1 ^ k1, 13) * 5 + 0xe6546b64 */
+    def mixH1(h: String, k: String): String = {
+      val x = s"xor(CAST(($h) AS HUGEINT), CAST(($k) AS HUGEINT))"
+      s"(((${rotl(x, 13)}) * 5 + 3864292196) % $M)"
+    }
+
+    /** Avalanche finalizer. Inlined: each step references the previous
+      * twice, so only feed short (staged-column) expressions.
+      */
+    def fmix(h: String, l: String): String = {
+      var e = s"xor(CAST(($h) AS HUGEINT), CAST(($l) AS HUGEINT))"
+      e = s"xor($e, ($e) // 65536)"
+      e = s"((($e) * 2246822507) % $M)"
+      e = s"xor($e, ($e) // 8192)"
+      e = s"((($e) * 3266489909) % $M)"
+      s"xor($e, ($e) // 65536)"
+    }
+
+    /** Murmur3_x86_32.hashLong(v, h): mix low word, high word, fmix 8. */
+    def hashLong(v: String, h: String): String =
+      fmix(mixH1(mixH1(h, mixK1(s"($v) % $M")), mixK1(s"($v) // $M")), "8")
+  }
+
+  /** x03's oracle: the whole native-minhash pipeline in one DuckDB
+    * statement — murmur3 string hashes of distinct trigram shingles
+    * (staged word/tail reduces + columnar fmix), the 16 seeded
+    * permutation mins (coefficients from the SAME
+    * [[Dedup.minhashCoefficients]] call as the operator), band buckets
+    * via threaded hashLong over signature slices, bucket-collision
+    * pairs, and the equal-component similarity estimate.
+    */
+  private val minhashNativeSql: String = {
+    import Murmur3Sql._
+    val coefs = Dedup.minhashCoefficients(numHashes = 16, seed = 42L)
+    val sigMins = coefs
+      .map { case (a, b) => s"min((hu * $a + $b) % ${Dedup.MinhashPrime})" }
+      .mkString(",\n           ")
+    val wordMix = mixH1("h", mixK1("w"))
+    val byteMix = mixH1("h", mixK1("b"))
+    val hl = hashLong("v", "h")
+    s"""WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         FROM w WHERE len(ws) >= 3),
+       shc AS (
+         SELECT doc_id, length(s) AS sl,
+           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT)) AS cps
+         FROM sh),
+       shw AS (
+         SELECT doc_id, sl,
+           list_transform(range(0, sl // 4),
+             j -> cps[4*j+1] + cps[4*j+2]*256 + cps[4*j+3]*65536 + cps[4*j+4]*16777216) AS words,
+           list_transform(range(sl // 4 * 4 + 1, sl + 1), i -> cps[i]) AS tail
+         FROM shc),
+       shmw AS (
+         SELECT doc_id, sl, tail,
+           list_reduce(list_prepend(CAST(42 AS HUGEINT), words), (h, w) ->
+             $wordMix) AS hw
+         FROM shw),
+       shm2 AS (
+         SELECT doc_id, sl,
+           list_reduce(list_prepend(hw, tail), (h, b) ->
+             $byteMix) AS h
+         FROM shmw),
+       f1 AS (SELECT doc_id, xor(h, CAST(sl AS HUGEINT)) AS h FROM shm2),
+       f2 AS (SELECT doc_id, xor(h, h // 65536) AS h FROM f1),
+       f3 AS (SELECT doc_id, (h * 2246822507) % 4294967296 AS h FROM f2),
+       f4 AS (SELECT doc_id, xor(h, h // 8192) AS h FROM f3),
+       f5 AS (SELECT doc_id, (h * 3266489909) % 4294967296 AS h FROM f4),
+       shh AS (SELECT doc_id, xor(h, h // 65536) AS hu FROM f5),
+       sigs AS (
+         SELECT doc_id, [$sigMins] AS sig
+         FROM shh GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, sig, bb.b AS band,
+           list_reduce(list_prepend(CAST(42 AS HUGEINT), sig[bb.b*8+1 : bb.b*8+8]), (h, v) ->
+             $hl) AS bucket
+         FROM sigs, (SELECT unnest(range(0, 2)) AS b) bb),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       SELECT d1, d2,
+         CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 16 AS jaccard_est
+       FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2
+       WHERE CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 16 >= 0.2
+       ORDER BY d1, d2"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "x03_dedup_minhash" -> minhashNativeSql,
     "x20_banded_jaccard" -> exactJaccardSql,
     "x04_simhash" ->
       s"""WITH $simhashUnsignedSql
