@@ -267,10 +267,25 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize",
       (es: Seq[Expression]) => L2Normalize(es.head), "built-in")
+    // Spark's codegen'd Murmur3 with a CALLER-CHOSEN seed (the built-in
+    // hash() pins seed 42): k independent hash functions for MinHash are
+    // murmur3 under k seeds — the textbook construction; affine maps of
+    // ONE hash are perfectly correlated (see Dedup.minhashSignatures).
+    reg.createOrReplaceTempFunction("murmur3_seeded",
+      (es: Seq[Expression]) => {
+        val seed = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"murmur3_seeded expects a literal int seed, got $other")
+        }
+        org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(es.head), seed)
+      }, "built-in")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def l2Normalize(c: Column): Column = call_function("l2_normalize", c)
+  def murmur3Seeded(c: Column, seed: Int): Column =
+    call_function("murmur3_seeded", c, org.apache.spark.sql.functions.lit(seed))
 }

@@ -46,6 +46,12 @@ object Dedup {
     // Single-file (single-row-group) inputs scan as one task; spread the
     // shingle computation across the cluster when the source is narrower
     // than the available parallelism. No-op for well-partitioned input.
+    // The .rdd probe converts the plan once per DataFrame instance
+    // (QueryExecution caches it; driver-side milliseconds) — a
+    // files/partitioning peek cannot see the real scan-task count, and
+    // an unconditional repartition would add a shuffle for
+    // well-partitioned inputs, so the probe is the cheapest correct
+    // signal here.
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val input =
       if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
@@ -142,29 +148,37 @@ object Dedup {
     * this explicit pipeline is ~3× cheaper at the same signature width
     * because it never materializes 2^16-dim sparse vectors.)
     */
-  /** The seeded (a, b) permutation coefficients behind
-    * [[minhashSignatures]] — exposed so the DuckDB oracle generator
-    * (graft.queries.Extensions) derives the SAME constants from the same
-    * seed instead of duplicating magic numbers.
+  /** The per-function murmur3 seeds behind [[minhashSignatures]] —
+    * exposed so the DuckDB oracle generator (graft.queries.Extensions)
+    * derives the SAME constants from the same master seed instead of
+    * duplicating magic numbers.
     */
-  def minhashCoefficients(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  def minhashSeeds(numHashes: Int, seed: Long): Seq[Int] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(numHashes)(
-      (rnd.nextInt((1 << 28) - 1).toLong + 1L, rnd.nextInt(1 << 28).toLong))
+    Seq.fill(numHashes)(rnd.nextInt())
   }
 
-  /** The MinHash modulus: the Mersenne prime 2^61-1. */
-  val MinhashPrime: Long = (1L << 61) - 1
-
+  /** Native MinHash signatures: k INDEPENDENT hash functions realized as
+    * murmur3 under k seeds, minimized per document — one explode + one
+    * groupBy shuffle.
+    *
+    * WHY seeded hashes and not the affine `(a·murmur(s)+b) mod p` family
+    * this used before: with murmur values < 2^32, a < 2^28 and
+    * p = 2^61-1, the product never wraps past p, so every "permutation"
+    * was MONOTONE in the one murmur value — all k components were
+    * determined by the single argmin shingle, the functions were
+    * perfectly correlated, and band-collision probability degraded from
+    * 1-(1-j^r)^L to just j. Caught at sf0.1 (3 of 256 true pairs
+    * missed); seeded murmur3 restores independent functions.
+    */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, numHashes: Int = 16,
                         seed: Long = 42L): DataFrame = {
-    val coefs = minhashCoefficients(numHashes, seed)
-    val p = MinhashPrime
+    GraftFunctions.register(docs.sparkSession)
+    val seeds = minhashSeeds(numHashes, seed)
     val flat = shingleFlat(docs, textCol, idCol, n)
-    val h = hash(col("s")).cast("long").bitwiseAND(lit(0xffffffffL))
-    val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
-      min((h * a + b) % p).as(s"h$i")
+    val aggs = seeds.zipWithIndex.map { case (s, i) =>
+      min(GraftFunctions.murmur3Seeded(col("s"), s)).as(s"h$i")
     }
     flat.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),

@@ -35,11 +35,13 @@ object Extensions {
     // pipeline, seeded). Oracle: the murmur3 + permutation-min + band
     // arithmetic replayed in generated DuckDB SQL (Murmur3Sql).
     "x03_dedup_minhash" -> ((s, dir) =>
-      // bands=2 (8 rows/band): measured 7x cheaper than bands=4 at
-      // identical output on this corpus — stricter bands cut candidate
-      // collisions; borderline-pair recall is the tradeoff.
+      // bands=8 (2 rows/band): keep probability 1-(1-j²)^8 — near-certain
+      // at j ≥ 0.9. (A round-1 "bands=2 is 7× cheaper at identical
+      // output" measurement was an artifact of the correlated affine
+      // permutations — with independent seeded hashes, banding width
+      // genuinely trades recall vs candidate volume.)
       Dedup.minhashNative(T.documents(s, dir), "text", "doc_id",
-          numHashes = 16, bands = 2, minEstimate = 0.2)
+          numHashes = 16, bands = 8, minEstimate = 0.2)
         .orderBy("d1", "d2")),
 
     // SimHash fingerprints (custom Catalyst expression). Oracle: the
@@ -273,28 +275,33 @@ object Extensions {
       s"xor($e, ($e) // 65536)"
     }
 
-    /** Murmur3_x86_32.hashLong(v, h): mix low word, high word, fmix 8. */
-    def hashLong(v: String, h: String): String =
-      fmix(mixH1(mixH1(h, mixK1(s"($v) % $M")), mixK1(s"($v) // $M")), "8")
+    /** Murmur3_x86_32.hashInt(v, h) — `v` must already be the unsigned
+      * 32-bit pattern of the int. This is how Spark's hash() threads
+      * array<int> elements.
+      */
+    def hashInt(v: String, h: String): String =
+      fmix(mixH1(h, mixK1(v)), "4")
   }
 
   /** x03's oracle: the whole native-minhash pipeline in one DuckDB
-    * statement — murmur3 string hashes of distinct trigram shingles
-    * (staged word/tail reduces + columnar fmix), the 16 seeded
-    * permutation mins (coefficients from the SAME
-    * [[Dedup.minhashCoefficients]] call as the operator), band buckets
-    * via threaded hashLong over signature slices, bucket-collision
-    * pairs, and the equal-component similarity estimate.
+    * statement — 16 seeded murmur3 string hashes per distinct trigram
+    * shingle (seeds from the SAME [[Dedup.minhashSeeds]] call as the
+    * operator; staged word/tail reduces + columnar fmix), per-seed
+    * signature mins (signed-int semantics like Spark's hash()), band
+    * buckets via threaded hashInt over 2-component signature slices,
+    * bucket-collision pairs, and the equal-component similarity
+    * estimate.
     */
   private val minhashNativeSql: String = {
     import Murmur3Sql._
-    val coefs = Dedup.minhashCoefficients(numHashes = 16, seed = 42L)
-    val sigMins = coefs
-      .map { case (a, b) => s"min((hu * $a + $b) % ${Dedup.MinhashPrime})" }
+    val seeds = Dedup.minhashSeeds(numHashes = 16, seed = 42L)
+    val seedList = seeds.mkString(", ")
+    val sigMins = (0 until 16)
+      .map(i => s"min(hv) FILTER (WHERE i = $i)")
       .mkString(",\n           ")
     val wordMix = mixH1("h", mixK1("w"))
     val byteMix = mixH1("h", mixK1("b"))
-    val hl = hashLong("v", "h")
+    val hl = hashInt("v", "h")
     s"""WITH w AS (
          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
        sh AS (
@@ -311,30 +318,44 @@ object Extensions {
              j -> cps[4*j+1] + cps[4*j+2]*256 + cps[4*j+3]*65536 + cps[4*j+4]*16777216) AS words,
            list_transform(range(sl // 4 * 4 + 1, sl + 1), i -> cps[i]) AS tail
          FROM shc),
+       shx AS (
+         SELECT doc_id, sl, words, tail, ss.i AS i,
+           CAST(CASE WHEN ([$seedList])[ss.i + 1] < 0
+                     THEN ([$seedList])[ss.i + 1] + 4294967296
+                     ELSE ([$seedList])[ss.i + 1] END AS HUGEINT) AS h0
+         FROM shw, (SELECT unnest(range(0, 16)) AS i) ss),
        shmw AS (
-         SELECT doc_id, sl, tail,
-           list_reduce(list_prepend(CAST(42 AS HUGEINT), words), (h, w) ->
+         SELECT doc_id, sl, tail, i,
+           list_reduce(list_prepend(h0, words), (h, w) ->
              $wordMix) AS hw
-         FROM shw),
+         FROM shx),
        shm2 AS (
-         SELECT doc_id, sl,
+         SELECT doc_id, sl, i,
            list_reduce(list_prepend(hw, tail), (h, b) ->
              $byteMix) AS h
          FROM shmw),
-       f1 AS (SELECT doc_id, xor(h, CAST(sl AS HUGEINT)) AS h FROM shm2),
-       f2 AS (SELECT doc_id, xor(h, h // 65536) AS h FROM f1),
-       f3 AS (SELECT doc_id, (h * 2246822507) % 4294967296 AS h FROM f2),
-       f4 AS (SELECT doc_id, xor(h, h // 8192) AS h FROM f3),
-       f5 AS (SELECT doc_id, (h * 3266489909) % 4294967296 AS h FROM f4),
-       shh AS (SELECT doc_id, xor(h, h // 65536) AS hu FROM f5),
+       f1 AS (SELECT doc_id, i, xor(h, CAST(sl AS HUGEINT)) AS h FROM shm2),
+       f2 AS (SELECT doc_id, i, xor(h, h // 65536) AS h FROM f1),
+       f3 AS (SELECT doc_id, i, (h * 2246822507) % 4294967296 AS h FROM f2),
+       f4 AS (SELECT doc_id, i, xor(h, h // 8192) AS h FROM f3),
+       f5 AS (SELECT doc_id, i, (h * 3266489909) % 4294967296 AS h FROM f4),
+       shh AS (
+         SELECT doc_id, i,
+           CAST(CASE WHEN xor(h, h // 65536) >= 2147483648
+                     THEN xor(h, h // 65536) - 4294967296
+                     ELSE xor(h, h // 65536) END AS BIGINT) AS hv
+         FROM f5),
        sigs AS (
          SELECT doc_id, [$sigMins] AS sig
          FROM shh GROUP BY doc_id),
        banded AS (
          SELECT doc_id, sig, bb.b AS band,
-           list_reduce(list_prepend(CAST(42 AS HUGEINT), sig[bb.b*8+1 : bb.b*8+8]), (h, v) ->
-             $hl) AS bucket
-         FROM sigs, (SELECT unnest(range(0, 2)) AS b) bb),
+           list_reduce(
+             list_prepend(CAST(42 AS HUGEINT),
+               list_transform(sig[bb.b*2+1 : bb.b*2+2],
+                 x -> CAST(CASE WHEN x < 0 THEN x + 4294967296 ELSE x END AS HUGEINT))),
+             (h, v) -> $hl) AS bucket
+         FROM sigs, (SELECT unnest(range(0, 8)) AS b) bb),
        cand AS (
          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          FROM banded a JOIN banded b

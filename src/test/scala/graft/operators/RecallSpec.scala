@@ -67,12 +67,13 @@ class RecallSpec extends SparkTestBase {
 
   test("x03 minhash estimate query: recall vs exact pairs measured and floored") {
     val got = Dedup.minhashNative(docs, "text", "doc_id",
-        numHashes = 16, bands = 2, minEstimate = 0.2)
+        numHashes = 16, bands = 8, minEstimate = 0.2)
       .select("d1", "d2")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = recallOf(got, exactJaccard.keySet)
-    info(f"x03 minhash (16 hashes, 2 bands) recall: $recall%.3f")
-    // measured 1.000 on the seeded corpus (all true pairs sit at j ≥ 0.9)
+    info(f"x03 minhash (16 hashes, 8 bands) recall: $recall%.3f")
+    // measured 1.000 with independent seeded hashes (all true pairs sit
+    // at j ≥ 0.9, where 2-row-band miss probability is ≤ (1-j²)^8)
     assert(recall >= 0.99, f"x03 recall degraded: $recall%.3f")
   }
 

@@ -106,6 +106,26 @@ class PlanSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("x15 wired query plans as block-pair equi-joins — no cartesian node") {
+    val df = graft.queries.Extensions.queries("x15_dedup_embedding")(spark, sf)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"x15 regressed to a cartesian plan:\n$plan")
+  }
+
+  test("x20 banded query never joins on raw shingle strings") {
+    // the quadratic shape is a join keyed on the exploded shingle column;
+    // the banded path must join only on (band,bucket) structs and doc ids
+    val df = graft.queries.Extensions.queries("x20_banded_jaccard")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.references.map(_.name).toSet).getOrElse(Set.empty)
+    }
+    assert(joins.nonEmpty)
+    joins.foreach(refs =>
+      assert(!refs.contains("s"), s"join keyed on raw shingle column: $refs"))
+  }
+
   test("merge rule: different sources are left alone") {
     GraftExtensions.install(spark)
     val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))
