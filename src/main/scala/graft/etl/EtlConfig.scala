@@ -135,8 +135,11 @@ object EtlConfig {
         str(out, "total_column")),
       logging = m.get("logging").filter(_ != null).map { _ =>
         val lg = sec(m, "logging")
-        LoggingConf(lg.get("log_file").map(_.toString),
-          lg.get("log_level").map(_.toString.toUpperCase).getOrElse("INFO"))
+        // present-but-empty keys load as null — treat like absent keys
+        // (same convention as get() above) instead of NPE-ing on toString
+        LoggingConf(lg.get("log_file").filter(_ != null).map(_.toString),
+          lg.get("log_level").filter(_ != null)
+            .map(_.toString.toUpperCase).getOrElse("INFO"))
       }.getOrElse(LoggingConf(None, "INFO")))
   }
 }

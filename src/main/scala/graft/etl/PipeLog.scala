@@ -22,10 +22,15 @@ object PipeLog {
   private var minLevel: Int = 20
 
   /** Configure from the pipeline's logging conf: open (append) the log
-    * file, creating its directory like the reference does.
+    * file, creating its directory like the reference does. Unknown level
+    * names fail fast, matching python logging's ValueError (and this
+    * repo's fail-fast config convention) — silently coercing "WARN" to
+    * INFO would flip the filter the user asked for.
     */
   def init(conf: LoggingConf): Unit = synchronized {
-    minLevel = levels.getOrElse(conf.logLevel, 20)
+    minLevel = levels.getOrElse(conf.logLevel,
+      throw new IllegalArgumentException(
+        s"unknown log level '${conf.logLevel}' (expected one of ${levels.keys.mkString(", ")})"))
     close()
     out = conf.logFile.map { f =>
       Option(new File(f).getParentFile).foreach(_.mkdirs())

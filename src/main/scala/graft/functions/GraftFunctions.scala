@@ -98,6 +98,82 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Plain dot product of two numeric arrays — [[CosineSimilarity]] minus
+  * the norms. Exists because hyperplane-LSH bucketing only needs the
+  * SIGN of the projection: sign(dot) == sign(cosine) for nonzero
+  * vectors, and computing the full cosine would redo the row vector's
+  * norm (plus two sqrts and a division) once per hyperplane — 64×
+  * per row at the default planes×tables. Null/length semantics match
+  * CosineSimilarity (common prefix length; null element → null).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (ta, tb) = (elemType(left), elemType(right))
+    def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+      case FloatType => arr.getFloat(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += get(a, i, ta) * get(b, i, tb)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(arr: String, i: String, dt: DataType): String = dt match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    val (ta, tb) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val anyNull = ctx.freshName("anyNull")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  $dot += ${getter(a, i, ta)} * ${getter(b, i, tb)};
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** L2-normalize a numeric array in one pass, returning array<double>.
   * A lambda formulation (`transform(v, x => x / sqrt(aggregate(v, ...)))`)
   * re-evaluates the norm aggregate per element after Catalyst inlines the
@@ -261,6 +337,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      (es: Seq[Expression]) => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",
       (es: Seq[Expression]) => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
@@ -283,6 +361,7 @@ object GraftFunctions {
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def l2Normalize(c: Column): Column = call_function("l2_normalize", c)

@@ -141,13 +141,6 @@ object Dedup {
       .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Native MinHash signatures: k permutation-style hashes
-    * `(a·murmur3(shingle) + b) mod p` minimized per document — one
-    * explode + one groupBy shuffle. Coefficients derive from `seed`, so
-    * results are reproducible. (An MLlib MinHashLSH variant exists above;
-    * this explicit pipeline is ~3× cheaper at the same signature width
-    * because it never materializes 2^16-dim sparse vectors.)
-    */
   /** The per-function murmur3 seeds behind [[minhashSignatures]] —
     * exposed so the DuckDB oracle generator (graft.queries.Extensions)
     * derives the SAME constants from the same master seed instead of
@@ -489,17 +482,24 @@ object Dedup {
     GraftFunctions.register(emb.sparkSession)
     val rnd = new scala.util.Random(seed)
     val hyperplanes = Array.fill(tables, planes, dim)(rnd.nextGaussian())
+    // Bucket bit = sign of the hyperplane PROJECTION: sign(dot) ==
+    // sign(cosine), so the codegen'd dot product skips the row-norm,
+    // two sqrts and a division that a cosine call would redo per plane
+    // (planes×tables = 64 times per row).
     val bucketCols = (0 until tables).map { t =>
       val bits = (0 until planes).map { p =>
         val plane = typedLit(hyperplanes(t)(p).toSeq)
-        when(GraftFunctions.cosineSim(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+        when(GraftFunctions.dotProduct(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
     }
+    // NOT persisted: the bucket columns are cheap scan-side codegen
+    // (planes·dim multiplies per row), so recomputing them on each side
+    // of the self-join beats holding a tables×-exploded copy of the
+    // corpus in executor cache for the rest of the session.
     val hashed = emb
       .select(col(idCol).as("doc_id"), col(vecCol).as("v"))
       .withColumn("bk", explode(array(bucketCols: _*)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = hashed.select(col("doc_id").as("d1"), col("bk"))
       .join(hashed.select(col("doc_id").as("d2"), col("bk")), Seq("bk"))
       .filter(col("d1") < col("d2"))

@@ -31,6 +31,13 @@ class PipeLogSpec extends AnyFunSuite {
     assert(lines(1).contains("| ERROR | run_dq_checks | [DQ INPUT FALLIDA]"))
   }
 
+  test("unknown log level fails fast like python logging's ValueError") {
+    val e = intercept[IllegalArgumentException] {
+      PipeLog.init(LoggingConf(None, "WARN")) // python spelling is WARNING
+    }
+    assert(e.getMessage.contains("WARN"))
+  }
+
   test("log level filters below-threshold lines like python logging") {
     val f = Files.createTempFile("pipelog", ".log")
     PipeLog.init(LoggingConf(Some(f.toString), "ERROR"))

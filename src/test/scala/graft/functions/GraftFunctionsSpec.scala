@@ -86,6 +86,33 @@ class GraftFunctionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("dot_product matches hand computation; sign agrees with cosine; null element → null") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(
+        GraftFunctions.dotProduct(col("a"), col("b")).as("d"),
+        GraftFunctions.cosineSim(col("a"), col("b")).as("c"))
+    val row = df.head()
+    assert(row.getDouble(0) === 1.0 * 4 - 2 * 5 + 3 * 6)
+    assert(math.signum(row.getDouble(0)) === math.signum(row.getDouble(1)))
+    val n = spark.sql(
+      "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D))").head()
+    assert(n.isNullAt(0))
+  }
+
+  test("two dot_product instances in one projection compile under codegen") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val row = Seq((Array(1.0f, 0.0f), Array(0.5f, 0.5f)))
+        .toDF("a", "b")
+        .select(
+          GraftFunctions.dotProduct(col("a"), col("b")).as("d1"),
+          GraftFunctions.dotProduct(col("b"), col("a")).as("d2"))
+        .head()
+      assert(row.getDouble(0) === 0.5 && row.getDouble(1) === 0.5)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("rolling_hash is deterministic and matches a reference computation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))

@@ -44,6 +44,20 @@ class RecallSpec extends SparkTestBase {
         s"extra=${banded.keySet -- exactJaccard.keySet}")
   }
 
+  test("minhash-banded jaccard EQUALS exact all-pairs at sf0.1 too — one scale " +
+       "step ABOVE the correctness gate (where the correlated-permutation bug hid)") {
+    val bigDocs = T.documents(spark, "/root/testdata/sf0.1")
+    val banded = Dedup.bandedJaccardMinhash(bigDocs, "text", "doc_id",
+        n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccard(bigDocs, "text", "doc_id", n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.size > 100, s"sf0.1 fixture shrank: ${exact.size} pairs")
+    assert(banded === exact,
+      s"banded != exact at sf0.1: missing=${exact.keySet -- banded.keySet} " +
+        s"extra=${banded.keySet -- exact.keySet}")
+  }
+
   test("simhash banding (4×16 bits) recall is quantified; verified output is a " +
        "subset of truth with exact jaccard values (precision 1.0)") {
     val cand = Dedup.simhashCandidates(docs, "text", "doc_id")
