@@ -348,6 +348,52 @@ object Analytics {
           date_trunc("month", col("o_orderdate")).cast("date").as("omonth_start"))
         .orderBy("o_orderkey")),
 
+    // RANGE window frame: per customer, orders whose order date falls in
+    // the 30 days up to the current row's date — a frame defined by the
+    // ORDER VALUE, not row position (ties share one frame, so the result
+    // is deterministic even with equal dates).
+    "a34_window_range" -> ((s, dir) => {
+      val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+      T.orders(s, dir)
+        .withColumn("n_recent", count(lit(1)).over(w))
+        .withColumn("recent_value", sum(Exact.dec(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "n_recent", "recent_value")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Distribution window functions: quartile, percent_rank, cume_dist
+    // over a TOTALLY ordered key (cents, orderkey) so ranks are
+    // deterministic across engines.
+    "a35_ntile_rank" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(cents, col("o_orderkey"))
+      T.orders(s, dir)
+        .select(
+          col("o_orderkey"), col("o_orderstatus").as("status"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Explicit GROUPING SETS with grouping_id: the general form rollup
+    // and cube (a09/a27) are shorthands for. SQL interface on both
+    // sides; NULLS FIRST pinned in the ORDER BY (Spark's asc default)
+    // per the rollup oracle's convention.
+    "a36_grouping_sets" -> ((s, dir) => {
+      T.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, rflag NULLS FIRST, lstatus NULLS FIRST""")
+    }),
+
     // Analytic lag window: days since the customer's previous order.
     "a28_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -525,6 +571,36 @@ object Analytics {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
          FROM lineitem GROUP BY 1 ORDER BY rflag""",
     "a26_subqueries" -> subqueriesSql,
+    "a34_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_recent,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS recent_value
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS INTEGER) AS days
+           FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY days
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "a35_ntile_rank" ->
+      """SELECT o_orderkey, o_orderstatus AS status,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+         FROM (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey)
+         ORDER BY o_orderkey""",
+    "a36_grouping_sets" ->
+      """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, rflag NULLS FIRST, lstatus NULLS FIRST""",
     "a33_date_funcs" ->
       """SELECT o_orderkey,
            CAST(o_orderdate AS DATE) AS odate,

@@ -33,10 +33,28 @@ object StreamingQ {
     "st05_stateful_stats" -> ((s, dir) =>
       EventStreams.statefulUserStats(T.events(s, dir))
         .toDF()
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Stream-stream interval join (click → purchase by the same user
+    // within 30 minutes); batch ≡ range-condition join, certified here.
+    "st06_stream_join" -> ((s, dir) => {
+      val ev = T.events(s, dir)
+      EventStreams.intervalJoin(
+          ev.filter(org.apache.spark.sql.functions.col("event_type") === "click"),
+          ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"),
+          within = "30 minutes")
+        .orderBy("src_id", "dst_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "st06_stream_join" ->
+      """SELECT a.user_id, a.event_id AS src_id, b.event_id AS dst_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_seconds
+         FROM events a JOIN events b ON a.user_id = b.user_id
+         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         ORDER BY src_id, dst_id""",
     "st01_tumbling_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start,
            event_type, CAST(count(*) AS BIGINT) AS n,

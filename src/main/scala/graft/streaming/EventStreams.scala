@@ -78,6 +78,30 @@ object EventStreams {
       }
   }
 
+  /** Interval join: for each left event, the right-side events of the
+    * same user that occur AFTER it but within `within`. Batch: a plain
+    * range-condition join. Streaming ([[intervalJoinStream]]): the
+    * canonical stream-stream join — both sides watermarked, and the
+    * time-bound join condition is what lets Spark evict buffered state
+    * (without it, stream-stream inner join state grows forever).
+    *
+    * Inputs need (user_id, event_id, ts). The join shuffles both sides
+    * on user_id only — the time bound is evaluated within the key
+    * group, so no range-join blowup across users.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   within: String = "30 minutes"): DataFrame = {
+    val a = left.select(col("user_id"), col("event_id").as("src_id"), col("ts").as("src_ts"))
+    val b = right.select(col("user_id").as("r_user_id"),
+      col("event_id").as("dst_id"), col("ts").as("dst_ts"))
+    a.join(b,
+        col("user_id") === col("r_user_id") &&
+          col("dst_ts") > col("src_ts") &&
+          col("dst_ts") <= col("src_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("src_id"), col("dst_id"),
+        (col("dst_ts").cast("long") - col("src_ts").cast("long")).as("lag_seconds"))
+  }
+
   /** Streaming wrappers: identical transforms with a watermark bound. */
   def tumblingCountsStream(events: DataFrame, width: String = "1 hour",
                            watermark: String = "2 hours"): DataFrame =
@@ -86,4 +110,10 @@ object EventStreams {
   def sessionizeStream(events: DataFrame, gap: String = "10 minutes",
                        watermark: String = "30 minutes"): DataFrame =
     sessionize(events.withWatermark("ts", watermark), gap)
+
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         within: String = "30 minutes",
+                         watermark: String = "1 hour"): DataFrame =
+    intervalJoin(left.withWatermark("ts", watermark),
+      right.withWatermark("ts", watermark), within)
 }

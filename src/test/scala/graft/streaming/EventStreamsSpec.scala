@@ -8,6 +8,8 @@ import graft.SparkTestBase
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+case class EvJ(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
 /** Structured Streaming surface: the same EventStreams transforms run as
   * a real stream (MemoryStream source, memory sink) and must produce the
   * batch results — the equivalence the batch DuckDB oracle certifies.
@@ -164,5 +166,35 @@ class EventStreamsSpec extends SparkTestBase {
       batch.orderBy("user_id", "s_start").collect().toSeq)
     // user 1: events at 00:05/00:20 split (15min gap > 10min) and 01:10 separate
     assert(batch.filter($"user_id" === 1L).count() === 3)
+  }
+
+  test("stream-stream interval join (two watermarked sources) equals the batch range join") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[EvJ]
+    val buys = MemoryStream[EvJ]
+    val clickEvents = Seq(
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),
+      EvJ(2L, t("2024-01-01 01:00:00"), 1L, "click"),
+      EvJ(3L, t("2024-01-01 00:05:00"), 2L, "click"))
+    val buyEvents = Seq(
+      EvJ(10L, t("2024-01-01 00:10:00"), 1L, "purchase"), // within 30m of click 1
+      EvJ(11L, t("2024-01-01 01:20:00"), 1L, "purchase"), // within 30m of click 2
+      EvJ(12L, t("2024-01-01 02:00:00"), 2L, "purchase")) // outside 30m of click 3
+    clicks.addData(clickEvents)
+    buys.addData(buyEvents)
+    // stream-stream inner joins emit in Append mode only; the watermarks
+    // plus the time-bound condition are what let Spark evict join state
+    val q = EventStreams.intervalJoinStream(clicks.toDF(), buys.toDF(),
+        within = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_out")
+      .orderBy("src_id", "dst_id").collect().toSeq
+    val batch = EventStreams.intervalJoin(clickEvents.toDF(), buyEvents.toDF(), "30 minutes")
+      .orderBy("src_id", "dst_id").collect().toSeq
+    assert(streamed === batch)
+    assert(batch.map(r => (r.getLong(1), r.getLong(2))) === Seq((1L, 10L), (2L, 11L)))
   }
 }
