@@ -394,6 +394,32 @@ object Analytics {
         ORDER BY gid, rflag NULLS FIRST, lstatus NULLS FIRST""")
     }),
 
+    // Spark 4 VARIANT type: parse the JSON props column once into a
+    // variant and extract typed paths (missing paths → NULL, not error).
+    // Only extracted primitives are emitted — the variant binary itself
+    // is not a cross-engine-comparable surface.
+    "a37_variant" -> ((s, dir) => {
+      T.events(s, dir).createOrReplaceTempView("events_var")
+      s.sql("""
+        SELECT event_id,
+               CAST(variant_get(parse_json(props), '$.k', 'int') AS INT) AS k_val,
+               variant_get(parse_json(props), '$.missing', 'string') AS missing_val
+        FROM events_var ORDER BY event_id""")
+    }),
+
+    // ANSI-mode-safe try_* arithmetic: overflow/band errors become NULL
+    // instead of failing the job — the semantics a robust pipeline wants
+    // under ANSI SQL mode.
+    "a38_try_funcs" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_discount)").as("price_per_disc"),
+          expr("try_divide(l_quantity, 0)").as("div_zero"),
+          expr("try_cast(l_returnflag AS DOUBLE)").as("bad_cast"),
+          expr("try_add(l_quantity, l_tax)").as("qty_tax"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Analytic lag window: days since the customer's previous order.
     "a28_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -601,6 +627,18 @@ object Analytics {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY gid, rflag NULLS FIRST, lstatus NULLS FIRST""",
+    "a37_variant" ->
+      """SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+         FROM events ORDER BY event_id""",
+    "a38_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_discount, 0) AS price_per_disc,
+           CAST(NULL AS DOUBLE) AS div_zero,
+           TRY_CAST(l_returnflag AS DOUBLE) AS bad_cast,
+           l_quantity + l_tax AS qty_tax
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "a33_date_funcs" ->
       """SELECT o_orderkey,
            CAST(o_orderdate AS DATE) AS odate,
