@@ -20,6 +20,8 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(c.renames("precio") === "precio_origen")
     assert(c.columnOrder.size === 16)
     assert(c.quality.notNullColumns === Seq("precio", "material"))
+    assert(c.logging === LoggingConf(
+      Some("/tmp/graft_etl_out/pipeline_execution.log"), "INFO"))
   }
 
   test("loader matches YAML-loaded config against the in-code reference config") {

@@ -49,7 +49,9 @@ object ReferenceJob {
       "tipo_entrega", "entrega_rutina", "entrega_bonificada", "precio_origen",
       "cantidad_origen", "unidad_origen", "precio_estandar", "cantidad_estandar",
       "unidad_estandar", "total_estandar", "filename"),
-    output = OutputConf(outputBase, Seq("fecha_proceso", "pais"), "total_estandar"))
+    output = OutputConf(outputBase, Seq("fecha_proceso", "pais"), "total_estandar"),
+    logging = LoggingConf(
+      Some("/tmp/graft_etl_out/pipeline_execution.log"), "INFO"))
 }
 
 /** Golden-parity gate: the rebuilt pipeline must reproduce the
