@@ -91,8 +91,13 @@ object Similarity {
       df.select(col(idCol).as(id), col(vecCol).as(s"${id}_vec"),
         array_to_vector(transform(col(vecCol), _.cast("double"))).as(s"${id}_mlvec"))
     val c = vectorized(candidates, "cand_id")
+    // initMode "random": k-means|| init costs ~2·initSteps extra
+    // distributed passes to pick marginally better seeds — for an ANN
+    // codebook the recall difference is noise (measured in RecallSpec)
+    // while the fit cost dominates this operator's runtime.
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(seed).setFeaturesCol("cand_id_mlvec").setPredictionCol("cell")
+      .setK(cells).setSeed(seed).setInitMode("random")
+      .setFeaturesCol("cand_id_mlvec").setPredictionCol("cell")
     val model = km.fit(c)
     val assigned = model.transform(c)
       .select(col("cand_id"), col("cand_id_vec"), col("cell"))

@@ -108,10 +108,11 @@ class RecallSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = recallOf(got, exactTopK)
     info(f"x17 ivf recall@10 (nProbe 4/16): $recall%.3f")
-    // measured 0.460: on a near-random corpus KMeans cells barely
-    // correlate with top-k membership, so recall ≈ probed-cell coverage
-    // — this pins REGRESSION, not quality; nProbe is the recall dial
-    assert(recall >= 0.4, f"x17 recall degraded: $recall%.3f")
+    // measured 0.620 (random-init codebook; was 0.460 with k-means||):
+    // on a near-random corpus KMeans cells barely correlate with top-k
+    // membership, so recall ≈ probed-cell coverage — this pins
+    // REGRESSION, not quality; nProbe is the recall dial
+    assert(recall >= 0.55, f"x17 recall degraded: $recall%.3f")
   }
 
   test("blocked embedding pairs EQUAL the n² baseline (exactness of the " +
