@@ -131,14 +131,51 @@ object Multimodal {
   }
 
   /** STUB resize: shrink a payload by an integer factor via strided byte
-    * sampling (a real image pipeline would do pixel-space resampling).
-    * Preserves determinism and the binary-in/binary-out plumbing.
+    * sampling — kept for NON-image payloads (no audio/video codecs in
+    * this container); images go through [[resizeImage]].
     */
   def resizeStub(records: Dataset[MediaRecord], factor: Int = 4): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
     records.map { r =>
       val out = r.payload.indices.collect { case i if i % factor == 0 => r.payload(i) }.toArray
       MediaRecord(r.doc_id, r.media_type, out)
+    }
+  }
+
+  /** REAL image resize: decode, nearest-neighbor resample in pixel
+    * space, re-encode as PNG. Resampling is hand-rolled integer
+    * arithmetic (out(x,y) = in(x·w/W, y·h/H)) rather than Graphics2D so
+    * the output pixels — and the PNG bytes — are bit-deterministic,
+    * which keeps the operator oracle-able. Non-image or undecodable
+    * payloads pass through unchanged (media pipelines drop or route
+    * such rows downstream; silently emitting garbage would hide them).
+    */
+  def resizeImage(records: Dataset[MediaRecord],
+                  targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val img =
+        if (r.media_type.startsWith("image/"))
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        else null
+      if (img == null) r
+      else {
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          val sy = y * img.getHeight / targetH
+          var x = 0
+          while (x < targetW) {
+            out.setRGB(x, y, img.getRGB(x * img.getWidth / targetW, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaRecord(r.doc_id, "image/png", bos.toByteArray)
+      }
     }
   }
 

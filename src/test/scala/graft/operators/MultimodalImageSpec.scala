@@ -54,6 +54,28 @@ class MultimodalImageSpec extends SparkTestBase {
     assert(Multimodal.sampleImageRows(media).collect().isEmpty)
   }
 
+  test("image resize: nearest-neighbor downscale with pinned pixels, round-trips through PNG") {
+    val media = Seq(
+      Multimodal.MediaRecord(5L, "image/png", fixture("gradient_8x5.png"))).toDS()
+    val resized = Multimodal.resizeImage(media, targetW = 4, targetH = 2).collect().head
+    assert(resized.media_type === "image/png")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.payload))
+    assert(img.getWidth === 4 && img.getHeight === 2)
+    // nearest neighbor with integer mapping: out(x,y) = in(x*8/4, y*5/2)
+    def rgb(x: Int, y: Int): Int = {
+      val (sx, sy) = (x * 2, y * 5 / 2)
+      val r = (sx * 31 + sy * 7) % 256
+      val g = (sx * 13 + sy * 101) % 256
+      val b = (sx * 3 + sy * 53) % 256
+      (r << 16) | (g << 8) | b
+    }
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) === rgb(x, y), s"pixel ($x,$y)")
+    // resize is deterministic at the byte level (oracle-able)
+    val again = Multimodal.resizeImage(media, 4, 2).collect().head
+    assert(java.util.Arrays.equals(resized.payload, again.payload))
+  }
+
   test("non-image media types still route to the deterministic byte decoder") {
     val payload = "plain text payload".getBytes("UTF-8")
     val media = Seq(Multimodal.MediaRecord(3L, "text/plain", payload)).toDS()
