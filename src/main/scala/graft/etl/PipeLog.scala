@@ -13,8 +13,9 @@ import java.time.format.DateTimeFormatter
   * coupling, deterministic format.
   */
 object PipeLog {
+  // python logging's name→level table including its WARN/FATAL aliases
   private val levels = Map("DEBUG" -> 10, "INFO" -> 20, "WARNING" -> 30,
-    "ERROR" -> 40, "CRITICAL" -> 50)
+    "WARN" -> 30, "ERROR" -> 40, "CRITICAL" -> 50, "FATAL" -> 50)
   // python asctime default: "2026-08-12 10:30:59,123"
   private val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss,SSS")
 
@@ -22,15 +23,15 @@ object PipeLog {
   private var minLevel: Int = 20
 
   /** Configure from the pipeline's logging conf: open (append) the log
-    * file, creating its directory like the reference does. Unknown level
-    * names fail fast, matching python logging's ValueError (and this
-    * repo's fail-fast config convention) — silently coercing "WARN" to
-    * INFO would flip the filter the user asked for.
+    * file, creating its directory like the reference does. Level-name
+    * resolution mirrors the reference EXACTLY
+    * (`getattr(logging, log_level, logging.INFO)`,
+    * /root/reference/data_process.py:26): python's WARN/FATAL aliases
+    * resolve, and an unknown name silently falls back to INFO — the
+    * reference never raises here, so neither do we.
     */
   def init(conf: LoggingConf): Unit = synchronized {
-    minLevel = levels.getOrElse(conf.logLevel,
-      throw new IllegalArgumentException(
-        s"unknown log level '${conf.logLevel}' (expected one of ${levels.keys.mkString(", ")})"))
+    minLevel = levels.getOrElse(conf.logLevel, 20)
     close()
     out = conf.logFile.map { f =>
       Option(new File(f).getParentFile).foreach(_.mkdirs())

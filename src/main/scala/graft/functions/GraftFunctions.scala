@@ -10,6 +10,45 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared scaffolding for binary expressions folding over a pair of
+  * float/double arrays: the type check, element accessors (interpreted
+  * and codegen), and the common null/length semantics (arrays are
+  * folded over the common prefix length; a null element → null result).
+  * Subclasses supply only their accumulate/combine logic — keeping
+  * [[CosineSimilarity]] and [[DotProduct]] from drifting apart.
+  */
+abstract class ArrayPairExpression extends BinaryExpression {
+
+  /** SQL-facing name used in type-check error messages. */
+  protected def fnName: String
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fnName expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  protected def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  protected def getterCode(arr: String, i: String, dt: DataType): String = dt match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+}
+
 /** Cosine similarity between two numeric arrays, as a native Catalyst
   * expression with whole-stage codegen.
   *
@@ -24,28 +63,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * norm is zero; arrays are compared over the common prefix length.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends ArrayPairExpression {
 
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects array<float|double>, got ${left.dataType} / ${right.dataType}")
-  }
-
-  private def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
-    case FloatType => arr.getFloat(i).toDouble
-    case _ => arr.getDouble(i)
-  }
+  override protected def fnName: String = "cosine_sim"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -65,10 +85,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def getter(arr: String, i: String, dt: DataType): String = dt match {
-      case FloatType => s"(double) $arr.getFloat($i)"
-      case _ => s"$arr.getDouble($i)"
-    }
     val (ta, tb) = (elemType(left), elemType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
@@ -81,8 +97,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
-         |  double $va = ${getter(a, i, ta)};
-         |  double $vb = ${getter(b, i, tb)};
+         |  double $va = ${getterCode(a, i, ta)};
+         |  double $vb = ${getterCode(b, i, tb)};
          |  $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;
          |}
          |if ($anyNull || $na == 0.0 || $nb == 0.0) {
@@ -107,33 +123,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * CosineSimilarity (common prefix length; null element → null).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends ArrayPairExpression {
 
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects array<float|double>, got ${left.dataType} / ${right.dataType}")
-  }
+  override protected def fnName: String = "dot_product"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     val (ta, tb) = (elemType(left), elemType(right))
-    def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
-      case FloatType => arr.getFloat(i).toDouble
-      case _ => arr.getDouble(i)
-    }
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -145,10 +143,6 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def getter(arr: String, i: String, dt: DataType): String = dt match {
-      case FloatType => s"(double) $arr.getFloat($i)"
-      case _ => s"$arr.getDouble($i)"
-    }
     val (ta, tb) = (elemType(left), elemType(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
@@ -159,7 +153,7 @@ case class DotProduct(left: Expression, right: Expression)
          |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
-         |  $dot += ${getter(a, i, ta)} * ${getter(b, i, tb)};
+         |  $dot += ${getterCode(a, i, ta)} * ${getterCode(b, i, tb)};
          |}
          |if ($anyNull) {
          |  ${ev.isNull} = true;

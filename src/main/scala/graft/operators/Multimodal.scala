@@ -66,6 +66,20 @@ object Multimodal {
     }
   }
 
+  /** Decode an image payload to pixels, or null when it is not one:
+    * wrong media type, unrecognized format (ImageIO.read returns null),
+    * or corrupt data behind a valid image signature (ImageIO.read
+    * THROWS IIOException there — a distributed decode stage must treat
+    * that as a bad row, not a task-killing error). The single routing
+    * point for every image operator below.
+    */
+  private def decodeImage(mediaType: String,
+                          payload: Array[Byte]): java.awt.image.BufferedImage =
+    if (!mediaType.startsWith("image/")) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+
   /** REAL image decode via the JDK's javax.imageio: `image/`-typed payloads
     * are decoded to pixels; checksum is the sum of 8-bit R+G+B over all
     * pixels (deterministic across platforms for PNG/BMP, which are
@@ -77,7 +91,7 @@ object Multimodal {
     def decode(mediaType: String, payload: Array[Byte]): MediaFeatures.Partial = {
       if (!mediaType.startsWith("image/")) StubDecoder.decode(mediaType, payload)
       else {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        val img = decodeImage(mediaType, payload)
         if (img == null)
           MediaFeatures.Partial(payload.length, 0, 0, checksum = -1L)
         else {
@@ -154,10 +168,7 @@ object Multimodal {
                   targetW: Int, targetH: Int): Dataset[MediaRecord] = {
     import records.sparkSession.implicits._
     records.map { r =>
-      val img =
-        if (r.media_type.startsWith("image/"))
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        else null
+      val img = decodeImage(r.media_type, r.payload)
       if (img == null) r
       else {
         val out = new java.awt.image.BufferedImage(
@@ -207,10 +218,7 @@ object Multimodal {
                       everyN: Int = 2): Dataset[FrameSample] = {
     import records.sparkSession.implicits._
     records.flatMap { r =>
-      val img =
-        if (r.media_type.startsWith("image/"))
-          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        else null
+      val img = decodeImage(r.media_type, r.payload)
       if (img == null) Seq.empty[FrameSample]
       else (0 until img.getHeight by everyN).map { y =>
         var sum = 0L

@@ -31,11 +31,21 @@ class PipeLogSpec extends AnyFunSuite {
     assert(lines(1).contains("| ERROR | run_dq_checks | [DQ INPUT FALLIDA]"))
   }
 
-  test("unknown log level fails fast like python logging's ValueError") {
-    val e = intercept[IllegalArgumentException] {
-      PipeLog.init(LoggingConf(None, "WARN")) // python spelling is WARNING
-    }
-    assert(e.getMessage.contains("WARN"))
+  test("level aliases and unknown names resolve like the reference's getattr fallback") {
+    val f = Files.createTempFile("pipelog", ".log")
+    // WARN is a python logging alias for WARNING → filters INFO out
+    PipeLog.init(LoggingConf(Some(f.toString), "WARN"))
+    PipeLog.info("main", "suppressed")
+    PipeLog.error("main", "kept-warnlevel")
+    PipeLog.close()
+    // unknown names fall back to INFO (reference: getattr(..., logging.INFO),
+    // data_process.py:26 — never raises)
+    PipeLog.init(LoggingConf(Some(f.toString), "VERBOSE"))
+    PipeLog.info("main", "kept-fallback")
+    PipeLog.close()
+    val lines = Files.readAllLines(f).asScala.toSeq
+    assert(lines.size === 2)
+    assert(lines(0).contains("kept-warnlevel") && lines(1).contains("kept-fallback"))
   }
 
   test("log level filters below-threshold lines like python logging") {

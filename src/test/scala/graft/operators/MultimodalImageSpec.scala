@@ -54,6 +54,18 @@ class MultimodalImageSpec extends SparkTestBase {
     assert(Multimodal.sampleImageRows(media).collect().isEmpty)
   }
 
+  test("truncated payload behind a VALID image signature is a bad row, not a task killer") {
+    // ImageIO.read THROWS (not null) when the format is recognized but
+    // the data is corrupt — the decode stage must absorb that per row
+    val truncated = fixture("gradient_8x5.png").take(20)
+    val media = Seq(Multimodal.MediaRecord(11L, "image/png", truncated)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.checksum === -1L && f.width === 0)
+    assert(Multimodal.sampleImageRows(media).collect().isEmpty)
+    val passedThrough = Multimodal.resizeImage(media, 4, 2).collect().head
+    assert(java.util.Arrays.equals(passedThrough.payload, truncated))
+  }
+
   test("image resize: nearest-neighbor downscale with pinned pixels, round-trips through PNG") {
     val media = Seq(
       Multimodal.MediaRecord(5L, "image/png", fixture("gradient_8x5.png"))).toDS()
