@@ -165,6 +165,51 @@ object Extensions {
         .limit(50)
     }),
 
+    // The END-TO-END training-data pipeline, composed from the operators
+    // above: language filter → quality gate → exact content dedup →
+    // banded near-dup keep-one → per-doc token stats + fingerprint.
+    // Every stage is the scale-path variant (hash dedup one shuffle;
+    // near-dup pairs via minhash banding), and the oracle replays the
+    // whole chain in one recursive-CTE DuckDB statement.
+    "x21_pipeline_docs" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val en = TextAnalysis.langId(docs, "text")
+        .filter(col("pred_lang") === "en").select("doc_id")
+      val good = TextAnalysis.qualityScore(docs, "text")
+        .filter(col("quality_ok") === 1).select("doc_id")
+      val surviving = docs.join(en, "doc_id").join(good, "doc_id")
+      val exactKeep = surviving
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      // three downstream consumers (pair mining, the canonical join, and
+      // the final keep join) would each recompute the filter+dedup chain
+      // without this (measured 5.0 s → see PERF.md); CacheManager dedups
+      // by canonical plan, MEMORY_AND_DISK evicts under pressure
+      val deduped = surviving.join(exactKeep, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // near-dup pairs: mine the FULL corpus once and restrict both ends
+      // to survivors — jaccard (and per-pair band collision) depend only
+      // on the two documents, so the restriction is exact, and the
+      // full-corpus plan is canonically identical to x14/x20's, letting
+      // CacheManager reuse their cached shingle table instead of
+      // building a second one for the subset.
+      val ids = deduped.select("doc_id")
+      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+        .select("d1", "d2")
+        .join(ids.withColumnRenamed("doc_id", "d1"), "d1")
+        .join(ids.withColumnRenamed("doc_id", "d2"), "d2")
+      val canonical = Dedup.connectedComponentsKeepOne(deduped, "doc_id", pairs)
+        .filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id")
+      val kept = deduped.join(canonical, "doc_id")
+      TextAnalysis.tokenCounts(kept, "text")
+        .join(TextAnalysis.fingerprints(kept, "text").select("doc_id", "fp_md5"), "doc_id")
+        .select("doc_id", "ws_tokens", "fp_md5")
+        .orderBy("doc_id")
+    }),
+
     // Near-dup keep-one: connected components over Jaccard pairs, min id
     // elected canonical. Pairs come from the BANDED path (candidates →
     // exact verify), so the composed pipeline is scale-safe end to end;
@@ -368,6 +413,56 @@ object Extensions {
   }
 
   val oracle: Map[String, String] = Map(
+    "x21_pipeline_docs" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+         lang AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS INTEGER) AS en_hits,
+               CAST(len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS INTEGER) AS de_hits,
+               CAST(len(list_filter(ws, t -> list_contains(['el','la','de','y','es','un'], t))) AS INTEGER) AS es_hits,
+               CAST(len(list_filter(ws, t -> list_contains(['le','la','de','et','est','un'], t))) AS INTEGER) AS fr_hits
+             FROM w)
+           WHERE greatest(en_hits, de_hits, es_hits, fr_hits) > 0
+             AND en_hits = greatest(en_hits, de_hits, es_hits, fr_hits)),
+         good AS (
+           SELECT doc_id FROM w
+           WHERE len(ws) BETWEEN 10 AND 100000
+             AND coalesce(CASE WHEN length(text) = 0 THEN NULL
+                   ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                        / length(text) END < 0.3, FALSE)),
+         surv AS (
+           SELECT w.doc_id, w.text, w.ws FROM w
+           JOIN lang ON lang.doc_id = w.doc_id
+           JOIN good ON good.doc_id = w.doc_id),
+         exk AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY sha256(text)),
+         ded AS (SELECT surv.doc_id, surv.text, surv.ws FROM surv JOIN exk ON exk.doc_id = surv.doc_id),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM ded WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT d1, d2 FROM (
+             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i
+           JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+           WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2),
+         edges AS (
+           SELECT d1 AS a, d2 AS b FROM pairs
+           UNION SELECT d2, d1 FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT d.doc_id,
+           CAST(len(d.ws) AS INTEGER) AS ws_tokens,
+           md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) AS fp_md5
+         FROM ded d
+         WHERE coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id), d.doc_id),
+                        d.doc_id) = d.doc_id
+         ORDER BY d.doc_id""",
     "x03_dedup_minhash" -> minhashNativeSql,
     "x20_banded_jaccard" -> exactJaccardSql,
     "x04_simhash" ->
