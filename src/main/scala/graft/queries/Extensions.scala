@@ -210,6 +210,21 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // The embedding-side pipeline: exact cosine pair mining (block-pair
+    // equi-join), connected-components keep-one, then per-label
+    // centroids of the surviving vectors — dedup before aggregation so
+    // near-identical vectors don't double-weight the centroid.
+    "x22_pipeline_embeddings" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      val pairs = Dedup.embeddingCosinePairsBlocked(emb, "embedding", "vec_id", 0.4)
+        .select("d1", "d2")
+      val kept = Dedup.connectedComponentsKeepOne(emb, "vec_id", pairs)
+        .filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id").as("vec_id"))
+      Similarity.labelCentroids(emb.join(kept, "vec_id"), "embedding", "label")
+        .orderBy("label", "pos")
+    }),
+
     // Near-dup keep-one: connected components over Jaccard pairs, min id
     // elected canonical. Pairs come from the BANDED path (candidates →
     // exact verify), so the composed pipeline is scale-safe end to end;
@@ -276,6 +291,20 @@ object Extensions {
            sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
                     ELSE CAST(0 AS HUGEINT) END) AS hu
          FROM votes GROUP BY doc_id)"""
+
+  /** The floor-rounded cosine between two FLOAT[] columns in DuckDB —
+    * the exact arithmetic of `Exact.round6(cosineSim(...))`, shared by
+    * the x15 and x22 oracles.
+    */
+  private def cosineRounded(a: String, b: String): String =
+    s"""floor(
+         list_sum(list_transform(range(1, len($a)+1),
+           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len($a)+1),
+              i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len($b)+1),
+              i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))
+         * 1000000 + 0.5) / 1000000"""
 
   /** Reinterpret an unsigned 64-bit hugeint as Spark's signed long. */
   private def signed64(col: String): String =
@@ -465,6 +494,31 @@ object Extensions {
          ORDER BY d.doc_id""",
     "x03_dedup_minhash" -> minhashNativeSql,
     "x20_banded_jaccard" -> exactJaccardSql,
+    "x22_pipeline_embeddings" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding, label FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS d1, b.vec_id AS d2
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE ${cosineRounded("a.embedding", "b.embedding")} >= 0.4),
+         edges AS (
+           SELECT d1 AS a, d2 AS b FROM pairs
+           UNION SELECT d2, d1 FROM pairs),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         kept AS (
+           SELECT vec_id FROM e
+           WHERE coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = e.vec_id), vec_id),
+                          vec_id) = vec_id)
+         SELECT label, CAST(pos AS INTEGER) AS pos,
+           floor(sum(floor(v * 1048576 + 0.5) / 1048576) / count(*) * 1000000 + 0.5)
+             / 1000000 AS centroid_val
+         FROM (
+           SELECT label, unnest(range(0, len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM e JOIN kept ON kept.vec_id = e.vec_id)
+         GROUP BY label, pos ORDER BY label, pos""",
     "x04_simhash" ->
       s"""WITH $simhashUnsignedSql
          SELECT doc_id, ${signed64("hu")} AS simhash
@@ -598,25 +652,11 @@ object Extensions {
            FROM documents)
          GROUP BY token ORDER BY df DESC, token LIMIT 50""",
     "x15_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          SELECT a.vec_id AS d1, b.vec_id AS d2,
-           floor(
-             list_sum(list_transform(range(1, len(a.embedding)+1),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
-                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-             * 1000000 + 0.5) / 1000000 AS cosine
+           ${cosineRounded("a.embedding", "b.embedding")} AS cosine
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE floor(
-             list_sum(list_transform(range(1, len(a.embedding)+1),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
-                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
-                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-             * 1000000 + 0.5) / 1000000 >= 0.4
+         WHERE ${cosineRounded("a.embedding", "b.embedding")} >= 0.4
          ORDER BY d1, d2""",
     "x14_dedup_keepone" ->
       """WITH RECURSIVE w AS (
