@@ -11,15 +11,18 @@ import graft.functions.GraftFunctions
   * Scale design (100 TB):
   *  - exact: one hash-partitioned shuffle on a 32-byte digest — no row
   *    comparisons, no skew (digests are uniform);
-  *  - minhashLsh: banding bounds candidate pairs; the shuffle key is
-  *    (band, bucket), never the raw document;
+  *  - minhash banding ([[minhashBandPairs]] / [[bandedJaccardMinhash]]):
+  *    candidate volume bounded by actual similarity; the shuffle key is
+  *    (band, bucket), never the raw document — the scale path for
+  *    near-dup mining (DedupSkewSpec pins the hot-shingle guard);
   *  - simhash: fingerprints are computed scan-side in one pass; banding
-  *    the 64-bit fingerprint gives O(dups) candidate pairs;
-  *  - ngramJaccard: exact set-similarity join with prefix filtering
-  *    (AllPairs/PPJoin): the candidate join only touches each doc's
-  *    rarest shingles, so frequent-shingle skew never produces a
-  *    quadratic pair stream; verification is per-candidate
-  *    array_intersect.
+  *    the 64-bit fingerprint gives cheap candidates when the
+  *    fingerprint itself is the product;
+  *  - ngramJaccard: the exact all-pairs baseline via a direct shingle
+  *    self-join — measured FASTER than a prefix-filtered (AllPairs/
+  *    PPJoin) variant on this corpus (PERF.md §3) but quadratic in
+  *    per-shingle document frequency, so on skewed corpora feed
+  *    [[verifyJaccard]] from banded candidates instead.
   */
 object Dedup {
 

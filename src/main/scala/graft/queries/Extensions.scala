@@ -173,19 +173,20 @@ object Extensions {
     // whole chain in one recursive-CTE DuckDB statement.
     "x21_pipeline_docs" -> ((s, dir) => {
       val docs = T.documents(s, dir)
-      val en = TextAnalysis.langId(docs, "text")
-        .filter(col("pred_lang") === "en").select("doc_id")
-      val good = TextAnalysis.qualityScore(docs, "text")
-        .filter(col("quality_ok") === 1).select("doc_id")
-      val surviving = docs.join(en, "doc_id").join(good, "doc_id")
+      // langId/qualityScore are pure withColumn transforms — chain them
+      // and filter in one codegen pass (no joins, one scan)
+      val surviving = TextAnalysis.qualityScore(
+          TextAnalysis.langId(docs, "text"), "text")
+        .filter(col("pred_lang") === "en" && col("quality_ok") === 1)
+        .select("doc_id", "text")
       val exactKeep = surviving
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      // three downstream consumers (pair mining, the canonical join, and
-      // the final keep join) would each recompute the filter+dedup chain
-      // without this (measured 5.0 s → see PERF.md); CacheManager dedups
-      // by canonical plan, MEMORY_AND_DISK evicts under pressure
+      // two downstream consumers (the canonical join and the final keep
+      // join) would each recompute the filter+dedup chain without this
+      // (measured 5.0 s → see PERF.md); CacheManager dedups by
+      // canonical plan, MEMORY_AND_DISK evicts under pressure
       val deduped = surviving.join(exactKeep, "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // near-dup pairs: mine the FULL corpus once and restrict both ends
@@ -200,12 +201,12 @@ object Extensions {
         .select("d1", "d2")
         .join(ids.withColumnRenamed("doc_id", "d1"), "d1")
         .join(ids.withColumnRenamed("doc_id", "d2"), "d2")
+        .select("d1", "d2") // using-joins front the key: restore the contract order
       val canonical = Dedup.connectedComponentsKeepOne(deduped, "doc_id", pairs)
         .filter(col("doc_id") === col("canonical_id"))
         .select("doc_id")
       val kept = deduped.join(canonical, "doc_id")
-      TextAnalysis.tokenCounts(kept, "text")
-        .join(TextAnalysis.fingerprints(kept, "text").select("doc_id", "fp_md5"), "doc_id")
+      TextAnalysis.fingerprints(TextAnalysis.tokenCounts(kept, "text"), "text")
         .select("doc_id", "ws_tokens", "fp_md5")
         .orderBy("doc_id")
     }),
@@ -291,6 +292,42 @@ object Extensions {
            sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
                     ELSE CAST(0 AS HUGEINT) END) AS hu
          FROM votes GROUP BY doc_id)"""
+
+  /** Symmetric transitive-closure CTE block over a CTE named `pairs`
+    * with (d1, d2) columns — the SQL analog of
+    * [[Dedup.connectedComponentsKeepOne]]'s reachability, shared by the
+    * x14/x21/x22 oracles so the closure semantics cannot drift between
+    * them. Callers append it after their own CTEs (requires a WITH
+    * RECURSIVE prelude).
+    */
+  private val closureCtes: String =
+    """edges AS (
+         SELECT d1 AS a, d2 AS b FROM pairs
+         UNION SELECT d2, d1 FROM pairs),
+       reach AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, eg.b FROM reach r JOIN edges eg ON r.b = eg.a)"""
+
+  /** Keep-one predicate: the row survives iff its id is its component's
+    * minimum (reachable-minimum, self for singletons). */
+  private def canonicalKeep(idExpr: String): String =
+    s"""coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = $idExpr), $idExpr),
+                $idExpr) = $idExpr"""
+
+  /** Grid-quantized per-label centroid aggregation (the exact
+    * arithmetic of [[Similarity.labelCentroids]]), parameterized on the
+    * FROM clause — shared by the x13 and x22 oracles.
+    */
+  private def centroidSql(from: String): String =
+    s"""SELECT label, CAST(pos AS INTEGER) AS pos,
+         floor(sum(floor(v * 1048576 + 0.5) / 1048576) / count(*) * 1000000 + 0.5)
+           / 1000000 AS centroid_val
+       FROM (
+         SELECT label, unnest(range(0, len(embedding))) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+         FROM $from)
+       GROUP BY label, pos ORDER BY label, pos"""
 
   /** The floor-rounded cosine between two FLOAT[] columns in DuckDB —
     * the exact arithmetic of `Exact.round6(cosineSim(...))`, shared by
@@ -443,8 +480,8 @@ object Extensions {
 
   val oracle: Map[String, String] = Map(
     "x21_pipeline_docs" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+      s"""WITH RECURSIVE w AS (
+           SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
          lang AS (
            SELECT doc_id FROM (
              SELECT doc_id,
@@ -478,47 +515,26 @@ object Extensions {
              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i
            JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
            WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2),
-         edges AS (
-           SELECT d1 AS a, d2 AS b FROM pairs
-           UNION SELECT d2, d1 FROM pairs),
-         reach AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         $closureCtes
          SELECT d.doc_id,
            CAST(len(d.ws) AS INTEGER) AS ws_tokens,
-           md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) AS fp_md5
+           md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS fp_md5
          FROM ded d
-         WHERE coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id), d.doc_id),
-                        d.doc_id) = d.doc_id
+         WHERE ${canonicalKeep("d.doc_id")}
          ORDER BY d.doc_id""",
     "x03_dedup_minhash" -> minhashNativeSql,
     "x20_banded_jaccard" -> exactJaccardSql,
     "x22_pipeline_embeddings" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding, label FROM embeddings),
+      s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding, label FROM embeddings),
          pairs AS (
            SELECT a.vec_id AS d1, b.vec_id AS d2
-           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
            WHERE ${cosineRounded("a.embedding", "b.embedding")} >= 0.4),
-         edges AS (
-           SELECT d1 AS a, d2 AS b FROM pairs
-           UNION SELECT d2, d1 FROM pairs),
-         reach AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+         $closureCtes,
          kept AS (
-           SELECT vec_id FROM e
-           WHERE coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = e.vec_id), vec_id),
-                          vec_id) = vec_id)
-         SELECT label, CAST(pos AS INTEGER) AS pos,
-           floor(sum(floor(v * 1048576 + 0.5) / 1048576) / count(*) * 1000000 + 0.5)
-             / 1000000 AS centroid_val
-         FROM (
-           SELECT label, unnest(range(0, len(embedding))) AS pos,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-           FROM e JOIN kept ON kept.vec_id = e.vec_id)
-         GROUP BY label, pos ORDER BY label, pos""",
+           SELECT vec_id FROM emb
+           WHERE ${canonicalKeep("emb.vec_id")})
+         ${centroidSql("emb JOIN kept ON kept.vec_id = emb.vec_id")}""",
     "x04_simhash" ->
       s"""WITH $simhashUnsignedSql
          SELECT doc_id, ${signed64("hu")} AS simhash
@@ -636,15 +652,7 @@ object Extensions {
            CAST(octet_length(CAST(text AS BLOB)) // 1024 + 1 AS INTEGER) AS n_frames,
            16000 AS sample_rate
          FROM documents ORDER BY doc_id""",
-    "x13_label_centroids" ->
-      """SELECT label, CAST(pos AS INTEGER) AS pos,
-           floor(sum(floor(v * 1048576 + 0.5) / 1048576) / count(*) * 1000000 + 0.5)
-             / 1000000 AS centroid_val
-         FROM (
-           SELECT label, unnest(range(0, len(embedding))) AS pos,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-           FROM embeddings)
-         GROUP BY label, pos ORDER BY label, pos""",
+    "x13_label_centroids" -> centroidSql("embeddings"),
     "x16_token_freq" ->
       """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
            SELECT doc_id, unnest(list_distinct(
@@ -659,8 +667,8 @@ object Extensions {
          WHERE ${cosineRounded("a.embedding", "b.embedding")} >= 0.4
          ORDER BY d1, d2""",
     "x14_dedup_keepone" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+      s"""WITH RECURSIVE w AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
          sh AS (
            SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
@@ -672,13 +680,7 @@ object Extensions {
              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i
            JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
            WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2),
-         edges AS (
-           SELECT d1 AS a, d2 AS b FROM pairs
-           UNION SELECT d2, d1 FROM pairs),
-         reach AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         $closureCtes
          SELECT d.doc_id,
            coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id), d.doc_id),
                     d.doc_id) AS canonical_id
