@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -283,9 +283,11 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 /** 64-bit SimHash over a token array: FNV-1a hash per token, per-bit
   * majority vote. Near-duplicate documents land within a small Hamming
   * distance; band the result (e.g. four 16-bit bands) for bucketed
-  * candidate generation at scale.
+  * candidate generation at scale. Codegen'd — the fingerprint runs
+  * scan-side over every document, so it must stay inside
+  * WholeStageCodegen like the other fingerprints.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -321,6 +323,37 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     java.lang.Long.valueOf(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes"); val t = ctx.freshName("t")
+      val bytes = ctx.freshName("bytes"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
+      // FNV-1a constants as decimal longs (0xcbf29ce484222325 is
+      // negative as a signed Java literal)
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $t = 0; $t < $arr.numElements(); $t++) {
+         |  if (!$arr.isNullAt($t)) {
+         |    byte[] $bytes = $arr.getUTF8String($t).getBytes();
+         |    long $h = -3750763034362895579L;
+         |    for (int $i = 0; $i < $bytes.length; $i++) {
+         |      $h ^= ($bytes[$i] & 0xffL);
+         |      $h *= 1099511628211L;
+         |    }
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

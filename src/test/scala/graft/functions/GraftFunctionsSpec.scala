@@ -122,6 +122,26 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(got(1) === ref(""))
   }
 
+  test("simhash64 codegen result equals interpreted eval; two instances compile") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // column input (non-foldable) so the generated Java actually runs
+      val row = Seq((Seq("alpha", "beta", "gamma"), Seq("alpha", "beta")))
+        .toDF("t1", "t2")
+        .select(
+          GraftFunctions.simhash64(col("t1")).as("h1"),
+          GraftFunctions.simhash64(col("t2")).as("h2"))
+        .head()
+      val interpreted = SimHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq("alpha", "beta", "gamma"),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
+        .eval(null).asInstanceOf[Long]
+      assert(row.getLong(0) === interpreted)
+      assert(row.getLong(0) !== row.getLong(1))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("simhash64: identical token sets equal; similar sets near in Hamming") {
     val base = (1 to 40).map(i => s"tok$i")
     val similar = base.updated(0, "changed")
