@@ -326,33 +326,38 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
-      val votes = ctx.freshName("votes"); val t = ctx.freshName("t")
-      val bytes = ctx.freshName("bytes"); val h = ctx.freshName("h")
-      val i = ctx.freshName("i"); val b = ctx.freshName("b")
-      val out = ctx.freshName("out")
-      // FNV-1a constants as decimal longs (0xcbf29ce484222325 is
-      // negative as a signed Java literal)
-      s"""
-         |int[] $votes = new int[64];
-         |for (int $t = 0; $t < $arr.numElements(); $t++) {
-         |  if (!$arr.isNullAt($t)) {
-         |    byte[] $bytes = $arr.getUTF8String($t).getBytes();
-         |    long $h = -3750763034362895579L;
-         |    for (int $i = 0; $i < $bytes.length; $i++) {
-         |      $h ^= ($bytes[$i] & 0xffL);
-         |      $h *= 1099511628211L;
-         |    }
-         |    for (int $b = 0; $b < 64; $b++) {
-         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
-         |    }
-         |  }
-         |}
-         |long $out = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if ($votes[$b] > 0) $out |= (1L << $b);
-         |}
-         |${ev.value} = $out;
-       """.stripMargin
+      // The nested token×64-bit voting loop goes into its OWN generated
+      // method: inlined into the whole-stage-codegen body it pushes the
+      // stage method past the JIT's huge-method bytecode limit and the
+      // entire stage drops to interpreted bytecode (measured 2× slowdown
+      // on the banded-candidates query). FNV-1a constants are decimal
+      // longs (0xcbf29ce484222325 is negative as a signed Java literal).
+      val fn = ctx.freshName("simhash64")
+      val method = ctx.addNewFunction(fn,
+        s"""
+           |private long $fn(org.apache.spark.sql.catalyst.util.ArrayData arr) {
+           |  int[] votes = new int[64];
+           |  for (int t = 0; t < arr.numElements(); t++) {
+           |    if (!arr.isNullAt(t)) {
+           |      byte[] bytes = arr.getUTF8String(t).getBytes();
+           |      long h = -3750763034362895579L;
+           |      for (int i = 0; i < bytes.length; i++) {
+           |        h ^= (bytes[i] & 0xffL);
+           |        h *= 1099511628211L;
+           |      }
+           |      for (int b = 0; b < 64; b++) {
+           |        if (((h >>> b) & 1L) == 1L) votes[b]++; else votes[b]--;
+           |      }
+           |    }
+           |  }
+           |  long out = 0L;
+           |  for (int b = 0; b < 64; b++) {
+           |    if (votes[b] > 0) out |= (1L << b);
+           |  }
+           |  return out;
+           |}
+         """.stripMargin)
+      s"${ev.value} = $method($arr);"
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
