@@ -32,11 +32,17 @@ object Bench {
       graft.tables.Tables.events(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
-    // Two timed passes, min per query: this host shows intermittent
-    // co-tenant contention (identical runs vary 2-3x), and min-of-n is
+    // Three timed passes, min per query: this host shows intermittent
+    // co-tenant contention (identical runs vary 2-3x, and one observed
+    // burst polluted BOTH passes of a min-of-2 run), and min-of-n is
     // the standard way to report code speed rather than machine noise.
-    // Disclosed in the JSON via "passes"/"timing".
-    def onePass(): Seq[(String, Double)] =
+    // Disclosed in the JSON via "passes"/"timing", with per-pass maps
+    // and the host load average so a polluted run is self-evident.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
+    def onePass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -46,21 +52,23 @@ object Bench {
           }
         // failed queries report -1 so the JSON consumer can detect them
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
-    val p1 = onePass().toMap
-    val p2 = onePass().toMap
-    val results = p1.keys.toSeq.sorted.map { k =>
-      val (a, b) = (p1(k), p2(k))
-      k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }.toMap
+    val passes = Seq(onePass(), onePass(), onePass())
+    val results = passes.head.keys.toSeq.sorted.map { k =>
+      val vs = passes.map(_(k))
+      k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
     def jsonMap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val qs = jsonMap(results.toMap)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Per-pass timings ride along so round-over-round regressions are
-    // attributable to code changes vs host contention noise.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"timing":"min","queries_pass1":${jsonMap(p1)},"queries_pass2":${jsonMap(p2)}}""")
+    val passJson = passes.zipWithIndex
+      .map { case (p, i) => s""""queries_pass${i + 1}":${jsonMap(p)}""" }
+      .mkString(",")
+    // Per-pass timings + load averages ride along so round-over-round
+    // regressions are attributable to code changes vs host contention.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.size},"timing":"min","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},$passJson}""")
     spark.stop()
   }
 }
