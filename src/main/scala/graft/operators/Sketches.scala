@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sketch operators.
+  *
+  * [[hllDistinct]] is a HyperLogLog distinct-count estimate built
+  * entirely from Spark's own codegen'd builtins (`hash`, bit ops,
+  * `bin`, two-level partial aggregation) instead of
+  * `approx_count_distinct`. Same asymptotics as the native HLL++
+  * aggregate — one shuffle of (group, bucket) pairs, register state
+  * m·(33-p) values per group — but every arithmetic step is
+  * reproducible in ANSI SQL, so the DuckDB oracle can replay it
+  * bit-exactly (the native HLL++'s dense-register encoding and bias
+  * tables are not practically SQL-expressible). The estimate is the
+  * classic Flajolet harmonic mean without HLL++'s small-range bias
+  * correction; error is the standard 1.04/sqrt(m) rsd once n is a few
+  * multiples of m (QueryBoundsSpec pins it against exact counts).
+  *
+  * 100 TB: the sketch is two partial-aggregatable groupBys — map-side
+  * combine reduces each partition to at most m rows per group before
+  * the shuffle, so the wire cost is O(groups·m), independent of row
+  * count. At p=8 that is 256 longs per group.
+  */
+object Sketches {
+  /** Default register-count exponent: m = 2^8 = 256 registers,
+    * rsd ≈ 1.04/16 ≈ 6.5 %.
+    */
+  val HllP = 8
+
+  /** Default KMV sketch size (rsd ≈ 1/sqrt(k-2) ≈ 6 %). */
+  val KmvK = 256
+
+  /** KMV (bottom-k) distinct-count estimate of `value` as an aggregate
+    * column — [[graft.functions.TypedAggregators.KmvDistinctAgg]] over
+    * the unsigned 32-bit murmur3 `hash(value)`. Exact below k distinct
+    * values; pure integer estimator above, so it complements
+    * [[hllDistinct]] where raw HLL is biased (n ≲ 3m) without HLL++'s
+    * non-SQL-expressible correction tables.
+    */
+  def kmvDistinct(value: Column, k: Int = KmvK): Column = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TypedAggregators.KmvDistinctAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    agg(hash(value).cast("bigint").bitwiseAND(lit(4294967295L)))
+  }
+
+  /** alpha_m — the harmonic-mean bias constant from Flajolet et al. */
+  def hllAlpha(p: Int): Double = {
+    val m = (1L << p).toDouble
+    0.7213 / (1 + 1.079 / m)
+  }
+
+  /** alpha·m²·2^(33-p): numerator of the scaled-integer estimate.
+    * Registers are summed as exact integers S = Σ 2^(rmax-M_j) (rmax =
+    * 33-p, empty registers contribute 2^rmax), so the only floating
+    * step is one double division C/S — bit-identical across engines
+    * given the identical decimal literal C (Double.toString round-trips).
+    */
+  def hllNumerator(p: Int): Double = {
+    val m = (1L << p).toDouble
+    hllAlpha(p) * m * m * math.pow(2.0, (33 - p).toDouble)
+  }
+
+  /** HLL distinct-count of `value` per `groupCols`, as `outCol` (long).
+    *
+    * Register index = top p bits of the unsigned 32-bit murmur3
+    * `hash(value)`; rank = leading-zero count of the remaining 32-p
+    * bits + 1 (via `length(bin(w))` — both engines' `bin` drops leading
+    * zeros). All integer math until the final division.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+                  outCol: String, p: Int = HllP): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    val m = 1L << p
+    val rmax = 33 - p
+    val u = hash(value).cast("bigint").bitwiseAND(lit(4294967295L))
+    val w = u.bitwiseAND(lit((1L << (32 - p)) - 1))
+    val rank = when(w === 0, lit(rmax)).otherwise(lit(rmax) - length(bin(w)))
+    val gcols = groupCols.map(col)
+    df.select(gcols :+ shiftright(u, 32 - p).as("hll_bucket") :+ rank.as("hll_rank"): _*)
+      .groupBy(gcols :+ col("hll_bucket"): _*)
+      .agg(max(col("hll_rank")).as("mj"))
+      .groupBy(gcols: _*)
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rmax - mj)"))
+        + (lit(m) - count(lit(1))) * lit(1L << rmax)).as("hll_s"))
+      .withColumn(outCol, floor(lit(hllNumerator(p)) / col("hll_s")).cast("long"))
+      .drop("hll_s")
+  }
+}

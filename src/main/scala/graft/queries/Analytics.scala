@@ -248,14 +248,23 @@ object Analytics {
         .orderBy("month_start")
     }),
 
-    // HyperLogLog approximate distinct — algorithm-specific values, so
-    // rows-only driver check (deterministic for fixed input).
-    "a23_approx_distinct" -> ((s, dir) =>
-      T.lineitem(s, dir)
-        .groupBy(col("l_returnflag").as("rflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy("rflag")),
+    // HyperLogLog approximate distinct — graft's deterministic HLL
+    // (Sketches.hllDistinct: murmur3 bucketing + exact-integer register
+    // sums), whose every step the DuckDB oracle replays bit-exactly.
+    // The native approx_count_distinct (HLL++ with bias tables) is
+    // cross-checked against this sketch in QueryBoundsSpec instead.
+    "a23_approx_distinct" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+        .select(col("l_returnflag").as("rflag"), col("l_partkey"))
+      val approx = graft.operators.Sketches.hllDistinct(
+        li, Seq("rflag"), col("l_partkey"), "hll_parts")
+      val exact = li.groupBy("rflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          graft.operators.Sketches.kmvDistinct(col("l_partkey")).as("kmv_parts"))
+      approx.join(exact, "rflag")
+        .select("rflag", "exact_parts", "hll_parts", "kmv_parts")
+        .orderBy("rflag")
+    }),
 
     // Custom typed Aggregator (exact integer-cents money stats).
     "a24_typed_agg" -> ((s, dir) => {
@@ -445,6 +454,53 @@ object Analytics {
           OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9990)
        ORDER BY o_orderkey"""
 
+  /** a23's oracle: graft's deterministic HLL replayed in DuckDB —
+    * staged murmur3 hashLong CTEs (shared [[Murmur3Sql]] arithmetic),
+    * top-p-bit bucketing, `length(bin(w))` rank, exact-integer register
+    * sums, and the single double division with the identical numerator
+    * literal the Spark side uses ([[graft.operators.Sketches]]).
+    */
+  private val hllDistinctSql: String = {
+    import graft.operators.Sketches
+    val p = Sketches.HllP
+    val m = 1L << p
+    val rmax = 33 - p
+    val pow = 1L << (32 - p)
+    val c = Sketches.hllNumerator(p)
+    val k = Sketches.KmvK
+    val kmvNum = (k - 1).toLong * 4294967296L
+    val (hashCtes, huCte) = Murmur3Sql.hashLongCtes("lp", Seq("rflag"), "hm")
+    s"""WITH lp AS (SELECT l_returnflag AS rflag, l_partkey AS v FROM lineitem),
+       $hashCtes
+       br AS (SELECT rflag, hu // $pow AS bucket, hu % $pow AS w FROM $huCte),
+       rk AS (SELECT rflag, bucket,
+                CASE WHEN w = 0 THEN $rmax
+                     ELSE $rmax - length(bin(CAST(w AS BIGINT))) END AS rank
+              FROM br),
+       regs AS (SELECT rflag, bucket, max(rank) AS mj FROM rk GROUP BY 1, 2),
+       agg AS (SELECT rflag,
+                CAST(sum(CAST(1 AS BIGINT) << ($rmax - mj))
+                     + ($m - count(*)) * (CAST(1 AS BIGINT) << $rmax) AS BIGINT) AS s
+               FROM regs GROUP BY 1),
+       dh AS (SELECT DISTINCT rflag, hu FROM $huCte),
+       rn AS (SELECT rflag, hu,
+                row_number() OVER (PARTITION BY rflag ORDER BY hu) AS rn
+              FROM dh),
+       km AS (SELECT rflag, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(max(CASE WHEN rn = $k THEN hu END) AS BIGINT) AS kth
+              FROM rn GROUP BY 1),
+       ex AS (SELECT l_returnflag AS rflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+              FROM lineitem GROUP BY 1)
+       SELECT a.rflag, ex.exact_parts,
+         CAST(floor($c / s) AS BIGINT) AS hll_parts,
+         CASE WHEN km.cnt < $k THEN km.cnt
+              WHEN km.kth = 0 THEN CAST($k AS BIGINT)
+              ELSE $kmvNum // km.kth END AS kmv_parts
+       FROM agg a JOIN ex USING (rflag) JOIN km USING (rflag)
+       ORDER BY rflag"""
+  }
+
   val oracle: Map[String, String] = Map(
     "a01_agg_pricing" ->
       """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
@@ -585,6 +641,7 @@ object Analytics {
            coalesce(c.n_orders, 0) AS n_orders
          FROM spine s LEFT JOIN counts c ON s.month_start = c.month_start
          ORDER BY month_start""",
+    "a23_approx_distinct" -> hllDistinctSql,
     "a24_typed_agg" ->
       """SELECT o_orderstatus AS status,
            CAST(count(*) AS BIGINT) AS n,

@@ -349,51 +349,6 @@ object Extensions {
               THEN $col - CAST(18446744073709551616 AS HUGEINT)
               ELSE $col END AS BIGINT)"""
 
-  /** Spark's Murmur3_x86_32 (the engine behind `hash()`) replayed as
-    * DuckDB SQL expression strings: 32-bit wrapping arithmetic via
-    * hugeint mod 2^32, rotations as shift-and-add. Validated
-    * value-exact against org.apache.spark.unsafe.hash.Murmur3_x86_32
-    * and the end-to-end x03 output. Expressions reference their inputs
-    * multiple times, so callers pass short column/lambda variable names.
-    */
-  private object Murmur3Sql {
-    private val M = "4294967296" // 2^32
-
-    private def rotl(x: String, r: Int): String =
-      s"((($x) * ${1L << r}) % $M + ($x) // ${1L << (32 - r)})"
-
-    /** k1 = rotl(k1 * 0xcc9e2d51, 15) * 0x1b873593 */
-    def mixK1(w: String): String = {
-      val t = s"((($w) * 3432918353) % $M)"
-      s"(((${rotl(t, 15)}) * 461845907) % $M)"
-    }
-
-    /** h1 = rotl(h1 ^ k1, 13) * 5 + 0xe6546b64 */
-    def mixH1(h: String, k: String): String = {
-      val x = s"xor(CAST(($h) AS HUGEINT), CAST(($k) AS HUGEINT))"
-      s"(((${rotl(x, 13)}) * 5 + 3864292196) % $M)"
-    }
-
-    /** Avalanche finalizer. Inlined: each step references the previous
-      * twice, so only feed short (staged-column) expressions.
-      */
-    def fmix(h: String, l: String): String = {
-      var e = s"xor(CAST(($h) AS HUGEINT), CAST(($l) AS HUGEINT))"
-      e = s"xor($e, ($e) // 65536)"
-      e = s"((($e) * 2246822507) % $M)"
-      e = s"xor($e, ($e) // 8192)"
-      e = s"((($e) * 3266489909) % $M)"
-      s"xor($e, ($e) // 65536)"
-    }
-
-    /** Murmur3_x86_32.hashInt(v, h) — `v` must already be the unsigned
-      * 32-bit pattern of the int. This is how Spark's hash() threads
-      * array<int> elements.
-      */
-    def hashInt(v: String, h: String): String =
-      fmix(mixH1(h, mixK1(v)), "4")
-  }
-
   /** x03's oracle: the whole native-minhash pipeline in one DuckDB
     * statement — 16 seeded murmur3 string hashes per distinct trigram
     * shingle (seeds from the SAME [[Dedup.minhashSeeds]] call as the

