@@ -126,6 +126,66 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
+  /** IVF with a deterministic sampled codebook: the `cells` candidate
+    * vectors with the smallest (murmur3 hash of id, id) ARE the cell
+    * centers — a uniform pseudo-random sample, no Lloyd iterations.
+    * Assignment and probing then work exactly like [[ivfTopK]]: each
+    * candidate joins its nearest center's cell, each query probes its
+    * `nProbe` nearest cells and brute-forces within them.
+    *
+    * Versus the KMeans codebook: on near-uniform embeddings sampled
+    * centers give statistically equivalent recall (RecallSpec pins
+    * both), and every step — hash sample, cosine argmax, probe ranking —
+    * is plain relational algebra, so the DuckDB oracle replays the whole
+    * operator bit-exactly (KMeans' iterative fit is not SQL-expressible;
+    * it stays as the library variant). Cosines are floor-rounded to 1e-6
+    * before every ranking so ordering is engine-independent; ties break
+    * on cell/candidate id.
+    *
+    * 100 TB: the codebook is a driver-size sample (cells rows) broadcast
+    * to both sides; assignment is one shuffle keyed on cand_id (index
+    * build, done once and reusable as a partition column); the probe
+    * join touches nProbe/cells of the index.
+    */
+  def ivfTopKSampled(candidates: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int,
+                     cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val codebook = c
+      .withColumn("hu",
+        hash(col("cand_id")).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .orderBy(col("hu"), col("cand_id"))
+      .limit(cells)
+      .select(col("cand_id").as("cell"), col("cvec").as("centroid"))
+    val wAsg = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val assigned = c.crossJoin(broadcast(codebook))
+      .withColumn("cell_sim",
+        Exact.round6(GraftFunctions.cosineSim(col("cvec"), col("centroid"))))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select("cell", "cand_id", "cvec")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wPrb = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(codebook))
+      .withColumn("cell_sim",
+        Exact.round6(GraftFunctions.cosineSim(col("qv"), col("centroid"))))
+      .withColumn("rk", row_number().over(wPrb))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        Exact.round6(GraftFunctions.cosineSim(col("qv"), col("cvec"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
   /** Per-label centroids in long format (label, dim, centroid value).
     * Mean is computed per (label, dimension) after posexplode — a single
     * partial-aggregatable shuffle keyed on (label, pos).

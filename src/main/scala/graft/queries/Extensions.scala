@@ -8,14 +8,16 @@ import graft.tables.{Tables => T}
 /** LLM-training-data pipeline operators as driver queries: dedup family,
   * similarity search, text analysis, multimodal plumbing.
   *
-  * Oracle coverage: everything SQL-expressible has a DuckDB oracle —
-  * including the custom hash fingerprints (simhash / rolling hash),
-  * whose 64-bit wrapping arithmetic is replayed in hugeint SQL, and the
-  * banded-minhash dedup (whose verified output equals the exact
-  * all-pairs join on this corpus; RecallSpec pins that equality). The
-  * remaining rows-only queries (x03 minhash estimates, x06 MLlib LSH,
-  * x17 KMeans IVF) are seeded-deterministic but depend on library
-  * internals; RecallSpec quantifies their recall against exact truth.
+  * Oracle coverage: every query has a DuckDB oracle — including the
+  * custom hash fingerprints (simhash / rolling hash), whose 64-bit
+  * wrapping arithmetic is replayed in hugeint SQL, the banded-minhash
+  * dedup (whose verified output equals the exact all-pairs join on this
+  * corpus; RecallSpec pins that equality), and the approximate ANN
+  * queries, which run graft's deterministic variants (x06 seeded-sign
+  * SRP-LSH, x17 sampled-codebook IVF) so the oracle can replay them
+  * bit-exactly. The MLlib variants (BucketedRandomProjectionLSH,
+  * KMeans IVF) stay as library alternatives; RecallSpec quantifies
+  * every approximate path against exact truth.
   */
 object Extensions {
   type Q = (SparkSession, String) => DataFrame
@@ -137,9 +139,14 @@ object Extensions {
 
     // IVF ANN: seeded KMeans codebook, probe nearest cells only — the
     // partition-pruned scale path. Approximate → rows-only.
+    // IVF ANN with the deterministic sampled codebook — every step
+    // (hash-min sample, cosine argmax assignment, probe ranking) is
+    // relational, so the oracle replays it bit-exactly. The KMeans-
+    // codebook variant stays as Similarity.ivfTopK (RecallSpec compares
+    // both against exact truth).
     "x17_ann_ivf" -> ((s, dir) => {
       val emb = T.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+      Similarity.ivfTopKSampled(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
           k = 10, cells = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
@@ -342,6 +349,44 @@ object Extensions {
           * sqrt(list_sum(list_transform(range(1, len($b)+1),
               i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))
          * 1000000 + 0.5) / 1000000"""
+
+  /** x17's oracle: the sampled-codebook IVF replayed in DuckDB — the
+    * staged murmur3 hashLong CTEs pick the same 16 hash-min codebook
+    * vectors, then assignment (rank-1 rounded cosine per candidate),
+    * probing (top-4 cells per query), and in-cell re-ranking mirror the
+    * operator's windows exactly.
+    */
+  private lazy val ivfSampledSql: String = {
+    val (hashCtes, huCte) = Murmur3Sql.hashLongCtes("cb0", Seq("cell", "centroid"), "ch")
+    s"""WITH cb0 AS (SELECT vec_id AS cell, embedding AS centroid, vec_id AS v FROM embeddings),
+       $hashCtes
+       cb AS (SELECT cell, centroid FROM (
+                SELECT cell, centroid, row_number() OVER (ORDER BY hu, cell) AS rn
+                FROM $huCte)
+              WHERE rn <= 16),
+       asg AS (SELECT cell, cand_id, cvec FROM (
+                SELECT cb.cell, c.vec_id AS cand_id, c.embedding AS cvec,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY ${cosineRounded("c.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings c, cb)
+              WHERE rk = 1),
+       prb AS (SELECT query_id, qv, cell FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, cb.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosineRounded("q.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings q, cb WHERE q.vec_id < 5)
+              WHERE rk <= 4),
+       scored AS (SELECT p.query_id, a.cand_id,
+                   ${cosineRounded("p.qv", "a.cvec")} AS cosine
+                  FROM prb p JOIN asg a USING (cell)
+                  WHERE p.query_id <> a.cand_id)
+       SELECT query_id, rank, cand_id, cosine FROM (
+         SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+         FROM scored)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
 
   /** Reinterpret an unsigned 64-bit hugeint as Spark's signed long. */
   private def signed64(col: String): String =
@@ -614,6 +659,7 @@ object Extensions {
              regexp_split_to_array(lower(text), '\s+'))) AS token
            FROM documents)
          GROUP BY token ORDER BY df DESC, token LIMIT 50""",
+    "x17_ann_ivf" -> ivfSampledSql,
     "x15_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -115,6 +115,23 @@ class RecallSpec extends SparkTestBase {
     assert(recall >= 0.55, f"x17 recall degraded: $recall%.3f")
   }
 
+  test("x17 sampled-codebook IVF: recall@10 measured per nProbe and floored") {
+    val recalls = Seq(4, 6, 8).map { nProbe =>
+      val got = Similarity.ivfTopKSampled(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10, cells = 16, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = recallOf(got, exactTopK)
+      info(f"x17 sampled-codebook ivf recall@10 (nProbe $nProbe/16): $recall%.3f")
+      nProbe -> recall
+    }.toMap
+    // measured 0.480 / 0.560 / 0.660 at nProbe 4/6/8: a sampled codebook
+    // has more uneven Voronoi cells than KMeans (0.620 at nProbe 4), so
+    // equal-nProbe coverage is lower and nProbe is the recall dial.
+    // Floors pin regression, not quality (near-random corpus).
+    assert(recalls(4) >= 0.45, f"x17 sampled recall degraded: ${recalls(4)}%.3f")
+    assert(recalls(8) >= recalls(4), "probing more cells must not lose recall")
+  }
+
   test("blocked embedding pairs EQUAL the n² baseline (exactness of the " +
        "block-pair rewrite) and plan has no cartesian node") {
     val blocked = Dedup.embeddingCosinePairsBlocked(emb, "embedding", "vec_id", 0.4)
