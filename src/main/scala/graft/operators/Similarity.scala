@@ -126,6 +126,69 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
+  /** Seeded ±1 projection directions for [[srpTopK]]: sign (t,d) is bit
+    * 0 of Murmur3_x86_32.hashInt(t·dim+d, seed) — reproducible from the
+    * (tables, dim, seed) triple alone, so the operator and the DuckDB
+    * oracle generator embed the SAME literals (never duplicated by hand).
+    * Rademacher (±1) directions satisfy the same Johnson-Lindenstrauss
+    * projection bounds as gaussian ones, and make every product exact
+    * in double arithmetic.
+    */
+  def srpSigns(tables: Int, dim: Int, seed: Int): Array[Array[Float]] =
+    Array.tabulate(tables, dim) { (t, d) =>
+      if ((org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(t * dim + d, seed) & 1) == 0) 1f
+      else -1f
+    }
+
+  /** Approximate top-k via deterministic scalar random projection:
+    * bucket_t = floor(dot(v, s_t) / ‖v‖) for `tables` seeded ±1
+    * directions; a pair is scored iff it collides in ANY table (the
+    * same bucket-join-only semantics as MLlib's
+    * BucketedRandomProjectionLSH at bucketLength 1 on normalized
+    * vectors, which stays available as [[lshTopK]]).
+    *
+    * Every arithmetic step is cross-engine exact: ±1 products of float
+    * values are exact in double, both engines sum left-to-right, and
+    * norm/division/floor are single IEEE ops — so the DuckDB oracle
+    * replays bucketing bit-for-bit and the query is hash-checkable
+    * (MLlib's gaussian directions come from library-internal RNG state,
+    * which is why x06 was rows-only before this).
+    *
+    * 100 TB: each vector emits `tables` (table, bucket) keys — the join
+    * is shuffle-keyed on those, candidates never self-join outside
+    * shared buckets, and re-ranking touches only collision pairs.
+    */
+  def srpTopK(candidates: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int, dim: Int,
+              tables: Int = 4, seed: Int = 42): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    val signs = srpSigns(tables, dim, seed)
+    def buckets(df: DataFrame, id: String): DataFrame = {
+      val norm = sqrt(GraftFunctions.dotProduct(col(vecCol), col(vecCol)))
+      val bucketCols = (0 until tables).map { t =>
+        floor(GraftFunctions.dotProduct(col(vecCol), typedlit(signs(t))) / norm)
+      }
+      df.filter(norm > 0)
+        .select(col(idCol).as(id),
+          posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+    }
+    val cb = buckets(candidates, "cand_id")
+    val qb = buckets(queries, "query_id")
+    val pairIds = qb.join(cb, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairIds.join(broadcast(q), "query_id").join(c, "cand_id")
+      .withColumn("cosine",
+        Exact.round6(GraftFunctions.cosineSim(col("qv"), col("cv"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
+  }
+
   /** IVF with a deterministic sampled codebook: the `cells` candidate
     * vectors with the smallest (murmur3 hash of id, id) ARE the cell
     * centers — a uniform pseudo-random sample, no Lloyd iterations.

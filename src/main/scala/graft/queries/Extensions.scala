@@ -76,10 +76,13 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (seeded, approximate) — rows-only.
+    // LSH-bucketed ANN — graft's deterministic seeded-sign projection
+    // (same bucket-join-only semantics as the MLlib variant, which
+    // stays as Similarity.lshTopK), replayed bit-exactly by the oracle.
     "x06_ann_lsh" -> ((s, dir) => {
       val emb = T.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+      Similarity.srpTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 10, dim = 64, tables = 6)
         .orderBy("query_id", "rank")
     }),
 
@@ -137,8 +140,6 @@ object Extensions {
       Dedup.embeddingCosinePairsBlocked(T.embeddings(s, dir), "embedding", "vec_id", 0.4)
         .orderBy("d1", "d2")),
 
-    // IVF ANN: seeded KMeans codebook, probe nearest cells only — the
-    // partition-pruned scale path. Approximate → rows-only.
     // IVF ANN with the deterministic sampled codebook — every step
     // (hash-min sample, cosine argmax assignment, probe ranking) is
     // relational, so the oracle replays it bit-exactly. The KMeans-
@@ -380,6 +381,44 @@ object Extensions {
                    ${cosineRounded("p.qv", "a.cvec")} AS cosine
                   FROM prb p JOIN asg a USING (cell)
                   WHERE p.query_id <> a.cand_id)
+       SELECT query_id, rank, cand_id, cosine FROM (
+         SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+         FROM scored)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** x06's oracle: the seeded-sign projection LSH replayed in DuckDB.
+    * The ±1 direction literals come from the SAME
+    * [[Similarity.srpSigns]] call as the operator; bucketing is
+    * floor(dot/norm) — ±1 products of floats are exact in double and
+    * both engines sum left-to-right, so buckets match bit-for-bit —
+    * then bucket-collision pairs are exact-cosine re-ranked.
+    */
+  private lazy val srpLshSql: String = {
+    val (tables, dim, seed) = (6, 64, 42)
+    val signs = Similarity.srpSigns(tables, dim, seed)
+    val sumsq =
+      """list_sum(list_transform(range(1, len(embedding)+1),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"""
+    def branch(t: Int): String = {
+      val lits = signs(t).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
+      s"""SELECT vec_id, $t AS tbl,
+            CAST(floor(list_sum(list_transform(range(1, len(embedding)+1),
+              i -> CAST(embedding[i] AS DOUBLE) * ([$lits])[i])) / nm) AS BIGINT) AS bucket
+          FROM nz"""
+    }
+    s"""WITH nrm AS (SELECT vec_id, embedding, sqrt($sumsq) AS nm FROM embeddings),
+       nz AS (SELECT * FROM nrm WHERE nm > 0),
+       cb AS (${(0 until tables).map(branch).mkString("\n UNION ALL ")}),
+       pr AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+              FROM (SELECT * FROM cb WHERE vec_id < 5) q
+              JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       scored AS (SELECT p.query_id, p.cand_id,
+                   ${cosineRounded("qe.embedding", "ce.embedding")} AS cosine
+                  FROM pr p JOIN embeddings qe ON qe.vec_id = p.query_id
+                            JOIN embeddings ce ON ce.vec_id = p.cand_id)
        SELECT query_id, rank, cand_id, cosine FROM (
          SELECT query_id, cand_id, cosine,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -659,6 +698,7 @@ object Extensions {
              regexp_split_to_array(lower(text), '\s+'))) AS token
            FROM documents)
          GROUP BY token ORDER BY df DESC, token LIMIT 50""",
+    "x06_ann_lsh" -> srpLshSql,
     "x17_ann_ivf" -> ivfSampledSql,
     "x15_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)

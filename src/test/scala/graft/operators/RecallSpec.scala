@@ -102,6 +102,22 @@ class RecallSpec extends SparkTestBase {
     assert(recall >= 0.8, f"x06 recall degraded: $recall%.3f")
   }
 
+  test("x06 seeded-sign SRP top-k: recall@10 measured per table count and floored") {
+    val recalls = Seq(4, 6, 8).map { tables =>
+      val got = Similarity.srpTopK(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10, dim = 64, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = recallOf(got, exactTopK)
+      info(f"x06 srp recall@10 ($tables tables): $recall%.3f")
+      tables -> recall
+    }.toMap
+    // the deterministic variant behind the x06 query: same bucket-join
+    // semantics as the MLlib path, seeded ±1 directions; more tables =
+    // more collision chances = higher recall at proportional key cost
+    assert(recalls(6) >= 0.8, f"x06 srp recall degraded: ${recalls(6)}%.3f")
+    assert(recalls(8) >= recalls(4), "more tables must not lose recall")
+  }
+
   test("x17 IVF top-k: recall@10 vs brute-force truth measured and floored") {
     val got = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 10, cells = 16, nProbe = 4)
