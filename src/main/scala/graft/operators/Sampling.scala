@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for training-data pipelines.
+  *
+  * `TABLESAMPLE`/`df.sample` draw from an RNG whose stream depends on
+  * partitioning and task scheduling — re-running the pipeline (or
+  * changing the partition count) changes the sample. Keying the
+  * decision on `hash(id)` instead makes the sample a pure function of
+  * the data: reproducible across runs, clusters, and engines,
+  * join-stable (the same ids are in-sample everywhere), and
+  * incremental (new rows don't reshuffle old decisions — the property
+  * that makes hash-sampling the standard for train/eval splits).
+  *
+  * 100 TB: a scan-side codegen'd filter — no shuffle, no state; the
+  * sample rate prunes every downstream operator proportionally.
+  */
+object Sampling {
+  /** Unsigned-32 murmur3 bucket of `id` in [0, buckets). */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    hash(id).cast("bigint").bitwiseAND(lit(4294967295L)) % buckets
+
+  /** Keep rows whose hash bucket falls below `pct` (a pct% sample). */
+  def hashSample(df: DataFrame, id: Column, pct: Int,
+                 buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(id, buckets) < pct)
+
+  /** Stratified variant: per-stratum rates (e.g. oversample a rare
+    * language), `defaultPct` elsewhere. `rates` is evaluated as a
+    * chained when/otherwise — strata count is expected to be small.
+    */
+  def stratifiedHashSample(df: DataFrame, id: Column, stratum: Column,
+                           rates: Seq[(String, Int)], defaultPct: Int,
+                           buckets: Int = 100): DataFrame = {
+    val rate = rates.foldRight(lit(defaultPct): Column) {
+      case ((value, pct), acc) => when(stratum === value, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(id, buckets) < rate)
+  }
+}

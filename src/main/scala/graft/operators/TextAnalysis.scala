@@ -93,4 +93,27 @@ object TextAnalysis {
       .withColumn("fp_md5", md5(normalized))
       .withColumn("fp_rolling", GraftFunctions.rollingHash(normalized))
   }
+
+  /** Fixed-size sliding-window chunking: token windows of `chunkSize`
+    * starting every `stride` tokens (overlap = chunkSize - stride), the
+    * standard shape for feeding bounded-context models. One row per
+    * chunk: (doc_id cols ..., chunk_id, chunk_len, chunk_text).
+    *
+    * Narrow transforms + one explode — no shuffle; output volume is
+    * input · chunkSize/stride, decided per row at scan time.
+    */
+  def chunk(docs: DataFrame, textCol: String,
+            chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("toks", toks)
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(lit(0), size(col("toks")) - 1), lit(stride))))
+      .withColumn("chunk_id", (col("start") / stride).cast("int"))
+      .withColumn("chunk_len", size(slice(col("toks"), col("start") + 1, lit(chunkSize))))
+      .withColumn("chunk_text",
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " "))
+      .drop("toks", "start")
+  }
 }

@@ -429,6 +429,27 @@ object Analytics {
           expr("try_add(l_quantity, l_tax)").as("qty_tax"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Batch sessionization (gaps-and-islands): a session breaks after a
+    // 30-minute silence; session ids are a running sum of break flags.
+    // Two windows + one partial-aggregatable groupBy, all shuffle-keyed
+    // on user_id — the batch twin of st03's streaming session window.
+    "a39_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(w)
+      graft.tables.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_sess",
+          when(prev.isNull || col("ts") > prev + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Analytic lag window: days since the customer's previous order.
     "a28_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -696,6 +717,22 @@ object Analytics {
            TRY_CAST(l_returnflag AS DOUBLE) AS bad_cast,
            l_quantity + l_tax AS qty_tax
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "a39_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         f AS (SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               FROM f)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "a33_date_funcs" ->
       """SELECT o_orderkey,
            CAST(o_orderdate AS DATE) AS odate,

@@ -86,6 +86,26 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // Sliding-window token chunking (bounded-context model prep):
+    // narrow transforms + one explode, chunk decisions made per row at
+    // scan time.
+    "x23_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(T.documents(s, dir), "text", chunkSize = 32, stride = 24)
+        .select("doc_id", "chunk_id", "chunk_len", "chunk_text")
+        .orderBy("doc_id", "chunk_id")),
+
+    // Deterministic stratified hash sampling (train/eval splits that
+    // are reproducible across runs/engines and join-stable): scan-side
+    // filter on murmur3(doc_id) buckets, en oversampled 50% vs 10%.
+    "x24_sample" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      graft.operators.Sampling.stratifiedHashSample(docs, col("doc_id"), col("lang"),
+          rates = Seq("en" -> 50), defaultPct = 10)
+        .select(col("doc_id"), col("lang"),
+          graft.operators.Sampling.hashBucket(col("doc_id")).cast("long").as("samp_bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Stopword-heuristic language identification.
     "x07_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(T.documents(s, dir), "text")
@@ -427,6 +447,19 @@ object Extensions {
        WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  /** x24's oracle: the stratified hash sample replayed via the shared
+    * staged murmur3 hashLong CTEs over doc_id.
+    */
+  private lazy val hashSampleSql: String = {
+    val (ctes, hc) = Murmur3Sql.hashLongCtes("spsrc", Seq("doc_id", "lang"), "sp")
+    s"""WITH spsrc AS (SELECT doc_id, lang, doc_id AS v FROM documents),
+       $ctes
+       b AS (SELECT doc_id, lang, CAST(hu % 100 AS BIGINT) AS samp_bucket FROM $hc)
+       SELECT doc_id, lang, samp_bucket FROM b
+       WHERE samp_bucket < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+       ORDER BY doc_id"""
+  }
+
   /** Reinterpret an unsigned 64-bit hugeint as Spark's signed long. */
   private def signed64(col: String): String =
     s"""CAST(CASE WHEN $col >= CAST(9223372036854775808 AS HUGEINT)
@@ -700,6 +733,16 @@ object Extensions {
          GROUP BY token ORDER BY df DESC, token LIMIT 50""",
     "x06_ann_lsh" -> srpLshSql,
     "x17_ann_ivf" -> ivfSampledSql,
+    "x23_chunk" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+             FROM documents),
+         st AS (SELECT doc_id, toks,
+                  unnest(range(0, greatest(1, len(toks)), 24)) AS start FROM t)
+         SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+           CAST(len(toks[start+1:start+32]) AS INTEGER) AS chunk_len,
+           array_to_string(toks[start+1:start+32], ' ') AS chunk_text
+         FROM st ORDER BY doc_id, chunk_id""",
+    "x24_sample" -> hashSampleSql,
     "x15_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          SELECT a.vec_id AS d1, b.vec_id AS d2,

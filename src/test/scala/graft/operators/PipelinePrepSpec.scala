@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.queries.Analytics
+
+/** Semantics of the training-data prep operators added in round 5:
+  * sliding-window chunking, deterministic hash sampling, and batch
+  * sessionization.
+  */
+class PipelinePrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunk: sliding windows with overlap, truncated tail, stable ids") {
+    val doc = (1 to 50).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunk(Seq((0L, doc)).toDF("doc_id", "text"), "text",
+        chunkSize = 32, stride = 24)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_len", "chunk_text")
+      .collect()
+    // starts 0, 24, 48 over 50 tokens → lengths 32, 26, 2
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    assert(out.map(_.getInt(1)).toSeq == Seq(32, 26, 2))
+    assert(out(0).getString(2).startsWith("w1 w2 ") && out(0).getString(2).endsWith(" w32"))
+    assert(out(1).getString(2).startsWith("w25 ")) // overlap of 8 tokens
+    assert(out(2).getString(2) == "w49 w50")
+  }
+
+  test("chunk: every token is covered and consecutive chunks overlap by size-stride") {
+    val doc = (1 to 100).map(i => s"t$i").mkString(" ")
+    val chunks = TextAnalysis.chunk(Seq((0L, doc)).toDF("doc_id", "text"), "text",
+        chunkSize = 32, stride = 24)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect()
+      .map(_.split(" ").toSeq)
+    assert(chunks.flatten.distinct.size == 100)
+    chunks.sliding(2).foreach {
+      case Array(a, b) => assert(a.takeRight(8) == b.take(8) || b.size < 8)
+      case _           => ()
+    }
+  }
+
+  test("hash sampling is deterministic, rate-accurate, and join-stable") {
+    val ids = (0L until 2000L).toDF("id")
+    val s1 = Sampling.hashSample(ids, col("id"), 10).as[Long].collect().toSet
+    val s2 = Sampling.hashSample(ids, col("id"), 10).as[Long].collect().toSet
+    assert(s1 == s2) // rerun → identical sample (pure function of data)
+    assert(math.abs(s1.size - 200) < 60, s"rate off: ${s1.size}/2000")
+    // rate monotonicity: a 20% sample contains the 10% sample (bucket
+    // predicate is a prefix test, the property that makes splits stable)
+    val s20 = Sampling.hashSample(ids, col("id"), 20).as[Long].collect().toSet
+    assert(s1.subsetOf(s20))
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedHashSample(df, col("id"), col("lang"),
+        rates = Seq("en" -> 50), defaultPct = 10)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en") - 250) < 80, s"en rate off: ${out("en")}/500")
+    assert(math.abs(out("de") - 50) < 40, s"de rate off: ${out("de")}/500")
+  }
+
+  test("a39 sessionize: sessions partition events and respect the 30-minute gap") {
+    val rows = Analytics.queries("a39_sessionize")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val events = graft.tables.Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum == events)
+    rows.groupBy(_.getLong(0)).foreach { case (_, sess) =>
+      val sorted = sess.sortBy(_.getLong(1))
+      sorted.foreach { r =>
+        assert(!r.getTimestamp(3).after(r.getTimestamp(4))) // start <= end
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts strictly more than 30 min after prev end
+          assert(b.getTimestamp(3).getTime - a.getTimestamp(4).getTime > 30 * 60 * 1000L)
+        case _ => ()
+      }
+    }
+  }
+}
