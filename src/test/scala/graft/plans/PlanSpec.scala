@@ -126,6 +126,35 @@ class PlanSpec extends SparkTestBase {
       assert(!refs.contains("s"), s"join keyed on raw shingle column: $refs"))
   }
 
+  test("x23 chunking plan is shuffle-free (narrow transforms + explode only)") {
+    val chunked = graft.operators.TextAnalysis.chunk(
+      T.documents(spark, sf), "text", chunkSize = 32, stride = 24)
+    val s = planString(chunked)
+    assert(!s.contains("Exchange"), s"chunking introduced a shuffle:\n$s")
+    assert(s.contains("Generate"), s"expected an explode Generate node:\n$s")
+  }
+
+  test("x24 hash sampling is a scan-stage filter — no shuffle, pruned columns") {
+    val sampled = graft.operators.Sampling.hashSample(
+      T.documents(spark, sf).select("doc_id", "lang"), col("doc_id"), 10)
+    val s = planString(sampled)
+    assert(!s.contains("Exchange"), s"sampling introduced a shuffle:\n$s")
+    val scan = sampled.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string"),
+      s"scan reads more than needed:\n$scan")
+  }
+
+  test("a39 sessionize: both windows and the aggregation share ONE user_id shuffle") {
+    val df = graft.queries.Analytics.queries("a39_sessionize")(spark, sf)
+    val s = planString(df)
+    // lag window, running-sum window, and groupBy all partition on
+    // user_id — Spark must reuse a single hashpartitioning exchange
+    // (plus one range exchange for the final presentation orderBy)
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(s).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
+      s"expected exactly one hash exchange:\n$s")
+  }
+
   test("merge rule: different sources are left alone") {
     GraftExtensions.install(spark)
     val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))
