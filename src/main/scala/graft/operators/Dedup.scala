@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
@@ -60,13 +60,22 @@ object Dedup {
       if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
       else docs
     val w = split(lower(col(textCol)), "\\s+")
-    val m = size(w) - (n - 1)
-    val shingleArr = (1 until n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(w, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
-    }
     input
       .filter(size(w) >= n)
-      .select(col(idCol).as("doc_id"), array_distinct(shingleArr).as("shingles"))
+      .select(col(idCol).as("doc_id"),
+        array_distinct(shingleArray(col(textCol), n)).as("shingles"))
+  }
+
+  /** The raw n-gram array (duplicates preserved) behind [[shingles]] —
+    * zip_with over shifted slices; see the alias-inlining note above.
+    * Shared with TextAnalysis.repetition, which needs duplicate counts.
+    */
+  private[operators] def shingleArray(textCol: Column, n: Int): Column = {
+    val w = split(lower(textCol), "\\s+")
+    val m = size(w) - (n - 1)
+    (1 until n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(w, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
+    }
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`:
@@ -102,6 +111,31 @@ object Dedup {
         col("n_inter") / (col("sz1") + col("sz2") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "jaccard")
+  }
+
+  /** Eval-set decontamination: flag corpus documents sharing ≥
+    * `minOverlap` distinct n-grams with any document of `evalSet` — the
+    * standard benchmark-leakage guard for training corpora. Returns
+    * (doc_id, sz, n_overlap, contam_ratio); anti-join the result to the
+    * corpus to drop contaminated documents.
+    *
+    * 100 TB: eval sets are small and fixed, so their distinct shingles
+    * are BROADCAST — the corpus streams through a map-side hash
+    * semi-join at scan parallelism and only matching (doc_id, shingle)
+    * rows reach the one aggregation shuffle. The corpus is never
+    * self-joined.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                    idCol: String, n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val corpusSh = shingleFlat(corpus, textCol, idCol, n)
+    val evalSh = shingles(evalSet, textCol, idCol, n)
+      .select(explode(col("shingles")).as("s")).distinct()
+    corpusSh.join(broadcast(evalSh), Seq("s"))
+      .groupBy("doc_id", "sz")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .withColumn("contam_ratio", col("n_overlap") / col("sz"))
+      .select("doc_id", "sz", "n_overlap", "contam_ratio")
   }
 
   /** MinHash+LSH near-dup candidates via MLlib (deterministic via seed):

@@ -94,6 +94,26 @@ object TextAnalysis {
       .withColumn("fp_rolling", GraftFunctions.rollingHash(normalized))
   }
 
+  /** Intra-document repetition metrics (Gopher-style quality signal):
+    * per document, the total n-gram count, the count of the most
+    * repeated n-gram, and their ratio — repetitive boilerplate scores
+    * high and gets filtered before training. Shares the zip_with
+    * shingle builder with Dedup (duplicates preserved here); one
+    * partial-aggregatable two-level groupBy keyed on doc_id.
+    */
+  def repetition(docs: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3): DataFrame = {
+    val w = split(lower(col(textCol)), "\\s+")
+    docs
+      .filter(size(w) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingleArray(col(textCol), n)).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_ngrams"), max(col("c")).as("max_rep"))
+      .withColumn("rep_ratio", col("max_rep") / col("n_ngrams"))
+  }
+
   /** Fixed-size sliding-window chunking: token windows of `chunkSize`
     * starting every `stride` tokens (overlap = chunkSize - stride), the
     * standard shape for feeding bounded-context models. One row per

@@ -106,6 +106,21 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // Eval-set decontamination: corpus docs sharing any trigram with
+    // the (stand-in) eval set doc_id < 20 — broadcast semi-join shape.
+    "x25_decontaminate" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      Dedup.decontaminate(docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repetition (Gopher-style quality signal): most-
+    // repeated-trigram share per document.
+    "x26_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // Stopword-heuristic language identification.
     "x07_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(T.documents(s, dir), "text")
@@ -743,6 +758,34 @@ object Extensions {
            array_to_string(toks[start+1:start+32], ' ') AS chunk_text
          FROM st ORDER BY doc_id, chunk_id""",
     "x24_sample" -> hashSampleSql,
+    "x25_decontaminate" ->
+      s"""WITH w AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+         ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+         sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS sz FROM sh
+                WHERE doc_id >= 20 GROUP BY 1),
+         ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM sh c JOIN ev USING (s) WHERE c.doc_id >= 20 GROUP BY 1)
+         SELECT ov.doc_id, sz.sz, ov.n_overlap,
+           ov.n_overlap / sz.sz AS contam_ratio
+         FROM ov JOIN sz USING (doc_id)
+         WHERE ov.n_overlap >= 1 ORDER BY ov.doc_id""",
+    "x26_repetition" ->
+      s"""WITH w AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+         shd AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM w WHERE len(ws) >= 3),
+         pc AS (SELECT doc_id, s, count(*) AS c FROM shd GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+           CAST(max(c) AS BIGINT) AS max_rep,
+           CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS rep_ratio
+         FROM pc GROUP BY doc_id ORDER BY doc_id""",
     "x15_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
          SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -62,6 +62,39 @@ class PipelinePrepSpec extends SparkTestBase {
     assert(math.abs(out("de") - 50) < 40, s"de rate off: ${out("de")}/500")
   }
 
+  test("decontaminate: flags exactly the docs sharing n-grams with the eval set") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // shares 'alpha beta gamma'…
+      (11L, "one two three four five six seven"),   // disjoint
+      (12L, "gamma delta epsilon something else entirely here")) // shares 1 trigram
+      .toDF("doc_id", "text")
+    val eval = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, eval, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 12L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(r.fieldIndex("n_overlap")), r.getDouble(r.fieldIndex("contam_ratio")))).toMap
+    assert(byId(10L)._1 == 3L) // 'a b g', 'b g d', 'g d e' of its 4 trigrams
+    assert(byId(12L)._1 == 1L) // 'gamma delta epsilon' only
+    assert(byId(10L)._2 == 3.0 / 4.0)
+  }
+
+  test("repetition: most-repeated-ngram share detects repetitive text") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam"),        // one trigram repeated 4x
+      (1L, "all words here are quite different indeed"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val r0 = out(0)
+    assert(r0.getLong(r0.fieldIndex("n_ngrams")) == 4L)
+    assert(r0.getLong(r0.fieldIndex("max_rep")) == 4L)
+    assert(r0.getDouble(r0.fieldIndex("rep_ratio")) == 1.0)
+    val r1 = out(1)
+    assert(r1.getLong(r1.fieldIndex("max_rep")) == 1L)
+    assert(r1.getDouble(r1.fieldIndex("rep_ratio")) < 0.3)
+  }
+
   test("a39 sessionize: sessions partition events and respect the 30-minute gap") {
     val rows = Analytics.queries("a39_sessionize")(spark, "/root/testdata/sf0.001")
       .collect()
