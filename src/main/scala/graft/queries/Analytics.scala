@@ -450,6 +450,40 @@ object Analytics {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Statistical aggregates from EXACT moment sums: Spark's native
+    // var_samp/corr use a streaming one-pass algorithm whose float
+    // accumulation is order-dependent (not oracle-able); routing the
+    // raw moments through decimals makes Σx, Σx², Σxy exact, and the
+    // closed-form estimators are then a handful of IEEE double ops —
+    // bit-identical in both engines. (Exactness of Σx² in double holds
+    // to ~sf1 here; beyond that widen the decimal scale.) Native
+    // aggregates are cross-checked in QueryBoundsSpec.
+    "a40_stats_agg" -> ((s, dir) => {
+      val q = Exact.dec(col("l_quantity"))
+      val p = Exact.dec(col("l_extendedprice"))
+      T.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sx"),
+          sum(q * q).cast("double").as("sxx"),
+          sum(p).cast("double").as("sy"),
+          sum(p * p).cast("double").as("syy"),
+          sum(q * p).cast("double").as("sxy"))
+        .select(
+          col("rflag"), col("n"),
+          (col("sx") / col("n")).as("mean_qty"),
+          ((col("n") * col("sxx") - col("sx") * col("sx"))
+            / (col("n") * (col("n") - 1))).as("var_qty"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            / (col("n") * (col("n") - 1))).as("std_qty"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("rflag")
+    }),
+
     // Analytic lag window: days since the customer's previous order.
     "a28_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -733,6 +767,23 @@ object Analytics {
            min(ts) AS session_start, max(ts) AS session_end
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    "a40_stats_agg" ->
+      """WITH m AS (
+           SELECT l_returnflag AS rflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT rflag, n,
+           sx / n AS mean_qty,
+           (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std_qty,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+         FROM m ORDER BY rflag""",
     "a33_date_funcs" ->
       """SELECT o_orderkey,
            CAST(o_orderdate AS DATE) AS odate,

@@ -40,6 +40,27 @@ class QueryBoundsSpec extends SparkTestBase {
     }
   }
 
+  test("a40 exact-moment statistics match Spark's native aggregates") {
+    // the closed-form estimators from exact decimal sums must agree
+    // with var_samp/stddev_samp/corr (streaming implementations) to
+    // float tolerance — the difference is accumulation error only
+    val rows = Analytics.queries("a40_stats_agg")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val native = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy(col("l_returnflag").as("rflag"))
+      .agg(var_samp(col("l_quantity")).as("v"),
+        stddev_samp(col("l_quantity")).as("s"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    native.foreach { case (flag, nr) =>
+      val gr = rows(flag)
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+      assert(close(gr.getDouble(gr.fieldIndex("var_qty")), nr.getDouble(nr.fieldIndex("v"))))
+      assert(close(gr.getDouble(gr.fieldIndex("std_qty")), nr.getDouble(nr.fieldIndex("s"))))
+      assert(close(gr.getDouble(gr.fieldIndex("corr_qty_price")), nr.getDouble(nr.fieldIndex("c"))))
+    }
+  }
+
   test("a23 graft sketches agree with Spark's native HLL++ within combined error") {
     // Cross-check against approx_count_distinct (rsd 0.05 default):
     // native and graft estimates must bracket the same ground truth.
