@@ -116,4 +116,17 @@ object EventStreams {
                          watermark: String = "1 hour"): DataFrame =
     intervalJoin(left.withWatermark("ts", watermark),
       right.withWatermark("ts", watermark), within)
+
+  /** Streaming first-occurrence dedup per (user, event type): watermarked
+    * dropDuplicates keeps the FIRST ARRIVAL and expires key state past
+    * the watermark (bounded state — the property that makes streaming
+    * dedup viable at scale). Equals batch [[firstEvents]] (min-ts) when
+    * the stream arrives in event-time order; EventStreamsSpec certifies
+    * that equivalence.
+    */
+  def firstEventsStream(events: DataFrame,
+                        watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("ts").as("first_ts"))
 }

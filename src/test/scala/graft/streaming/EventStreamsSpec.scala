@@ -168,6 +168,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch.filter($"user_id" === 1L).count() === 3)
   }
 
+  test("streaming first-event dedup (watermarked dropDuplicates) equals batch firstEvents") {
+    // the stream arrives in event-time order (two batches), so first
+    // arrival == min ts and the streaming output must equal the batch
+    // min-ts aggregation
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val (early, late) = events.sortBy(_.ts.getTime).splitAt(2)
+    val q = EventStreams.firstEventsStream(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("first_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(early)
+      q.processAllAvailable()
+      input.addData(late)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = EventStreams.firstEvents(events.toDF())
+      .select($"user_id", $"event_type", $"first_ts")
+    assert(spark.table("first_out").orderBy("user_id", "event_type").collect().toSeq ===
+      batch.orderBy("user_id", "event_type").collect().toSeq)
+  }
+
   test("stream-stream interval join (two watermarked sources) equals the batch range join") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[EvJ]
