@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.{Tables => T, Exact}
@@ -461,15 +461,24 @@ object Analytics {
     "a40_stats_agg" -> ((s, dir) => {
       val q = Exact.dec(col("l_quantity"))
       val p = Exact.dec(col("l_extendedprice"))
+      // decimal→double via an integer-valued DECIMAL(38,0): when the
+      // scaled sum exceeds 2^53 (Σprice² does even at sf0.001), a
+      // direct decimal cast is one correctly-rounded conversion on the
+      // JVM but int128→double→÷10^scale (two roundings) in DuckDB —
+      // observed 1-ulp divergence. Scaling to an exact integer first
+      // makes both engines do a single correctly-rounded int→double
+      // conversion, and the ÷scale is one mirrored IEEE op.
+      def d0(c: Column, scale: Long): Column =
+        (c * lit(scale)).cast("decimal(38,0)").cast("double") / lit(scale.toDouble)
       T.lineitem(s, dir)
         .groupBy(col("l_returnflag").as("rflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(q).cast("double").as("sx"),
-          sum(q * q).cast("double").as("sxx"),
-          sum(p).cast("double").as("sy"),
-          sum(p * p).cast("double").as("syy"),
-          sum(q * p).cast("double").as("sxy"))
+          d0(sum(q), 100L).as("sx"),
+          d0(sum(q * q), 10000L).as("sxx"),
+          d0(sum(p), 100L).as("sy"),
+          d0(sum(p * p), 10000L).as("syy"),
+          d0(sum(q * p), 10000L).as("sxy"))
         .select(
           col("rflag"), col("n"),
           (col("sx") / col("n")).as("mean_qty"),
@@ -771,19 +780,40 @@ object Analytics {
       """WITH m AS (
            SELECT l_returnflag AS rflag,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
-           FROM lineitem GROUP BY 1)
+             -- scale each sum to an integer-valued DECIMAL(38,0) before
+             -- the double cast: int→double is a single correctly-rounded
+             -- conversion in both engines, while a fractional decimal
+             -- cast double-rounds here (int128→double→÷10^scale) once
+             -- the scaled value exceeds 2^53
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sx,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sy,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS syy,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS sxy
+           FROM lineitem GROUP BY 1),
+         -- every binary float op staged as its own column: a fused
+         -- multiply-add inside one expression (FMA contraction) differs
+         -- from the JVM's unfused rounding by 1 ulp — observed on
+         -- corr's numerator at sf0.001
+         p1 AS (SELECT rflag, n, sx,
+                  n * sxy AS nxy, sx * sy AS xy,
+                  n * sxx AS nxx, sx * sx AS xx,
+                  n * syy AS nyy, sy * sy AS yy,
+                  n * (n - 1) AS g
+                FROM m),
+         p2 AS (SELECT rflag, n, sx, g,
+                  nxy - xy AS num, nxx - xx AS dx, nyy - yy AS dy
+                FROM p1),
+         p3 AS (SELECT rflag, n, sx, num, dx / g AS var_qty,
+                  sqrt(dx) AS rx, sqrt(dy) AS ry
+                FROM p2),
+         p4 AS (SELECT rflag, n, sx, num, var_qty, rx * ry AS den FROM p3)
          SELECT rflag, n,
            sx / n AS mean_qty,
-           (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
-           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std_qty,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
-         FROM m ORDER BY rflag""",
+           var_qty,
+           sqrt(var_qty) AS std_qty,
+           num / den AS corr_qty_price
+         FROM p4 ORDER BY rflag""",
     "a33_date_funcs" ->
       """SELECT o_orderkey,
            CAST(o_orderdate AS DATE) AS odate,
