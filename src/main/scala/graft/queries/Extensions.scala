@@ -108,10 +108,14 @@ object Extensions {
 
     // Eval-set decontamination: corpus docs sharing any trigram with
     // the (stand-in) eval set doc_id < 20 — broadcast semi-join shape.
+    // Overlap counts are per-document, so mining on the FULL corpus and
+    // filtering the output is exact — and keeps the corpus shingle plan
+    // canonically identical to x02/x14/x20/x21's, letting CacheManager
+    // reuse their cached shingle table (the x21 composition lesson).
     "x25_decontaminate" -> ((s, dir) => {
       val docs = T.documents(s, dir)
-      Dedup.decontaminate(docs.filter(col("doc_id") >= 20),
-          docs.filter(col("doc_id") < 20), "text", "doc_id")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < 20), "text", "doc_id")
+        .filter(col("doc_id") >= 20)
         .orderBy("doc_id")
     }),
 
