@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Accuracy of the deterministic distinct-count sketches across
+  * cardinality regimes on synthetic data — the fixed-corpus checks live
+  * in QueryBoundsSpec; this sweeps n against the documented bounds.
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def estimates(n: Int): (Long, Long) = {
+    // ids spread over a wide range so hash inputs aren't trivially dense
+    val df = (0 until n).map(i => i.toLong * 2654435761L).toDF("id")
+      .withColumn("g", lit("all"))
+    val hll = Sketches.hllDistinct(df, Seq("g"), col("id"), "est")
+      .collect()(0).getLong(1)
+    val kmv = df.groupBy("g").agg(Sketches.kmvDistinct(col("id")).as("est"))
+      .collect()(0).getLong(1)
+    (hll, kmv)
+  }
+
+  test("KMV is exact below k and within 3·rsd above; HLL within 3·rsd past ~3m") {
+    Seq(100, 1000, 10000, 100000).foreach { n =>
+      val (hll, kmv) = estimates(n)
+      val kmvErr = math.abs(kmv - n).toDouble / n
+      val hllErr = math.abs(hll - n).toDouble / n
+      info(f"n=$n%6d  hll=$hll%7d ($hllErr%.4f)  kmv=$kmv%7d ($kmvErr%.4f)")
+      if (n < Sketches.KmvK) assert(kmv == n, s"KMV must be exact below k at n=$n")
+      else assert(kmvErr <= 3 * (1.0 / math.sqrt(Sketches.KmvK - 2)), s"KMV err $kmvErr at n=$n")
+      if (n >= 3 * (1 << Sketches.HllP)) // raw HLL bias zone ends ~3m
+        assert(hllErr <= 3 * (1.04 / math.sqrt(1 << Sketches.HllP)), s"HLL err $hllErr at n=$n")
+    }
+  }
+
+  test("sketches are merge-consistent: estimate of a union never below either part") {
+    val a = (0 until 5000).map(i => i.toLong).toDF("id").withColumn("g", lit("all"))
+    val b = (2500 until 7500).map(i => i.toLong).toDF("id").withColumn("g", lit("all"))
+    def est(df: org.apache.spark.sql.DataFrame): Long =
+      Sketches.hllDistinct(df, Seq("g"), col("id"), "est").collect()(0).getLong(1)
+    val u = est(a.union(b))
+    // union has 7500 distinct; parts 5000 each — monotonicity of the
+    // register-max construction (not a float artifact)
+    assert(u > est(a) * 0.9 && u > est(b) * 0.9)
+    assert(math.abs(u - 7500).toDouble / 7500 < 0.2)
+  }
+}
