@@ -493,6 +493,33 @@ object Analytics {
         .orderBy("rflag")
     }),
 
+    // Approximate quantiles via a fixed-grid histogram sketch: bucket
+    // to a 1-unit grid, one partial-aggregatable (group, bucket) count,
+    // then the smallest bucket whose cumulative count reaches ceil(q·n)
+    // — by construction the bucket CONTAINING the discrete percentile
+    // (QueryBoundsSpec pins equality with floor(percentile_disc)).
+    // This is the percentile scale path: state is O(groups·buckets) and
+    // merges by addition, where exact percentiles need a full sort —
+    // and unlike approx_percentile (t-digest internals), every step is
+    // SQL-expressible.
+    "a41_quantile_hist" -> ((s, dir) => {
+      val counts = T.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"),
+          floor(col("o_totalprice")).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("status")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("status"))
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(wt))
+      def qBucket(q: Double, name: String) =
+        cum.filter(col("cum") >= ceil(col("n") * q))
+          .groupBy("status").agg(min(col("bucket")).as(name))
+      qBucket(0.5, "p50_bucket").join(qBucket(0.9, "p90_bucket"), "status")
+        .orderBy("status")
+    }),
+
     // Analytic lag window: days since the customer's previous order.
     "a28_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -776,6 +803,24 @@ object Analytics {
            min(ts) AS session_start, max(ts) AS session_end
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    "a41_quantile_hist" ->
+      """WITH counts AS (
+           SELECT o_orderstatus AS status,
+             CAST(floor(o_totalprice) AS BIGINT) AS bucket,
+             count(*) AS c
+           FROM orders GROUP BY 1, 2),
+         cum AS (
+           SELECT status, bucket, c,
+             sum(c) OVER (PARTITION BY status ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY status) AS n
+           FROM counts),
+         p50 AS (SELECT status, min(bucket) AS p50_bucket FROM cum
+                 WHERE cum >= ceil(n * 0.5) GROUP BY 1),
+         p90 AS (SELECT status, min(bucket) AS p90_bucket FROM cum
+                 WHERE cum >= ceil(n * 0.9) GROUP BY 1)
+         SELECT status, p50_bucket, p90_bucket
+         FROM p50 JOIN p90 USING (status) ORDER BY status""",
     "a40_stats_agg" ->
       """WITH m AS (
            SELECT l_returnflag AS rflag,

@@ -40,6 +40,26 @@ class QueryBoundsSpec extends SparkTestBase {
     }
   }
 
+  test("a41 histogram quantiles are within one grid unit of exact percentiles") {
+    val hist = Analytics.queries("a41_quantile_hist")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = graft.tables.Tables.orders(spark, "/root/testdata/sf0.01")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (status, er) =>
+      val hr = hist(status)
+      // the histogram picks the bucket whose cumulative count reaches
+      // rank ceil(q·n) — i.e. the bucket CONTAINING the discrete
+      // percentile, so it must equal floor(percentile_disc) exactly
+      assert(hr.getLong(1) == math.floor(er.getDouble(1)).toLong,
+        s"$status p50: ${hr.getLong(1)} vs ${er.getDouble(1)}")
+      assert(hr.getLong(2) == math.floor(er.getDouble(2)).toLong,
+        s"$status p90: ${hr.getLong(2)} vs ${er.getDouble(2)}")
+    }
+  }
+
   test("a40 exact-moment statistics match Spark's native aggregates") {
     // the closed-form estimators from exact decimal sums must agree
     // with var_samp/stddev_samp/corr (streaming implementations) to
