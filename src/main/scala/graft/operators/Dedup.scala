@@ -138,6 +138,27 @@ object Dedup {
       .select("doc_id", "sz", "n_overlap", "contam_ratio")
   }
 
+  /** Incremental exact dedup: the surviving rows of `batch` after (a)
+    * keep-min-id dedup within the batch and (b) dropping every document
+    * whose content digest already exists in `historical` — the
+    * operational shape for continuously-growing corpora, where
+    * re-self-joining the full corpus per ingest is unaffordable.
+    *
+    * 100 TB: both sides shuffle once on the uniform sha-256 digest (no
+    * skew by construction); with the historical digest table bucketed
+    * on `h`, the anti-join is exchange-free on that side and the cost
+    * per ingest is O(batch + matching buckets), independent of corpus
+    * size.
+    */
+  def dedupAgainst(batch: DataFrame, historical: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    val bh = batch.select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as("h"))
+    val hist = historical.select(sha2(col(textCol), 256).as("h")).distinct()
+    bh.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .join(hist, Seq("h"), "left_anti")
+      .select("doc_id", "h")
+  }
+
   /** MinHash+LSH near-dup candidates via MLlib (deterministic via seed):
     * tokenize → shingle → binary HashingTF → MinHashLSH banding →
     * approxSimilarityJoin at `maxJaccardDistance`.

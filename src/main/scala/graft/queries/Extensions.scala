@@ -119,6 +119,16 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // Incremental dedup: the last-digit-8/9 docs are the "new batch",
+    // the rest the historical corpus — batch survivors after in-batch
+    // keep-one and a digest anti-join against history.
+    "x27_incremental_dedup" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      Dedup.dedupAgainst(docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): most-
     // repeated-trigram share per document.
     "x26_repetition" -> ((s, dir) =>
@@ -778,6 +788,14 @@ object Extensions {
            ov.n_overlap / sz.sz AS contam_ratio
          FROM ov JOIN sz USING (doc_id)
          WHERE ov.n_overlap >= 1 ORDER BY ov.doc_id""",
+    "x27_incremental_dedup" ->
+      """WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         b AS (SELECT min(doc_id) AS doc_id, h FROM h
+               WHERE doc_id % 10 >= 8 GROUP BY h),
+         hist AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 < 8)
+         SELECT b.doc_id, b.h FROM b
+         WHERE b.h NOT IN (SELECT h FROM hist)
+         ORDER BY b.doc_id""",
     "x26_repetition" ->
       s"""WITH w AS (
            SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),

@@ -95,6 +95,19 @@ class PipelinePrepSpec extends SparkTestBase {
     assert(r1.getDouble(r1.fieldIndex("rep_ratio")) < 0.3)
   }
 
+  test("incremental dedup: in-batch keep-one plus anti-join against history") {
+    val hist = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // dropped: in history
+      (11L, "brand new"),     // kept
+      (12L, "brand new"),     // dropped: in-batch dup of 11
+      (13L, "another new one")) // kept
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(batch, hist, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(11L, 13L))
+  }
+
   test("a39 sessionize: sessions partition events and respect the 30-minute gap") {
     val rows = Analytics.queries("a39_sessionize")(spark, "/root/testdata/sf0.001")
       .collect()
