@@ -51,11 +51,11 @@ class QueryBoundsSpec extends SparkTestBase {
     exact.foreach { case (status, er) =>
       val hr = hist(status)
       // the histogram picks the bucket whose cumulative count reaches
-      // rank ceil(q·n) — i.e. the bucket CONTAINING the discrete
-      // percentile, so it must equal floor(percentile_disc) exactly
-      assert(hr.getLong(1) == math.floor(er.getDouble(1)).toLong,
+      // rank ceil(q·n) — i.e. the 100-unit bucket CONTAINING the
+      // discrete percentile, so it must equal floor(pd/100) exactly
+      assert(hr.getLong(1) == math.floor(er.getDouble(1) / 100).toLong,
         s"$status p50: ${hr.getLong(1)} vs ${er.getDouble(1)}")
-      assert(hr.getLong(2) == math.floor(er.getDouble(2)).toLong,
+      assert(hr.getLong(2) == math.floor(er.getDouble(2) / 100).toLong,
         s"$status p90: ${hr.getLong(2)} vs ${er.getDouble(2)}")
     }
   }
