@@ -39,4 +39,33 @@ object Sampling {
     }
     df.filter(hashBucket(id, buckets) < rate)
   }
+
+  /** Deterministic mixture balancing: downsample every stratum to the
+    * rarest stratum's size, so the output mixture is uniform over
+    * `stratumCol` (the data-mixing step before training: no domain or
+    * language dominates the batch stream). The per-stratum rate is
+    * derived from the data (target / n_stratum) and applied as a pure
+    * integer predicate on the hash bucket —
+    * `bucket · n_stratum < target · buckets` — so acceptance stays
+    * reproducible, join-stable, and monotone (a larger target keeps a
+    * superset). `weight` (target / n_stratum, one IEEE division)
+    * reports the realized rate for loss re-weighting instead of
+    * dropping, if the caller prefers.
+    *
+    * 100 TB: the stratum-count aggregate is partial-aggregatable and
+    * tiny (strata-sized); it is broadcast back onto the scan, so the
+    * accept filter stays scan-side with no extra shuffle of the data.
+    */
+  def mixtureBalance(df: DataFrame, id: Column, stratumCol: String,
+                     buckets: Int = 10000): DataFrame = {
+    val counts = df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_stratum"))
+    val target = counts.agg(min(col("n_stratum")).as("target_n"))
+    val rates = counts.crossJoin(broadcast(target))
+    df.join(broadcast(rates), stratumCol)
+      .withColumn("samp_bucket", hashBucket(id, buckets).cast("long"))
+      .filter(col("samp_bucket") * col("n_stratum") <
+              col("target_n") * lit(buckets.toLong))
+      .withColumn("weight", col("target_n").cast("double") / col("n_stratum"))
+  }
 }

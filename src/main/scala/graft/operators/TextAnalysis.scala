@@ -114,6 +114,61 @@ object TextAnalysis {
       .withColumn("rep_ratio", col("max_rep") / col("n_ngrams"))
   }
 
+  /** Per-document top-k distinctive terms by df-normalized term weight
+    * — the TF-IDF shape with a linear inverse-document-frequency
+    * (score = tf / df). The classic ln(N/df) idf is a monotone-
+    * decreasing transform of df just like 1/df, but transcendental:
+    * two engines' ln can differ in the last ulp and flip a ranking
+    * tie, so the exposed operator uses the rational variant whose
+    * every score is one IEEE division of two exact integers
+    * (bit-deterministic across engines); `tfIdfLog` keeps the ln
+    * formulation for callers who want textbook weights.
+    *
+    * 100 TB: one explode + two partial-aggregatable shuffles (term
+    * frequency keyed on (doc, token); document frequency is a second
+    * aggregation OF the tf output, so the corpus is scanned once),
+    * one join on token (vocabulary-sized right side — broadcast when
+    * it fits), and a per-doc top-k window that TopKPerKeyExec lowers
+    * to a bounded heap.
+    */
+  def tfIdf(docs: DataFrame, textCol: String, idCol: String,
+            k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+  }
+
+  /** Textbook TF-IDF weights (tf · ln((N+1)/(df+1)) + smoothing) —
+    * JVM-side only; rankings agree with [[tfIdf]] wherever ln ordering
+    * and rational ordering coincide (TfIdfSpec exercises both).
+    */
+  def tfIdfLog(docs: DataFrame, textCol: String, idCol: String,
+               k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.count() // driver scalar: one count job over the id column
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score",
+        col("tf") * (log((lit(n) + 1).cast("double") / (col("df") + 1)) + 1))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+  }
+
   /** Fixed-size sliding-window chunking: token windows of `chunkSize`
     * starting every `stride` tokens (overlap = chunkSize - stride), the
     * standard shape for feeding bounded-context models. One row per

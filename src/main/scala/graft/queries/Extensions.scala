@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.tables.{Tables => T}
 
 /** LLM-training-data pipeline operators as driver queries: dedup family,
@@ -133,6 +133,33 @@ object Extensions {
     // repeated-trigram share per document.
     "x26_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // Per-document distinctive terms: TF with linear inverse-df
+    // weighting (the TF-IDF shape; score = tf/df is one IEEE division
+    // of exact integers, so the oracle replays it bit-exactly), top-5
+    // terms per doc via the TopKPerKey-loweable window.
+    "x28_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(T.documents(s, dir), "text", "doc_id", k = 5)
+        .orderBy("doc_id", "rank")),
+
+    // Token-stream packing (concatenate-and-chunk): each doc's position
+    // and context-window assignment in its language shard's token
+    // stream — all exact integers from one running-sum window.
+    "x29_pack_tokens" -> ((s, dir) =>
+      Packing.packTokens(T.documents(s, dir), "text", "doc_id", "lang",
+          capacity = 2048)
+        .select("doc_id", "lang", "n_tok", "stream_pos", "bin",
+                "bin_offset", "bins_spanned")
+        .orderBy("doc_id")),
+
+    // Mixture balancing: deterministic hash downsample of every
+    // language to the rarest language's size — uniform training
+    // mixture, integer accept predicate, data-derived rates.
+    "x30_mixture_balance" -> ((s, dir) =>
+      Sampling.mixtureBalance(T.documents(s, dir), col("doc_id"), "lang")
+        .select("doc_id", "lang", "n_stratum", "target_n", "samp_bucket",
+                "weight")
         .orderBy("doc_id")),
 
     // Stopword-heuristic language identification.
@@ -579,7 +606,59 @@ object Extensions {
        ORDER BY d1, d2"""
   }
 
+  /** x30's oracle: the mixture-balance accept predicate replayed via
+    * the shared staged murmur3 hashLong CTEs over doc_id, with the
+    * per-language counts and the min target derived in SQL exactly as
+    * the operator derives them from the data.
+    */
+  private lazy val mixtureBalanceSql: String = {
+    val (ctes, hc) = Murmur3Sql.hashLongCtes("mbsrc", Seq("doc_id", "lang"), "mb")
+    s"""WITH mbsrc AS (SELECT doc_id, lang, doc_id AS v FROM documents),
+       $ctes
+       hb AS (SELECT doc_id, lang, CAST(hu % 10000 AS BIGINT) AS samp_bucket FROM $hc),
+       cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum FROM documents GROUP BY lang),
+       tgt AS (SELECT min(n_stratum) AS target_n FROM cnt)
+       SELECT h.doc_id, h.lang, c.n_stratum, t.target_n, h.samp_bucket,
+         CAST(t.target_n AS DOUBLE) / c.n_stratum AS weight
+       FROM hb h JOIN cnt c USING (lang), tgt t
+       WHERE h.samp_bucket * c.n_stratum < t.target_n * 10000
+       ORDER BY h.doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "x28_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+         scored AS (
+           SELECT doc_id, token, tf, df, CAST(tf AS DOUBLE) / df AS score
+           FROM tf JOIN dfreq USING (token))
+         SELECT doc_id, rank, token, tf, df, score FROM (
+           SELECT doc_id, token, tf, df, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, token) AS INTEGER) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "x29_pack_tokens" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         p AS (
+           SELECT doc_id, lang, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_pos
+           FROM t)
+         SELECT doc_id, lang, n_tok, stream_pos,
+           CAST(stream_pos // 2048 AS BIGINT) AS bin,
+           CAST(stream_pos % 2048 AS BIGINT) AS bin_offset,
+           CAST((stream_pos + n_tok - 1) // 2048 - stream_pos // 2048 + 1 AS BIGINT) AS bins_spanned
+         FROM p ORDER BY doc_id""",
+    "x30_mixture_balance" -> mixtureBalanceSql,
     "x21_pipeline_docs" ->
       s"""WITH RECURSIVE w AS (
            SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),

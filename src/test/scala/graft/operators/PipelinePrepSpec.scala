@@ -108,6 +108,93 @@ class PipelinePrepSpec extends SparkTestBase {
     assert(out == Seq(11L, 13L))
   }
 
+  test("tfIdf: rare terms outrank common ones, ties break on token, k bounds rows") {
+    val docs = Seq(
+      (0L, "common common common rare"),
+      (1L, "common other other"),
+      (2L, "common unique")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(5)))
+    // doc 0: common tf=3/df=3 and rare tf=1/df=1 both score 1.0 → token tiebreak
+    assert(out.toSeq == Seq(
+      (0L, 1, "common", 1.0), (0L, 2, "rare", 1.0),
+      (1L, 1, "other", 2.0), (1L, 2, "common", 1.0 / 3),
+      (2L, 1, "unique", 1.0), (2L, 2, "common", 1.0 / 3)))
+  }
+
+  test("tfIdf vs tfIdfLog: agree when df ordering decides, diverge on the documented case") {
+    val docs = Seq(
+      (0L, "common other other"),
+      (1L, "common common stuff"),
+      (2L, "common filler words")).toDF("doc_id", "text")
+    val lin = TextAnalysis.tfIdf(docs, "text", "doc_id", k = 1)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val log = TextAnalysis.tfIdfLog(docs, "text", "doc_id", k = 1)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // docs 0 and 2: the rare df-1 term wins under both weightings
+    assert(lin(0L) == "other" && log(0L) == "other")
+    assert(lin(2L) == "filler" && log(2L) == "filler")
+    // doc 1 is the divergence the scaladoc documents: linear 1/df ranks
+    // the df-1 singleton (1/1 > 2/3); smoothed-log idf is flatter, so
+    // the tf-2 common term wins (2·(ln(4/4)+1)=2 > 1·(ln(4/2)+1)≈1.69)
+    assert(lin(1L) == "stuff" && log(1L) == "common")
+  }
+
+  test("packTokens: stream positions, bins, and spans per shard") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, "a", toks(1000)), (1L, "a", toks(1500)), (2L, "a", toks(100)),
+      (3L, "b", toks(3000))).toDF("doc_id", "lang", "text")
+    val out = Packing.packTokens(docs, "text", "doc_id", "lang", capacity = 2048)
+      .orderBy("doc_id")
+      .select("doc_id", "stream_pos", "bin", "bin_offset", "bins_spanned")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 0L, 1L),       // fits in window 0
+      (1L, 1000L, 0L, 1000L, 2L), // starts in 0, crosses into 1
+      (2L, 2500L, 1L, 452L, 1L),  // window 1 after the crossing doc
+      (3L, 0L, 0L, 0L, 2L)))      // shard b restarts at position 0
+  }
+
+  test("packTokens: within a shard positions are contiguous (no gaps, no overlap)") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Packing.packTokens(docs, "text", "doc_id", "lang")
+      .select("lang", "doc_id", "n_tok", "stream_pos")
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { case (_, sh) =>
+      val sorted = sh.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(3) == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(3) == a.getLong(3) + a.getLong(2))
+        case _           => ()
+      }
+    }
+  }
+
+  test("mixtureBalance: rarest stratum kept whole, others downsampled to it") {
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+              (900L until 1000L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    val out = Sampling.mixtureBalance(df, col("id"), "grp")
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("small") == 100L) // target stratum: rate 1 keeps everything
+    assert(math.abs(byGrp("big") - 100L) < 40, s"big rate off: ${byGrp("big")}/900")
+    val weights = out.select("grp", "weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(weights("small") == 1.0)
+    assert(weights("big") == 100.0 / 900)
+    // deterministic: rerun → identical accepted set
+    val ids1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.mixtureBalance(df, col("id"), "grp")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("a39 sessionize: sessions partition events and respect the 30-minute gap") {
     val rows = Analytics.queries("a39_sessionize")(spark, "/root/testdata/sf0.001")
       .collect()
