@@ -58,10 +58,14 @@ object Sampling {
     */
   def mixtureBalance(df: DataFrame, id: Column, stratumCol: String,
                      buckets: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(stratumCol)
       .agg(count(lit(1)).as("n_stratum"))
-    val target = counts.agg(min(col("n_stratum")).as("target_n"))
-    val rates = counts.crossJoin(broadcast(target))
+    // global-window min instead of a second aggregate: the counts
+    // subtree (and its scan) is computed once; the window runs on the
+    // strata-sized table, so the single partition is trivial
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts.withColumn("target_n", min(col("n_stratum")).over(w))
     df.join(broadcast(rates), stratumCol)
       .withColumn("samp_bucket", hashBucket(id, buckets).cast("long"))
       .filter(col("samp_bucket") * col("n_stratum") <

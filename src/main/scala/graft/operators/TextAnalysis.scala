@@ -149,7 +149,8 @@ object TextAnalysis {
 
   /** Textbook TF-IDF weights (tf · ln((N+1)/(df+1)) + smoothing) —
     * JVM-side only; rankings agree with [[tfIdf]] wherever ln ordering
-    * and rational ordering coincide (TfIdfSpec exercises both).
+    * and rational ordering coincide (PipelinePrepSpec pins both the
+    * agreement and the documented divergence case).
     */
   def tfIdfLog(docs: DataFrame, textCol: String, idCol: String,
                k: Int = 5): DataFrame = {

@@ -155,6 +155,33 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one hash exchange:\n$s")
   }
 
+  test("x28 tfidf: vocabulary side broadcasts; rank filter lowers to WindowGroupLimit") {
+    val df = graft.queries.Extensions.queries("x28_tfidf")(spark, sf)
+    val s = planString(df)
+    // the df (vocabulary) table joins the tf table without shuffling it
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast vocab join:\n$s")
+    // rank<=k over the window plans as a bounded per-key group limit,
+    // not a full sort-rank-filter
+    assert(s.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$s")
+  }
+
+  test("x29 pack: exactly one hash exchange (the shard key) feeds the window") {
+    val df = graft.queries.Extensions.queries("x29_pack_tokens")(spark, sf)
+    val s = planString(df)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 1, s"expected one hash exchange, got $hashEx:\n$s")
+  }
+
+  test("x30 mixture: rates broadcast back onto the scan; corpus never hash-shuffled") {
+    val df = graft.queries.Extensions.queries("x30_mixture_balance")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast rates join:\n$s")
+    // the only hash exchange is the strata-sized count aggregate; the
+    // corpus itself reaches the accept filter shuffle-free
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 1, s"expected one hash exchange (stratum counts), got $hashEx:\n$s")
+  }
+
   test("merge rule: different sources are left alone") {
     GraftExtensions.install(spark)
     val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))
