@@ -63,6 +63,50 @@ object Sketches {
     hllAlpha(p) * m * m * math.pow(2.0, (33 - p).toDouble)
   }
 
+  /** Count-min-sketch heavy hitters over the corpus token stream.
+    *
+    * Pass 1 folds every token occurrence into a d×w counter grid —
+    * `counter[r][c] = Σ count(tokens hashing to c under row r)` — whose
+    * state is d·w integers REGARDLESS of corpus size (the property that
+    * makes it a sketch; both groupBys are partial-aggregatable, so the
+    * wire cost is O(partitions·d·w)). Pass 2 re-streams candidate
+    * tokens and estimates `est(t) = min_r counter[r][pos_r(t)]` — an
+    * overestimate by construction (collisions only add), within εN
+    * (ε = e/w) with probability 1-δ (δ = e^-d). Returned rows carry the
+    * exact count alongside so the overestimate is observable; the
+    * heavy-hitter cut `est·10⁴ ≥ N·minShareBp` is exact integer math.
+    *
+    * Row hashes are disjoint 48-bit hex slices of sha256(token) — same
+    * replayable scheme as [[Bloom]]; no seed tables. `w` is sized small
+    * (64) relative to this corpus's vocabulary so collisions — and the
+    * min-over-rows recovery — actually occur in the output; production
+    * sizing is w = ⌈e/ε⌉ for target error εN.
+    */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String,
+                      d: Int = 4, w: Int = 64,
+                      minShareBp: Int = 100): DataFrame = {
+    require(d >= 1 && d <= 5, s"d=$d rows need 12d hex chars; sha256 has 64")
+    def slices(h: Column): Column = array((0 until d).map { r =>
+      conv(substring(h, 1 + 12 * r, 12), 16, 10).cast("long") % w
+    }: _*)
+    val toks = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+    val totals = toks.agg(count(lit(1)).as("n_stream"))
+    // pass 1: the bounded grid, straight off the stream (one sha per row)
+    val counters = toks.select(sha2(col("tok"), 256).as("hh"))
+      .select(posexplode(slices(col("hh"))).as(Seq("r", "pos")))
+      .groupBy("r", "pos").agg(count(lit(1)).as("c"))
+    // pass 2: candidate estimates + exact verify
+    toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .select(col("tok"), col("exact"),
+        posexplode(slices(sha2(col("tok"), 256))).as(Seq("r", "pos")))
+      .join(broadcast(counters), Seq("r", "pos"))
+      .groupBy("tok", "exact").agg(min(col("c")).as("est"))
+      .crossJoin(broadcast(totals))
+      .filter(col("est") * 10000 >= col("n_stream") * minShareBp)
+      .select(col("tok"), col("est"), col("exact"))
+  }
+
   /** HLL distinct-count of `value` per `groupCols`, as `outCol` (long).
     *
     * Register index = top p bits of the unsigned 32-bit murmur3

@@ -192,4 +192,84 @@ object TextAnalysis {
         array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " "))
       .drop("toks", "start")
   }
+
+  /** PII patterns shared by the scrubber and its oracle. Kept to the
+    * regex subset Java and RE2 agree on (character classes, bounded
+    * repetition, \b) so the same pattern text runs in both engines.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing: replace emails, NANP-style phone numbers, and
+    * IPv4 addresses with typed placeholder tags, reporting per-type
+    * match counts. Email runs first so its dotted domain can't be
+    * half-eaten by the IP pattern.
+    *
+    * Narrow codegen'd regexp transforms — scan-side, no shuffle; at
+    * 100 TB this is the same cost shape as any per-row filter pass.
+    */
+  def redactPii(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // counts are taken on the SAME text each replace pass sees, so they
+    // equal the number of substitutions made: an IP-shaped local part
+    // inside an email must count as email, not as email AND ip
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "[PHONE]")
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_email"),
+      regexp_count(afterEmail, lit(PhoneRe)).as("n_phone"),
+      regexp_count(afterPhone, lit(Ipv4Re)).as("n_ip"),
+      regexp_replace(afterPhone, Ipv4Re, "[IP]").as("redacted"))
+  }
+
+  /** Cross-document boilerplate span removal (the C4/RefinedWeb
+    * cleaning step): any n-gram occurring in ≥ max(2, 1 %) of documents
+    * is boilerplate, and every token position it covers is dropped;
+    * the surviving tokens are reassembled in order. Deduplicating
+    * WITHIN a page keeps prose intact — only spans shared across many
+    * pages (navigation, license blocks, templates) cross the df cut.
+    *
+    * One shingle explode (shared shape with [[Dedup]]'s), a df
+    * aggregate keyed on the shingle, a broadcast-sized hot-shingle
+    * set joined back to occurrences, and one per-doc reassembly
+    * aggregation. The df table is vocabulary-sized, the hot set far
+    * smaller (df cut), so at 100 TB the only data-sized shuffles are
+    * the shingle aggregate and the per-doc regroup — both
+    * partial-aggregatable.
+    */
+  def removeBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+    val nDocs = broadcast(base.agg(count(lit(1)).as("n_docs")))
+    // (doc_id, pos, shingle) per occurrence, 0-based pos. Shingles come
+    // from Dedup's zip_with builder — transform(sequence(...)) over the
+    // aliased token array would re-split per element (PERF.md §1).
+    val occ = docs
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol).as("doc_id"),
+        posexplode(Dedup.shingleArray(col(textCol), n)).as(Seq("pos", "s")))
+    val hot = occ.select("s", "doc_id").distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .filter(col("df") >= greatest(lit(2), expr("(n_docs + 99) div 100")))
+      .select("s")
+    // positions covered by any hot-shingle occurrence
+    val covered = occ.join(broadcast(hot), Seq("s"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "tok")))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("ws")).as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_sig"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bloom, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis}
 import graft.tables.{Tables => T}
 
 /** LLM-training-data pipeline operators as driver queries: dedup family,
@@ -160,6 +160,55 @@ object Extensions {
       Sampling.mixtureBalance(T.documents(s, dir), col("doc_id"), "lang")
         .select("doc_id", "lang", "n_stratum", "target_n", "samp_bucket",
                 "weight")
+        .orderBy("doc_id")),
+
+    // Bloom-prefiltered incremental dedup (x27's scale companion): the
+    // historical side is compressed to a broadcast bit set, the batch
+    // pays a scan-side membership test, and only bloom-positive digests
+    // reach the exact verify join. mBits = 2^14 is deliberately small so
+    // the false-positive → extra-verify path is exercised at sf0.1
+    // (bloom_maybe = 1, is_dup = 0 rows), not just theorized.
+    "x31_bloom_dedup" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      Bloom.dedupPrefiltered(docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Count-min-sketch heavy hitters: d×w bounded counter grid off the
+    // token stream, min-over-rows estimates for candidates, exact count
+    // alongside (est ≥ exact by construction; QueryBoundsSpec pins the
+    // εN bound). Threshold = 1 % of the stream, exact integer compare.
+    "x32_heavy_hitters" -> ((s, dir) =>
+      Sketches.cmsHeavyHitters(T.documents(s, dir), "text")
+        .orderBy(col("est").desc, col("tok"))),
+
+    // PII scrubbing. The corpus carries no organic PII, so the query
+    // first injects one deterministic fake email/phone/IPv4 per doc
+    // (pure functions of doc_id, replayed identically by the oracle) —
+    // the regexes then have real matches to find and replace.
+    "x33_pii_redact" -> ((s, dir) => {
+      val injected = T.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or ("),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit(") 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" at 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(100)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(50)).cast("string")).as("text"))
+      TextAnalysis.redactPii(injected, "text", "doc_id")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          md5(col("redacted")).as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-document boilerplate span removal: trigrams in ≥ max(2, 1 %)
+    // of docs are boilerplate; covered token positions are dropped and
+    // the survivors reassembled in order.
+    "x34_boilerplate" -> ((s, dir) =>
+      TextAnalysis.removeBoilerplate(T.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
     // Stopword-heuristic language identification.
@@ -626,6 +675,97 @@ object Extensions {
   }
 
   val oracle: Map[String, String] = Map(
+    // Bloom membership replayed bit-for-bit: the k hash functions are
+    // disjoint 48-bit hex slices of sha256, so '0x…'::BIGINT % m in
+    // DuckDB equals conv(substr,16,10) % m in Spark.
+    "x31_bloom_dedup" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 < 8),
+         bits AS (SELECT DISTINCT
+             CAST(concat('0x', substr(h, 1 + 12*r, 12)) AS BIGINT) % 16384 AS pos
+           FROM hist, range(4) t(r)),
+         b AS (SELECT min(doc_id) AS doc_id, h FROM d
+               WHERE doc_id % 10 >= 8 GROUP BY h),
+         bp AS (SELECT doc_id, h,
+             CAST(concat('0x', substr(h, 1 + 12*r, 12)) AS BIGINT) % 16384 AS pos
+           FROM b, range(4) t(r)),
+         mb AS (SELECT doc_id, h,
+             CAST(min(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) AS INTEGER) AS bloom_maybe
+           FROM bp GROUP BY 1, 2)
+         SELECT doc_id, h, bloom_maybe,
+           CAST(CASE WHEN bloom_maybe = 1 AND h IN (SELECT h FROM hist)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+         FROM mb ORDER BY doc_id""",
+    // The d×w counter grid, min-over-rows estimate, and 1 % cut — all
+    // exact integer arithmetic on sha256 hex-slice positions.
+    "x32_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+                    FROM documents),
+         n AS (SELECT count(*) AS n_stream FROM t),
+         rp AS (SELECT CAST(concat('0x', substr(sha256(tok), 1 + 12*r, 12)) AS BIGINT) % 64 AS pos, r
+                FROM t, range(4) s(r)),
+         counters AS (SELECT r, pos, count(*) AS c FROM rp GROUP BY 1, 2),
+         exact AS (SELECT tok, count(*) AS exact FROM t GROUP BY tok),
+         cand AS (SELECT tok, exact, r,
+             CAST(concat('0x', substr(sha256(tok), 1 + 12*r, 12)) AS BIGINT) % 64 AS pos
+           FROM exact, range(4) s(r)),
+         est AS (SELECT tok, exact, min(c) AS est
+                 FROM cand JOIN counters USING (r, pos) GROUP BY 1, 2)
+         SELECT tok, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+         FROM est, n WHERE est * 10000 >= n_stream * 100
+         ORDER BY est DESC, tok""",
+    "x33_pii_redact" ->
+      s"""WITH inj AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or ('
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ') 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || ' at 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST(doc_id % 100 AS VARCHAR)
+               || '.' || CAST(doc_id % 50 AS VARCHAR) AS text
+           FROM documents),
+         e AS (SELECT doc_id, text,
+             regexp_replace(text, '${TextAnalysis.EmailRe}', '[EMAIL]', 'g') AS t1
+           FROM inj),
+         p AS (SELECT doc_id, text, t1,
+             regexp_replace(t1, '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS t2
+           FROM e)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(t1, '${TextAnalysis.PhoneRe}')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(t2, '${TextAnalysis.Ipv4Re}')) AS INTEGER) AS n_ip,
+           md5(regexp_replace(t2, '${TextAnalysis.Ipv4Re}', '[IP]', 'g')) AS sig
+         FROM p ORDER BY doc_id""",
+    // Parallel unnests run in lockstep in DuckDB, pairing each shingle
+    // with its 0-based start position.
+    "x34_boilerplate" ->
+      """WITH base AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+                       FROM documents),
+         nd AS (SELECT count(*) AS n_docs FROM base),
+         occ AS (SELECT doc_id,
+             unnest(range(1, len(ws) - 1)) - 1 AS pos,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM base WHERE len(ws) >= 3),
+         hot AS (SELECT s FROM
+             (SELECT s, count(DISTINCT doc_id) AS df FROM occ GROUP BY s), nd
+           WHERE df >= greatest(2, (n_docs + 99) // 100)),
+         cov AS (SELECT DISTINCT doc_id, pos + o AS p
+                 FROM occ JOIN hot USING (s), (VALUES (0), (1), (2)) v(o)),
+         tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) - 1 AS p,
+                        unnest(ws) AS tok
+                 FROM base),
+         keep AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+                  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+                  WHERE c.p IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY p) AS clean
+                 FROM keep GROUP BY doc_id)
+         SELECT b.doc_id, CAST(len(b.ws) AS INTEGER) AS n_tok,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(a.clean, '')) AS clean_sig
+         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
     "x28_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token

@@ -195,6 +195,62 @@ class PipelinePrepSpec extends SparkTestBase {
     assert(ids1 == ids2)
   }
 
+  test("redactPii: counts and replaces each PII type, leaves clean text alone") {
+    val docs = Seq(
+      (0L, "mail a@b.co and c.d+x@e-f.org plus call (415) 555-0100 from 10.0.0.1"),
+      (1L, "no pii here just words"),
+      (2L, "two ips 192.168.1.1 10.20.30.40 one mail z@y.io"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 2 && out(0).getInt(2) == 1 && out(0).getInt(3) == 1)
+    assert(out(0).getString(4) ==
+      "mail [EMAIL] and [EMAIL] plus call [PHONE] from [IP]")
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0 && out(1).getInt(3) == 0)
+    assert(out(1).getString(4) == "no pii here just words")
+    assert(out(2).getInt(3) == 2 && out(2).getString(4) == "two ips [IP] [IP] one mail [EMAIL]")
+  }
+
+  test("redactPii: email runs before ip so dotted local parts are not half-eaten") {
+    // "1.2.3.4@mail.co" — the whole address must become [EMAIL]; an IP
+    // pass running first would leave "[IP]@mail.co"
+    val out = TextAnalysis.redactPii(
+        Seq((0L, "x 1.2.3.4@mail.co y")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0)
+    assert(out.getInt(1) == 1 && out.getInt(3) == 0)
+    assert(out.getString(4) == "x [EMAIL] y")
+  }
+
+  test("removeBoilerplate: cross-doc spans go, within-doc repetition stays") {
+    // "nav home login" appears in 3 of 4 docs (75 % ≥ max(2, 1%) cut);
+    // "aa bb cc" repeats WITHIN doc 3 only (df = 1) and must survive.
+    val docs = Seq(
+      (0L, "nav home login alpha beta gamma"),
+      (1L, "delta nav home login epsilon"),
+      (2L, "zeta eta nav home login"),
+      (3L, "aa bb cc aa bb cc theta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val kept = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept(0L) == 3 && kept(1L) == 2 && kept(2L) == 2) // 3 nav tokens dropped
+    assert(kept(3L) == 7) // intra-doc repetition untouched
+    // doc 3's signature is the md5 of its original text (nothing removed)
+    assert(out(3).getString(3) ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("aa bb cc aa bb cc theta"))
+  }
+
+  test("removeBoilerplate: overlapping hot spans drop the union of positions") {
+    // hot trigrams "a b c" and "b c d" overlap; covered = positions of both
+    val docs = Seq(
+      (0L, "a b c d x"), (1L, "a b c d y"), (2L, "a b c d z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // a,b,c,d all covered in every doc → one survivor each
+    assert(out.forall(_.getLong(2) == 1))
+  }
+
   test("a39 sessionize: sessions partition events and respect the 30-minute gap") {
     val rows = Analytics.queries("a39_sessionize")(spark, "/root/testdata/sf0.001")
       .collect()

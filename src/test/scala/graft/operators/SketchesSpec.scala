@@ -34,6 +34,43 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("count-min estimates dominate exact counts and collisions stay within the grid bound") {
+    // 40 tokens with zipf-ish counts into w=16 buckets per row forces
+    // collisions; min-over-d must keep every estimate >= exact and
+    // within exact + N (trivial bound) — the real assertion is the
+    // overcount structure, not a probabilistic tail
+    val docs = (0 until 40).flatMap { t =>
+      Seq.fill(1 + 200 / (t + 1))(s"tok$t")
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Sketches.cmsHeavyHitters(docs, "text", d = 4, w = 16, minShareBp = 0)
+      .collect()
+    val n = out.map(_.getLong(2)).sum
+    assert(out.length == 40, "minShareBp=0 keeps every candidate")
+    out.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"CMS must never undercount: $r")
+      assert(r.getLong(1) <= r.getLong(2) + n, s"estimate above trivial bound: $r")
+    }
+    // with 40 tokens in 16 buckets, at least one estimate must overcount
+    assert(out.exists(r => r.getLong(1) > r.getLong(2)),
+      "collisions should be observable at w=16")
+    // a generous grid resolves every collision via min-over-rows
+    val wide = Sketches.cmsHeavyHitters(docs, "text", d = 4, w = 4096, minShareBp = 0)
+      .collect()
+    assert(wide.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("count-min heavy-hitter cut keeps exactly the tokens at or above the share") {
+    val docs = (Seq.fill(90)("hot") ++ Seq.fill(9)("warm") ++ Seq("cold"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // 100 tokens; 5% cut = est >= 5. exact: hot 90, warm 9, cold 1 —
+    // w=4096 → no collisions → est == exact → hot and warm survive
+    val kept = Sketches.cmsHeavyHitters(docs, "text", d = 4, w = 4096,
+        minShareBp = 500)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("hot", "warm"))
+  }
+
   test("sketches are merge-consistent: estimate of a union never below either part") {
     val a = (0 until 5000).map(i => i.toLong).toDF("id").withColumn("g", lit("all"))
     val b = (2500 until 7500).map(i => i.toLong).toDF("id").withColumn("g", lit("all"))

@@ -182,6 +182,37 @@ class PlanSpec extends SparkTestBase {
     assert(hashEx == 1, s"expected one hash exchange (stratum counts), got $hashEx:\n$s")
   }
 
+  test("x31 bloom: membership test is a broadcast join; batch is never cartesian-joined") {
+    val df = graft.queries.Extensions.queries("x31_bloom_dedup")(spark, sf)
+    val s = planString(df)
+    // the bit set and the verify both reach the batch as broadcasts
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast membership join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in bloom plan:\n$s")
+  }
+
+  test("x32 count-min: the counter grid broadcasts to the estimate join") {
+    val df = graft.queries.Extensions.queries("x32_heavy_hitters")(spark, sf)
+    val s = planString(df)
+    // counters are d·w rows regardless of corpus size — they must
+    // broadcast, not shuffle the candidate side
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast counters join:\n$s")
+  }
+
+  test("x33 pii redaction is a single scan-stage projection — no shuffle, no join") {
+    val df = graft.queries.Extensions.queries("x33_pii_redact")(spark, sf)
+    val s = planString(df)
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"pii scrub must not shuffle:\n$s")
+    assert(!s.contains("Join"), s"pii scrub must not join:\n$s")
+  }
+
+  test("x34 boilerplate: hot-shingle set broadcasts back onto occurrences") {
+    val df = graft.queries.Extensions.queries("x34_boilerplate")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast hot-set join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in boilerplate plan:\n$s")
+  }
+
   test("merge rule: different sources are left alone") {
     GraftExtensions.install(spark)
     val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))
