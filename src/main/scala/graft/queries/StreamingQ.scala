@@ -35,6 +35,14 @@ object StreamingQ {
         .toDF()
         .orderBy("user_id")),
 
+    // Streaming quantiles composition: histogram-sketch grid maintained
+    // IN the stream (bounded, additive state — the a41 sketch made
+    // streaming), p50/p90 extracted from the sketch with exact integer
+    // ranks. Batch ≡ stream on the grid (EventStreamsSpec).
+    "st07_window_quantiles" -> ((s, dir) =>
+      EventStreams.windowQuantiles(T.events(s, dir), "1 hour", grid = 5.0)
+        .orderBy("w_start", "event_type")),
+
     // Stream-stream interval join (click → purchase by the same user
     // within 30 minutes); batch ≡ range-condition join, certified here.
     "st06_stream_join" -> ((s, dir) => {
@@ -91,6 +99,22 @@ object StreamingQ {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
            CAST(min(ts) AS TIMESTAMP) AS first_ts,
            CAST(max(ts) AS TIMESTAMP) AS last_ts
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "st07_window_quantiles" ->
+      """WITH sk AS (
+           SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start,
+             event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+             count(*) AS c
+           FROM events GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT w_start, event_type, bucket, c,
+             sum(c) OVER (PARTITION BY w_start, event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY w_start, event_type) AS n
+           FROM sk)
+         SELECT w_start, event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= ceil(n * 0.5) THEN bucket END) AS p50_bucket,
+           min(CASE WHEN cum >= ceil(n * 0.9) THEN bucket END) AS p90_bucket
+         FROM cum GROUP BY 1, 2 ORDER BY w_start, event_type"""
   )
 }

@@ -129,4 +129,60 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("ts").as("first_ts"))
+
+  /** The histogram-sketch value grid per (tumbling window, event type):
+    * `bucket = floor(value/grid)`, one count per occupied bucket. This
+    * is the part that runs IN the stream — a plain watermarked windowed
+    * aggregation whose state is O(windows·types·buckets), bounded by
+    * the grid width regardless of event volume, and merges by addition
+    * across micro-batches. Quantile EXTRACTION ([[windowQuantiles]])
+    * is a tiny batch pass over the sketch (cumulative rank needs a
+    * non-time window function, which streaming aggregation cannot
+    * express — and should not: the sketch sink is the right hand-off
+    * point, exactly how a t-digest/DataSketches pipeline splits work).
+    */
+  def windowValueSketch(events: DataFrame, width: String = "1 hour",
+                        grid: Double = 5.0): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"),
+        floor(col("value") / grid).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("bucket"), col("c"))
+
+  def windowValueSketchStream(events: DataFrame, width: String = "1 hour",
+                              grid: Double = 5.0,
+                              watermark: String = "2 hours"): DataFrame =
+    windowValueSketch(events.withWatermark("ts", watermark), width, grid)
+
+  /** p50/p90 buckets per (window, event type) from the sketch: exact
+    * integer cumulative ranks over ≤ (value range / grid) rows per
+    * group — the streaming-quantiles composition (grid in the stream,
+    * rank extraction on the bounded sketch).
+    */
+  def windowQuantiles(events: DataFrame, width: String = "1 hour",
+                      grid: Double = 5.0): DataFrame =
+    quantilesFromSketch(windowValueSketch(events, width, grid))
+
+  /** The extraction half, callable on a sketch that arrived from a
+    * stream sink as well as on the batch-built one.
+    */
+  def quantilesFromSketch(sketch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("w_start"), col("event_type"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("w_start"), col("event_type"))
+    val cum = sketch
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wt))
+    // both quantiles in ONE aggregation pass (min over a conditional),
+    // not a per-quantile filter + self-join — one shuffle, and no
+    // self-join of a sink-backed table (which Spark cannot always
+    // deduplicate attribute ids for)
+    cum.groupBy("w_start", "event_type")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("bucket"))).as("p50_bucket"),
+        min(when(col("cum") >= ceil(col("n") * 0.9), col("bucket"))).as("p90_bucket"))
+  }
 }

@@ -88,6 +88,23 @@ class EventStreamsSpec extends SparkTestBase {
       batch.orderBy("w_start", "event_type").collect().toSeq)
   }
 
+  test("streaming histogram sketch + batch extraction equal batch quantiles end to end") {
+    // the stream maintains the bounded grid; quantiles come from a batch
+    // pass over the streamed sketch — the intended split of work
+    val streamedSketch = runStream(
+      EventStreams.windowValueSketchStream(_, "1 hour", grid = 2.0, watermark = "2 hours"),
+      "sketch_out")
+    val fromStream = EventStreams.quantilesFromSketch(streamedSketch)
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = EventStreams.windowQuantiles(events.toDF(), "1 hour", grid = 2.0)
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(fromStream === batch)
+    // sketch state is bounded: no (window, type) group exceeds the grid
+    val maxBuckets = streamedSketch.groupBy("w_start", "event_type").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(maxBuckets <= math.ceil(5.0 / 2.0).toLong + 1)
+  }
+
   test("watermark drops late data beyond the bound") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
