@@ -314,6 +314,44 @@ object Analytics {
         .orderBy("k")),
 
     // String-function battery (cross-engine-identical subset).
+    // Analytic window-function battery: first/last/nth/lead over a
+    // totally-ordered per-customer frame (date, then key — deterministic
+    // ties). last_value uses the full-partition frame explicitly: the
+    // SQL-standard default frame stops at CURRENT ROW, which makes
+    // last_value a no-op trap both engines share.
+    "a42_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(wFull).as("first_price"),
+          last(col("o_totalprice")).over(wFull).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          row_number().over(w).as("seq"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Higher-order array functions (transform/filter/aggregate/exists/
+    // zip_with) over per-order quantity vectors — the "functions, not
+    // UDFs" surface: every lambda is codegen'd, all math exact integers.
+    "a44_higher_order" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("q"))
+        .select(
+          col("l_orderkey"),
+          size(col("q")).as("n"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          size(filter(col("q"), _ > 25)).as("n_big"),
+          exists(col("q"), _ === 50).cast("int").as("has_50"),
+          aggregate(zip_with(col("q"), reverse(col("q")), (a, b) => (a * b).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("rev_dot"),
+          array_join(transform(col("q"), x => (x * 2).cast("string")), ",").as("doubled"))
+        .orderBy("l_orderkey")),
+
     "a31_string_funcs" -> ((s, dir) =>
       T.customer(s, dir)
         .select(
@@ -870,6 +908,32 @@ object Analytics {
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS omonth_start
          FROM orders ORDER BY o_orderkey""",
+    "a42_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER wf AS first_price,
+           last_value(o_totalprice) OVER wf AS last_price,
+           nth_value(o_totalprice, 2) OVER wf AS second_price,
+           lead(o_orderkey, 1) OVER w AS next_key,
+           CAST(row_number() OVER w AS INTEGER) AS seq
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    "a44_higher_order" ->
+      """WITH q AS (
+           SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INTEGER))) AS q
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT l_orderkey,
+           CAST(len(q) AS INTEGER) AS n,
+           CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(q, x -> x > 25)) AS INTEGER) AS n_big,
+           CAST(CASE WHEN len(list_filter(q, x -> x = 50)) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS has_50,
+           CAST(list_sum(list_transform(range(1, len(q) + 1),
+             i -> CAST(q[i] AS BIGINT) * q[len(q) - i + 1])) AS BIGINT) AS rev_dot,
+           array_to_string(list_transform(q, x -> CAST(x * 2 AS VARCHAR)), ',') AS doubled
+         FROM q ORDER BY l_orderkey""",
     "a31_string_funcs" ->
       """SELECT c_custkey,
            lpad(c_mktsegment, 12, '*') AS seg_lpad,
