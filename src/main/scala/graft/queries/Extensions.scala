@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bloom, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Bloom, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis, Urls}
 import graft.tables.{Tables => T}
 
 /** LLM-training-data pipeline operators as driver queries: dedup family,
@@ -21,6 +21,24 @@ import graft.tables.{Tables => T}
   */
 object Extensions {
   type Q = (SparkSession, String) => DataFrame
+
+  /** One deterministic URL per doc for the x35/x36 queries — pure
+    * function of doc_id, mirrored by `urlInjectSql`.
+    */
+  private def withUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("url",
+      concat(lit("https://sub"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".domain"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".com/path"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("/page?q=w"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit("&id="), col("doc_id").cast("string")))
+
+  private val urlInjectSql: String =
+    """'https://sub' || CAST(doc_id % 5 AS VARCHAR)
+       || '.domain' || CAST(doc_id % 20 AS VARCHAR)
+       || '.com/path' || CAST(doc_id % 7 AS VARCHAR)
+       || '/page?q=w' || CAST(doc_id % 3 AS VARCHAR)
+       || '&id=' || CAST(doc_id AS VARCHAR)"""
 
   val queries: Map[String, Q] = Map(
     // Exact dedup via content hash: one shuffle on a uniform digest.
@@ -210,6 +228,22 @@ object Extensions {
     "x34_boilerplate" -> ((s, dir) =>
       TextAnalysis.removeBoilerplate(T.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
+
+    // URL component extraction (parse_url) over injected deterministic
+    // URLs — the corpus has no organic URLs, so each doc gets one as a
+    // pure function of doc_id, replayed identically by the oracle.
+    "x35_url_parts" -> ((s, dir) =>
+      Urls.urlParts(withUrls(T.documents(s, dir)), "url", "doc_id")
+        .orderBy("doc_id")),
+
+    // Per-registered-domain rollup (docs + token volume) — what C4-style
+    // pipelines rank, cap, and blocklist by.
+    "x36_domain_stats" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      Urls.domainStats(Urls.urlParts(withUrls(docs), "url", "doc_id"),
+          docs, "text")
+        .orderBy("reg_domain")
+    }),
 
     // Stopword-heuristic language identification.
     "x07_lang_id" -> ((s, dir) =>
@@ -675,6 +709,27 @@ object Extensions {
   }
 
   val oracle: Map[String, String] = Map(
+    // parse_url components replayed as anchored regexes — equivalent on
+    // these single-host, single-query-param URLs.
+    "x35_url_parts" ->
+      s"""WITH u AS (SELECT doc_id, $urlInjectSql AS url FROM documents)
+         SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/]*?([^./]+\\.[^./]+)(/|$$)', 1) AS reg_domain,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&]*)', 1) AS q_param
+         FROM u ORDER BY doc_id""",
+    "x36_domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, $urlInjectSql AS url,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INTEGER) AS n_tok
+           FROM documents),
+         p AS (SELECT doc_id,
+             regexp_extract(url, 'https?://[^/]*?([^./]+\\.[^./]+)(/|$$)', 1) AS reg_domain,
+             n_tok
+           FROM u)
+         SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+         FROM p GROUP BY 1 ORDER BY reg_domain""",
     // Bloom membership replayed bit-for-bit: the k hash functions are
     // disjoint 48-bit hex slices of sha256, so '0x…'::BIGINT % m in
     // DuckDB equals conv(substr,16,10) % m in Spark.
