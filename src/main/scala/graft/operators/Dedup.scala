@@ -571,4 +571,98 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("d1", "d2", "cosine")
   }
+
+  /** Edit-distance near-dup pairs: block on (text prefix, length band),
+    * verify candidates with levenshtein.
+    *
+    * 100 TB: the shuffle key is (prefix, length-bucket) — never the raw
+    * pair space — so candidate volume is bounded by block sizes, and the
+    * O(len²) edit-distance runs only on pairs that already share a
+    * prefix and are within `lenBand` characters of each other. One side
+    * explodes to the 3 adjacent length buckets so same-band pairs that
+    * straddle a bucket boundary still meet (|len₁−len₂| ≤ `lenBand`
+    * implies the buckets differ by at most 1); each unordered pair
+    * meets exactly once. A hot prefix (boilerplate header) makes a
+    * block quadratic — lengthen `prefixLen` or pre-drop prefixes with
+    * df above a cap, the same guard DedupSkewSpec pins for shingles.
+    */
+  def fuzzyPairs(docs: DataFrame, textCol: String, idCol: String,
+                 prefixLen: Int = 24, lenBand: Int = 24,
+                 maxDist: Int = 20): DataFrame = {
+    val d = docs.select(
+      col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).as("len"),
+      substring(col(textCol), 1, prefixLen).as("pfx"))
+      .withColumn("bkt", floor(col("len") / lenBand))
+    val left = d.select(
+      col("id").as("d1"), col("t").as("t1"), col("len").as("len1"),
+      col("pfx"), col("bkt"))
+    val right = d.select(
+        col("id").as("d2"), col("t").as("t2"), col("len").as("len2"),
+        col("pfx"), explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    left.join(right, Seq("pfx", "bkt"))
+      .filter(col("d1") < col("d2") &&
+        abs(col("len1") - col("len2")) <= lenBand)
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
+  /** Passage-level exact dedup (C4/RefinedWeb-style): split every doc
+    * into consecutive `n`-token passages, keep only each passage's
+    * globally first occurrence (ordered by doc id, then position), and
+    * reassemble documents from their surviving passages. A full
+    * duplicate document loses every passage; partial overlaps lose just
+    * the shared spans.
+    *
+    * 100 TB: two partial-aggregatable shuffles — (doc, passage-id) to
+    * assemble passages, then the passage string to elect the first
+    * occurrence via min(struct(doc,pid)) (a partial-aggregatable
+    * arg-min; no window over the passage partition, so a passage
+    * duplicated a million times costs one combine tree, not one
+    * million-row sort partition) — plus the doc-id regroup. At scale
+    * key the election shuffle on a passage hash rather than the raw
+    * string.
+    */
+  def passageDedup(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("p", "tok")))
+    val passages = toks
+      .withColumn("pid", (col("p") / n).cast("int"))
+      .groupBy("doc_id", "pid")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("passage"))
+    val firstOcc = passages
+      .groupBy("passage")
+      .agg(min(struct(col("doc_id"), col("pid"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pid").as("pid"), col("passage"))
+    val rebuilt = firstOcc
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pid"), col("passage")))),
+            x => x.getField("passage")), " ").as("dedup_text"))
+    passages.groupBy("doc_id").agg(count(lit(1)).as("n_pass"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pass"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("dedup_text"), lit(""))).as("dedup_sig"))
+  }
+
+  /** Survivorship: one row per cluster, keeping the highest-scoring
+    * member (ties → smallest id). One partial-aggregatable shuffle on
+    * the cluster key — max_by(struct(score, −id)) aggregates map-side,
+    * so a million-member cluster costs a combine tree, not a sorted
+    * window partition.
+    */
+  def keepBestPerCluster(clustered: DataFrame, clusterCol: String,
+                         idCol: String, scoreCol: String): DataFrame =
+    clustered
+      .groupBy(col(clusterCol).as("cluster"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max_by(col(idCol), struct(col(scoreCol), col(idCol) * -1)).as("keep_id"))
+      .select("cluster", "keep_id", "cluster_size")
 }

@@ -272,4 +272,77 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         md5(coalesce(col("clean_text"), lit(""))).as("clean_sig"))
   }
+
+  /** Canonical text normalization: lowercase, strip every char outside
+    * [a-z0-9 ], collapse whitespace runs, trim. Pure scan-side
+    * projection (no shuffle) — the normalization pass that fronts
+    * dedup/fingerprinting at scale, so it must stay codegen'd.
+    */
+  def normalize(docs: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    docs
+      .withColumn("norm_md5", md5(norm))
+      .withColumn("n_chars_norm", length(norm))
+      .withColumn("norm_head", substring(norm, 1, 40))
+  }
+
+  /** Gopher-style composite quality filter: word-count bounds, mean
+    * word length bounds, and a repetition cap (most frequent token's
+    * share), each failure labelled. Everything is a per-row expression
+    * over the token array — no shuffle; the repetition mode is O(u·n)
+    * in the token/unique counts, fine for documents, and at web-page
+    * scale the same rule reads from [[repetition]]'s aggregated form
+    * instead.
+    */
+  def gopherQuality(docs: DataFrame, textCol: String,
+                    minWords: Int = 20, maxWords: Int = 80,
+                    minMwl: Double = 4.3, maxMwl: Double = 4.7,
+                    maxTopShare: Double = 0.12): DataFrame = {
+    val ws = tokens(col(textCol))
+    val nw = size(ws)
+    val mwl = length(regexp_replace(col(textCol), "\\s", "")).cast("double") / nw
+    val topShare = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w)))).cast("double") / nw
+    val reasons = filter(array(
+      when(nw < minWords, lit("too_short")),
+      when(nw > maxWords, lit("too_long")),
+      when(mwl < minMwl, lit("short_words")),
+      when(mwl > maxMwl, lit("long_words")),
+      when(topShare > maxTopShare, lit("repetitive"))), x => x.isNotNull)
+    docs
+      .withColumn("n_words", nw)
+      .withColumn("mean_word_len", mwl)
+      .withColumn("top_share", topShare)
+      .withColumn("fail_reasons", array_join(reasons, "|"))
+      .withColumn("keep", size(reasons) === 0)
+  }
+
+  /** Corpus-familiarity scoring from a character-trigram frequency
+    * model: the trigram table is built from the corpus itself in one
+    * partial-aggregatable pass, then each document scores as the mean
+    * corpus frequency of its trigrams — a deterministic, integer-exact
+    * stand-in for LM perplexity filters (the classic mean-log variant
+    * is one `ln` away; kept rational so the score is a single IEEE
+    * division both engines compute identically, same rationale as
+    * tfIdf).
+    *
+    * 100 TB: trigram explode → vocab-sized frequency table (≤ alphabet³
+    * entries — always broadcastable) → broadcast join back → one
+    * per-doc aggregation. Capping at `prefixChars` bounds per-row
+    * explode width.
+    */
+  def trigramFamiliarity(docs: DataFrame, textCol: String, idCol: String,
+                         prefixChars: Int = 128): DataFrame = {
+    val tri = docs
+      .withColumn("p", substring(lower(col(textCol)), 1, prefixChars))
+      .filter(length(col("p")) >= 3)
+      .select(col(idCol).as("doc_id"),
+        explode(expr("transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")).as("tri"))
+    val freq = tri.groupBy("tri").agg(count(lit(1)).as("freq"))
+    tri.join(broadcast(freq), Seq("tri"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("freq")).as("sum_freq"))
+      .withColumn("avg_tri_freq", col("sum_freq") / col("n_tri"))
+  }
 }

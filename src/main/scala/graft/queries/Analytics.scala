@@ -570,7 +570,91 @@ object Analytics {
           col("o_custkey"), col("o_orderkey"),
           datediff(col("o_orderdate"), col("prev_date")).as("days_since_prev"))
         .orderBy("o_custkey", "o_orderkey")
-    })
+    }),
+
+    // Unpivot (wide→long melt): measures become (name, value) rows.
+    // Narrow, shuffle-free reshape — stays inside whole-stage codegen.
+    "a45_unpivot" -> ((s, dir) =>
+      T.lineitem(s, dir)
+        .filter(col("l_orderkey") < 200)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // Map-typed columns: construction, lambda filter, value transform,
+    // lookup. Scalar projections only — no shuffle.
+    "a46_map_funcs" -> ((s, dir) =>
+      T.orders(s, dir)
+        .filter(col("o_orderkey") < 2000)
+        .withColumn("m", map(
+          lit("base"), col("o_totalprice"),
+          lit("disc"), col("o_totalprice") * 0.9))
+        .withColumn("kept", map_filter(col("m"), (_, v) => v > 100000))
+        .withColumn("hundredths", transform_values(col("m"), (_, v) => v / 100))
+        .select(
+          col("o_orderkey"),
+          array_join(sort_array(map_keys(col("kept"))), ",").as("kept_keys"),
+          element_at(col("hundredths"), "base").as("base_h"),
+          element_at(col("hundredths"), "disc").as("disc_h"),
+          size(col("m")).as("m_size"))
+        .orderBy("o_orderkey")),
+
+    // Range (inequality) join against a tiny bucket dimension: the dim is
+    // broadcast, so the fact side streams through BroadcastNestedLoopJoin
+    // with no shuffle — the right plan when the small side is O(10) rows.
+    "a47_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = Seq(
+        (1, 0.0, 50000.0), (2, 50000.0, 150000.0),
+        (3, 150000.0, 300000.0), (4, 300000.0, 1000000000.0))
+        .toDF("bucket_id", "lo", "hi")
+      T.orders(s, dir)
+        .join(broadcast(buckets),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n_orders"), Exact.dsum(col("o_totalprice")).as("total"))
+        .orderBy("bucket_id")
+    }),
+
+    // Positional explode (LATERAL VIEW posexplode): word + 0-based index.
+    // Generator runs inside the scan stage; no shuffle.
+    "a48_posexplode" -> ((s, dir) =>
+      T.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .filter(col("pos") < 5)
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+        .orderBy("doc_id", "pos")),
+
+    // Conditional aggregation battery: count_if / bool_and / bool_or /
+    // filtered sum — one partial-aggregatable groupBy.
+    "a49_filter_agg" -> ((s, dir) =>
+      T.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          sum(when(col("o_orderpriority") === "1-URGENT", Exact.dec(col("o_totalprice"))))
+            .cast("double").as("urgent_total"))
+        .orderBy("status")),
+
+    // Regexp battery: count / extract / replace-all / masking. Scan-side
+    // projections, codegen'd. (Vowel patterns: the synthetic corpus has
+    // no digits or punctuation, so digit regexes would match nothing.)
+    "a50_regexp_battery" -> ((s, dir) =>
+      T.documents(s, dir)
+        .filter(col("doc_id") < 500)
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("[aeiou]+")).as("n_vowelruns"),
+          regexp_extract(col("text"), "(^| )(s[a-z]+)", 2).as("first_sword"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels"),
+          substring(regexp_replace(col("text"), "[aeiou]", "#"), 1, 40).as("masked40"))
+        .orderBy("doc_id"))
   )
 
   /** Shared Spark/DuckDB SQL: orders that match their priority's maximum
@@ -978,6 +1062,56 @@ object Analytics {
              CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey) AS DATE),
              CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
-         FROM orders ORDER BY o_custkey, o_orderkey"""
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "a45_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+           UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                    FROM lineitem WHERE l_orderkey < 200)
+           ON l_quantity, l_discount, l_tax INTO NAME measure VALUE val)
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    // Map semantics replayed as scalar conditionals: kept = filter(v >
+    // 100000) over {base: price, disc: price*0.9}; keys sorted.
+    "a46_map_funcs" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 AND o_totalprice * 0.9 > 100000 THEN 'base,disc'
+                WHEN o_totalprice > 100000 THEN 'base'
+                WHEN o_totalprice * 0.9 > 100000 THEN 'disc'
+                ELSE '' END AS kept_keys,
+           o_totalprice / 100 AS base_h,
+           o_totalprice * 0.9 / 100 AS disc_h,
+           CAST(2 AS INTEGER) AS m_size
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
+    "a47_range_join" ->
+      """SELECT b.bucket_id, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders o
+         JOIN (VALUES (1, 0.0, 50000.0), (2, 50000.0, 150000.0),
+                      (3, 150000.0, 300000.0), (4, 300000.0, 1000000000.0))
+              AS b(bucket_id, lo, hi)
+           ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+         GROUP BY b.bucket_id ORDER BY b.bucket_id""",
+    "a48_posexplode" ->
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos, word FROM (
+           SELECT doc_id,
+             unnest(range(0, len(ws))) AS pos,
+             unnest(ws) AS word
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE doc_id < 300))
+         WHERE pos < 5 ORDER BY doc_id, pos""",
+    "a49_filter_agg" ->
+      """SELECT o_orderstatus AS status,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_pos,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+         FROM orders GROUP BY 1 ORDER BY status""",
+    "a50_regexp_battery" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER) AS n_vowelruns,
+           regexp_extract(text, '(^| )(s[a-z]+)', 2) AS first_sword,
+           CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS len_novowels,
+           substr(regexp_replace(text, '[aeiou]', '#', 'g'), 1, 40) AS masked40
+         FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
   )
 }

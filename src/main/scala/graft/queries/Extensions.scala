@@ -405,7 +405,46 @@ object Extensions {
         .select("d1", "d2")
       Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Edit-distance fuzzy dedup: (prefix, length-band) blocking, then
+    // levenshtein verify on the candidates only.
+    "x37_fuzzy_dedup" -> ((s, dir) =>
+      Dedup.fuzzyPairs(T.documents(s, dir), "text", "doc_id")
+        .orderBy("d1", "d2")),
+
+    // Passage-level exact dedup: global first-occurrence election per
+    // 10-token passage, docs rebuilt from surviving passages.
+    "x38_passage_dedup" -> ((s, dir) =>
+      Dedup.passageDedup(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // Canonical normalization pass (scan-side, codegen'd).
+    "x39_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(T.documents(s, dir), "text")
+        .select("doc_id", "norm_md5", "n_chars_norm", "norm_head")
+        .orderBy("doc_id")),
+
+    // Gopher-style composite quality filter with labelled reasons.
+    "x40_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(T.documents(s, dir), "text")
+        .select("doc_id", "n_words", "mean_word_len", "top_share",
+          "fail_reasons", "keep")
+        .orderBy("doc_id")),
+
+    // Survivorship: best doc per normalized-fingerprint cluster
+    // (longest raw text wins, ties → smallest id).
+    "x41_cluster_best" -> ((s, dir) =>
+      Dedup.keepBestPerCluster(
+          TextAnalysis.fingerprints(T.documents(s, dir), "text")
+            .select(col("fp_md5"), col("doc_id"), col("n_chars")),
+          "fp_md5", "doc_id", "n_chars")
+        .orderBy("cluster")),
+
+    // Corpus-familiarity score from a self-trained char-trigram model.
+    "x42_trigram_model" -> ((s, dir) =>
+      TextAnalysis.trigramFamiliarity(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"))
   )
 
   /** The exact all-pairs n-gram Jaccard join in DuckDB SQL. Shared by
@@ -1107,6 +1146,97 @@ object Extensions {
          SELECT d.doc_id,
            coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id), d.doc_id),
                     d.doc_id) AS canonical_id
-         FROM documents d ORDER BY d.doc_id"""
+         FROM documents d ORDER BY d.doc_id""",
+    // Blocking on prefix + |len diff| ≤ band is equivalent to the
+    // engine's (prefix, length-bucket ±1) join: |len₁−len₂| ≤ band
+    // implies bucket distance ≤ 1, so the same pairs meet.
+    "x37_fuzzy_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+                    substr(text, 1, 24) AS pfx FROM documents)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+         FROM d a JOIN d b
+           ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+          AND abs(a.len - b.len) <= 24
+         WHERE levenshtein(a.text, b.text) <= 20
+         ORDER BY d1, d2""",
+    "x38_passage_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(ws) AS tok, unnest(range(0, len(ws))) AS p
+           FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+                 FROM documents)),
+         ps AS (SELECT doc_id, CAST(p // 10 AS INTEGER) AS pid,
+                  string_agg(tok, ' ' ORDER BY p) AS passage
+                FROM t GROUP BY 1, 2),
+         r AS (SELECT doc_id, pid, passage,
+                 row_number() OVER (PARTITION BY passage ORDER BY doc_id, pid) AS rn
+               FROM ps),
+         kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                    string_agg(passage, ' ' ORDER BY pid) AS dt
+                  FROM r WHERE rn = 1 GROUP BY 1),
+         np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pass FROM ps GROUP BY 1)
+         SELECT np.doc_id, np.n_pass,
+           CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(kept.dt, '')) AS dedup_sig
+         FROM np LEFT JOIN kept USING (doc_id)
+         ORDER BY np.doc_id""",
+    "x39_normalize" ->
+      """SELECT doc_id,
+           md5(n) AS norm_md5,
+           CAST(length(n) AS INTEGER) AS n_chars_norm,
+           substr(n, 1, 40) AS norm_head
+         FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                      ' +', ' ', 'g')) AS n
+               FROM documents)
+         ORDER BY doc_id""",
+    "x40_gopher_quality" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(lower(text), '\s+') AS ws,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER) AS n_words
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_words AS mean_word_len,
+             CAST(list_max(list_transform(list_distinct(ws),
+               w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / n_words AS top_share
+           FROM m),
+         rs AS (
+           SELECT doc_id, n_words, mean_word_len, top_share,
+             list_filter([
+               CASE WHEN n_words < 20 THEN 'too_short' END,
+               CASE WHEN n_words > 80 THEN 'too_long' END,
+               CASE WHEN mean_word_len < 4.3 THEN 'short_words' END,
+               CASE WHEN mean_word_len > 4.7 THEN 'long_words' END,
+               CASE WHEN top_share > 0.12 THEN 'repetitive' END],
+               x -> x IS NOT NULL) AS reasons
+           FROM s)
+         SELECT doc_id, n_words, mean_word_len, top_share,
+           coalesce(array_to_string(reasons, '|'), '') AS fail_reasons,
+           len(reasons) = 0 AS keep
+         FROM rs ORDER BY doc_id""",
+    "x41_cluster_best" ->
+      """WITH f AS (
+           SELECT doc_id, n_chars,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+         r AS (
+           SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fp) AS cs
+           FROM f)
+         SELECT fp AS cluster, doc_id AS keep_id, CAST(cs AS BIGINT) AS cluster_size
+         FROM r WHERE rn = 1 ORDER BY cluster""",
+    "x42_trigram_model" ->
+      """WITH d AS (SELECT doc_id, substr(lower(text), 1, 128) AS p FROM documents),
+         t AS (SELECT doc_id,
+                 unnest(list_transform(range(1, length(p) - 1), i -> substr(p, i, 3))) AS tri
+               FROM d WHERE length(p) >= 3),
+         f AS (SELECT tri, count(*) AS freq FROM t GROUP BY tri)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(sum(freq) AS BIGINT) AS sum_freq,
+           CAST(sum(freq) AS DOUBLE) / count(*) AS avg_tri_freq
+         FROM t JOIN f USING (tri) GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -213,6 +213,78 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s"cartesian in boilerplate plan:\n$s")
   }
 
+  test("a45 unpivot lowers to Expand inside the scan stage — no extra shuffle") {
+    val df = graft.queries.Analytics.queries("a45_unpivot")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("Expand"), s"expected Expand for unpivot:\n$s")
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"unpivot must not hash-shuffle:\n$s")
+  }
+
+  test("a47 range join: tiny bucket dim broadcasts (nested-loop), fact never shuffles") {
+    val df = graft.queries.Analytics.queries("a47_range_join")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop for the inequality join:\n$s")
+    // the only hash exchange is the bucket_id aggregation (O(4) groups)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 1, s"expected one hash exchange, got $hashEx:\n$s")
+  }
+
+  test("a48 posexplode: generator runs scan-side — no shuffle before Generate") {
+    val df = graft.queries.Analytics.queries("a48_posexplode")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("Generate"), s"expected Generate:\n$s")
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"posexplode must not hash-shuffle:\n$s")
+  }
+
+  test("x37 fuzzy dedup: candidates come from an equi-join on the block key, never cartesian") {
+    val df = graft.queries.Extensions.queries("x37_fuzzy_dedup")(spark, sf)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy dedup must block, not cross-join:\n$s")
+  }
+
+  test("x38 passage dedup: first-occurrence election is a partial aggregate, not a window") {
+    val df = graft.queries.Extensions.queries("x38_passage_dedup")(spark, sf)
+    val s = planString(df)
+    // min(struct(doc,pid)) must aggregate map-side; a Window here would
+    // sort every copy of a hot passage in one partition
+    assert(!s.contains("Window"), s"election must not use a window:\n$s")
+    assert("HashAggregate".r.findAllIn(s).nonEmpty)
+  }
+
+  test("x39 normalize is a single scan-stage projection — no shuffle, no join") {
+    val df = graft.queries.Extensions.queries("x39_normalize")(spark, sf)
+    val s = planString(df)
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"normalize must not shuffle:\n$s")
+    assert(!s.contains("Join"), s"normalize must not join:\n$s")
+  }
+
+  test("x40 gopher quality is a single scan-stage projection — no shuffle, no join") {
+    val df = graft.queries.Extensions.queries("x40_gopher_quality")(spark, sf)
+    val s = planString(df)
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"quality filter must not shuffle:\n$s")
+    assert(!s.contains("Join"), s"quality filter must not join:\n$s")
+  }
+
+  test("x41 survivorship: one partial-aggregatable shuffle, no window") {
+    val df = graft.queries.Extensions.queries("x41_cluster_best")(spark, sf)
+    val s = planString(df)
+    assert(!s.contains("Window"), s"survivorship must not use a window:\n$s")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 1, s"expected one hash exchange, got $hashEx:\n$s")
+  }
+
+  test("x42 trigram model: vocabulary-sized frequency table broadcasts back") {
+    val df = graft.queries.Extensions.queries("x42_trigram_model")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast freq join:\n$s")
+  }
+
   test("merge rule: different sources are left alone") {
     GraftExtensions.install(spark)
     val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))
