@@ -19,14 +19,21 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // dev knob for perf experiments (Bench/Verify keep Spark defaults)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // Three timed passes (mirrors Bench): pass 1 shows cold/materialize
+    // cost, passes 2-3 the warm path over any persisted intermediates.
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[explain] $name pass$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -128,9 +128,12 @@ object Dedup {
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
                     idCol: String, n: Int = 3, minOverlap: Int = 1): DataFrame = {
     val corpusSh = shingleFlat(corpus, textCol, idCol, n)
+    // left_semi: membership only — duplicate eval shingles can't fan out
+    // corpus rows, so the eval side needs no distinct exchange (the
+    // broadcast hash relation de-duplicates for free).
     val evalSh = shingles(evalSet, textCol, idCol, n)
-      .select(explode(col("shingles")).as("s")).distinct()
-    corpusSh.join(broadcast(evalSh), Seq("s"))
+      .select(explode(col("shingles")).as("s"))
+    corpusSh.join(broadcast(evalSh), Seq("s"), "left_semi")
       .groupBy("doc_id", "sz")
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
@@ -277,11 +280,15 @@ object Dedup {
   }
 
   def simhashCandidates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Persisted: the banded fingerprint table feeds BOTH sides of the
+    // self-join — without it the interpreted SimHash64 pass over the
+    // corpus runs twice per action.
     val fp = simhash(docs, textCol, idCol)
       .withColumn("bands", array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16)
           .bitwiseAND(lit(0xffffL)).as("key"))): _*))
       .select(col("doc_id"), col("simhash"), explode(col("bands")).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = fp.select(col("doc_id").as("d1"), col("simhash").as("sh1"), col("bk"))
     val b = fp.select(col("doc_id").as("d2"), col("simhash").as("sh2"), col("bk"))
     a.join(b, Seq("bk")).filter(col("d1") < col("d2"))

@@ -334,15 +334,21 @@ object TextAnalysis {
     */
   def trigramFamiliarity(docs: DataFrame, textCol: String, idCol: String,
                          prefixChars: Int = 128): DataFrame = {
-    val tri = docs
+    // Per-doc trigram COUNTS first: one explode feeds both the corpus
+    // frequency table (sum of counts) and the per-doc score (weighted
+    // by counts) — the occurrence table is never materialized twice,
+    // and the join carries distinct (doc, tri) rows, not occurrences.
+    val triCounts = docs
       .withColumn("p", substring(lower(col(textCol)), 1, prefixChars))
       .filter(length(col("p")) >= 3)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")).as("tri"))
-    val freq = tri.groupBy("tri").agg(count(lit(1)).as("freq"))
-    tri.join(broadcast(freq), Seq("tri"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = triCounts.groupBy("tri").agg(sum(col("c")).as("freq"))
+    triCounts.join(broadcast(freq), Seq("tri"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"), sum(col("freq")).as("sum_freq"))
+      .agg(sum(col("c")).as("n_tri"), sum(col("c") * col("freq")).as("sum_freq"))
       .withColumn("avg_tri_freq", col("sum_freq") / col("n_tri"))
   }
 }
