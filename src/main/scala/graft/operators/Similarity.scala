@@ -267,4 +267,53 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(Exact.round6(sum(q) / count(lit(1))).as("centroid_val"))
   }
+
+  /** Product quantization: split each vector into `m` contiguous
+    * subvectors and assign every subvector to its nearest codeword
+    * (L2², ties → smaller code id) from a per-subspace codebook —
+    * the memory-compression half of large-scale ANN (a 64-dim float
+    * vector becomes m small code ids; distances are later approximated
+    * from code-to-query lookup tables).
+    *
+    * The codebook is the hash-min deterministic sample used by
+    * [[ivfTopKSampled]] (k-means fit is not SQL-expressible; sampled
+    * codewords make the oracle replayable bit-for-bit). Subvectors are
+    * cast to double BEFORE any arithmetic so both engines run identical
+    * IEEE ops in index order; distances are floor-rounded to 1e-6
+    * before the argmin so rankings can't straddle a final-ulp split.
+    *
+    * 100 TB: codebook is m·ks tiny rows broadcast everywhere; encoding
+    * is one scan + per-row work (the explode is m× metadata, the join
+    * broadcast) — no shuffle until the caller aggregates codes. Output
+    * long format: (vec_id, sub, code, qerr).
+    */
+  def productQuantize(emb: DataFrame, vecCol: String, idCol: String,
+                      m: Int = 4, ks: Int = 8): DataFrame = {
+    val subIdx = explode(array((0 until m).map(lit(_)): _*))
+    val sub = emb
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id"), subIdx.as("sub"), col("v"))
+      .withColumn("w", (size(col("v")) / m).cast("int"))
+      .withColumn("sv", slice(col("v"), col("sub") * col("w") + 1, col("w")))
+      .select("vec_id", "sub", "sv")
+    val cw = emb
+      .withColumn("hu", hash(col(idCol)).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .orderBy(col("hu"), col(idCol))
+      .limit(ks)
+      .select(col(idCol).as("code"), col(vecCol).cast("array<double>").as("cv"))
+      .select(col("code"), subIdx.as("sub"), col("cv"))
+      .withColumn("w", (size(col("cv")) / m).cast("int"))
+      .withColumn("csv", slice(col("cv"), col("sub") * col("w") + 1, col("w")))
+      .select("sub", "code", "csv")
+    val d2 = aggregate(
+      zip_with(col("sv"), col("csv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val wMin = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2r"), col("code"))
+    sub.join(broadcast(cw), Seq("sub"))
+      .withColumn("d2r", Exact.round6(d2))
+      .withColumn("rk", row_number().over(wMin))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("d2r").as("qerr"))
+  }
 }

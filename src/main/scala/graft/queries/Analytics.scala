@@ -654,7 +654,35 @@ object Analytics {
           regexp_extract(col("text"), "(^| )(s[a-z]+)", 2).as("first_sword"),
           length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels"),
           substring(regexp_replace(col("text"), "[aeiou]", "#"), 1, 40).as("masked40"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Outer generator: explode_outer keeps rows whose array is empty
+    // (NULL element) — the LEFT-JOIN-shaped lateral view. The "wi"
+    // prefix filter leaves most docs with an empty match list, so the
+    // outer semantics are actually exercised.
+    "a51_explode_outer" -> ((s, dir) =>
+      T.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .withColumn("hits", filter(split(col("text"), " "), w => w.startsWith("wi")))
+        .select(col("doc_id"), explode_outer(col("hits")).as("hit"))
+        .orderBy("doc_id", "hit")),
+
+    // IGNORE NULLS analytic windows: previous / most-recent non-null
+    // value of a sparse column — the gap-filling (LOCF) primitive.
+    "a52_window_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T.orders(s, dir)
+        .withColumn("f_price",
+          when(col("o_orderstatus") === "F", col("o_totalprice")))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("f_price"), 1, null, ignoreNulls = true).over(w).as("prev_f_price"),
+          last(col("f_price"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("latest_f_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
   )
 
   /** Shared Spark/DuckDB SQL: orders that match their priority's maximum
@@ -1112,6 +1140,24 @@ object Analytics {
            regexp_extract(text, '(^| )(s[a-z]+)', 2) AS first_sword,
            CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS len_novowels,
            substr(regexp_replace(text, '[aeiou]', '#', 'g'), 1, 40) AS masked40
-         FROM documents WHERE doc_id < 500 ORDER BY doc_id"""
+         FROM documents WHERE doc_id < 500 ORDER BY doc_id""",
+    // unnest of [NULL] emulates the outer generator for empty lists.
+    "a51_explode_outer" ->
+      """WITH r AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w LIKE 'wi%') AS hits
+           FROM documents WHERE doc_id < 300)
+         SELECT doc_id,
+           unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END) AS hit
+         FROM r ORDER BY doc_id, hit""",
+    "a52_window_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+           lag(f_price, 1 IGNORE NULLS) OVER w AS prev_f_price,
+           last_value(f_price IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_f_price
+         FROM (SELECT *, CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price
+               FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey"""
   )
 }

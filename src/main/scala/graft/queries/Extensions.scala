@@ -444,7 +444,15 @@ object Extensions {
     // Corpus-familiarity score from a self-trained char-trigram model.
     "x42_trigram_model" -> ((s, dir) =>
       TextAnalysis.trigramFamiliarity(T.documents(s, dir), "text", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Product quantization: per-subspace nearest-codeword codes — the
+    // ANN memory-compression step. Oracle: hash-min codebook + rounded
+    // L2² argmin replayed in DuckDB.
+    "x43_product_quantize" -> ((s, dir) =>
+      Similarity.productQuantize(T.embeddings(s, dir), "embedding", "vec_id",
+          m = 4, ks = 8)
+        .orderBy("vec_id", "sub"))
   )
 
   /** The exact all-pairs n-gram Jaccard join in DuckDB SQL. Shared by
@@ -585,6 +593,43 @@ object Extensions {
              ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
          FROM scored)
        WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** x43's oracle: product quantization replayed — the same murmur3
+    * hash-min codebook sample as x17's, then per-subspace rounded-L2²
+    * argmin over double-cast slices (identical IEEE ops in index order
+    * on both engines).
+    */
+  private lazy val pqSql: String = {
+    val (m, ks) = (4, 8)
+    val w = 16 // 64-dim embeddings / 4 subspaces
+    val (hashCtes, huCte) = Murmur3Sql.hashLongCtes("cw0", Seq("code", "cv"), "pq")
+    val d2 =
+      s"""floor(list_sum(list_transform(range(1, len(s.sv)+1),
+           i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) * 1000000 + 0.5) / 1000000"""
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       subs AS (SELECT unnest(range(0, $m)) AS sub),
+       sub AS (SELECT vec_id, subs.sub,
+                 v[subs.sub * $w + 1 : subs.sub * $w + $w] AS sv
+               FROM base, subs),
+       cw0 AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv,
+                 vec_id AS v FROM embeddings),
+       $hashCtes
+       cwk AS (SELECT code, cv FROM (
+                SELECT code, cv, row_number() OVER (ORDER BY hu, code) AS rn
+                FROM $huCte)
+              WHERE rn <= $ks),
+       cw AS (SELECT code, subs.sub,
+                cv[subs.sub * $w + 1 : subs.sub * $w + $w] AS csv
+              FROM cwk, subs),
+       scored AS (SELECT s.vec_id, s.sub, c.code, $d2 AS d2r
+                  FROM sub s JOIN cw c USING (sub)),
+       best AS (SELECT vec_id, sub, code, d2r,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY d2r, code) AS rk
+                FROM scored)
+       SELECT vec_id, CAST(sub AS INTEGER) AS sub, code, d2r AS qerr
+       FROM best WHERE rk = 1 ORDER BY vec_id, sub"""
   }
 
   /** x06's oracle: the seeded-sign projection LSH replayed in DuckDB.
@@ -1075,6 +1120,7 @@ object Extensions {
          GROUP BY token ORDER BY df DESC, token LIMIT 50""",
     "x06_ann_lsh" -> srpLshSql,
     "x17_ann_ivf" -> ivfSampledSql,
+    "x43_product_quantize" -> pqSql,
     "x23_chunk" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
              FROM documents),

@@ -43,6 +43,14 @@ object StreamingQ {
       EventStreams.windowQuantiles(T.events(s, dir), "1 hour", grid = 5.0)
         .orderBy("w_start", "event_type")),
 
+    // Custom keyed-state sessionization (flatMapGroupsWithState): gap
+    // rule + per-session sequence numbers — state logic session_window
+    // can't express. Batch ≡ the a39 window formulation, certified here.
+    "st08_stateful_sessions" -> ((s, dir) =>
+      EventStreams.statefulSessionize(T.events(s, dir), gapMinutes = 30)
+        .toDF()
+        .orderBy("user_id", "session_seq")),
+
     // Stream-stream interval join (click → purchase by the same user
     // within 30 minutes); batch ≡ range-condition join, certified here.
     "st06_stream_join" -> ((s, dir) => {
@@ -56,6 +64,22 @@ object StreamingQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "st08_stateful_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         f AS (SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               FROM f)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "st06_stream_join" ->
       """SELECT a.user_id, a.event_id AS src_id, b.event_id AS dst_id,
            CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_seconds

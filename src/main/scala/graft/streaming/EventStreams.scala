@@ -185,4 +185,65 @@ object EventStreams {
         min(when(col("cum") >= ceil(col("n") * 0.5), col("bucket"))).as("p50_bucket"),
         min(when(col("cum") >= ceil(col("n") * 0.9), col("bucket"))).as("p90_bucket"))
   }
+
+  /** Gap-based sessionization with CUSTOM keyed state — the
+    * flatMapGroupsWithState counterpart of [[sessionize]]/a39 for
+    * session logic the built-in `session_window` can't express
+    * (per-session sequence numbers here; arbitrary per-event state
+    * machines in general).
+    *
+    * State per user: the one OPEN session (seq, start, end, count).
+    * Each invocation sorts its micro-batch by (ts, event_id), extends
+    * or closes the open session on the `gapMinutes` rule, emits every
+    * session it closed plus the current view of the open one (Update
+    * semantics: the open session re-emits as it grows; readers take
+    * the latest row per (user, seq)). In batch each key is invoked
+    * exactly once, so the output is every session once — which the
+    * driver's a39-shaped SQL oracle certifies.
+    *
+    * Streaming assumes batches arrive watermark-ordered per key (an
+    * event older than the open session's end would belong to a closed
+    * session); pair with a watermark ≥ the session gap.
+    *
+    * 100 TB: state is O(1) per user (one open session), shuffle keyed
+    * on user_id; the in-memory sort is per (user, micro-batch), bounded
+    * by per-user batch activity — the built-in session_window (st03)
+    * remains the no-custom-state scale path.
+    */
+  final case class OpenSession(seq: Long, start: Timestamp,
+                               end: Timestamp, n: Long)
+  final case class Session(user_id: Long, session_seq: Long, n_events: Long,
+                           session_start: Timestamp, session_end: Timestamp)
+
+  def statefulSessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Timestamp)],
+         state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          sorted.foreach { case (_, _, ts) =>
+            open match {
+              case Some(o) if ts.getTime <= o.end.getTime + gapMs =>
+                open = Some(o.copy(end = ts, n = o.n + 1))
+              case Some(o) =>
+                out += Session(user, o.seq, o.n, o.start, o.end)
+                open = Some(OpenSession(o.seq + 1, ts, ts, 1L))
+              case None =>
+                open = Some(OpenSession(1L, ts, ts, 1L))
+            }
+          }
+          open.foreach { o =>
+            state.update(o)
+            out += Session(user, o.seq, o.n, o.start, o.end)
+          }
+          out.iterator
+      }
+  }
 }

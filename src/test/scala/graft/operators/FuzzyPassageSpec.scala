@@ -105,6 +105,36 @@ class FuzzyPassageSpec extends SparkTestBase {
     assert(out(3)._1.contains("short_words") && !out(3)._2)
   }
 
+  test("productQuantize: when every vector is a codeword, each encodes as itself with zero error") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 2f, 0f, 0f, 0f)),
+      (1L, Array(0f, 3f, 0f, 0f, 0f, 4f, 0f, 0f)),
+      (2L, Array(0f, 0f, 5f, 0f, 0f, 0f, 6f, 0f)))
+      .toDF("vec_id", "embedding")
+    // ks >= corpus size → the codebook is the whole corpus
+    val out = Similarity.productQuantize(emb, "embedding", "vec_id", m = 2, ks = 8)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size === 6) // 3 vectors × 2 subspaces
+    out.foreach { case ((vid, _), (code, qerr)) =>
+      assert(code === vid && qerr === 0.0)
+    }
+  }
+
+  test("productQuantize: distinct subvectors map to the nearest codeword") {
+    val emb = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)),
+      (1L, Array(0f, 10f, 0f, 0f)),
+      (2L, Array(9f, 1f, 0f, 1f)))  // sub0 nearer 0's, sub1 could tie → code order
+      .toDF("vec_id", "embedding")
+    val out = Similarity.productQuantize(emb, "embedding", "vec_id", m = 2, ks = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // codebook = hash-min 2 of {0,1,2}; whatever the sample, vector 2's
+    // first subvector [9,1] must pick the codeword closest to it
+    val cb = out.values.toSet
+    assert(cb.size <= 2)
+    assert(out.contains((2L, 0)) && out.contains((2L, 1)))
+  }
+
   test("trigramFamiliarity: shared trigrams score above unique ones") {
     val docs = Seq(
       (0L, "ababab"),

@@ -285,6 +285,13 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("BroadcastHashJoin"), s"expected broadcast freq join:\n$s")
   }
 
+  test("x43 product quantize: codebook broadcasts; encoding never cartesian-joins") {
+    val df = graft.queries.Extensions.queries("x43_product_quantize")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast codebook join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in PQ plan:\n$s")
+  }
+
   test("merge rule: different sources are left alone") {
     GraftExtensions.install(spark)
     val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))

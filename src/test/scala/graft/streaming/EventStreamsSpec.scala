@@ -237,4 +237,42 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed === batch)
     assert(batch.map(r => (r.getLong(1), r.getLong(2))) === Seq((1L, 10L), (2L, 11L)))
   }
+
+  test("stateful sessionize: custom session state carries across micro-batches, batch ≡ stream") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),
+      EvJ(2L, t("2024-01-01 00:10:00"), 1L, "click"),  // same session (10m gap)
+      EvJ(3L, t("2024-01-01 00:05:00"), 2L, "view"),
+      // batch 2:
+      EvJ(4L, t("2024-01-01 00:25:00"), 1L, "click"),  // extends session 1 (15m gap)
+      EvJ(5L, t("2024-01-01 02:00:00"), 1L, "click"),  // >30m → session 2
+      EvJ(6L, t("2024-01-01 01:00:00"), 2L, "view"))   // >30m → session 2
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulSessionize(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_state_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(3))
+      q.processAllAvailable()
+      input.addData(evs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode re-emits the open session as it grows: the latest row
+    // per (user, seq) — arg-max by n_events — is the final session.
+    val streamed = spark.table("sess_state_out")
+      .groupBy("user_id", "session_seq")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct($"n_events", $"session_start", $"session_end"),
+        $"n_events").as("s"))
+      .select($"user_id", $"session_seq", $"s.n_events", $"s.session_start", $"s.session_end")
+      .orderBy("user_id", "session_seq").collect().toSeq
+    val batch = EventStreams.statefulSessionize(evs.toDF(), gapMinutes = 30)
+      .toDF().orderBy("user_id", "session_seq").collect().toSeq
+    assert(streamed === batch)
+    // user 1: [00:00–00:25]×3 then [02:00]; user 2: [00:05] then [01:00]
+    assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      Seq((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L), (2L, 2L, 1L)))
+  }
 }
