@@ -682,6 +682,40 @@ object Analytics {
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("latest_f_price"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Timestamp battery: epoch seconds, time parts, constructor,
+    // second-truncation roundtrip. Scan-side projections.
+    "a53_timestamp_funcs" -> ((s, dir) =>
+      T.events(s, dir)
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"),
+          make_date(year(col("ts")), month(col("ts")), dayofmonth(col("ts"))).as("d"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("ts_sec"))
+        .orderBy("event_id")),
+
+    // Array set-operation battery: union / intersect / except /
+    // position / overlap. Results sorted + joined so bag order can't
+    // leak into the compare.
+    "a54_array_setops" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val w1 = slice(ws, 1, 8)
+      val w2 = slice(ws, 5, 8)
+      T.documents(s, dir)
+        .filter(col("doc_id") < 500 && size(ws) >= 12)
+        .select(
+          col("doc_id"),
+          array_join(array_sort(array_union(w1, w2)), "|").as("u"),
+          array_join(array_sort(array_intersect(w1, w2)), "|").as("i"),
+          array_join(array_sort(array_except(w1, w2)), "|").as("e"),
+          array_position(w1, element_at(w2, 1)).as("pos1"),
+          arrays_overlap(w1, w2).as("ovl"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1158,6 +1192,34 @@ object Analytics {
          FROM (SELECT *, CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price
                FROM orders)
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         ORDER BY o_custkey, o_orderkey"""
+         ORDER BY o_custkey, o_orderkey""",
+    // epoch() is fractional in DuckDB — floor to match Spark's
+    // second-truncating unix_timestamp (event ts all carry micros).
+    "a53_timestamp_funcs" ->
+      """SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           CAST(date_part('hour', ts) AS INTEGER) AS h,
+           CAST(date_part('minute', ts) AS INTEGER) AS mi,
+           CAST(date_part('second', ts) AS INTEGER) AS sec,
+           make_date(CAST(date_part('year', ts) AS INTEGER),
+                     CAST(date_part('month', ts) AS INTEGER),
+                     CAST(date_part('day', ts) AS INTEGER)) AS d,
+           CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP) AS ts_sec
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "a54_array_setops" ->
+      """WITH t AS (
+           SELECT doc_id,
+             string_split(text, ' ')[1:8] AS w1,
+             string_split(text, ' ')[5:12] AS w2
+           FROM documents
+           WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 12)
+         SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_distinct(list_concat(w1, w2))), '|'), '') AS u,
+           coalesce(array_to_string(list_sort(list_intersect(w1, w2)), '|'), '') AS i,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(w1, x -> NOT list_contains(w2, x)))), '|'), '') AS e,
+           CAST(list_position(w1, w2[1]) AS BIGINT) AS pos1,
+           list_has_any(w1, w2) AS ovl
+         FROM t ORDER BY doc_id"""
   )
 }

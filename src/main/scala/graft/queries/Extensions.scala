@@ -452,7 +452,37 @@ object Extensions {
     "x43_product_quantize" -> ((s, dir) =>
       Similarity.productQuantize(T.embeddings(s, dir), "embedding", "vec_id",
           m = 4, ks = 8)
-        .orderBy("vec_id", "sub"))
+        .orderBy("vec_id", "sub")),
+
+    // Corpus duplication report: histogram of near-dup cluster sizes —
+    // the number the pipeline owner actually reads ("how duplicated is
+    // this crawl?"). Clusters from the banded scale path + connected
+    // components; two partial-aggregatable shuffles on top.
+    "x44_cluster_sizes" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+        .select("d1", "d2")
+      Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs)
+        .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+    // Temporal event dedup: first event per (user, type, 5-minute
+    // bucket) — the batch analog of watermarked streaming dedup.
+    // min(struct) election: one partial-aggregatable shuffle, no
+    // window over hot keys.
+    "x45_event_dedup_window" -> ((s, dir) =>
+      T.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          window(col("ts"), "5 minutes").getField("start").as("w_start"),
+          col("ts"), col("event_id"))
+        .groupBy("user_id", "event_type", "w_start")
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+        .select(col("user_id"), col("event_type"), col("w_start"),
+          col("f.ts").as("ts"), col("f.event_id").as("event_id"))
+        .orderBy("user_id", "event_type", "w_start"))
   )
 
   /** The exact all-pairs n-gram Jaccard join in DuckDB SQL. Shared by
@@ -1121,6 +1151,44 @@ object Extensions {
     "x06_ann_lsh" -> srpLshSql,
     "x17_ann_ivf" -> ivfSampledSql,
     "x43_product_quantize" -> pqSql,
+    // x14's closure machinery + two aggregations: component sizes, then
+    // the size histogram.
+    "x44_cluster_sizes" ->
+      s"""WITH RECURSIVE w AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT d1, d2 FROM (
+             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i
+           JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+           WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2),
+         $closureCtes,
+         canon AS (
+           SELECT d.doc_id,
+             coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id), d.doc_id),
+                      d.doc_id) AS canonical_id
+           FROM documents d),
+         cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM canon GROUP BY 1)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM cs GROUP BY 1 ORDER BY cluster_size""",
+    "x45_event_dedup_window" ->
+      """WITH b AS (
+           SELECT user_id, event_type,
+             CAST(time_bucket(INTERVAL 5 MINUTE, ts) AS TIMESTAMP) AS w_start,
+             CAST(ts AS TIMESTAMP) AS ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, time_bucket(INTERVAL 5 MINUTE, ts)
+               ORDER BY ts, event_id) AS rn
+           FROM events)
+         SELECT user_id, event_type, w_start, ts, event_id
+         FROM b WHERE rn = 1
+         ORDER BY user_id, event_type, w_start""",
     "x23_chunk" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
              FROM documents),
