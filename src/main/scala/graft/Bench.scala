@@ -42,29 +42,37 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadStart = loadAvg()
-    // Four timed runs per query, BACK-TO-BACK (not pass-wise): run 1
-    // materializes any persisted intermediates, runs 2-4 then time the
-    // warm path immediately — before another query's work can evict
-    // caches or dirty the young generation. min-of-4 because this
-    // host's co-tenant bursts last long enough to pollute several
-    // consecutive runs (observed: load 2→12 mid-run inflating every
-    // query ~20%). Disclosed via "passes"; per-run maps + load
-    // averages in BENCH_DETAIL.json make polluted runs visible.
-    val nRuns = 4
-    val perQuery: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to nRuns).map { _ =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              false
-            }
-          // failed queries report -1 so the JSON consumer can detect them
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    // Two BLOCKS of two BACK-TO-BACK runs per query (min over all 4).
+    // Within a pair, run 1 materializes persisted intermediates and run
+    // 2 times the warm path immediately — before another query's work
+    // can evict caches or dirty the young generation (pass-wise timing
+    // never saw a truly warm run; measured −15%). The two pairs are
+    // separated by a full sweep over every other query because this
+    // host's co-tenant bursts last minutes: consecutive-only runs let
+    // one burst pollute ALL of a query's samples, two separated pairs
+    // give each query two independent chances at a quiet window.
+    // Disclosed via "passes"; per-run maps + load averages in
+    // BENCH_DETAIL.json make polluted runs visible.
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
         }
-        name -> times
+      // failed queries report -1 so the JSON consumer can detect them
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    def block(): Seq[(String, Seq[Double])] =
+      sorted.map { case (name, fn) => name -> Seq(timeOne(name, fn), timeOne(name, fn)) }
+    val blocks = Seq(block(), block())
+    val perQuery: Seq[(String, Seq[Double])] =
+      sorted.map { case (name, _) =>
+        name -> blocks.flatMap(_.toMap.apply(name))
       }
+    val nRuns = perQuery.head._2.size
     val passes: Seq[Map[String, Double]] =
       (0 until nRuns).map(i => perQuery.map { case (n, ts) => n -> ts(i) }.toMap)
     val results = passes.head.keys.toSeq.sorted.map { k =>

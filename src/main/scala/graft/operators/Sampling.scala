@@ -72,4 +72,35 @@ object Sampling {
               col("target_n") * lit(buckets.toLong))
       .withColumn("weight", col("target_n").cast("double") / col("n_stratum"))
   }
+
+  /** Deterministic negative sampling for contrastive training: each
+    * item draws `k` pseudo-random partners by hashing (id·k + i) into
+    * the id space — a pure function of the id, so the pairing is
+    * reproducible across runs, partitionings, and engines (no RNG
+    * stream). Self-draws are dropped; `true_negative` flags whether
+    * the partner's label actually differs (callers filter or re-draw
+    * on it).
+    *
+    * 100 TB: the corpus-count aggregate is one tiny broadcast; the
+    * k-way expansion is scan-side metadata; the only real shuffle is
+    * the partner equi-join, keyed on the hash-uniform neg_id — no
+    * skew, no cartesian.
+    */
+  def negativeSamples(items: DataFrame, idCol: String, labelCol: String,
+                      k: Int = 4): DataFrame = {
+    val n = broadcast(items.agg(count(lit(1)).as("n")))
+    val cand = items.select(col(idCol).as("vec_id"), col(labelCol).as("label"))
+      .crossJoin(n)
+      .select(col("vec_id"), col("label"), col("n"),
+        explode(array((0 until k).map(lit(_)): _*)).as("i"))
+      .withColumn("neg_id",
+        hash(col("vec_id") * k + col("i")).cast("bigint")
+          .bitwiseAND(lit(4294967295L)) % col("n"))
+      .filter(col("neg_id") =!= col("vec_id"))
+    cand
+      .join(items.select(col(idCol).as("neg_id"), col(labelCol).as("neg_label")),
+        Seq("neg_id"))
+      .select(col("vec_id"), col("i"), col("neg_id"), col("label"), col("neg_label"))
+      .withColumn("true_negative", col("label") =!= col("neg_label"))
+  }
 }

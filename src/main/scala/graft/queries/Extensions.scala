@@ -469,6 +469,13 @@ object Extensions {
         .orderBy("cluster_size")
     }),
 
+    // Deterministic negative sampling for contrastive training: k
+    // hash-drawn partners per vector, self-draws dropped, label
+    // mismatch flagged. Oracle: murmur3 hashLong replay.
+    "x46_negative_samples" -> ((s, dir) =>
+      Sampling.negativeSamples(T.embeddings(s, dir), "vec_id", "label", k = 4)
+        .orderBy("vec_id", "i")),
+
     // Temporal event dedup: first event per (user, type, 5-minute
     // bucket) — the batch analog of watermarked streaming dedup.
     // min(struct) election: one partial-aggregatable shuffle, no
@@ -660,6 +667,25 @@ object Extensions {
                 FROM scored)
        SELECT vec_id, CAST(sub AS INTEGER) AS sub, code, d2r AS qerr
        FROM best WHERE rk = 1 ORDER BY vec_id, sub"""
+  }
+
+  /** x46's oracle: the murmur3 draw hu(vec_id·4+i) mod n replayed, then
+    * the same self-draw filter and partner join.
+    */
+  private lazy val negSampleSql: String = {
+    val (ctes, hc) = Murmur3Sql.hashLongCtes("ngsrc", Seq("vec_id", "label", "i"), "ng")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       ngsrc AS (SELECT vec_id, label, ii.i AS i, vec_id * 4 + ii.i AS v
+                 FROM embeddings, (SELECT unnest(range(0, 4)) AS i) AS ii),
+       $ctes
+       cand AS (SELECT vec_id, label, i,
+                  CAST(hu % (SELECT n FROM nn) AS BIGINT) AS neg_id
+                FROM $hc)
+       SELECT f.vec_id, CAST(f.i AS INTEGER) AS i, f.neg_id, f.label,
+         e.label AS neg_label, f.label <> e.label AS true_negative
+       FROM (SELECT * FROM cand WHERE neg_id <> vec_id) f
+       JOIN embeddings e ON e.vec_id = f.neg_id
+       ORDER BY f.vec_id, f.i"""
   }
 
   /** x06's oracle: the seeded-sign projection LSH replayed in DuckDB.
@@ -1151,6 +1177,7 @@ object Extensions {
     "x06_ann_lsh" -> srpLshSql,
     "x17_ann_ivf" -> ivfSampledSql,
     "x43_product_quantize" -> pqSql,
+    "x46_negative_samples" -> negSampleSql,
     // x14's closure machinery + two aggregations: component sizes, then
     // the size histogram.
     "x44_cluster_sizes" ->

@@ -135,6 +135,23 @@ class FuzzyPassageSpec extends SparkTestBase {
     assert(out.contains((2L, 0)) && out.contains((2L, 1)))
   }
 
+  test("negativeSamples: deterministic, no self-draws, partner labels joined") {
+    val items = (0L until 20L).map(i => (i, (i % 3).toInt)).toDF("vec_id", "label")
+    val a = Sampling.negativeSamples(items, "vec_id", "label", k = 4)
+      .orderBy("vec_id", "i").collect()
+    val b = Sampling.negativeSamples(items, "vec_id", "label", k = 4)
+      .orderBy("vec_id", "i").collect()
+    assert(a.toSeq === b.toSeq)                       // pure function of ids
+    assert(a.forall(r => r.getLong(0) != r.getLong(2))) // no self-pairs
+    assert(a.length <= 20 * 4 && a.length >= 20 * 4 - 20) // ≤1 self-draw dropped per item expected scale
+    a.foreach { r =>
+      // true_negative consistent with the joined labels
+      assert(r.getBoolean(5) === (r.getInt(3) != r.getInt(4)))
+      // partner label is the partner's actual label
+      assert(r.getInt(4) === (r.getLong(2) % 3).toInt)
+    }
+  }
+
   test("trigramFamiliarity: shared trigrams score above unique ones") {
     val docs = Seq(
       (0L, "ababab"),

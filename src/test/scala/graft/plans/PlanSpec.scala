@@ -292,6 +292,16 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s"cartesian in PQ plan:\n$s")
   }
 
+  test("x46 negative sampling: count broadcasts, partner join is an equi-join") {
+    val df = graft.queries.Extensions.queries("x46_negative_samples")(spark, sf)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s"cartesian in negative-sampling plan:\n$s")
+    // the corpus-count crossJoin must be a broadcast of one row, and the
+    // partner join an equi-join on neg_id
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"expected broadcast count:\n$s")
+  }
+
   test("merge rule: different sources are left alone") {
     GraftExtensions.install(spark)
     val li = T.lineitem(spark, sf).select(col("l_returnflag").as("f"))
