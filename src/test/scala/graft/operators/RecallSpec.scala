@@ -187,4 +187,39 @@ class RecallSpec extends SparkTestBase {
     info(s"bucketed candidates: $cand of $allPairs possible pairs")
     assert(cand < allPairs / 4, s"bucket join is not pruning: $cand of $allPairs")
   }
+
+  test("fuzzy dedup blocking: recall vs the full n² levenshtein truth, and real pruning") {
+    import spark.implicits._
+    // full n² truth at the x37 parameters (500 docs → 125k pairs is
+    // fine in a test; the operator exists precisely to avoid this)
+    val d = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val truth = (for {
+      i <- d.indices; j <- (i + 1) until d.length
+      if math.abs(d(i)._2.length - d(j)._2.length) <= 24
+      if lev(d(i)._2, d(j)._2) <= 20
+    } yield if (d(i)._1 < d(j)._1) (d(i)._1, d(j)._1) else (d(j)._1, d(i)._1)).toSet
+    val got = Dedup.fuzzyPairs(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction (every candidate is verified); the
+    // prefix block can only MISS pairs whose edits touch the prefix —
+    // quantify that recall instead of hoping
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    val recall = recallOf(got, truth)
+    info(s"fuzzy blocking recall: $recall (${got.size}/${truth.size} pairs)")
+    assert(recall >= 0.9, s"prefix blocking recall $recall below floor")
+  }
 }
