@@ -469,6 +469,35 @@ object Extensions {
         .orderBy("cluster_size")
     }),
 
+    // Dataset card: per (lang, quality-keep) doc/token/char volumes —
+    // the rollup a dataset release documents. One partial-aggregatable
+    // shuffle over scan-side quality metrics.
+    "x47_dataset_card" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(T.documents(s, dir), "text")
+        .groupBy(col("lang"), col("keep"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang", "keep")),
+
+    // URL-keyed dedup: keep the first doc per normalized (host, path) —
+    // the crawl-side dedup that runs BEFORE any text is fetched/compared.
+    // min() election on the URL key: one partial-aggregatable shuffle.
+    "x48_url_dedup" -> ((s, dir) =>
+      Urls.urlParts(withUrls(T.documents(s, dir)), "url", "doc_id")
+        .groupBy("host", "path")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("host", "path")),
+
+    // Doc-length histogram per source: power-of-two buckets via
+    // length(bin(x)) — integer-exact in both engines where log2 is a
+    // transcendental 1-ulp trap.
+    "x49_length_histogram" -> ((s, dir) =>
+      T.documents(s, dir)
+        .groupBy(col("source"), length(bin(col("n_chars"))).as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("source", "len_bucket")),
+
     // Deterministic negative sampling for contrastive training: k
     // hash-drawn partners per vector, self-draws dropped, label
     // mismatch flagged. Oracle: murmur3 hashLong replay.
@@ -1178,6 +1207,41 @@ object Extensions {
     "x17_ann_ivf" -> ivfSampledSql,
     "x43_product_quantize" -> pqSql,
     "x46_negative_samples" -> negSampleSql,
+    // keep ⇔ every gopher rule passes (the complement of x40's reasons).
+    "x47_dataset_card" ->
+      """WITH s AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(lower(text), '\s+')) AS mwl,
+             CAST(list_max(list_transform(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+               w -> len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = w)))) AS DOUBLE)
+               / len(regexp_split_to_array(lower(text), '\s+')) AS ts
+           FROM documents),
+         k AS (SELECT lang, n_chars, n_words,
+                (n_words BETWEEN 20 AND 80) AND mwl >= 4.3 AND mwl <= 4.7
+                  AND ts <= 0.12 AS keep
+               FROM s)
+         SELECT lang, keep, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM k GROUP BY 1, 2 ORDER BY lang, keep""",
+    // host/path replayed from the same deterministic construction that
+    // injected the URLs (x35's anchored-regex replay covers parse_url).
+    "x48_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id,
+             'sub' || CAST(doc_id % 5 AS VARCHAR) || '.domain'
+               || CAST(doc_id % 20 AS VARCHAR) || '.com' AS host,
+             '/path' || CAST(doc_id % 7 AS VARCHAR) || '/page' AS path
+           FROM documents)
+         SELECT host, path, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+         FROM u GROUP BY 1, 2 ORDER BY host, path""",
+    "x49_length_histogram" ->
+      """SELECT source, CAST(length(bin(n_chars)) AS INTEGER) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""",
     // x14's closure machinery + two aggregations: component sizes, then
     // the size histogram.
     "x44_cluster_sizes" ->
