@@ -69,6 +69,29 @@ class FuzzyPassageSpec extends SparkTestBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("passageDedup properties: kept ≤ total, kept passages globally unique, distinct corpus is identity") {
+    import org.scalacheck.{Gen, rng}
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.listOfN(25, Gen.choose(0, vocab.size - 1)).map(_.map(vocab).mkString(" "))
+    (1 to 5).foreach { i =>
+      val texts = Gen.listOfN(12, docGen)
+        .pureApply(Gen.Parameters.default, rng.Seed(7L + i))
+      val docs = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.passageDedup(docs, "text", "doc_id").collect()
+      // invariants: every doc reports, kept ≤ total, totals = ceil(25/10)
+      assert(out.length === texts.size)
+      out.foreach(r => assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) === 3L))
+      // global uniqueness: total kept == number of DISTINCT passages in the corpus
+      val distinctPassages = texts.flatMap(_.split(" ").grouped(10).map(_.mkString(" "))).distinct.size
+      assert(out.map(_.getLong(2)).sum === distinctPassages.toLong)
+    }
+    // fully distinct corpus → identity (each doc keeps everything)
+    val uniq = (0 until 8).map(i => (i.toLong,
+      (0 until 20).map(j => s"u${i}w$j").mkString(" "))).toDF("doc_id", "text")
+    val outU = Dedup.passageDedup(uniq, "text", "doc_id").collect()
+    outU.foreach(r => assert(r.getLong(2) === r.getLong(1)))
+  }
+
   test("keepBestPerCluster: max score wins, ties go to smallest id") {
     val rows = Seq(
       ("c1", 10L, 5.0), ("c1", 11L, 9.0), ("c1", 12L, 9.0),

@@ -292,6 +292,21 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s"cartesian in PQ plan:\n$s")
   }
 
+  test("x45/x48 elections and x47/x49 rollups: one partial-aggregatable shuffle, no window, no join beyond plan needs") {
+    for ((name, maxHashEx) <- Seq("x45_event_dedup_window" -> 1,
+                                  "x48_url_dedup" -> 1, "x49_length_histogram" -> 1)) {
+      val s = planString(graft.queries.Extensions.queries(name)(spark, sf))
+      assert(!s.contains("Window"), s"$name must not use a window:\n$s")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+      assert(hashEx <= maxHashEx, s"$name: expected ≤$maxHashEx hash exchange, got $hashEx:\n$s")
+    }
+  }
+
+  test("a53 timestamp battery is a single scan-stage projection") {
+    val s = planString(graft.queries.Analytics.queries("a53_timestamp_funcs")(spark, sf))
+    assert(!s.contains("Exchange hashpartitioning"), s"a53 must not shuffle:\n$s")
+  }
+
   test("x46 negative sampling: count broadcasts, partner join is an equi-join") {
     val df = graft.queries.Extensions.queries("x46_negative_samples")(spark, sf)
     val s = planString(df)
