@@ -302,8 +302,21 @@ object TextAnalysis {
     val ws = tokens(col(textCol))
     val nw = size(ws)
     val mwl = length(regexp_replace(col(textCol), "\\s", "")).cast("double") / nw
-    val topShare = array_max(transform(array_distinct(ws),
-      w => size(filter(ws, x => x === w)))).cast("double") / nw
+    // mode count via run-length over the SORTED array: O(n) lambda steps
+    // per row where the distinct×filter formulation is O(u·n) —
+    // higher-order functions evaluate interpreted, so the constant
+    // matters (measured 1.9 s → sub-second for the x47 rollup at sf0.1).
+    // The value is the same count either way, so oracles are unaffected.
+    val topShare = aggregate(
+      array_sort(ws),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")).cast("double") / nw
     val reasons = filter(array(
       when(nw < minWords, lit("too_short")),
       when(nw > maxWords, lit("too_long")),
