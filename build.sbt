@@ -27,7 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g default: local[32] runs 32 concurrent tasks against cached
-  // intermediates across 113 bench queries × 3 passes — at 8g the GC
+  // intermediates across the full bench suite — at 8g the GC
   // overhead showed up as a uniform ~8% drag on every query.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

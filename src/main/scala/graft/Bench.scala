@@ -79,6 +79,19 @@ object Bench {
       val vs = passes.map(_(k))
       k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
+    // Cold vs warm split: runs 0 and 2 are each pair's FIRST run (they
+    // materialize any persisted intermediates — the cold path); runs 1
+    // and 3 ride the caches (warm). Reported separately so no headline
+    // can silently exclude materialization cost.
+    def minOf(idx: Seq[Int]): Seq[(String, Double)] =
+      perQuery.map { case (n, ts) =>
+        val vs = idx.map(ts)
+        n -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+      }
+    val cold = minOf(Seq(0, 2))
+    val warm = minOf(Seq(1, 3))
+    val coldTotal = cold.map(_._2).filter(_ >= 0).sum
+    val warmTotal = warm.map(_._2).filter(_ >= 0).sum
     def fmt(v: Double): String = "%.3f".format(v)
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -91,7 +104,7 @@ object Bench {
       .map { case (p, i) => s""""queries_pass${i + 1}":${jsonMap(p.toSeq.sortBy(_._1))}""" }
       .mkString(",")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","passes":${passes.size},"timing":"min","load_avg_start":$loadStart,"load_avg_end":$loadEnd,$passJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","passes":${passes.size},"timing":"min","value_cold":${fmt(coldTotal)},"value_warm":${fmt(warmTotal)},"queries_cold":${jsonMap(cold.sortBy(_._1))},"queries_warm":${jsonMap(warm.sortBy(_._1))},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,$passJson}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_DETAIL.json")
     try java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
@@ -100,7 +113,7 @@ object Bench {
     // the most expensive subset (cost-ranked, so hot spots are visible),
     // and the full map's location. Kept well under the 2000-char capture.
     val shown = results.sortBy { case (_, v) => -v }.take(45).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"sf":"$sfDir","n_queries":${results.size},"queries_shown":${shown.size},"passes":${passes.size},"timing":"min","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"sf":"$sfDir","n_queries":${results.size},"queries_shown":${shown.size},"passes":${passes.size},"timing":"min","value_cold":${fmt(coldTotal)},"value_warm":${fmt(warmTotal)},"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

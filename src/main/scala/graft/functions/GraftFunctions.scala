@@ -367,6 +367,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Idempotent per session: operators call register() defensively, so
+    // guard on the last-registered name to avoid the registry's
+    // "replaced a previously registered function" warning on every query.
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("murmur3_seeded"))) {
+      return
+    }
     reg.createOrReplaceTempFunction("cosine_sim",
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",

@@ -198,9 +198,9 @@ object Dedup {
     * single cached copy across queries in the same session.
     */
   def shingleFlat(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    shingles(docs, textCol, idCol, n)
-      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.persistOnce(
+      shingles(docs, textCol, idCol, n)
+        .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("s")))
 
   /** The per-function murmur3 seeds behind [[minhashSignatures]] —
     * exposed so the DuckDB oracle generator (graft.queries.Extensions)
@@ -249,8 +249,8 @@ object Dedup {
                     minEstimate: Double = 0.2, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(docs, textCol, idCol, n, numHashes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.Caches.persistOnce(
+      minhashSignatures(docs, textCol, idCol, n, numHashes, seed))
     val banded = sigs.select(col("doc_id"), explode(
       array((0 until bands).map(b =>
         struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*))
@@ -283,12 +283,11 @@ object Dedup {
     // Persisted: the banded fingerprint table feeds BOTH sides of the
     // self-join — without it the interpreted SimHash64 pass over the
     // corpus runs twice per action.
-    val fp = simhash(docs, textCol, idCol)
+    val fp = graft.Caches.persistOnce(simhash(docs, textCol, idCol)
       .withColumn("bands", array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16)
           .bitwiseAND(lit(0xffffL)).as("key"))): _*))
-      .select(col("doc_id"), col("simhash"), explode(col("bands")).as("bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("simhash"), explode(col("bands")).as("bk")))
     val a = fp.select(col("doc_id").as("d1"), col("simhash").as("sh1"), col("bk"))
     val b = fp.select(col("doc_id").as("d2"), col("simhash").as("sh2"), col("bk"))
     a.join(b, Seq("bk")).filter(col("d1") < col("d2"))
@@ -299,13 +298,11 @@ object Dedup {
   /** Connected-components keep-one: collapse near-dup PAIRS into groups
     * and elect the minimum id as each group's canonical representative.
     *
-    * Iterative min-label propagation to fixpoint: each node's label is
-    * the min over itself and its neighbors' labels; convergence in
-    * O(component diameter) rounds. The fixpoint (per-component min) is
-    * unique, so results are deterministic and SQL-checkable via a
-    * recursive-CTE transitive closure. Each round is one self-join +
-    * aggregate — all shuffles keyed on node id, so it scales like the
-    * classic large-star/small-star map-reduce algorithms.
+    * Distributed path: alternating large-star/small-star contraction to
+    * fixpoint — O(log diameter) rounds, each one groupBy + join keyed on
+    * node id. The fixpoint (a star per component centered at its min id)
+    * is unique, so results are deterministic and SQL-checkable via a
+    * recursive-CTE transitive closure.
     *
     * @param pairs two id columns (d1, d2), e.g. from [[ngramJaccard]].
     * @return (doc_id, canonical_id) for every doc in `docs`; docs in no
@@ -357,39 +354,92 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
     }
 
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Distributed path: alternating large-star/small-star contraction
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    // SoCC'14). Each round rewires edges toward neighborhood minima; the
+    // fixpoint is a star per component centered at its min id, reached in
+    // O(log diameter) rounds — the min-label propagation this replaces
+    // needed O(diameter) rounds (a 50-hop chain: 50 rounds vs ~6).
+    //
+    // Convergence detection is FOLDED into the one action that
+    // materializes each round's edge set: a (count, xxhash64-sum)
+    // signature of the edges. The star fixpoint is stable under both
+    // operators, so signature-unchanged ⟺ converged — no separate
+    // old-vs-new join+count job per round.
+    //
+    // Lineage: every round localCheckpoints its edge set, which
+    // TRUNCATES the logical plan. This is load-bearing, not an
+    // optimization: one star round references the previous edge set ~12
+    // times, and DataFrame plans are trees, so an un-truncated round-k
+    // plan embeds 12^k copies of the base — Catalyst analysis alone
+    // locks up within a handful of rounds (observed: a 50-node chain
+    // hung the analyzer). The checkpoint's eager materialization job is
+    // not extra work — the signature scan below needs the data anyway.
+    // (Local checkpoints trade executor-loss tolerance for speed; on a
+    // flaky cluster swap for reliable checkpoint(), same call shape.)
 
-    var converged = false
+    // large-star: every neighbor v > u re-points to m = min(Γ(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy("src")
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+      nbrs.join(mins, nbrs("src") === mins("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // small-star: orient each edge (hi → lo); every lo-side neighbor
+    // (and hi itself) re-points to m = min of hi's lo-neighborhood.
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = or.groupBy("u").agg(min(col("v")).as("m"))
+      or.join(mins, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // decimal(38,0) sum: a Long sum of uniform 64-bit hashes overflows
+    // almost immediately and ANSI mode (Spark 4 default) would throw.
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var cur = edges
+    var prevSig = signature(cur)
+    var converged = prevSig._1 == 0L // no non-self edges at all
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("label", "dst_label"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("dst_label")).as("neighbor_label"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changes = updated.join(labels.withColumnRenamed("label", "old_label"), Seq("node"))
-        .filter(col("label") =!= col("old_label")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changes == 0
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val sig = signature(next) // cheap: scans the checkpointed blocks
+      if (cur ne edges) cur.unpersist()
+      cur = next
+      converged = sig == prevSig
+      prevSig = sig
       iter += 1
     }
     if (!converged) {
       throw new IllegalStateException(
-        s"connected components did not converge in $maxIterations iterations " +
-          "(component diameter exceeds the bound); raise maxIterations")
+        s"connected components did not converge in $maxIterations rounds; " +
+          "raise maxIterations")
     }
 
-    docs.select(col(idCol).as("doc_id"))
-      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+    // Fixpoint edges ARE the labeling: (node → component min) stars.
+    val labels = cur.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("label"))
+    val out = docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
+    edges.unpersist()
+    out
   }
 
   /** Exact Jaccard verification of CANDIDATE pairs only: each (d1, d2)
@@ -402,8 +452,7 @@ object Dedup {
                     textCol: String, idCol: String,
                     n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // both verification joins consume the shingle sets — materialize once
-    val sets = shingles(docs, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.Caches.persistOnce(shingles(docs, textCol, idCol, n))
     candidates.select("d1", "d2")
       .join(sets.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")

@@ -351,13 +351,12 @@ object TextAnalysis {
     // frequency table (sum of counts) and the per-doc score (weighted
     // by counts) — the occurrence table is never materialized twice,
     // and the join carries distinct (doc, tri) rows, not occurrences.
-    val triCounts = docs
+    val triCounts = graft.Caches.persistOnce(docs
       .withColumn("p", substring(lower(col(textCol)), 1, prefixChars))
       .filter(length(col("p")) >= 3)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")).as("tri"))
-      .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("c")))
     val freq = triCounts.groupBy("tri").agg(sum(col("c")).as("freq"))
     triCounts.join(broadcast(freq), Seq("tri"))
       .groupBy("doc_id")

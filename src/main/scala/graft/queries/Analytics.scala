@@ -1218,7 +1218,7 @@ object Analytics {
            coalesce(array_to_string(list_sort(list_intersect(w1, w2)), '|'), '') AS i,
            coalesce(array_to_string(list_sort(list_distinct(
              list_filter(w1, x -> NOT list_contains(w2, x)))), '|'), '') AS e,
-           CAST(list_position(w1, w2[1]) AS BIGINT) AS pos1,
+           CAST(coalesce(list_position(w1, w2[1]), 0) AS BIGINT) AS pos1,
            list_has_any(w1, w2) AS ovl
          FROM t ORDER BY doc_id"""
   )

@@ -40,6 +40,64 @@ object Extensions {
        || '/page?q=w' || CAST(doc_id % 3 AS VARCHAR)
        || '&id=' || CAST(doc_id AS VARCHAR)"""
 
+  /** The end-to-end document pipeline behind x21: language filter →
+    * quality gate → exact content dedup → banded near-dup keep-one →
+    * per-doc token stats + fingerprint. Every stage is the scale-path
+    * variant (hash dedup one shuffle; near-dup pairs via minhash
+    * banding).
+    *
+    * `mineSurvivorsOnly` picks where near-dup pairs are mined:
+    *  - false: over the FULL corpus, both ends then restricted to
+    *    survivors. Jaccard (and per-pair band collision) depend only on
+    *    the two documents, so the restriction is exact; the full-corpus
+    *    plan is canonically identical to x14/x20's, letting CacheManager
+    *    share one cached shingle table across queries in a session.
+    *  - true: over the filtered survivors only — the shingle explode and
+    *    band shuffle shrink by the kept fraction, the right trade at
+    *    scale when the gates are aggressive and no sibling query shares
+    *    the full-corpus shingles.
+    * Both produce identical output (PipelineVariantsSpec).
+    */
+  private[graft] def pipelineDocs(s: SparkSession, dir: String,
+                                  mineSurvivorsOnly: Boolean): DataFrame = {
+    val docs = T.documents(s, dir)
+    // langId/qualityScore are pure withColumn transforms — chain them
+    // and filter in one codegen pass (no joins, one scan)
+    val surviving = TextAnalysis.qualityScore(
+        TextAnalysis.langId(docs, "text"), "text")
+      .filter(col("pred_lang") === "en" && col("quality_ok") === 1)
+      .select("doc_id", "text")
+    val exactKeep = surviving
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // two downstream consumers (the canonical join and the final keep
+    // join) would each recompute the filter+dedup chain without this
+    // (measured 5.0 s → see PERF.md); CacheManager dedups by
+    // canonical plan, MEMORY_AND_DISK evicts under pressure
+    val deduped = graft.Caches.persistOnce(surviving.join(exactKeep, "doc_id"))
+    val ids = deduped.select("doc_id")
+    val pairs =
+      if (mineSurvivorsOnly)
+        Dedup.bandedJaccardMinhash(deduped, "text", "doc_id",
+            n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+          .select("d1", "d2")
+      else
+        Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
+            n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+          .select("d1", "d2")
+          .join(ids.withColumnRenamed("doc_id", "d1"), "d1")
+          .join(ids.withColumnRenamed("doc_id", "d2"), "d2")
+          .select("d1", "d2") // using-joins front the key: restore the contract order
+    val canonical = Dedup.connectedComponentsKeepOne(deduped, "doc_id", pairs)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id")
+    val kept = deduped.join(canonical, "doc_id")
+    TextAnalysis.fingerprints(TextAnalysis.tokenCounts(kept, "text"), "text")
+      .select("doc_id", "ws_tokens", "fp_md5")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup via content hash: one shuffle on a uniform digest.
     "x01_dedup_exact" -> ((s, dir) =>
@@ -338,45 +396,17 @@ object Extensions {
     // Every stage is the scale-path variant (hash dedup one shuffle;
     // near-dup pairs via minhash banding), and the oracle replays the
     // whole chain in one recursive-CTE DuckDB statement.
-    "x21_pipeline_docs" -> ((s, dir) => {
-      val docs = T.documents(s, dir)
-      // langId/qualityScore are pure withColumn transforms — chain them
-      // and filter in one codegen pass (no joins, one scan)
-      val surviving = TextAnalysis.qualityScore(
-          TextAnalysis.langId(docs, "text"), "text")
-        .filter(col("pred_lang") === "en" && col("quality_ok") === 1)
-        .select("doc_id", "text")
-      val exactKeep = surviving
-        .groupBy(sha2(col("text"), 256).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      // two downstream consumers (the canonical join and the final keep
-      // join) would each recompute the filter+dedup chain without this
-      // (measured 5.0 s → see PERF.md); CacheManager dedups by
-      // canonical plan, MEMORY_AND_DISK evicts under pressure
-      val deduped = surviving.join(exactKeep, "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // near-dup pairs: mine the FULL corpus once and restrict both ends
-      // to survivors — jaccard (and per-pair band collision) depend only
-      // on the two documents, so the restriction is exact, and the
-      // full-corpus plan is canonically identical to x14/x20's, letting
-      // CacheManager reuse their cached shingle table instead of
-      // building a second one for the subset.
-      val ids = deduped.select("doc_id")
-      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
-          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
-        .select("d1", "d2")
-        .join(ids.withColumnRenamed("doc_id", "d1"), "d1")
-        .join(ids.withColumnRenamed("doc_id", "d2"), "d2")
-        .select("d1", "d2") // using-joins front the key: restore the contract order
-      val canonical = Dedup.connectedComponentsKeepOne(deduped, "doc_id", pairs)
-        .filter(col("doc_id") === col("canonical_id"))
-        .select("doc_id")
-      val kept = deduped.join(canonical, "doc_id")
-      TextAnalysis.fingerprints(TextAnalysis.tokenCounts(kept, "text"), "text")
-        .select("doc_id", "ws_tokens", "fp_md5")
-        .orderBy("doc_id")
-    }),
+    "x21_pipeline_docs" -> ((s, dir) => pipelineDocs(s, dir,
+      // Mine near-dup pairs over the FULL corpus here: locally the
+      // full-corpus shingle plan is canonically identical to x14/x20's,
+      // so CacheManager reuses ONE cached shingle table across the three
+      // queries (measured: full 1.29 s vs survivor-side 1.58 s when the
+      // sibling queries run in the same session — see PERF.md §x21).
+      // At 100 TB with an aggressive quality gate, flip to
+      // mineSurvivorsOnly = true: the shingle explode + band shuffle
+      // then touch only the kept fraction. Both variants are exact
+      // (PipelineVariantsSpec pins output equality).
+      mineSurvivorsOnly = false)),
 
     // The embedding-side pipeline: exact cosine pair mining (block-pair
     // equi-join), connected-components keep-one, then per-label

@@ -203,7 +203,9 @@ object EventStreams {
     *
     * Streaming assumes batches arrive watermark-ordered per key (an
     * event older than the open session's end would belong to a closed
-    * session); pair with a watermark ≥ the session gap.
+    * session); pair with a watermark ≥ the session gap. As a defensive
+    * guard the open session's end is monotone (`max(end, ts)`), so a
+    * late straggler inside the gap can't regress `session_end`.
     *
     * 100 TB: state is O(1) per user (one open session), shuffle keyed
     * on user_id; the in-memory sort is per (user, micro-batch), bounded
@@ -231,7 +233,11 @@ object EventStreams {
           sorted.foreach { case (_, _, ts) =>
             open match {
               case Some(o) if ts.getTime <= o.end.getTime + gapMs =>
-                open = Some(o.copy(end = ts, n = o.n + 1))
+                // A cross-batch late event (ts < open end) must not
+                // regress the session end; keep the max. In batch the
+                // per-key sort makes this a no-op.
+                val end = if (ts.getTime > o.end.getTime) ts else o.end
+                open = Some(o.copy(end = end, n = o.n + 1))
               case Some(o) =>
                 out += Session(user, o.seq, o.n, o.start, o.end)
                 open = Some(OpenSession(o.seq + 1, ts, ts, 1L))

@@ -65,6 +65,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaLoop === expected)
   }
 
+  test("distributed CC converges on a 50-hop chain in O(log d) rounds") {
+    // Min-label propagation moves the min ONE hop per round, so this
+    // chain needed ~50 rounds; large-star/small-star must finish within
+    // 10 (also exercising the per-round localCheckpoint lineage
+    // truncation). Mixed edge orientation on purpose.
+    val n = 51L
+    val ids = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1)
+      .map(i => if (i % 2 == 0) (i, i + 1) else (i + 1, i))
+      .toDF("d1", "d2")
+    val viaStars = Dedup.connectedComponentsKeepOne(ids, "doc_id", pairs,
+        maxIterations = 10, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until n).forall(i => viaStars(i) == 0L))
+    val viaDriver = Dedup.connectedComponentsKeepOne(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaDriver)
+  }
+
   test("banded jaccard (simhash candidates → exact verify) finds dups exactly") {
     val pairs = Dedup.bandedJaccard(docs, "text", "doc_id",
         n = 3, threshold = 0.3, maxHamming = 32)
