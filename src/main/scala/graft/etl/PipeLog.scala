@@ -1,6 +1,6 @@
 package graft.etl
 
-import java.io.{File, FileWriter, PrintWriter}
+import java.io.{File, PrintWriter}
 import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 
@@ -35,7 +35,10 @@ object PipeLog {
     close()
     out = conf.logFile.map { f =>
       Option(new File(f).getParentFile).foreach(_.mkdirs())
-      new PrintWriter(new FileWriter(f, true))
+      // explicit UTF-8: the parity messages carry accented characters and
+      // must not depend on the platform charset
+      new PrintWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(f, true), java.nio.charset.StandardCharsets.UTF_8))
     }
   }
 
