@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Heavy-tail benchmark at ~sf1.0 on the multi-file [[Fixtures]] layout:
+  * the scale-stress companion to [[Bench]] (which runs the full surface
+  * on the driver's single-file sf0.1).
+  *
+  * `spark.sql.files.maxPartitionBytes` is lowered to 8m so the 16-file
+  * tables split at the same files-per-task ratio a 128 MB-file cluster
+  * layout would give 128 MB splits — the point is to MEASURE multi-task
+  * scans (PERF.md §sf1), which the single-row-group sf0.1 files can't.
+  *
+  * Prints one JSON line: total + per-query cold (run 1) and min-of-2.
+  */
+object BenchSf1 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
+
+    val dir = Fixtures.ensureSf1(spark)
+    val heavy = Seq(
+      "x21_pipeline_docs", "x22_pipeline_embeddings", "x02_dedup_jaccard",
+      "x20_banded_jaccard", "x25_decontaminate", "x44_cluster_sizes",
+      "a03_join_star", "p15_pipeline_composite")
+
+    // warmup: touch every table once (JVM/codegen/classloading)
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    }
+    graft.tables.Tables.events(spark, dir).count()
+
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, dir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-sf1] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val runs = heavy.map { n =>
+      val cold = timeOne(n)
+      val warm = timeOne(n)
+      (n, cold, warm)
+    }
+    def fmt(v: Double): String = "%.3f".format(v)
+    def m(sel: ((String, Double, Double)) => Double): String =
+      runs.map(r => "\"" + r._1 + "\":" + fmt(sel(r))).mkString("{", ",", "}")
+    val total = runs.map(r => math.min(r._2, r._3)).filter(_ >= 0).sum
+    println(s"""{"metric":"sf1_total","value":${fmt(total)},"unit":"sec","sf":"$dir","queries_cold":${m(_._2)},"queries_warm":${m(_._3)},"n_queries":${runs.size}}""")
+    spark.stop()
+  }
+}
