@@ -397,16 +397,16 @@ object Extensions {
     // near-dup pairs via minhash banding), and the oracle replays the
     // whole chain in one recursive-CTE DuckDB statement.
     "x21_pipeline_docs" -> ((s, dir) => pipelineDocs(s, dir,
-      // Mine near-dup pairs over the FULL corpus here: locally the
-      // full-corpus shingle plan is canonically identical to x14/x20's,
-      // so CacheManager reuses ONE cached shingle table across the three
-      // queries (measured: full 1.29 s vs survivor-side 1.58 s when the
-      // sibling queries run in the same session — see PERF.md §x21).
-      // At 100 TB with an aggressive quality gate, flip to
-      // mineSurvivorsOnly = true: the shingle explode + band shuffle
-      // then touch only the kept fraction. Both variants are exact
+      // Survivor-side mining is the measured winner at every regime
+      // (TimeQuery A/B, PERF.md §x21): standalone sf0.1 ~3.6 s vs ~6 s
+      // full-corpus, in-session after x14/x20 warm the shared cache
+      // ~2.85 s vs ~2.95 s (the cache-reuse argument for full-corpus
+      // nets out to parity), and at the 10× sf1 fixture 4.0–7.3 s vs
+      // ~13 s — the quality gate keeps ~9 % of docs, so mining survivors
+      // shrinks the dominant shingle shuffle by ~11×, exactly the trade
+      // that grows with scale. Both variants are exact
       // (PipelineVariantsSpec pins output equality).
-      mineSurvivorsOnly = false)),
+      mineSurvivorsOnly = true)),
 
     // The embedding-side pipeline: exact cosine pair mining (block-pair
     // equi-join), connected-components keep-one, then per-label
