@@ -84,6 +84,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(viaStars === viaDriver)
   }
 
+  test("distributed CC agrees with union-find on random graphs (seeded)") {
+    // star contraction has subtler failure modes than a chain (merging
+    // stars, order-dependent rewiring); random sparse graphs cover them
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val pairs = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("d1", "d2")
+      val viaStars = Dedup.connectedComponentsKeepOne(ids, "doc_id", pairs,
+          maxIterations = 12, maxDriverEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDriver = Dedup.connectedComponentsKeepOne(ids, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars === viaDriver, s"seed $seed disagreed")
+    }
+  }
+
   test("banded jaccard (simhash candidates → exact verify) finds dups exactly") {
     val pairs = Dedup.bandedJaccard(docs, "text", "doc_id",
         n = 3, threshold = 0.3, maxHamming = 32)

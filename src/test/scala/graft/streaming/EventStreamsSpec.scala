@@ -275,4 +275,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
       Seq((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 1L), (2L, 2L, 1L)))
   }
+
+  test("stateful sessionize: cross-batch late in-gap event cannot regress session_end") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulSessionize(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(Seq(
+        EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),
+        EvJ(2L, t("2024-01-01 00:20:00"), 1L, "click")))
+      q.processAllAvailable()
+      // late straggler: inside the gap but OLDER than the open end —
+      // must extend the count and keep end = 00:20 (monotone guard)
+      input.addData(Seq(EvJ(3L, t("2024-01-01 00:10:00"), 1L, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("sess_late_out")
+      .orderBy($"n_events".desc).limit(1)
+      .select("session_seq", "n_events", "session_end").collect().head
+    assert(last.getLong(0) === 1L)
+    assert(last.getLong(1) === 3L)
+    assert(last.getTimestamp(2) === t("2024-01-01 00:20:00"))
+  }
 }
