@@ -28,4 +28,35 @@ class Sf1FixtureSpec extends SparkTestBase {
       assert(dangling === 0L)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
+
+  test("scale-sensitive plan choices hold at sf1 (broadcasts, scan fan-out in-query)") {
+    val dir = Fixtures.ensureSf1(spark)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    try {
+      // a03's dimension joins must STILL broadcast at 10x data — a
+      // broadcast that silently flips to sort-merge is the classic
+      // scale-up regression
+      val a03 = SparkEntry.queries("a03_join_star")(spark, dir)
+      assert(a03.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // x25's eval side is a broadcast too (decontamination's whole
+      // scale story: the corpus never shuffles for the semi join)
+      val x25 = SparkEntry.queries("x25_decontaminate")(spark, dir)
+      assert(x25.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // the x21 pipeline's own scans fan out (not just a bare read):
+      // every leaf in the executed plan plans >1 partition. AQE off for
+      // this assertion only — AdaptiveSparkPlanExec is itself a leaf
+      // node and hides the scans until execution.
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val leafParts =
+        try {
+          val x21 = queries.Extensions.pipelineDocs(spark, dir, mineSurvivorsOnly = true)
+          x21.queryExecution.executedPlan.collectLeaves()
+            .map(l => l.nodeName -> l.execute().getNumPartitions)
+        } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      assert(leafParts.nonEmpty && leafParts.forall(_._2 > 1),
+        s"x21 leaf scans planned $leafParts partitions")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }
