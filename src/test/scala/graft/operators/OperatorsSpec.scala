@@ -103,6 +103,40 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("exact-dup collapse in ngramJaccard equals the direct all-pairs join") {
+    // dup-heavy adversarial corpus: 3-deep identical groups, a cross-group
+    // near-dup, shingle-less short docs (incl. identical short docs — no
+    // shingles means NO pair, even at jaccard "1")
+    val corpus = (Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over a lazy dog"),
+      (4L, "completely different words entirely here now"),
+      (5L, "completely different words entirely here now"),
+      (6L, "short one"),
+      (7L, "short one"),
+      (8L, "")) ++ (9L until 30L).map(i => (i, s"filler doc $i with unique tail ${i * 7}")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val collapsed = canon(Dedup.ngramJaccard(corpus, "text", "doc_id", n = 3, threshold = 0.2))
+    val direct = canon(Dedup.ngramJaccard(corpus, "text", "doc_id", n = 3, threshold = 0.2,
+      collapseExactDups = false))
+    assert(collapsed === direct)
+    // sanity: the 3-group contributes its 3 intra pairs at exactly 1.0
+    assert(collapsed.count { case (_, _, j) => j == 1.0 } >= 3)
+    // shingle-less identical docs (6,7) must NOT pair
+    assert(!collapsed.exists { case (a, b, _) => a == 6L && b == 7L })
+
+    // and on real data: the sf0.001 documents corpus
+    val docsReal = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val c2 = canon(Dedup.ngramJaccard(docsReal, "text", "doc_id", n = 3, threshold = 0.2))
+    val d2 = canon(Dedup.ngramJaccard(docsReal, "text", "doc_id", n = 3, threshold = 0.2,
+      collapseExactDups = false))
+    assert(c2 === d2)
+  }
+
   test("banded jaccard (simhash candidates → exact verify) finds dups exactly") {
     val pairs = Dedup.bandedJaccard(docs, "text", "doc_id",
         n = 3, threshold = 0.3, maxHamming = 32)
