@@ -204,6 +204,49 @@ object Dedup {
       .select("doc_id", "sz", "n_overlap", "contam_ratio")
   }
 
+  /** Word-boundary containment pairs: document A's whitespace-normalized
+    * text occurs as a contiguous word run inside a strictly longer
+    * document B — the "page quoted inside a larger page" duplication
+    * shape that exact dedup misses (different lengths → different
+    * digests) and Jaccard under-scores (the container dilutes the
+    * union). Returns (contained_id, container_id, len_in, len_out);
+    * strict-shorter orientation makes the output a DAG, so downstream
+    * keep-longest is a groupBy, not a components loop.
+    *
+    * Blocking: if A is a word run of B, A's first n words are one of
+    * B's n-shingles, so candidates come from equi-joining A's head
+    * shingle against the corpus's exploded distinct-shingle table —
+    * shuffle O(shingle collisions), never all-pairs. Candidates are
+    * verified with one boundary-padded instr on the normalized texts.
+    * Docs under n words produce no head shingle and never pair (the
+    * [[ngramJaccard]] shingle-less convention). The DuckDB oracle runs
+    * the UNBLOCKED all-pairs definition, so the correctness gate also
+    * proves the blocking loses nothing.
+    *
+    * 100 TB: the exploded shingle join is the same artifact and shape
+    * as the minhash/decontamination paths (one shuffle keyed on the
+    * shingle); only candidate pairs carry the two texts into the
+    * verify. A hot boilerplate head-shingle salts like any skewed join
+    * key; the verify stays proportional to true candidates.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val base = docs.select(col(idCol).as("doc_id"), norm.as("t"))
+    val words = split(col("t"), " ")
+    val inner = base.filter(size(words) >= n)
+      .withColumn("anchor", concat_ws(" ", slice(words, 1, n)))
+      .select(col("doc_id").as("d_in"), col("t").as("t_in"), col("anchor"))
+    val outer = base.select(col("doc_id").as("d_out"), col("t").as("t_out"),
+      explode(array_distinct(shingleArray(col("t"), n))).as("s"))
+    inner.join(outer, col("anchor") === col("s") && col("d_in") =!= col("d_out"))
+      .filter(length(col("t_in")) < length(col("t_out")))
+      .filter(instr(concat(lit(" "), col("t_out"), lit(" ")),
+                    concat(lit(" "), col("t_in"), lit(" "))) > 0)
+      .select(col("d_in").as("contained_id"), col("d_out").as("container_id"),
+        length(col("t_in")).as("len_in"), length(col("t_out")).as("len_out"))
+  }
+
   /** Incremental exact dedup: the surviving rows of `batch` after (a)
     * keep-min-id dedup within the batch and (b) dropping every document
     * whose content digest already exists in `historical` — the

@@ -316,4 +316,105 @@ object Similarity {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("sub"), col("code"), col("d2r").as("qerr"))
   }
+
+  /** IVF + PQ: the composed billion-vector ANN shape — coarse inverted
+    * cells prune the search space ([[ivfTopKSampled]]'s assignment and
+    * probing) and product-quantized codes stand in for raw vectors at
+    * scoring time ([[productQuantize]]'s per-subspace codes), so the
+    * scoring join touches only ~nProbe/cells of the index and reads m
+    * small code ids per candidate instead of the full float vector.
+    *
+    * Scoring is asymmetric-distance computation (ADC): each query
+    * builds an m·ks lookup table of its exact subvector-to-codeword L2²
+    * distances; a candidate's approximate distance is the sum of its m
+    * codes' LUT entries. LUT entries are quantized to the 2^-20 binary
+    * grid BEFORE the sum — grid addends of bounded magnitude sum
+    * exactly in double, so the m-term total is independent of addend
+    * order (and of engine), where a raw double sum is not. Ranking
+    * ascends on (adc, cand_id); codebooks are the same hash-min
+    * deterministic samples as the component operators, so the whole
+    * pipeline replays bit-exactly in the DuckDB oracle.
+    *
+    * 100 TB: both codebooks are driver-size broadcasts; PQ encoding is
+    * scan-side (broadcast join + per-row argmin, no shuffle of the
+    * corpus); the LUT is |queries|·m·ks tiny rows, broadcast; the probe
+    * join reads nProbe/cells of the encoded index; the per-(query,
+    * candidate) ADC sum is partial-aggregatable. The one corpus shuffle
+    * is the cell assignment — an index build, done once and reusable as
+    * a partition column.
+    */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int,
+                cells: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ks: Int = 8): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val codebook = c
+      .withColumn("hu",
+        hash(col("cand_id")).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .orderBy(col("hu"), col("cand_id"))
+      .limit(cells)
+      .select(col("cand_id").as("cell"), col("cvec").as("centroid"))
+    val wAsg = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val assigned = c.crossJoin(broadcast(codebook))
+      .withColumn("cell_sim",
+        Exact.round6(GraftFunctions.cosineSim(col("cvec"), col("centroid"))))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select("cell", "cand_id")
+    val codes = productQuantize(candidates, vecCol, idCol, m, ks)
+      .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+
+    // per-subspace codewords — the same hash-min sample productQuantize
+    // draws, rebuilt here for the query-side LUT
+    val subIdx = explode(array((0 until m).map(lit(_)): _*))
+    val cw = candidates
+      .withColumn("hu",
+        hash(col(idCol)).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .orderBy(col("hu"), col(idCol))
+      .limit(ks)
+      .select(col(idCol).as("code"), col(vecCol).cast("array<double>").as("cv"))
+      .select(col("code"), subIdx.as("sub"), col("cv"))
+      .withColumn("w", (size(col("cv")) / m).cast("int"))
+      .withColumn("csv", slice(col("cv"), col("sub") * col("w") + 1, col("w")))
+      .select("sub", "code", "csv")
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wPrb = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(codebook))
+      .withColumn("cell_sim",
+        Exact.round6(GraftFunctions.cosineSim(col("qv"), col("centroid"))))
+      .withColumn("rk", row_number().over(wPrb))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "cell")
+
+    // ADC lookup table: exact subvector-to-codeword L2² on the 2^-20 grid
+    val grid = 1048576 // 2^20
+    val qsub = q
+      .select(col("query_id"), col("qv").cast("array<double>").as("dv"))
+      .select(col("query_id"), subIdx.as("sub"), col("dv"))
+      .withColumn("w", (size(col("dv")) / m).cast("int"))
+      .withColumn("qsv", slice(col("dv"), col("sub") * col("w") + 1, col("w")))
+      .select("query_id", "sub", "qsv")
+    val d2 = aggregate(
+      zip_with(col("qsv"), col("csv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val lut = qsub.join(broadcast(cw), Seq("sub"))
+      .withColumn("lutv", floor(d2 * grid + lit(0.5)) / grid)
+      .select("query_id", "sub", "code", "lutv")
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(codes, Seq("cand_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("lutv")).as("adc"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "adc")
+  }
 }

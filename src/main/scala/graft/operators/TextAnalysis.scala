@@ -170,6 +170,63 @@ object TextAnalysis {
       .select("doc_id", "rank", "token", "tf", "df", "score")
   }
 
+  /** BM25 document ranking against a fixed query term set — the
+    * retrieval scorer a quality-mining / targeted-selection pipeline
+    * runs over the corpus ("find the documents most about X"). Returns
+    * the top-`k` docs as (doc_id, rank, n_terms, score); `n_terms` is
+    * how many distinct query terms the doc hits.
+    *
+    * Determinism across engines (the same discipline as [[tfIdf]]):
+    *  - idf uses the rational Robertson form (N − df + 0.5)/(df + 0.5)
+    *    WITHOUT the textbook ln — a monotone-in-df transform whose
+    *    every score is plain IEEE ±/÷ of exact integers, where two
+    *    engines' ln can differ in the last ulp;
+    *  - each term's contribution is quantized to the 2^-20 binary grid
+    *    before the per-doc sum, so the sum is exact in double and
+    *    independent of addend order;
+    *  - parameter literals (k1, b, k1+1) are threaded into the oracle
+    *    SQL via round-trip `Double.toString`, never re-typed decimals.
+    *
+    * 100 TB: dl is computed scan-side; the token explode is filtered to
+    * the query terms AT THE SCAN (isin on a literal set), so only
+    * matching tokens reach the one (doc, term) aggregation shuffle; df
+    * and the corpus stats are tiny aggregates broadcast back; the final
+    * top-k is a bounded rank window.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val grid = 1048576 // 2^20
+    val base = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tok"))
+      .withColumn("avgdl", col("total_tok").cast("double") / col("n_docs"))
+      .select("n_docs", "avgdl")
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("ws")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * col("dl") / col("avgdl"))
+    val raw = idf * col("tf") * lit(k1 + 1) / denom
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", floor(raw * grid + lit(0.5)) / grid)
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+    // global top-k as sort+limit (TakeOrderedAndProject: per-partition
+    // partial top-k, k rows to the driver — never a one-partition
+    // window over the scored set); rank assigned on the k survivors.
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("doc_id", "rank", "n_terms", "score")
+  }
+
   /** Fixed-size sliding-window chunking: token windows of `chunkSize`
     * starting every `stride` tokens (overlap = chunkSize - stride), the
     * standard shape for feeding bounded-context models. One row per

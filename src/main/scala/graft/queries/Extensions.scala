@@ -548,8 +548,39 @@ object Extensions {
         .agg(min(struct(col("ts"), col("event_id"))).as("f"))
         .select(col("user_id"), col("event_type"), col("w_start"),
           col("f.ts").as("ts"), col("f.event_id").as("event_id"))
-        .orderBy("user_id", "event_type", "w_start"))
+        .orderBy("user_id", "event_type", "w_start")),
+
+    // IVF + PQ composed ANN: coarse cells prune the search space, PQ
+    // codes score via ADC lookup-table sums — the billion-vector index
+    // shape. Oracle: both hash-min codebooks, assignment, probing,
+    // encoding, LUT and the grid-exact ADC sum replayed in DuckDB.
+    "x50_ann_ivfpq" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 10, cells = 16, nProbe = 4, m = 4, ks = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Word-boundary containment dedup: doc quoted inside a longer doc.
+    // The engine blocks on the head shingle; the oracle is the UNBLOCKED
+    // all-pairs definition, so the gate also proves blocking recall.
+    "x51_containment_dedup" -> ((s, dir) =>
+      Dedup.containmentPairs(T.documents(s, dir), "text", "doc_id", n = 3)
+        .orderBy("contained_id", "container_id")),
+
+    // BM25 retrieval against a fixed query term set — the targeted-
+    // selection scorer. Rational Robertson idf + grid-quantized term
+    // contributions keep every float engine-independent.
+    "x52_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(T.documents(s, dir), "text", "doc_id",
+          terms = bm25Terms, k = 20)
+        .orderBy("rank"))
   )
+
+  /** x52's query term set: mid-df corpus terms plus one rare term so
+    * idf spread is exercised (df ≈ 394/385/382/391/25 at sf0.01).
+    */
+  private val bm25Terms = Seq("query", "join", "vector", "stream", "dup")
 
   /** The exact all-pairs n-gram Jaccard join in DuckDB SQL. Shared by
     * x02 (direct all-pairs) and x20 (banded candidates → exact verify):
@@ -726,6 +757,135 @@ object Extensions {
                 FROM scored)
        SELECT vec_id, CAST(sub AS INTEGER) AS sub, code, d2r AS qerr
        FROM best WHERE rk = 1 ORDER BY vec_id, sub"""
+  }
+
+  /** x50's oracle: IVF+PQ replayed end to end — x17's coarse-codebook
+    * CTEs (second murmur3 instantiation prefix to avoid collision),
+    * x43's per-subspace encoding CTEs, then the query-side LUT on the
+    * 2^-20 grid and the ADC group-sum (grid addends sum exactly, so
+    * DuckDB's aggregation order cannot diverge from Spark's).
+    */
+  private lazy val ivfPqSql: String = {
+    val (cells, nProbe, kk, m, ks, w) = (16, 4, 10, 4, 8, 16)
+    val (ivfCtes, ivfHu) = Murmur3Sql.hashLongCtes("qcb0", Seq("cell", "centroid"), "qch")
+    val (pqCtes, pqHu) = Murmur3Sql.hashLongCtes("qcw0", Seq("code", "cv"), "qph")
+    val d2r =
+      s"""floor(list_sum(list_transform(range(1, len(s.sv)+1),
+           i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) * 1000000 + 0.5) / 1000000"""
+    val lutd2 =
+      s"""floor(list_sum(list_transform(range(1, len(q.qsv)+1),
+           i -> (q.qsv[i] - c.csv[i]) * (q.qsv[i] - c.csv[i]))) * 1048576 + 0.5) / 1048576"""
+    s"""WITH qcb0 AS (SELECT vec_id AS cell, embedding AS centroid, vec_id AS v FROM embeddings),
+       $ivfCtes
+       cb AS (SELECT cell, centroid FROM (
+                SELECT cell, centroid, row_number() OVER (ORDER BY hu, cell) AS rn
+                FROM $ivfHu)
+              WHERE rn <= $cells),
+       asg AS (SELECT cell, cand_id FROM (
+                SELECT cb.cell, c.vec_id AS cand_id,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY ${cosineRounded("c.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings c, cb)
+              WHERE rk = 1),
+       prb AS (SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, cb.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosineRounded("q.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings q, cb WHERE q.vec_id < 5)
+              WHERE rk <= $nProbe),
+       base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       subs AS (SELECT unnest(range(0, $m)) AS sub),
+       sub AS (SELECT vec_id, subs.sub,
+                 v[subs.sub * $w + 1 : subs.sub * $w + $w] AS sv
+               FROM base, subs),
+       qcw0 AS (SELECT vec_id AS code, CAST(embedding AS DOUBLE[]) AS cv,
+                  vec_id AS v FROM embeddings),
+       $pqCtes
+       cwk AS (SELECT code, cv FROM (
+                SELECT code, cv, row_number() OVER (ORDER BY hu, code) AS rn
+                FROM $pqHu)
+              WHERE rn <= $ks),
+       cw AS (SELECT code, subs.sub,
+                cv[subs.sub * $w + 1 : subs.sub * $w + $w] AS csv
+              FROM cwk, subs),
+       pscored AS (SELECT s.vec_id, s.sub, c.code, $d2r AS d2r
+                   FROM sub s JOIN cw c USING (sub)),
+       codes AS (SELECT vec_id AS cand_id, sub, code FROM (
+                  SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                      ORDER BY d2r, code) AS rk
+                  FROM pscored)
+                WHERE rk = 1),
+       qsub AS (SELECT vec_id AS query_id, subs.sub,
+                  v[subs.sub * $w + 1 : subs.sub * $w + $w] AS qsv
+                FROM base, subs WHERE vec_id < 5),
+       lut AS (SELECT q.query_id, c.sub, c.code, $lutd2 AS lutv
+               FROM qsub q JOIN cw c USING (sub)),
+       adcs AS (SELECT p.query_id, a.cand_id, sum(l.lutv) AS adc
+                FROM prb p JOIN asg a USING (cell)
+                JOIN codes kd ON kd.cand_id = a.cand_id
+                JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = kd.sub AND l.code = kd.code
+                WHERE p.query_id <> a.cand_id
+                GROUP BY 1, 2)
+       SELECT query_id, rank, cand_id, adc FROM (
+         SELECT query_id, cand_id, adc,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY adc, cand_id) AS INTEGER) AS rank
+         FROM adcs)
+       WHERE rank <= $kk ORDER BY query_id, rank"""
+  }
+
+  /** x51's oracle: the UNBLOCKED containment definition — every strict-
+    * shorter pair whose boundary-padded normalized text matches — so
+    * the gate proves the engine's head-shingle blocking loses no pair.
+    */
+  private val containmentSql: String =
+    """WITH norm AS (
+         SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents)
+       SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         CAST(len(a.t) AS INTEGER) AS len_in,
+         CAST(len(b.t) AS INTEGER) AS len_out
+       FROM norm a JOIN norm b
+         ON a.doc_id <> b.doc_id AND len(a.t) < len(b.t)
+        AND position((' ' || a.t || ' ') IN (' ' || b.t || ' ')) > 0
+       WHERE len(string_split(a.t, ' ')) >= 3
+       ORDER BY contained_id, container_id"""
+
+  /** x52's oracle: BM25 with the rational Robertson idf and 2^-20-grid
+    * term contributions. k1, b and k1+1 are threaded from the SAME
+    * Scala doubles via round-trip `Double.toString`, so both engines
+    * evaluate identical IEEE constants in identical order.
+    */
+  private lazy val bm25Sql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val (k1s, bs, k1p1) = (k1.toString, b.toString, (k1 + 1).toString)
+    s"""WITH base AS (
+         SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS dl,
+           regexp_split_to_array(lower(text), '\\s+') AS ws
+         FROM documents),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+       tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(ws) AS token FROM base)
+              WHERE token IN ($terms) GROUP BY 1, 2, 3),
+       dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       contribs AS (
+         SELECT t.doc_id,
+           floor((s.n_docs - d.df + 0.5) / (d.df + 0.5) * t.tf * $k1p1
+             / (t.tf + $k1s * (1.0 - $bs + $bs * t.dl / s.avgdl))
+             * 1048576 + 0.5) / 1048576 AS contrib
+         FROM tf t JOIN dfreq d USING (token), stats s),
+       scored AS (SELECT doc_id, sum(contrib) AS score,
+                    CAST(count(*) AS BIGINT) AS n_terms
+                  FROM contribs GROUP BY doc_id)
+       SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+         n_terms, score
+       FROM scored ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
   /** x46's oracle: the murmur3 draw hu(vec_id·4+i) mod n replayed, then
@@ -1236,6 +1396,9 @@ object Extensions {
     "x06_ann_lsh" -> srpLshSql,
     "x17_ann_ivf" -> ivfSampledSql,
     "x43_product_quantize" -> pqSql,
+    "x50_ann_ivfpq" -> ivfPqSql,
+    "x51_containment_dedup" -> containmentSql,
+    "x52_bm25" -> bm25Sql,
     "x46_negative_samples" -> negSampleSql,
     // keep ⇔ every gopher rule passes (the complement of x40's reasons).
     "x47_dataset_card" ->

@@ -148,6 +148,52 @@ class RecallSpec extends SparkTestBase {
     assert(recalls(8) >= recalls(4), "probing more cells must not lose recall")
   }
 
+  test("x50 IVF+PQ exactness in the limit: ks ≥ corpus size makes every " +
+       "vector its own codeword, so ADC ranking EQUALS the exact sampled-IVF " +
+       "result set") {
+    // With ks = 500 (= |embeddings| at sf0.001) the hash-min sample is
+    // the whole corpus, each subvector quantizes to itself (d2 = 0 at
+    // code = own id), and ADC = exact L2² to the query. On unit-norm
+    // vectors L2² = 2 − 2·cosine, so per-query result SETS must match
+    // ivfTopKSampled's cosine ranking over the same probed cells — this
+    // pins the LUT join wiring (sub/code matching, no dropped or
+    // double-counted subspace) end to end, independent of PQ quality.
+    val queries = emb.filter(col("vec_id") < 5)
+    def resultSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val pq = resultSets(Similarity.ivfPqTopK(emb, queries,
+      "embedding", "vec_id", k = 10, cells = 16, nProbe = 4, m = 4, ks = 500))
+    val ivf = resultSets(Similarity.ivfTopKSampled(emb, queries,
+      "embedding", "vec_id", k = 10, cells = 16, nProbe = 4))
+    assert(pq === ivf,
+      s"ks=n ADC ranking diverged from exact cosine ranking: pq=$pq ivf=$ivf")
+  }
+
+  test("x50 IVF+PQ at production params: results stay inside the probed " +
+       "cells; recall@10 measured (regression floor only)") {
+    val got = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 10, cells = 16, nProbe = 4, m = 4, ks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // The cell-pruning stage is shared with ivfTopKSampled: everything
+    // scored must come from the same probed cells.
+    val ivfCands = Similarity.ivfTopKSampled(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 2000, cells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got.subsetOf(ivfCands),
+      s"ivf+pq returned a candidate outside its probed cells: ${got -- ivfCands}")
+    val recall = recallOf(got, exactTopK)
+    info(f"x50 ivf+pq recall@10 (nProbe 4/16, m=4, ks=8): $recall%.3f")
+    // Measured 0.040: on a NEAR-RANDOM unit corpus, 8 sampled codewords
+    // per 16-dim subspace capture ~no variance, so ADC re-ranking inside
+    // the probed cells is noise — the expected behavior of PQ at this
+    // compression on unstructured data (ks/m are the quality dials; the
+    // ks=n limit test above proves the machinery). Floor pins only
+    // "non-degenerate": results exist for every query and beat empty.
+    assert(recall >= 0.0 && got.size === 50,
+      f"x50 ivf+pq degenerated: recall $recall%.3f, ${got.size} rows")
+  }
+
   test("blocked embedding pairs EQUAL the n² baseline (exactness of the " +
        "block-pair rewrite) and plan has no cartesian node") {
     val blocked = Dedup.embeddingCosinePairsBlocked(emb, "embedding", "vec_id", 0.4)
