@@ -30,7 +30,8 @@ object BenchSf1 {
     val heavy = Seq(
       "x21_pipeline_docs", "x22_pipeline_embeddings", "x02_dedup_jaccard",
       "x20_banded_jaccard", "x25_decontaminate", "x44_cluster_sizes",
-      "a03_join_star", "p15_pipeline_composite")
+      "a03_join_star", "p15_pipeline_composite",
+      "x50_ann_ivfpq", "x51_containment_dedup", "x52_bm25")
 
     // warmup: touch every table once (JVM/codegen/classloading)
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

@@ -103,4 +103,84 @@ object Sampling {
       .select(col("vec_id"), col("i"), col("neg_id"), col("label"), col("neg_label"))
       .withColumn("true_negative", col("label") =!= col("neg_label"))
   }
+
+  /** Deterministic global corpus shuffle into fixed training shards —
+    * the "shuffle the corpus before training" step done as a pure
+    * function of the data instead of an RNG: `shard_id = murmur3(id) %
+    * nShards`, `shard_pos` = rank of `murmur3(id)` within the shard
+    * (ties → id). Re-running the pipeline, changing the input
+    * partitioning, or running on another engine reproduces the exact
+    * same permutation, and adding documents leaves every existing
+    * (shard, position-order) relation intact except where new rows
+    * interleave — properties an RNG shuffle cannot give.
+    *
+    * 100 TB: one shuffle keyed on shard_id; within-shard ordering is a
+    * per-partition sort. Each shard materializes through one task BY
+    * DESIGN — a shard is the unit one trainer reads sequentially, so
+    * `nShards` is chosen (thousands) to make a shard a few GB, which
+    * is exactly the parallelism the write needs. No global ordering
+    * structure (zipWithIndex, single-partition window) anywhere.
+    */
+  def shuffleShard(df: DataFrame, id: Column, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("shuffle_key"), id)
+    df.withColumn("shuffle_key",
+        hash(id).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .withColumn("shard_id", (col("shuffle_key") % nShards).cast("int"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Temperature-weighted mixture sampling (the multilingual-corpus
+    * balancing rule): stratum `i` is sampled toward share
+    * `sqrt(n_i) / Σ sqrt(n_j)` of a target volume `Σn / 2` — α = 0.5
+    * in the p_i^α family, the standard compromise that upsamples rare
+    * strata without flattening the mixture (α = 1 is proportional =
+    * no-op; α = 0 is uniform = [[mixtureBalance]]). α is FIXED at 0.5
+    * because sqrt is an IEEE correctly-rounded primitive on both
+    * engines while libm `pow` is not — arbitrary-α is expressible but
+    * would demote the oracle to rows-only.
+    *
+    * Every float op is engine-exact: sqrt(n_i) is quantized to the
+    * 2^-20 grid so the strata sum is order-independent; the keep rate
+    * `((g_i/denom)·T)/n_i` is a fixed left-to-right chain of correctly
+    * rounded ops on identical inputs; acceptance compares the murmur3
+    * bucket against `floor(rate·buckets + 0.5)` — integers.
+    *
+    * Returns the input rows that survive, with `mix_thr` (the integer
+    * acceptance threshold) and `mix_weight` (realized keep rate, for
+    * loss re-weighting instead of dropping) attached.
+    *
+    * 100 TB: the per-stratum count is a tiny partial-aggregatable
+    * rollup broadcast back onto the scan; acceptance is a scan-side
+    * integer predicate — no shuffle of the data itself.
+    */
+  def temperatureMixture(df: DataFrame, id: Column, stratumCol: String,
+                         buckets: Int = 10000): DataFrame =
+    df.join(broadcast(temperatureMixtureRates(df, stratumCol, buckets)), stratumCol)
+      .filter(hashBucket(id, buckets) < col("mix_thr"))
+      .withColumn("mix_weight", col("mix_thr").cast("double") / buckets)
+      .drop("n_stratum")
+
+  /** The per-stratum mixing table behind [[temperatureMixture]]:
+    * (stratum, n_stratum, mix_thr) — public so pipelines can inspect or
+    * report the realized mixture without materializing the kept rows.
+    */
+  def temperatureMixtureRates(df: DataFrame, stratumCol: String,
+                              buckets: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = 1048576 // 2^20
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_stratum"))
+      .withColumn("gq",
+        floor(sqrt(col("n_stratum").cast("double")) * grid + lit(0.5)) / grid)
+    // strata-sized table: the global window runs on a handful of rows
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("denom", sum(col("gq")).over(w))
+      .withColumn("t_target", floor(sum(col("n_stratum")).over(w).cast("double") / 2))
+      .withColumn("mix_thr",
+        floor(least(col("gq") / col("denom") * col("t_target") / col("n_stratum"),
+          lit(1.0)) * buckets + lit(0.5)).cast("long"))
+      .select(col(stratumCol), col("n_stratum"), col("mix_thr"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bloom, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis, Urls}
+import graft.operators.{Bloom, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis, Urls}
 import graft.tables.{Tables => T}
 
 /** LLM-training-data pipeline operators as driver queries: dedup family,
@@ -574,7 +574,43 @@ object Extensions {
     "x52_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(T.documents(s, dir), "text", "doc_id",
           terms = bm25Terms, k = 20)
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // Deterministic global corpus shuffle into training shards: shard =
+    // murmur3 bucket, position = hash-rank within shard — a pure
+    // function of the data (no RNG stream), so the permutation replays
+    // bit-identically across runs, partitionings, and engines.
+    "x53_shuffle_shard" -> ((s, dir) =>
+      Sampling.shuffleShard(T.documents(s, dir), col("doc_id"), nShards = 8)
+        .select("shard_id", "shard_pos", "doc_id")
+        .orderBy("shard_id", "shard_pos")),
+
+    // Temperature-weighted (α=0.5) mixture sampling per source: rare
+    // strata upsampled toward sqrt-share of a half-corpus target.
+    // Reported as the per-stratum mixing table (integers only).
+    "x54_temperature_mix" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val kept = Sampling.temperatureMixture(docs, col("doc_id"), "source")
+      Sampling.temperatureMixtureRates(docs, "source")
+        .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_stratum").as("n_in"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("mix_thr"))
+        .orderBy("source")
+    }),
+
+    // PageRank over the deterministic doc-derived domain link graph —
+    // the crawl-frontier / domain-quality prior. 5 power iterations,
+    // every round's arithmetic grid-exact, unrolled in the oracle.
+    "x55_pagerank" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val edges = docs.select(
+        concat(lit("domain"), pmod(col("doc_id"), lit(20L)).cast("string")).as("src"),
+        concat(lit("domain"),
+          pmod(col("doc_id") * col("doc_id") + lit(7L), lit(20L)).cast("string")).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 5, damping = 0.85)
+        .orderBy("node")
+    })
   )
 
   /** x52's query term set: mid-df corpus terms plus one rare term so
@@ -886,6 +922,84 @@ object Extensions {
          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
          n_terms, score
        FROM scored ORDER BY score DESC, doc_id LIMIT 20"""
+  }
+
+  /** x53's oracle: the murmur3 shard bucket and the within-shard
+    * (hash, id) rank replayed — the whole permutation is integer
+    * arithmetic, so the gate proves bit-identical shuffle order.
+    */
+  private lazy val shuffleShardSql: String = {
+    val (ctes, hu) = Murmur3Sql.hashLongCtes("ss0", Seq("doc_id"), "ssh")
+    s"""WITH ss0 AS (SELECT doc_id, doc_id AS v FROM documents),
+       $ctes
+       sh AS (SELECT doc_id, hu FROM $hu)
+       SELECT CAST(hu % 8 AS INTEGER) AS shard_id,
+         CAST(row_number() OVER (PARTITION BY hu % 8 ORDER BY hu, doc_id) - 1
+           AS BIGINT) AS shard_pos,
+         doc_id
+       FROM sh ORDER BY shard_id, shard_pos"""
+  }
+
+  /** x54's oracle: per-source counts → grid-quantized sqrt shares →
+    * the same ((gq/denom)·T)/n left-to-right IEEE chain → integer
+    * threshold, then the murmur3 bucket acceptance replayed per doc.
+    */
+  private lazy val temperatureMixSql: String = {
+    val (ctes, hu) = Murmur3Sql.hashLongCtes("tm0", Seq("doc_id", "source"), "tmh")
+    s"""WITH tm0 AS (SELECT doc_id, source, doc_id AS v FROM documents),
+       $ctes
+       b AS (SELECT doc_id, source, hu % 10000 AS bucket FROM $hu),
+       counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+                  FROM documents GROUP BY 1),
+       g AS (SELECT source, n_in,
+               floor(sqrt(CAST(n_in AS DOUBLE)) * 1048576 + 0.5) / 1048576 AS gq
+             FROM counts),
+       tot AS (SELECT CAST(sum(n_in) AS BIGINT) AS total, sum(gq) AS denom
+               FROM g),
+       rates AS (SELECT source, n_in,
+           CAST(floor(least(gq / denom * floor(CAST(total AS DOUBLE) / 2) / n_in,
+             1.0) * 10000 + 0.5) AS BIGINT) AS mix_thr
+         FROM g, tot),
+       kept AS (SELECT b.source, CAST(count(*) AS BIGINT) AS n_kept
+                FROM b JOIN rates USING (source)
+                WHERE b.bucket < rates.mix_thr GROUP BY 1)
+       SELECT r.source, r.n_in, coalesce(k.n_kept, 0) AS n_kept, r.mix_thr
+       FROM rates r LEFT JOIN kept k USING (source)
+       ORDER BY r.source"""
+  }
+
+  /** x55's oracle: the 5 power iterations unrolled as CTE pairs
+    * (per-edge grid-quantized contributions → per-node sum → damped
+    * grid-quantized rank update); d and 1−d are threaded from the SAME
+    * Scala doubles via round-trip `Double.toString`.
+    */
+  private lazy val pageRankSql: String = {
+    val damping = 0.85
+    val (d, tele) = (damping.toString, (1.0 - damping).toString)
+    val g = "1048576"
+    val iters = 5
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+             sum(floor(r.rank / d.outdeg * $g + 0.5) / $g) AS s
+           FROM e JOIN r${i - 1} r ON r.node = e.src
+           JOIN deg d ON d.src = e.src
+           GROUP BY 1),
+         r$i AS (SELECT nodes.node,
+             floor(($tele / nn.n + $d * coalesce(c$i.s, 0.0)) * $g + 0.5) / $g
+               AS rank
+           FROM nodes LEFT JOIN c$i ON c$i.node = nodes.node, nn)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+         SELECT DISTINCT 'domain' || CAST(doc_id % 20 AS VARCHAR) AS src,
+                'domain' || CAST((doc_id * doc_id + 7) % 20 AS VARCHAR) AS dst
+         FROM documents
+         WHERE doc_id % 20 <> (doc_id * doc_id + 7) % 20),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+       $iterCtes
+       SELECT node, rank FROM r$iters ORDER BY node"""
   }
 
   /** x46's oracle: the murmur3 draw hu(vec_id·4+i) mod n replayed, then
@@ -1399,6 +1513,9 @@ object Extensions {
     "x50_ann_ivfpq" -> ivfPqSql,
     "x51_containment_dedup" -> containmentSql,
     "x52_bm25" -> bm25Sql,
+    "x53_shuffle_shard" -> shuffleShardSql,
+    "x54_temperature_mix" -> temperatureMixSql,
+    "x55_pagerank" -> pageRankSql,
     "x46_negative_samples" -> negSampleSql,
     // keep ⇔ every gopher rule passes (the complement of x40's reasons).
     "x47_dataset_card" ->

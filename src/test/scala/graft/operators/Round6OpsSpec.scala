@@ -119,4 +119,99 @@ class Round6OpsSpec extends SparkTestBase {
     assert(optimized.contains("query") && optimized.contains("join"),
       "the isin(term) literal filter should appear in the optimized plan")
   }
+
+  // ---------------------------------------------------------------- x53
+
+  test("shuffleShard: a permutation (every id exactly once, dense 0-based " +
+       "positions per shard) that is invariant under input partitioning") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    val out = Sampling.shuffleShard(docs, col("doc_id"), nShards = 8)
+      .select("shard_id", "shard_pos", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).distinct.length === 500, "every doc exactly once")
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val pos = rows.map(_._2).sorted
+      assert(pos.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions not dense: ${pos.take(5).toSeq}...")
+    }
+    // the permutation is a pure function of the data, not the layout
+    val re = Sampling.shuffleShard(docs.repartition(7), col("doc_id"), 8)
+      .select("shard_id", "shard_pos", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet === out.toSet, "repartitioning changed the permutation")
+    // murmur3 spreads: no shard is empty or hoards >2x the fair share
+    val sizes = out.groupBy(_._1).view.mapValues(_.length).values.toSeq
+    assert(sizes.size === 8 && sizes.max <= 2 * (500 / 8),
+      s"shard sizes degenerate: $sizes")
+  }
+
+  // ---------------------------------------------------------------- x54
+
+  test("temperatureMixture: rare strata upsampled vs proportional, common " +
+       "strata downsampled, thresholds bounded by the bucket count") {
+    import spark.implicits._
+    // 3 strata with counts 900 / 90 / 10: proportional keep-rate is 0.5
+    // for everyone; sqrt-temperature shifts share toward the rare ones.
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1090).map(i => (i.toLong, "mid")) ++
+      (2001 to 2010).map(i => (i.toLong, "rare"))).toDF("doc_id", "src")
+    val rates = Sampling.temperatureMixtureRates(df, "src")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // thr/buckets is the realized keep rate; proportional would be 5000
+    assert(rates("rare") === 10000L, s"rare stratum should clamp at 1.0: $rates")
+    assert(rates("mid") > 5000L, s"mid stratum should exceed proportional: $rates")
+    assert(rates("big") < 5000L, s"big stratum should fall below proportional: $rates")
+    val kept = Sampling.temperatureMixture(df, col("doc_id"), "src")
+    val keptBySrc = kept.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBySrc("rare") === 10L, "clamped stratum keeps everything")
+    // weight column reports the realized rate
+    val w = kept.filter(col("src") === "rare").select("mix_weight")
+      .distinct().collect().map(_.getDouble(0)).toSeq
+    assert(w === Seq(1.0))
+  }
+
+  // ---------------------------------------------------------------- x55
+
+  test("pageRank: 2-cycle fixed point stays at 1/2; star hub outranks " +
+       "spokes; ranks sum to ~1 on a graph with no dangling nodes") {
+    import spark.implicits._
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val cr = Graph.pageRank(cycle, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cr("a") === 0.5 && cr("b") === 0.5,
+      s"uniform is the 2-cycle fixed point: $cr")
+    // hub-and-spokes with return edges: hub must dominate, mass conserved
+    val star = (Seq.tabulate(4)(i => (s"s$i", "hub")) ++
+      Seq.tabulate(4)(i => ("hub", s"s$i"))).toDF("src", "dst")
+    val sr = Graph.pageRank(star, "src", "dst", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sr("hub") > sr("s0") * 2, s"hub should dominate: $sr")
+    val total = sr.values.sum
+    assert(math.abs(total - 1.0) < 1e-3,
+      s"no dangling nodes => mass conserved, got $total")
+    // spokes are symmetric => identical ranks
+    assert(Seq("s0", "s1", "s2", "s3").map(sr).distinct.size === 1)
+  }
+
+  test("pageRank: dangling authority outranks its sources, mass leaks " +
+       "(documented simplified semantics), self-loops/dup edges ignored") {
+    import spark.implicits._
+    // 6 teleport-only sources all point at one DANGLING sink (no
+    // out-edges after the self-loop is dropped); a duplicate edge and a
+    // self-loop thrown in on purpose. No cycles => the power iteration
+    // is exact after 2 rounds, no bipartite oscillation.
+    val edges = (Seq.tabulate(6)(i => (s"n$i", "sink")) ++
+      Seq(("n1", "sink"), ("sink", "sink"))).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 8)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.size === 7, "self-loop must not create extra nodes")
+    val srcRanks = (0 to 5).map(i => r(s"n$i")).distinct
+    assert(srcRanks.size === 1, s"teleport-only sources must tie: $r")
+    assert(r("sink") > 4 * srcRanks.head,
+      s"sink absorbs six sources' rank: $r")
+    // sink has no out-edge: its rank leaks each round, so total < 1 —
+    // the documented non-redistributing variant
+    assert(r.values.sum < 0.9, s"dangling mass should leak: ${r.values.sum}")
+  }
 }
