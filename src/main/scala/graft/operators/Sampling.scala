@@ -162,6 +162,27 @@ object Sampling {
       .withColumn("mix_weight", col("mix_thr").cast("double") / buckets)
       .drop("n_stratum")
 
+  /** DSIR-style importance resampling: keep each row with probability
+    * equal to a per-row importance weight (clamped to [0,1]) — the
+    * "resample raw data toward a target distribution" selection step
+    * (Data Selection via Importance Resampling), with the acceptance
+    * decision keyed on `hash(id)` instead of an RNG so the sample is a
+    * pure function of the data. The weight is any deterministic
+    * expression — a quality score, an n-gram likelihood ratio, a
+    * classifier margin. `imp_thr` (the integer acceptance threshold,
+    * `floor(w·buckets + 0.5)`) is attached for auditability.
+    *
+    * 100 TB: the weight and the acceptance predicate are both
+    * scan-side per-row expressions — no shuffle, no state; downstream
+    * operators see only the kept fraction.
+    */
+  def importanceResample(df: DataFrame, id: Column, weight: Column,
+                         buckets: Int = 10000): DataFrame =
+    df.withColumn("imp_thr",
+        floor(least(greatest(weight, lit(0.0)), lit(1.0)) * buckets + lit(0.5))
+          .cast("long"))
+      .filter(hashBucket(id, buckets) < col("imp_thr"))
+
   /** The per-stratum mixing table behind [[temperatureMixture]]:
     * (stratum, n_stratum, mix_thr) — public so pipelines can inspect or
     * report the realized mixture without materializing the kept rows.

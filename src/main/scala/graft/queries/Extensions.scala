@@ -599,6 +599,18 @@ object Extensions {
         .orderBy("source")
     }),
 
+    // DSIR-style importance resampling: per-doc acceptance probability
+    // = 2·stopword_ratio clamped to [0,1] (a target-likeness proxy);
+    // the whole chain — ratio, clamp, threshold, murmur3 bucket — is
+    // integer/IEEE-exact, so the oracle replays each doc's decision.
+    "x56_importance_resample" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(T.documents(s, dir), "text")
+      Sampling.importanceResample(scored, col("doc_id"),
+          col("stopword_ratio") * lit(2.0))
+        .select("doc_id", "imp_thr")
+        .orderBy("doc_id")
+    }),
+
     // PageRank over the deterministic doc-derived domain link graph —
     // the crawl-frontier / domain-quality prior. 5 power iterations,
     // every round's arithmetic grid-exact, unrolled in the oracle.
@@ -966,6 +978,32 @@ object Extensions {
        SELECT r.source, r.n_in, coalesce(k.n_kept, 0) AS n_kept, r.mix_thr
        FROM rates r LEFT JOIN kept k USING (source)
        ORDER BY r.source"""
+  }
+
+  /** x56's oracle: stopword-ratio importance weight (x08's exact
+    * integer-division arithmetic), clamp, integer threshold, murmur3
+    * bucket acceptance — every per-doc decision replayed.
+    */
+  private lazy val importanceResampleSql: String = {
+    val (ctes, hu) = Murmur3Sql.hashLongCtes("ir0", Seq("doc_id"), "irh")
+    s"""WITH ir0 AS (SELECT doc_id, doc_id AS v FROM documents),
+       $ctes
+       b AS (SELECT doc_id, hu % 10000 AS bucket FROM $hu),
+       w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+             FROM documents),
+       r AS (SELECT doc_id,
+               CAST(len(list_filter(ws, t -> list_contains(
+                 ['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+                 / len(ws) AS sr
+             FROM w),
+       t AS (SELECT doc_id,
+               CAST(floor(least(greatest(sr * 2.0, 0.0), 1.0) * 10000 + 0.5)
+                 AS BIGINT) AS imp_thr
+             FROM r)
+       SELECT t.doc_id, t.imp_thr
+       FROM t JOIN b USING (doc_id)
+       WHERE b.bucket < t.imp_thr
+       ORDER BY t.doc_id"""
   }
 
   /** x55's oracle: the 5 power iterations unrolled as CTE pairs
@@ -1516,6 +1554,7 @@ object Extensions {
     "x53_shuffle_shard" -> shuffleShardSql,
     "x54_temperature_mix" -> temperatureMixSql,
     "x55_pagerank" -> pageRankSql,
+    "x56_importance_resample" -> importanceResampleSql,
     "x46_negative_samples" -> negSampleSql,
     // keep ⇔ every gopher rule passes (the complement of x40's reasons).
     "x47_dataset_card" ->

@@ -51,6 +51,14 @@ object StreamingQ {
         .toDF()
         .orderBy("user_id", "session_seq")),
 
+    // Spark 4 transformWithState (the modern arbitrary-state API):
+    // per-user MapState keyed by event type, exact-cents totals. In
+    // batch each key processes once ≡ plain groupBy, certified here.
+    "st09_transform_with_state" -> ((s, dir) =>
+      EventStreams.statefulTypeStats(T.events(s, dir))
+        .toDF()
+        .orderBy("user_id", "event_type")),
+
     // Stream-stream interval join (click → purchase by the same user
     // within 30 minutes); batch ≡ range-condition join, certified here.
     "st06_stream_join" -> ((s, dir) => {
@@ -119,6 +127,12 @@ object StreamingQ {
     "st04_first_events" ->
       """SELECT user_id, event_type, CAST(min(ts) AS TIMESTAMP) AS first_ts
          FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "st09_transform_with_state" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
     "st05_stateful_stats" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
            CAST(min(ts) AS TIMESTAMP) AS first_ts,

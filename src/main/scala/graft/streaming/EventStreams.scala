@@ -252,4 +252,81 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** Per-(user, event type) running count + exact-cents value totals on
+    * Spark 4's `transformWithState` — the modern arbitrary-state API
+    * (SPARK-46815): typed composite state (here a `MapState` keyed by
+    * event type inside each user's state row) instead of one opaque
+    * case-class blob, with per-state TTL and timers available. This is
+    * the API the `flatMapGroupsWithState` operators ([[statefulUserStats]],
+    * [[statefulSessionize]]) migrate to; both are kept since the old API
+    * remains supported.
+    *
+    * Value totals are per-row quantized to integer cents
+    * (`floor(v·100+0.5)` — the 2^-? analog for money) and summed as
+    * LONGs, so the result is independent of row order and engine —
+    * batch output equals the plain groupBy the DuckDB oracle runs.
+    *
+    * 100 TB/streaming: state is keyed by user (shuffle key), the map
+    * adds per-event-type granularity WITHIN the key's state row — the
+    * state store partitions horizontally and each micro-batch touches
+    * only keys present in the batch. In batch each key is processed
+    * once, so emitted rows are final.
+    */
+  final case class TypeStats(user_id: Long, event_type: String,
+                             n_events: Long, total_cents: Long)
+
+  private class UserTypeStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Double), TypeStats] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var counts: MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, (Long, Long)]("counts",
+        E.STRING, E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, String, Double)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeStats] = {
+      val touched = scala.collection.mutable.SortedSet.empty[String]
+      rows.foreach { case (_, et, v) =>
+        val cents = math.floor(v * 100 + 0.5).toLong
+        val (n, t) =
+          if (counts.containsKey(et)) counts.getValue(et) else (0L, 0L)
+        counts.updateValue(et, (n + 1, t + cents))
+        touched += et
+      }
+      touched.iterator.map { et =>
+        val (n, t) = counts.getValue(et)
+        TypeStats(user, et, n, t)
+      }
+    }
+  }
+
+  def statefulTypeStats(events: DataFrame): Dataset[TypeStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    // transformWithState stores each named state in its own column
+    // family, which only the RocksDB provider supports — the HDFS
+    // provider throws STATE_STORE_MULTIPLE_COLUMN_FAMILIES. RocksDB is
+    // the production state backend anyway; setting it session-wide is
+    // safe for the other stateful operators (it is a general provider).
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Batch transformWithState still loads a real state store, whose
+    // executors look up the driver's StateStoreCoordinator endpoint.
+    // That endpoint is created by the StreamingQueryManager CONSTRUCTOR,
+    // which a batch-only session never builds — touch `streams` so the
+    // lookup can't hit RpcEndpointNotFound in pure-batch runs.
+    events.sparkSession.streams
+    events.select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTypeStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -171,6 +171,25 @@ class Round6OpsSpec extends SparkTestBase {
     assert(w === Seq(1.0))
   }
 
+  // ---------------------------------------------------------------- x56
+
+  test("importanceResample: weight 1 keeps all, 0 keeps none, realized " +
+       "rate tracks the weight, weights clamped to [0,1]") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    assert(Sampling.importanceResample(df, col("id"), lit(1.0)).count() === 2000L)
+    assert(Sampling.importanceResample(df, col("id"), lit(0.0)).count() === 0L)
+    assert(Sampling.importanceResample(df, col("id"), lit(7.5)).count() === 2000L,
+      "weights above 1 clamp to keep-everything")
+    val kept = Sampling.importanceResample(df, col("id"), lit(0.3)).count()
+    assert(math.abs(kept - 600L) < 100, s"realized rate off: $kept of 2000 at w=0.3")
+    // per-row weights: even ids weight 1, odd ids weight 0
+    val mixed = Sampling.importanceResample(df, col("id"),
+        when(col("id") % 2 === 0, 1.0).otherwise(0.0))
+      .select("id").as[Long].collect()
+    assert(mixed.forall(_ % 2 == 0) && mixed.length === 1000)
+  }
+
   // ---------------------------------------------------------------- x55
 
   test("pageRank: 2-cycle fixed point stays at 1/2; star hub outranks " +

@@ -160,6 +160,38 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch === Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("transformWithState (Spark 4 API): MapState accumulates per " +
+       "(user, event type) across micro-batches; batch equals plain agg") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.statefulTypeStats(input.toDF())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(events.take(3)) // user1 click ×2 (1.0+2.0), user2 view ×1
+      q.processAllAvailable()
+      input.addData(events.drop(3)) // user1 click ×1 (4.0), user2 view ×1
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalRows = spark.table("tws_out")
+      .groupBy("user_id", "event_type")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+        org.apache.spark.sql.functions.max("total_cents").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(finalRows === Map(
+      (1L, "click") -> (3L, 700L),  // 100 + 200 + 400 cents
+      (2L, "view") -> (2L, 800L)))  // 300 + 500 cents
+
+    // batch mode: each key processed once == plain aggregation
+    val batch = EventStreams.statefulTypeStats(events.toDF())
+      .collect().map(s => (s.user_id, s.event_type) -> (s.n_events, s.total_cents))
+      .toMap
+    assert(batch === finalRows)
+  }
+
   test("streaming sliding windows equal the batch transform") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[Ev]
