@@ -239,7 +239,14 @@ object Dedup {
       .select(col("doc_id").as("d_in"), col("t").as("t_in"), col("anchor"))
     val outer = base.select(col("doc_id").as("d_out"), col("t").as("t_out"),
       explode(array_distinct(shingleArray(col("t"), n))).as("s"))
-    inner.join(outer, col("anchor") === col("s") && col("d_in") =!= col("d_out"))
+    // shuffle_hash, build = anchors: Catalyst's size estimate for the
+    // exploded side is ~its input relation, far under the true fan-out,
+    // so the planner would happily BROADCAST the shingle table — fine
+    // at sf0.1, an OOM at corpus scale. The documented plan is one
+    // shuffle keyed on the shingle with the hash map built over the
+    // 1-row-per-doc anchor side; the hint pins exactly that.
+    inner.hint("shuffle_hash")
+      .join(outer, col("anchor") === col("s") && col("d_in") =!= col("d_out"))
       .filter(length(col("t_in")) < length(col("t_out")))
       .filter(instr(concat(lit(" "), col("t_out"), lit(" ")),
                     concat(lit(" "), col("t_in"), lit(" "))) > 0)

@@ -35,7 +35,8 @@ object Graph {
     * aggregation key.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 5, damping: Double = 0.85,
+               checkpointEvery: Int = 8): DataFrame = {
     val grid = 1048576 // 2^20
     def q(c: Column): Column = floor(c * grid + lit(0.5)) / grid
     val e = graft.Caches.persistOnce(
@@ -48,7 +49,7 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = nodes.crossJoin(broadcast(nCount))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sums = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("node"), q(col("rank") / col("outdeg")).as("c"))
@@ -58,6 +59,11 @@ object Graph {
         .select(col("node"),
           q(lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      // the rank lineage chains one join+agg per round; truncate it
+      // periodically so a high-iteration run can't blow analysis/plan
+      // depth (same discipline as the connected-components loop)
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

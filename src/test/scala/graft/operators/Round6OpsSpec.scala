@@ -171,6 +171,28 @@ class Round6OpsSpec extends SparkTestBase {
     assert(w === Seq(1.0))
   }
 
+  test("plan shapes: shuffleShard = ONE hash exchange (no global sort " +
+       "structure); temperatureMixture = broadcast rates, no data-side " +
+       "sort-merge; importanceResample = zero exchanges (scan-side)") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    val shard = Sampling.shuffleShard(docs, col("doc_id"), 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(shard).size === 1,
+      s"shuffleShard must shuffle exactly once (on shard_id):\n$shard")
+    assert(!shard.contains("rangepartitioning") && !shard.contains("SinglePartition"),
+      s"shuffleShard must not build a global ordering:\n$shard")
+
+    val mix = Sampling.temperatureMixture(docs, col("doc_id"), "source")
+      .queryExecution.executedPlan.toString
+    assert(mix.contains("BroadcastHashJoin") && !mix.contains("SortMergeJoin"),
+      s"mixing table must broadcast onto the scan:\n$mix")
+
+    val imp = Sampling.importanceResample(docs, col("doc_id"), lit(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!imp.contains("Exchange"),
+      s"importanceResample must stay scan-side (no shuffle):\n$imp")
+  }
+
   // ---------------------------------------------------------------- x56
 
   test("importanceResample: weight 1 keeps all, 0 keeps none, realized " +
@@ -211,6 +233,22 @@ class Round6OpsSpec extends SparkTestBase {
       s"no dangling nodes => mass conserved, got $total")
     // spokes are symmetric => identical ranks
     assert(Seq("s0", "s1", "s2", "s3").map(sr).distinct.size === 1)
+  }
+
+  test("pageRank: 30 iterations run with bounded plan depth (periodic " +
+       "localCheckpoint) and stay at the 2-cycle fixed point") {
+    import spark.implicits._
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val out = Graph.pageRank(cycle, "src", "dst", iterations = 30)
+    val r = out.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") === 0.5 && r("b") === 0.5, s"fixed point drifted: $r")
+    // lineage was truncated: each round contributes 4 joins (edge×rank,
+    // ×deg, nodes-left-join, count crossJoin), so an untruncated plan
+    // would carry 120; after the round-24 checkpoint only the last 6
+    // rounds (24 joins) may remain
+    val plan = out.queryExecution.optimizedPlan.toString
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 32, s"plan still chains every round: $joins joins\n")
   }
 
   test("pageRank: dangling authority outranks its sources, mass leaks " +
