@@ -368,7 +368,13 @@ object Dedup {
       array((0 until bands).map(b =>
         struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*))
       .as("bk"))
+    // shuffle_hash: the banded table is bands× its parent but Catalyst
+    // estimates Generate at ~the parent's size, so the planner would
+    // BROADCAST a corpus-sized side of this self-join (same trap as
+    // containmentPairs). Pin the documented plan: one shuffle on
+    // (band, bucket).
     val cand = banded.select(col("doc_id").as("d1"), col("bk"))
+      .hint("shuffle_hash")
       .join(banded.select(col("doc_id").as("d2"), col("bk")), Seq("bk"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
@@ -611,7 +617,11 @@ object Dedup {
       array((0 until bands).map(b =>
         struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*))
       .as("bk"))
+    // shuffle_hash: pin the (band, bucket)-keyed shuffle — Generate's
+    // size estimate would let the planner broadcast the corpus-sized
+    // banded table (see minhashNative).
     banded.select(col("doc_id").as("d1"), col("bk"))
+      .hint("shuffle_hash")
       .join(banded.select(col("doc_id").as("d2"), col("bk")), Seq("bk"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
@@ -769,7 +779,11 @@ object Dedup {
     val right = d.select(
         col("id").as("d2"), col("t").as("t2"), col("len").as("len2"),
         col("pfx"), explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
-    left.join(right, Seq("pfx", "bkt"))
+    // shuffle_hash, build = left: the exploded ±1-bucket side is 3× the
+    // corpus but estimated at ~1×, so the planner would broadcast it;
+    // the documented plan is one shuffle keyed on (pfx, bkt) with the
+    // hash map built over the unexploded side.
+    left.hint("shuffle_hash").join(right, Seq("pfx", "bkt"))
       .filter(col("d1") < col("d2") &&
         abs(col("len1") - col("len2")) <= lenBand)
       .select(col("d1"), col("d2"),
@@ -813,8 +827,12 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("pid"), col("passage")))),
             x => x.getField("passage")), " ").as("dedup_text"))
+    // shuffle_hash: both sides are doc_id-keyed aggregates (already
+    // hash-partitioned on the join key — the join adds NO exchange),
+    // but Catalyst's estimate of the collect_list side is far under the
+    // rebuilt text size and it would broadcast a corpus-sized relation.
     passages.groupBy("doc_id").agg(count(lit(1)).as("n_pass"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .join(rebuilt.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_pass"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         md5(coalesce(col("dedup_text"), lit(""))).as("dedup_sig"))

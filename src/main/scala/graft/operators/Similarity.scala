@@ -174,7 +174,12 @@ object Similarity {
     }
     val cb = buckets(candidates, "cand_id")
     val qb = buckets(queries, "query_id")
-    val pairIds = qb.join(cb, Seq("tbl", "bucket"))
+    // broadcast the QUERY buckets: without the hint Catalyst broadcasts
+    // cb — the corpus-sized candidate-bucket table (Generate's estimate
+    // hides the ×tables fan-out). Query buckets are |queries|·tables
+    // rows by contract, so pinning them as the build side streams the
+    // candidate buckets with no shuffle at all.
+    val pairIds = broadcast(qb).join(cb, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

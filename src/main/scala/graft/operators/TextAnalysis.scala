@@ -140,7 +140,11 @@ object TextAnalysis {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
-    tf.join(dfreq, "token")
+    // shuffle_hash: df-per-token is vocabulary-sized — web-scale text
+    // has billions of distinct tokens, so it must not be broadcast
+    // (Catalyst's post-aggregate estimate says it fits). One extra
+    // shuffle of tf keyed on token, hash map over the df side.
+    tf.join(dfreq.hint("shuffle_hash"), "token")
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
@@ -162,7 +166,8 @@ object TextAnalysis {
     val n = docs.count() // driver scalar: one count job over the id column
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
-    tf.join(dfreq, "token")
+    // shuffle_hash on the vocabulary-sized df table — see tfIdf.
+    tf.join(dfreq.hint("shuffle_hash"), "token")
       .withColumn("score",
         col("tf") * (log((lit(n) + 1).cast("double") / (col("df") + 1)) + 1))
       .withColumn("rank", row_number().over(w).cast("int"))
@@ -323,8 +328,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
           x => x.getField("tok")), " ").as("clean_text"))
+    // shuffle_hash: `kept` carries each document's reassembled clean
+    // text — corpus-sized, but Catalyst's post-collect_list estimate
+    // says broadcastable. The doc_id-keyed shuffle join is the plan
+    // that survives 100 TB (kept is already partitioned on doc_id).
     base.select(col("doc_id"), size(col("ws")).as("n_tok"))
-      .join(kept, Seq("doc_id"), "left")
+      .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         md5(coalesce(col("clean_text"), lit(""))).as("clean_sig"))

@@ -155,11 +155,15 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one hash exchange:\n$s")
   }
 
-  test("x28 tfidf: vocabulary side broadcasts; rank filter lowers to WindowGroupLimit") {
+  test("x28 tfidf: vocabulary join is a token-keyed shuffle (NOT broadcast); " +
+       "rank filter lowers to WindowGroupLimit") {
     val df = graft.queries.Extensions.queries("x28_tfidf")(spark, sf)
     val s = planString(df)
-    // the df (vocabulary) table joins the tf table without shuffling it
-    assert(s.contains("BroadcastHashJoin"), s"expected broadcast vocab join:\n$s")
+    // df-per-token is vocabulary-sized (billions of distinct tokens at
+    // web scale) — it must NOT be broadcast; the pinned plan hashes
+    // both sides on token and builds over the df aggregate
+    assert(s.contains("ShuffledHashJoin"), s"expected shuffled vocab join:\n$s")
+    assert(!s.contains("BroadcastHashJoin"), s"vocab table must not broadcast:\n$s")
     // rank<=k over the window plans as a bounded per-key group limit,
     // not a full sort-rank-filter
     assert(s.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$s")
