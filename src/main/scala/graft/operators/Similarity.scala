@@ -254,6 +254,70 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then drop
+    * within-cluster near-duplicates above a cosine threshold. The
+    * clustering is [[ivfTopKSampled]]'s deterministic sampled codebook
+    * (hash-min sample = centers, rounded-cosine argmax assignment), so
+    * the whole operator — sample, assign, pairwise, elect — is plain
+    * relational algebra the DuckDB oracle replays bit-exactly (the
+    * paper's k-means fit is not SQL-expressible; RecallSpec-style
+    * parity with an MLlib-clustered variant is not needed since the
+    * semantics here are exact given the clustering).
+    *
+    * Election rule (documented simplification of the paper's greedy
+    * in-cluster pass): a vector is dropped iff some SMALLER-id vector
+    * in its cell is within `threshold` cosine — `dup_of` is the
+    * smallest such id. One-hop domination, not transitive closure:
+    * b~a and c~b (a<b<c, c!~a) drops both b and c, matching the
+    * paper's "remove all but one per duplicate neighborhood" intent
+    * without an iterative CC (which [[graft.operators.Dedup]] offers
+    * separately when cluster-transitive grouping is wanted).
+    *
+    * 100 TB: codebook is a broadcast-size sample; assignment is
+    * scan-side (broadcast cross + per-row argmax, no shuffle of the
+    * corpus); the only data-sized shuffle is the cell-keyed pair join,
+    * O(Σ cell²) like the paper's per-cluster pass — `cells` scales with
+    * corpus size to bound cell width, and a hot cell salts/caps the
+    * same way DedupSkewSpec pins for shingle joins. The domination
+    * aggregate is a partial-aggregatable min keyed on the dropped id.
+    */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+                    cells: Int = 16, threshold: Double = 0.7): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val c = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val codebook = c
+      .withColumn("hu",
+        hash(col("cand_id")).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .orderBy(col("hu"), col("cand_id"))
+      .limit(cells)
+      .select(col("cand_id").as("cell"), col("cvec").as("centroid"))
+    val wAsg = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val assigned = c.crossJoin(broadcast(codebook))
+      .withColumn("cell_sim",
+        Exact.round6(GraftFunctions.cosineSim(col("cvec"), col("centroid"))))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("cand_id"), col("cvec"))
+    // shuffle_hash: both pair-join sides are the corpus-sized assignment
+    // (the rk=1 filter hides its true size from the planner — the same
+    // estimate blindness as the explode-broadcast trap, pinned the same
+    // way).
+    val dom = assigned.select(col("cell"), col("cand_id").as("d1"), col("cvec").as("v1"))
+      .hint("shuffle_hash")
+      .join(assigned.select(col("cell"), col("cand_id").as("d2"), col("cvec").as("v2")),
+        Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cos", Exact.round6(GraftFunctions.cosineSim(col("v1"), col("v2"))))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("d2")).agg(min(col("d1")).as("dup_of"))
+    assigned
+      .join(dom.hint("shuffle_hash"), assigned("cand_id") === dom("d2"), "left")
+      .select(col("cand_id").as("vec_id"), col("cell"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
+
   /** Per-label centroids in long format (label, dim, centroid value).
     * Mean is computed per (label, dimension) after posexplode — a single
     * partial-aggregatable shuffle keyed on (label, pos).

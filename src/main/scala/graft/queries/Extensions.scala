@@ -611,6 +611,14 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup: sampled-codebook clustering + within-cell cosine
+    // domination — every step relational, replayed by the oracle.
+    "x57_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(T.embeddings(s, dir), "embedding", "vec_id",
+          cells = 16, threshold = 0.7)
+        .orderBy("vec_id")
+    }),
+
     // PageRank over the deterministic doc-derived domain link graph —
     // the crawl-frontier / domain-quality prior. 5 power iterations,
     // every round's arithmetic grid-exact, unrolled in the oracle.
@@ -768,6 +776,37 @@ object Extensions {
              ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
          FROM scored)
        WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** x57's oracle: SemDeDup replayed — x17's hash-min codebook and
+    * rank-1 assignment CTEs, then the within-cell domination pass as a
+    * self-join + min aggregate. The 0.7 threshold compares the same
+    * 1e-6-floored cosine double in both engines, so the decision is
+    * bit-identical.
+    */
+  private lazy val semDedupSql: String = {
+    val (hashCtes, huCte) = Murmur3Sql.hashLongCtes("cb0", Seq("cell", "centroid"), "ch")
+    s"""WITH cb0 AS (SELECT vec_id AS cell, embedding AS centroid, vec_id AS v FROM embeddings),
+       $hashCtes
+       cb AS (SELECT cell, centroid FROM (
+                SELECT cell, centroid, row_number() OVER (ORDER BY hu, cell) AS rn
+                FROM $huCte)
+              WHERE rn <= 16),
+       asg AS (SELECT cell, cand_id, cvec FROM (
+                SELECT cb.cell, c.vec_id AS cand_id, c.embedding AS cvec,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY ${cosineRounded("c.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings c, cb)
+              WHERE rk = 1),
+       dom AS (SELECT b.cand_id AS d2, min(a.cand_id) AS dup_of
+               FROM asg a JOIN asg b USING (cell)
+               WHERE a.cand_id < b.cand_id
+                 AND ${cosineRounded("a.cvec", "b.cvec")} >= 0.7
+               GROUP BY b.cand_id)
+       SELECT asg.cand_id AS vec_id, asg.cell, dom.dup_of,
+              dom.dup_of IS NULL AS kept
+       FROM asg LEFT JOIN dom ON asg.cand_id = dom.d2
+       ORDER BY vec_id"""
   }
 
   /** x43's oracle: product quantization replayed — the same murmur3
@@ -1555,6 +1594,7 @@ object Extensions {
     "x54_temperature_mix" -> temperatureMixSql,
     "x55_pagerank" -> pageRankSql,
     "x56_importance_resample" -> importanceResampleSql,
+    "x57_semantic_dedup" -> semDedupSql,
     "x46_negative_samples" -> negSampleSql,
     // keep ⇔ every gopher rule passes (the complement of x40's reasons).
     "x47_dataset_card" ->

@@ -271,4 +271,44 @@ class Round6OpsSpec extends SparkTestBase {
     // the documented non-redistributing variant
     assert(r.values.sum < 0.9, s"dangling mass should leak: ${r.values.sum}")
   }
+
+  // ---------------------------------------------------------------- x57
+
+  test("semanticDedup: identical vectors collapse to the min id; one-hop " +
+       "domination drops a chain without transitive closure") {
+    import spark.implicits._
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+                               math.sin(math.toRadians(deg)).toFloat)
+    // a(0°) ~ b(20°): cos ≈ .940; b ~ c(40°): .940; a !~ c: .766 < .9
+    val emb = Seq((1L, v(0)), (2L, v(20)), (3L, v(40)), (4L, v(0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "embedding", "vec_id",
+        cells = 1, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toMap
+    assert(out(1L) === (None, true), s"smallest id always survives: $out")
+    assert(out(2L) === (Some(1L), false), s"b dominated by a: $out")
+    // c's only above-threshold smaller-id neighbor is b — one-hop, so
+    // dup_of is b even though b itself was dropped (documented rule)
+    assert(out(3L) === (Some(2L), false), s"c dominated by b, not a: $out")
+    assert(out(4L) === (Some(1L), false), s"exact dup collapses to min id: $out")
+  }
+
+  test("semanticDedup: cell-partitioned — near-dups in DIFFERENT cells both " +
+       "survive; pair join is a shuffle, never a broadcast of the corpus") {
+    import spark.implicits._
+    // 8 spread-out unit vectors; with cells = 8 every vector is its own
+    // center, so even the identical pair (id 7, id 8) lands apart only
+    // if assigned to different cells — instead pin behavior structurally:
+    // threshold > 1 makes NO pair dominate, so everything is kept.
+    val emb = (1L to 8L).map(i =>
+      (i, Array(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat)))
+      .toDF("vec_id", "embedding")
+    val all = Similarity.semanticDedup(emb, "embedding", "vec_id",
+      cells = 4, threshold = 1.1)
+    assert(all.filter(col("kept")).count() === 8)
+    val plan = all.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"pair join must shuffle on cell:\n$plan")
+  }
 }
