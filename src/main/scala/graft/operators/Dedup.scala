@@ -838,6 +838,83 @@ object Dedup {
         md5(coalesce(col("dedup_text"), lit(""))).as("dedup_sig"))
   }
 
+  /** Exact duplicate-substring spans (Lee et al. 2021,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better"): the paper finds every substring of ≥ 50 tokens
+    * occurring twice anywhere in the corpus via a suffix array — a
+    * pointer-chasing structure with no distributed analog. The
+    * relational re-expression: a length-`window` token run is
+    * duplicated iff every length-`window` gram inside it is duplicated,
+    * so positioned overlapping grams (stride 1) + a global occurrence
+    * count + a per-doc merge of overlapping duplicated gram positions
+    * yields exactly the maximal duplicated spans at the `window`-token
+    * resolution. Output: one row per maximal span —
+    * (doc_id, span_start, span_end, span_tokens, n_dup_grams), token
+    * positions 1-based inclusive.
+    *
+    * Count is over OCCURRENCES, not distinct docs — a doc repeating its
+    * own `window`-gram is corpus duplication too (the paper dedups
+    * self-repeats the same way; cf. TextAnalysis.repetition which
+    * scores but does not locate them).
+    *
+    * 100 TB: grams are scan-side (one row per token position — ×1 data
+    * volume, not ×window, since zip_with builds each gram from slices);
+    * the occurrence count is one partial-aggregatable shuffle keyed on
+    * the gram string (at scale key it on a 128-bit gram hash to shrink
+    * shuffle bytes; the string key here keeps the oracle exact with
+    * zero collision caveats). The duplicated set joins back to the
+    * positioned grams — pinned shuffle_hash on both sides: the
+    * positions side is explode-fed and the hot side is an aggregate of
+    * it, so Catalyst's estimates are blind in BOTH directions (the
+    * explode-broadcast trap, PERF.md round 6) and the duplicated-gram
+    * table is vocabulary-scale at 100 TB, never broadcastable. The span
+    * merge is a per-doc window (docs have bounded length — no skew).
+    * An adversarial hot gram (boilerplate repeated 10⁹×) salts the
+    * count like any skewed aggregation; its join-back rows are exactly
+    * the positions to be reported, so the output itself bounds that
+    * cost.
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                     window: Int = 5, minCount: Long = 2): DataFrame = {
+    // Same narrow-input spread as [[shingles]]: single-row-group files
+    // scan as one task; spread gram construction when the source is
+    // narrower than the cluster.
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val input =
+      if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
+      else docs
+    val w = split(lower(col(textCol)), "\\s+")
+    val grams = input
+      .filter(size(w) >= window)
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingleArray(col(textCol), window)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val hot = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+      .select("gram")
+    val dup = grams.hint("shuffle_hash")
+      .join(hot.hint("shuffle_hash"), Seq("gram"))
+      .select("doc_id", "pos")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // grams at pos p cover tokens [p, p+window-1]; a new span starts
+    // when the gap to the previous gram's coverage exceeds contiguity.
+    val brk = when(lag(col("pos"), 1).over(byPos).isNull
+        .or(col("pos") > lag(col("pos"), 1).over(byPos) + window), 1)
+      .otherwise(0)
+    dup
+      .withColumn("brk", brk)
+      .withColumn("island", sum(col("brk")).over(byPos))
+      .groupBy("doc_id", "island")
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + window - 1).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
   /** Survivorship: one row per cluster, keeping the highest-scoring
     * member (ties → smallest id). One partial-aggregatable shuffle on
     * the cluster key — max_by(struct(score, −id)) aggregates map-side,

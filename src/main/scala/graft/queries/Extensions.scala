@@ -619,6 +619,15 @@ object Extensions {
         .orderBy("vec_id")
     }),
 
+    // Exact duplicate-substring spans (the suffix-array dedup of
+    // arXiv:2107.06499, re-expressed relationally): positioned 5-gram
+    // occurrence counts → duplicated positions → maximal spans.
+    "x58_duplicate_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(T.documents(s, dir), "text", "doc_id",
+          window = 5, minCount = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // PageRank over the deterministic doc-derived domain link graph —
     // the crawl-frontier / domain-quality prior. 5 power iterations,
     // every round's arithmetic grid-exact, unrolled in the oracle.
@@ -808,6 +817,45 @@ object Extensions {
        FROM asg LEFT JOIN dom ON asg.cand_id = dom.d2
        ORDER BY vec_id"""
   }
+
+  /** x58's oracle: duplicate-substring spans replayed — positioned
+    * 5-grams (the x02 tokenization: regexp_split_to_array on \s+ after
+    * lower), occurrence count ≥ 2, then the gaps-and-islands merge as
+    * lag/sum windows. All integer/string ops — bit-exact by
+    * construction.
+    */
+  private val duplicateSpansSql =
+    """WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+         FROM documents),
+       gp AS (
+         SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS pos
+         FROM w WHERE len(ws) >= 5),
+       g AS (
+         SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+           ws[pos] || ' ' || ws[pos+1] || ' ' || ws[pos+2] || ' ' ||
+             ws[pos+3] || ' ' || ws[pos+4] AS gram
+         FROM gp),
+       hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       d AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
+       m AS (
+         SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  IS NULL
+                  OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       + 5
+                THEN 1 ELSE 0 END AS brk
+         FROM d),
+       i AS (
+         SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM m)
+       SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+         CAST(max(pos) + 4 AS INTEGER) AS span_end,
+         CAST(max(pos) + 4 - min(pos) + 1 AS INTEGER) AS span_tokens,
+         count(*) AS n_dup_grams
+       FROM i GROUP BY doc_id, island
+       ORDER BY doc_id, span_start"""
 
   /** x43's oracle: product quantization replayed — the same murmur3
     * hash-min codebook sample as x17's, then per-subspace rounded-L2²
@@ -1595,6 +1643,7 @@ object Extensions {
     "x55_pagerank" -> pageRankSql,
     "x56_importance_resample" -> importanceResampleSql,
     "x57_semantic_dedup" -> semDedupSql,
+    "x58_duplicate_spans" -> duplicateSpansSql,
     "x46_negative_samples" -> negSampleSql,
     // keep ⇔ every gopher rule passes (the complement of x40's reasons).
     "x47_dataset_card" ->

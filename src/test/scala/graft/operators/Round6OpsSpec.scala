@@ -311,4 +311,64 @@ class Round6OpsSpec extends SparkTestBase {
     assert(plan.contains("ShuffledHashJoin"),
       s"pair join must shuffle on cell:\n$plan")
   }
+
+  // ---------------------------------------------------------------- x58
+
+  private def spans(docs: org.apache.spark.sql.DataFrame, w: Int = 3) =
+    Dedup.duplicateSpans(docs, "text", "doc_id", window = w, minCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+
+  test("duplicateSpans: cross-doc shared run found with exact boundaries; " +
+       "unique doc emits no spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f z"),
+      (3L, "q w r t u i o p")).toDF("doc_id", "text")
+    // shared run "a b c d e f": 4 duplicated 3-grams per doc, one span
+    // each — doc 1 tokens [1,6], doc 2 tokens [3,8].
+    assert(spans(docs) === Set(
+      (1L, 1, 6, 6, 4L),
+      (2L, 3, 8, 6, 4L)))
+  }
+
+  test("duplicateSpans: self-repeat counts as duplication; spans split " +
+       "across a unique stretch wider than the window") {
+    val docs = Seq(
+      (1L, "p q r m1 m2 m3 m4 p q r"),
+      (2L, "p q r")).toDF("doc_id", "text")
+    // "p q r" occurs 3× (doc 1 pos 1 and 8, doc 2 pos 1); doc 1's two
+    // occurrences are separated by 4 unique tokens > window → 2 islands.
+    assert(spans(docs) === Set(
+      (1L, 1, 3, 3, 1L),
+      (1L, 8, 10, 3, 1L),
+      (2L, 1, 3, 3, 1L)))
+  }
+
+  test("duplicateSpans: touching coverage merges — maximal contiguous " +
+       "run of duplicated TOKENS, not of identical substrings") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c"),
+      (3L, "d e f")).toDF("doc_id", "text")
+    // doc 1: gram [1,3] dups doc 2, gram [4,6] dups doc 3 — different
+    // substrings, adjacent coverage → one span over tokens [1,6].
+    assert(spans(docs) === Set(
+      (1L, 1, 6, 6, 2L),
+      (2L, 1, 3, 3, 1L),
+      (3L, 1, 3, 3, 1L)))
+  }
+
+  test("duplicateSpans plan: duplicated-gram join-back is a shuffle — " +
+       "never a broadcast of either explode-fed side") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    val df = Dedup.duplicateSpans(docs, "text", "doc_id")
+    assert(df.count() > 0, "sf0.001 corpus must contain duplicated 5-grams")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"join-back must shuffle on the gram:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"no corpus-derived side may broadcast:\n$plan")
+  }
 }
