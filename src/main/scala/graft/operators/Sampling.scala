@@ -183,6 +183,31 @@ object Sampling {
           .cast("long"))
       .filter(hashBucket(id, buckets) < col("imp_thr"))
 
+  /** Leakage-safe train/val/test split: the split decision hashes the
+    * near-dup CLUSTER label (e.g. `canonical_id` from
+    * [[graft.operators.Dedup.connectedComponentsKeepOne]]), not the
+    * document — every member of a duplicate cluster lands in the same
+    * split, so a near-copy of a training document can never appear in
+    * the held-out set (the self-contamination that inflates eval
+    * scores; cf. Dedup.decontaminate, which removes KNOWN eval text —
+    * this prevents contamination between a corpus's own splits).
+    * Deterministic: bucket = unsigned murmur3(label) % 100, train if
+    * < trainPct, val if < trainPct+valPct, else test.
+    *
+    * 100 TB: the label arrives from the dedup pass the pipeline already
+    * runs; the split itself is a scan-side codegen'd expression — no
+    * shuffle, no state, re-runnable on any subset with identical
+    * assignments.
+    */
+  def clusterSplit(labeled: DataFrame, clusterCol: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    labeled
+      .withColumn("split_bucket", hashBucket(col(clusterCol), 100).cast("int"))
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, lit("train"))
+          .when(col("split_bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+
   /** The per-stratum mixing table behind [[temperatureMixture]]:
     * (stratum, n_stratum, mix_thr) — public so pipelines can inspect or
     * report the realized mixture without materializing the kept rows.

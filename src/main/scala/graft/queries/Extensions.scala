@@ -628,6 +628,20 @@ object Extensions {
         .orderBy("doc_id", "span_start")
     }),
 
+    // Leakage-safe train/val/test split: the split hashes the near-dup
+    // CLUSTER label (x14's components), so duplicates never straddle
+    // train and the held-out sets.
+    "x59_cluster_split" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+        .select("d1", "d2")
+      Sampling.clusterSplit(
+          Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs),
+          "canonical_id")
+        .orderBy("doc_id")
+    }),
+
     // PageRank over the deterministic doc-derived domain link graph —
     // the crawl-frontier / domain-quality prior. 5 power iterations,
     // every round's arithmetic grid-exact, unrolled in the oracle.
@@ -714,6 +728,31 @@ object Extensions {
          SELECT a, b FROM edges
          UNION
          SELECT r.a, eg.b FROM reach r JOIN edges eg ON r.b = eg.a)"""
+
+  /** Banded-jaccard near-dup pairs as CTEs (`w`/`sh`/`sizes`/`pairs`) —
+    * the x02 tokenization + threshold, shared by the x14 and x59
+    * oracles (append [[closureCtes]] for component labels).
+    */
+  private val jaccardPairsCtes: String =
+    """w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         FROM w WHERE len(ws) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT d1, d2 FROM (
+           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i
+         JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+         WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2)"""
+
+  /** Component label of `documents d`: reachable-minimum, self for
+    * singletons — evaluated against [[closureCtes]]'s `reach`. */
+  private val canonicalIdExpr: String =
+    """coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id), d.doc_id),
+                d.doc_id)"""
 
   /** Keep-one predicate: the row survives iff its id is its component's
     * minimum (reachable-minimum, self for singletons). */
@@ -856,6 +895,28 @@ object Extensions {
          count(*) AS n_dup_grams
        FROM i GROUP BY doc_id, island
        ORDER BY doc_id, span_start"""
+
+  /** x59's oracle: the x14 component labels (same pair + closure CTEs),
+    * then the split decision replayed — staged murmur3 hashLong of the
+    * canonical label, unsigned bucket % 100, 80/10/10 case.
+    */
+  private lazy val clusterSplitSql: String = {
+    val (hashCtes, huCte) =
+      Murmur3Sql.hashLongCtes("lab", Seq("doc_id", "canonical_id"), "csh")
+    s"""WITH RECURSIVE $jaccardPairsCtes,
+       $closureCtes,
+       lab AS (
+         SELECT d.doc_id, $canonicalIdExpr AS canonical_id,
+           $canonicalIdExpr AS v
+         FROM documents d),
+       $hashCtes
+       f AS (SELECT doc_id, canonical_id, hu FROM $huCte)
+       SELECT doc_id, canonical_id,
+         CAST(hu % 100 AS INTEGER) AS split_bucket,
+         CASE WHEN hu % 100 < 80 THEN 'train'
+              WHEN hu % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       FROM f ORDER BY doc_id"""
+  }
 
   /** x43's oracle: product quantization replayed — the same murmur3
     * hash-min codebook sample as x17's, then per-subspace rounded-L2²
@@ -1644,6 +1705,7 @@ object Extensions {
     "x56_importance_resample" -> importanceResampleSql,
     "x57_semantic_dedup" -> semDedupSql,
     "x58_duplicate_spans" -> duplicateSpansSql,
+    "x59_cluster_split" -> clusterSplitSql,
     "x46_negative_samples" -> negSampleSql,
     // keep ⇔ every gopher rule passes (the complement of x40's reasons).
     "x47_dataset_card" ->
@@ -1772,23 +1834,9 @@ object Extensions {
          WHERE ${cosineRounded("a.embedding", "b.embedding")} >= 0.4
          ORDER BY d1, d2""",
     "x14_dedup_keepone" ->
-      s"""WITH RECURSIVE w AS (
-           SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
-         sh AS (
-           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
-             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-           FROM w WHERE len(ws) >= 3),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         pairs AS (
-           SELECT d1, d2 FROM (
-             SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
-             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i
-           JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-           WHERE CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) >= 0.2),
+      s"""WITH RECURSIVE $jaccardPairsCtes,
          $closureCtes
-         SELECT d.doc_id,
-           coalesce(least((SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id), d.doc_id),
-                    d.doc_id) AS canonical_id
+         SELECT d.doc_id, $canonicalIdExpr AS canonical_id
          FROM documents d ORDER BY d.doc_id""",
     // Blocking on prefix + |len diff| ≤ band is equivalent to the
     // engine's (prefix, length-bucket ±1) join: |len₁−len₂| ≤ band

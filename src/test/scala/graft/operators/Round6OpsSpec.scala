@@ -360,6 +360,50 @@ class Round6OpsSpec extends SparkTestBase {
       (3L, 1, 3, 3, 1L)))
   }
 
+  // ---------------------------------------------------------------- x59
+
+  test("clusterSplit: no cluster straddles splits — even when member " +
+       "docs' OWN hash buckets land in different splits") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
+        n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+      .select("d1", "d2")
+    val labeled = Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs)
+    val split = Sampling.clusterSplit(labeled, "canonical_id").cache()
+    try {
+      val straddlers = split.groupBy("canonical_id")
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1).count()
+      assert(straddlers === 0)
+      // the guarantee is non-vacuous: some multi-doc cluster exists whose
+      // members' doc-level buckets disagree on the split — doc-hashing
+      // WOULD have leaked it across splits.
+      val docLevel = Sampling.clusterSplit(
+        split.drop("split_bucket", "split"), "doc_id")
+      val wouldLeak = docLevel.groupBy("canonical_id")
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1).count()
+      assert(wouldLeak > 0,
+        "corpus has no cluster that doc-hashing would split — test is vacuous")
+      // all three splits populated at 80/10/10 on this corpus
+      assert(split.select("split").distinct().count() === 3)
+    } finally split.unpersist()
+  }
+
+  test("clusterSplit plan: scan-side — adds no exchange beyond the " +
+       "labeled input's own plan") {
+    import spark.implicits._
+    val labeled = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "canonical_id")
+    val split = Sampling.clusterSplit(labeled, "canonical_id")
+    val exchanges = split.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "split must not shuffle")
+    assert(split.filter(col("doc_id") === 1L).select("split").collect() ===
+      split.filter(col("doc_id") === 2L).select("split").collect(),
+      "same cluster, same split")
+  }
+
   test("duplicateSpans plan: duplicated-gram join-back is a shuffle — " +
        "never a broadcast of either explode-fed side") {
     val docs = T.documents(spark, "/root/testdata/sf0.001")
