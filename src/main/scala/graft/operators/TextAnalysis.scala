@@ -429,4 +429,62 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_tri"), sum(col("c") * col("freq")).as("sum_freq"))
       .withColumn("avg_tri_freq", col("sum_freq") / col("n_tri"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): per-language head/middle/tail tertiles of an
+    * LM score. The paper scores with a KenLM 5-gram model and SORTS
+    * each language shard by perplexity to cut thirds; here the score
+    * is [[trigramFamiliarity]]'s corpus-trained char-trigram frequency
+    * (higher = more familiar = lower perplexity = head) and the cut
+    * points come from a fixed-width histogram of the integer-floored
+    * score — the a41/st07 sketch-quantile shape — so NO per-language
+    * sort of the corpus ever happens.
+    *
+    * Every decision is integer-exact: `fam_bucket = sum_freq div
+    * (n_tri · bucketWidth)` (long floor-division, no doubles anywhere)
+    * and tertile cut t_k = min bucket with 3·cum ≥ k·n. Docs classify
+    * at bucket resolution — score ties within a bucket share a class,
+    * the documented sketch semantics (CCNet's exact sort differs only
+    * inside one bucket width).
+    *
+    * 100 TB: the familiarity/language join is corpus-keyed on doc_id —
+    * shuffle_hash pinned, since the familiarity side is a post-
+    * aggregate whose size estimate is blind (the explode-broadcast
+    * trap, PERF.md round 6); the histogram is one partial-aggregatable
+    * (lang, bucket) shuffle whose windows run over BUCKET counts, not
+    * rows; the cutoff table is |langs|·2 ints, broadcast back for a
+    * scan-side CASE. At web scale switch to log-spaced buckets
+    * (`length(bin(x))` — still integer-exact) to bound the histogram;
+    * linear buckets keep tertile resolution on the test corpus.
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+                        bucketWidth: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lang = langId(docs, textCol)
+      .select(col(idCol).as("doc_id"), col("pred_lang"))
+    val fam = trigramFamiliarity(docs, textCol, idCol)
+      .select(col("doc_id"), col("n_tri"), col("sum_freq"))
+    val scored = graft.Caches.persistOnce(
+      fam.hint("shuffle_hash")
+        .join(lang, Seq("doc_id"))
+        .withColumn("fam_bucket",
+          expr(s"sum_freq div (n_tri * $bucketWidth)")))
+    val wc = Window.partitionBy(col("pred_lang")).orderBy(col("fam_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("pred_lang"))
+    val cum = scored.groupBy("pred_lang", "fam_bucket")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wt))
+    def cutoff(k: Int, name: String) =
+      cum.filter(col("cum") * 3 >= col("n") * k)
+        .groupBy("pred_lang").agg(min(col("fam_bucket")).as(name))
+    val cuts = cutoff(1, "t1").join(cutoff(2, "t2"), Seq("pred_lang"))
+    scored.join(broadcast(cuts), Seq("pred_lang"))
+      .withColumn("ppl_bucket",
+        when(col("fam_bucket") <= col("t1"), lit("tail"))
+          .when(col("fam_bucket") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .select("doc_id", "pred_lang", "fam_bucket", "ppl_bucket")
+  }
 }

@@ -628,6 +628,14 @@ object Extensions {
         .orderBy("doc_id", "span_start")
     }),
 
+    // CCNet-style perplexity head/middle/tail (arXiv:1911.00359):
+    // per-language tertiles of the trigram-familiarity score via a
+    // fixed-width histogram — no per-language corpus sort.
+    "x60_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(T.documents(s, dir), "text", "doc_id",
+          bucketWidth = 16)
+        .orderBy("doc_id")),
+
     // Leakage-safe train/val/test split: the split hashes the near-dup
     // CLUSTER label (x14's components), so duplicates never straddle
     // train and the held-out sets.
@@ -895,6 +903,60 @@ object Extensions {
          count(*) AS n_dup_grams
        FROM i GROUP BY doc_id, island
        ORDER BY doc_id, span_start"""
+
+  /** x60's oracle: CCNet bucketing replayed — x07's stopword langid,
+    * x42's trigram counts, then the integer-exact bucket/cutoff/CASE
+    * chain (BIGINT floor-division and 3·cum ≥ k·n comparisons only —
+    * no doubles anywhere).
+    */
+  private val perplexityBucketsSql =
+    """WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+       lang AS (
+         SELECT doc_id,
+           CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+                WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+                WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+                WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+         FROM (
+           SELECT doc_id,
+             len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS en_hits,
+             len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS de_hits,
+             len(list_filter(ws, t -> list_contains(['el','la','de','y','es','un'], t))) AS es_hits,
+             len(list_filter(ws, t -> list_contains(['le','la','de','et','est','un'], t))) AS fr_hits
+           FROM w)),
+       d AS (SELECT doc_id, substr(lower(text), 1, 128) AS p FROM documents),
+       t AS (SELECT doc_id,
+               unnest(list_transform(range(1, length(p) - 1), i -> substr(p, i, 3))) AS tri
+             FROM d WHERE length(p) >= 3),
+       f AS (SELECT tri, count(*) AS freq FROM t GROUP BY tri),
+       fam AS (SELECT doc_id, count(*) AS n_tri, sum(freq) AS sum_freq
+               FROM t JOIN f USING (tri) GROUP BY doc_id),
+       scored AS (
+         SELECT fam.doc_id, lang.pred_lang,
+           CAST(sum_freq // (n_tri * 16) AS BIGINT) AS fam_bucket
+         FROM fam JOIN lang ON fam.doc_id = lang.doc_id),
+       cum AS (
+         SELECT pred_lang, fam_bucket, c,
+           sum(c) OVER (PARTITION BY pred_lang ORDER BY fam_bucket) AS cum,
+           sum(c) OVER (PARTITION BY pred_lang) AS n
+         FROM (SELECT pred_lang, fam_bucket, count(*) AS c
+               FROM scored GROUP BY pred_lang, fam_bucket)),
+       cuts AS (
+         SELECT pred_lang, t1, t2 FROM
+           (SELECT pred_lang, min(fam_bucket) AS t1 FROM cum
+            WHERE cum * 3 >= n GROUP BY pred_lang)
+           JOIN
+           (SELECT pred_lang, min(fam_bucket) AS t2 FROM cum
+            WHERE cum * 3 >= n * 2 GROUP BY pred_lang)
+           USING (pred_lang))
+       SELECT s.doc_id, s.pred_lang, s.fam_bucket,
+         CASE WHEN s.fam_bucket <= t1 THEN 'tail'
+              WHEN s.fam_bucket <= t2 THEN 'middle'
+              ELSE 'head' END AS ppl_bucket
+       FROM scored s JOIN cuts USING (pred_lang)
+       ORDER BY doc_id"""
 
   /** x59's oracle: the x14 component labels (same pair + closure CTEs),
     * then the split decision replayed — staged murmur3 hashLong of the
@@ -1706,6 +1768,7 @@ object Extensions {
     "x57_semantic_dedup" -> semDedupSql,
     "x58_duplicate_spans" -> duplicateSpansSql,
     "x59_cluster_split" -> clusterSplitSql,
+    "x60_perplexity_buckets" -> perplexityBucketsSql,
     "x46_negative_samples" -> negSampleSql,
     // keep ⇔ every gopher rule passes (the complement of x40's reasons).
     "x47_dataset_card" ->

@@ -360,6 +360,71 @@ class Round6OpsSpec extends SparkTestBase {
       (3L, 1, 3, 3, 1L)))
   }
 
+  // ---------------------------------------------------------------- x60
+
+  test("perplexityBuckets: per-language tertile invariants — tail holds " +
+       "≥ 1/3, tail+middle ≥ 2/3, classes ordered by bucket") {
+    val out = TextAnalysis.perplexityBuckets(
+      T.documents(spark, "/root/testdata/sf0.001"), "text", "doc_id").cache()
+    try {
+      assert(out.count() === 500)
+      val perLang = out.groupBy("pred_lang").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ppl_bucket") === "tail", 1).otherwise(0)).as("nt"),
+        sum(when(col("ppl_bucket") =!= "head", 1).otherwise(0)).as("ntm"),
+        max(when(col("ppl_bucket") === "tail", col("fam_bucket"))).as("maxT"),
+        min(when(col("ppl_bucket") === "middle", col("fam_bucket"))).as("minM"),
+        max(when(col("ppl_bucket") === "middle", col("fam_bucket"))).as("maxM"),
+        min(when(col("ppl_bucket") === "head", col("fam_bucket"))).as("minH"))
+        .collect()
+      assert(perLang.nonEmpty)
+      perLang.foreach { r =>
+        val (lang, n, nt, ntm) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(nt * 3 >= n, s"$lang: tail < 1/3")
+        assert(ntm * 3 >= n * 2, s"$lang: tail+middle < 2/3")
+        def g(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        for (a <- g(4); b <- g(5)) assert(a < b, s"$lang: tail/middle overlap")
+        for (a <- g(6); b <- g(7)) assert(a < b, s"$lang: middle/head overlap")
+      }
+    } finally out.unpersist()
+  }
+
+  test("perplexityBuckets: cutoffs are PER LANGUAGE — a language whose " +
+       "scores all sit below another's still gets its own head") {
+    import spark.implicits._
+    // en docs: one massively-shared phrase → very high familiarity.
+    // de docs: three separated familiarity levels (shared-heavy /
+    // half-shared / unique), ALL far below the en scores — a GLOBAL
+    // tertile would dump every de doc into tail; per-language cutoffs
+    // give de its own head/middle/tail.
+    val p = "das ist ein gutes haus"
+    val en = Seq.tabulate(4)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again " * 8))
+    val de = Seq(
+      (10L, (p + " ") * 4),                         // shared-heavy → de head
+      (11L, p + " qwv zxv pfl mnb krt"),            // half shared → de middle
+      (12L, "das qwert zuiop mmnbv xcvbn eerrtt"))  // unique → de tail
+    val docs = (en ++ de).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "text", "doc_id", bucketWidth = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(out.forall(r => r._2 == "en" || r._2 == "de"), out.mkString(","))
+    val de3 = out.filter(_._2 == "de").sortBy(_._1).map(_._3).toSeq
+    assert(de3 === Seq("head", "middle", "tail"),
+      s"de must span its own tertiles, got ${out.mkString(",")}")
+  }
+
+  test("perplexityBuckets plan: cutoff join-back broadcasts the tiny " +
+       "cuts table; the corpus-keyed score join shuffles") {
+    val out = TextAnalysis.perplexityBuckets(
+      T.documents(spark, "/root/testdata/sf0.001"), "text", "doc_id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cuts must broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"familiarity/lang join must shuffle:\n$plan")
+  }
+
   // ---------------------------------------------------------------- x59
 
   test("clusterSplit: no cluster straddles splits — even when member " +
