@@ -915,6 +915,49 @@ object Dedup {
         col("n_dup_grams"))
   }
 
+  /** The removal step over [[duplicateSpans]] (the actual dedup of
+    * arXiv:2107.06499 §4: cut every duplicated span, keep the rest):
+    * tokens covered by no span survive; the cleaned document is the
+    * kept tokens rejoined in order. Output per doc —
+    * (doc_id, n_tokens, n_removed, clean_sig) with clean_sig an md5 of
+    * the reconstructed text (the [[passageDedup]] signature convention;
+    * reconstruction is over the normalized lowercase token stream, like
+    * every token-level operator here). Docs shorter than `window` have
+    * no grams, hence no spans — kept whole.
+    *
+    * 100 TB: span coverage is a doc_id equi-join with a range residual
+    * — per-doc span lists are short, so the residual filter is cheap;
+    * pinned shuffle_hash (the span side is a post-aggregate of
+    * explode-fed joins — estimate-blind both ways). Reassembly is the
+    * same partial-aggregatable collect+sort as passageDedup: per-doc
+    * state, no corpus-wide sort.
+    */
+  def removeDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                           window: Int = 5, minCount: Long = 2): DataFrame = {
+    val spans = duplicateSpans(docs, textCol, idCol, window, minCount)
+      .select(col("doc_id").as("s_doc"), col("span_start"), col("span_end"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    // hint the SPANS side: LeftAnti can only build right, so a hint on
+    // the probe side is unsatisfiable and silently ignored.
+    val kept = toks
+      .join(spans.hint("shuffle_hash"), col("doc_id") === col("s_doc")
+        && col("p") >= col("span_start") && col("p") <= col("span_end"),
+        "left_anti")
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    val totals = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    totals.join(reassembled.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_sig"))
+  }
+
   /** Survivorship: one row per cluster, keeping the highest-scoring
     * member (ties → smallest id). One partial-aggregatable shuffle on
     * the cluster key — max_by(struct(score, −id)) aggregates map-side,

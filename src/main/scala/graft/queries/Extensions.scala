@@ -628,6 +628,14 @@ object Extensions {
         .orderBy("doc_id", "span_start")
     }),
 
+    // The removal step over x58's spans (arXiv:2107.06499 §4): cut
+    // every duplicated span, reassemble the kept tokens per doc.
+    "x61_remove_spans" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(T.documents(s, dir), "text", "doc_id",
+          window = 5, minCount = 2)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity head/middle/tail (arXiv:1911.00359):
     // per-language tertiles of the trigram-familiarity score via a
     // fixed-width histogram — no per-language corpus sort.
@@ -865,14 +873,14 @@ object Extensions {
        ORDER BY vec_id"""
   }
 
-  /** x58's oracle: duplicate-substring spans replayed — positioned
-    * 5-grams (the x02 tokenization: regexp_split_to_array on \s+ after
-    * lower), occurrence count ≥ 2, then the gaps-and-islands merge as
-    * lag/sum windows. All integer/string ops — bit-exact by
-    * construction.
+  /** Duplicate-substring span CTEs (`w`…`i`): positioned 5-grams (the
+    * x02 tokenization: regexp_split_to_array on \s+ after lower),
+    * occurrence count ≥ 2, then the gaps-and-islands merge as lag/sum
+    * windows. All integer/string ops — bit-exact by construction.
+    * Shared prelude of the x58 (span report) and x61 (removal) oracles.
     */
-  private val duplicateSpansSql =
-    """WITH w AS (
+  private val dupSpanCtes =
+    """w AS (
          SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
          FROM documents),
        gp AS (
@@ -896,13 +904,44 @@ object Extensions {
        i AS (
          SELECT doc_id, pos,
            sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         FROM m)
+         FROM m)"""
+
+  private val duplicateSpansSql =
+    s"""WITH $dupSpanCtes
        SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
          CAST(max(pos) + 4 AS INTEGER) AS span_end,
          CAST(max(pos) + 4 - min(pos) + 1 AS INTEGER) AS span_tokens,
          count(*) AS n_dup_grams
        FROM i GROUP BY doc_id, island
        ORDER BY doc_id, span_start"""
+
+  /** x61's oracle: span removal — the shared span CTEs, then token
+    * anti-coverage (NOT EXISTS range probe) and the ordered string_agg
+    * reassembly with the x38 md5-signature convention.
+    */
+  private val removeSpansSql =
+    s"""WITH $dupSpanCtes,
+       spans AS (
+         SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+         FROM i GROUP BY doc_id, island),
+       toks AS (
+         SELECT doc_id, CAST(pos AS INTEGER) AS p, ws[pos] AS tok
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+               FROM w)),
+       kept AS (
+         SELECT t.doc_id, t.p, t.tok FROM toks t
+         WHERE NOT EXISTS (SELECT 1 FROM spans s
+           WHERE s.doc_id = t.doc_id AND t.p >= s.s AND t.p <= s.e)),
+       ka AS (
+         SELECT doc_id, count(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY p) AS clean_text
+         FROM kept GROUP BY doc_id),
+       tot AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+       SELECT tot.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         md5(coalesce(clean_text, '')) AS clean_sig
+       FROM tot LEFT JOIN ka USING (doc_id)
+       ORDER BY doc_id"""
 
   /** x60's oracle: CCNet bucketing replayed — x07's stopword langid,
     * x42's trigram counts, then the integer-exact bucket/cutoff/CASE
@@ -1767,6 +1806,7 @@ object Extensions {
     "x56_importance_resample" -> importanceResampleSql,
     "x57_semantic_dedup" -> semDedupSql,
     "x58_duplicate_spans" -> duplicateSpansSql,
+    "x61_remove_spans" -> removeSpansSql,
     "x59_cluster_split" -> clusterSplitSql,
     "x60_perplexity_buckets" -> perplexityBucketsSql,
     "x46_negative_samples" -> negSampleSql,

@@ -469,6 +469,54 @@ class Round6OpsSpec extends SparkTestBase {
       "same cluster, same split")
   }
 
+  // ---------------------------------------------------------------- x61
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("removeDuplicateSpans: covered tokens cut, remainder reassembled " +
+       "in order; untouched and sub-window docs kept whole") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),     // span [1,6] → keeps "g h"
+      (2L, "x y a b c d e f z"),   // span [3,8] → keeps "x y z"
+      (3L, "q w r t u i o p"),     // no duplicated grams → kept whole
+      (4L, "ti ny")).toDF("doc_id", "text") // < window → no grams → whole
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 8L, 6L, md5hex("g h")),
+      (2L, 9L, 6L, md5hex("x y z")),
+      (3L, 8L, 0L, md5hex("q w r t u i o p")),
+      (4L, 2L, 0L, md5hex("ti ny"))))
+  }
+
+  test("removeDuplicateSpans: fully-duplicated docs empty out (the " +
+       "paper's self-repeat cut), signature of the empty string") {
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "text", "doc_id", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 3L, 3L, md5hex("")),
+      (2L, 3L, 3L, md5hex(""))))
+  }
+
+  test("removeDuplicateSpans plan: coverage anti-join and reassembly " +
+       "join-back shuffle — no broadcast of corpus-derived sides") {
+    val df = Dedup.removeDuplicateSpans(
+      T.documents(spark, "/root/testdata/sf0.001"), "text", "doc_id")
+    assert(df.filter(col("n_removed") > 0).count() > 0,
+      "corpus must have removable spans")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"must shuffle:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"no corpus-derived side may broadcast:\n$plan")
+  }
+
   test("duplicateSpans plan: duplicated-gram join-back is a shuffle — " +
        "never a broadcast of either explode-fed side") {
     val docs = T.documents(spark, "/root/testdata/sf0.001")

@@ -40,7 +40,13 @@ class ExplodeBroadcastGuardSpec extends SparkTestBase {
     "x32_heavy_hitters" -> 2, "x34_boilerplate" -> 1,
     "x37_fuzzy_dedup" -> 0, "x38_passage_dedup" -> 0,
     "x43_product_quantize" -> 1, "x50_ann_ivfpq" -> 3,
-    "x51_containment_dedup" -> 0, "x52_bm25" -> 1)
+    "x51_containment_dedup" -> 0, "x52_bm25" -> 1,
+    // round-6 additions — all corpus-sized joins pinned shuffle_hash
+    // (x60's cuts broadcast is lang-level and sits above a persisted
+    // subtree, so it neither is nor counts as a broadcast-of-explode)
+    "x57_semantic_dedup" -> 0, "x58_duplicate_spans" -> 0,
+    "x59_cluster_split" -> 0, "x60_perplexity_buckets" -> 0,
+    "x61_remove_spans" -> 0)
 
   private def broadcastExplodeSites(plan: SparkPlan): Int = {
     def hasGenerate(p: SparkPlan): Boolean =
