@@ -204,6 +204,37 @@ object Dedup {
       .select("doc_id", "sz", "n_overlap", "contam_ratio")
   }
 
+  /** Per-EVAL-example contamination report (the GPT-3 appendix-C
+    * direction — [[decontaminate]] reports per-CORPUS-doc overlap for
+    * filtering; this reports per-eval-example overlap for judging
+    * benchmark validity): for each eval document, the fraction of its
+    * distinct n-gram shingles that occur anywhere in the training
+    * corpus, plus a `clean` flag (zero collisions). Eval docs shorter
+    * than n have no shingles and are omitted (nothing to collide).
+    *
+    * 100 TB: the corpus is never self-joined — corpus shingles
+    * semi-join the BROADCAST eval shingles (the x25 shape), and the
+    * resulting hit set, distinct-ed, is bounded by the eval shingle
+    * count, so the mark-back join broadcasts an eval-bounded relation.
+    * One corpus-sized pass, two tiny broadcasts.
+    */
+  def evalContamination(corpus: DataFrame, evalSet: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 3): DataFrame = {
+    val evalSh = shingles(evalSet, textCol, idCol, n)
+      .select(col("doc_id").as("eval_id"), explode(col("shingles")).as("s"))
+    val corpusSh = shingleFlat(corpus, textCol, idCol, n).select("s")
+    val hitS = corpusSh.join(broadcast(evalSh.select("s")), Seq("s"), "left_semi")
+      .distinct()
+      .withColumn("hit", lit(1))
+    evalSh.join(broadcast(hitS), Seq("s"), "left")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("contam_frac", col("n_hit") / col("n_shingles"))
+      .withColumn("clean", col("n_hit") === 0)
+  }
+
   /** Word-boundary containment pairs: document A's whitespace-normalized
     * text occurs as a contiguous word run inside a strictly longer
     * document B — the "page quoted inside a larger page" duplication

@@ -318,6 +318,38 @@ object Similarity {
         col("dup_of"), col("dup_of").isNull.as("kept"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization (the FAISS SQ8
+    * shape — the standard 4× memory compression for a 100 TB embedding
+    * store before ANN): `code_i = round(v_i · 127 / max|v|)` ∈
+    * [-127, 127], dequantized as `code_i · qscale` with
+    * `qscale = max|v| / 127`. All-zero vectors quantize to zero codes
+    * with qscale 0. Code rounding is the engine-portable
+    * `floor(x + 0.5)` (round-half-up); the mul→div→add chain is staged
+    * identically in the DuckDB oracle, so codes are bit-identical —
+    * no FMA-contraction-prone `a·b − c·d` pattern appears. `qscale`
+    * stays a raw division (one IEEE op, bit-deterministic): grid-
+    * rounding it would destroy precision for small-magnitude vectors.
+    *
+    * 100 TB: pure scan-side element-wise expressions inside
+    * WholeStageCodegen — no shuffle, no state; codes feed
+    * [[ivfTopKSampled]]-style probing or exact re-ranking downstream.
+    */
+  def int8Quantize(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    emb.select(col(idCol).as("vec_id"), vd.as("vd"))
+      .withColumn("max_abs", array_max(transform(col("vd"), x => abs(x))))
+      .select(col("vec_id"),
+        // raw division, NOT round-6: a single IEEE op on identical
+        // inputs is already bit-deterministic cross-engine, and grid-
+        // rounding a small qscale (≪ 1e-6) would destroy its precision.
+        (col("max_abs") / lit(127.0)).as("qscale"),
+        when(col("max_abs") === 0.0d,
+            transform(col("vd"), _ => lit(0)))
+          .otherwise(transform(col("vd"),
+            x => floor(x * lit(127.0) / col("max_abs") + lit(0.5)).cast("int")))
+          .as("codes"))
+  }
+
   /** Per-label centroids in long format (label, dim, centroid value).
     * Mean is computed per (label, dimension) after posexplode — a single
     * partial-aggregatable shuffle keyed on (label, pos).

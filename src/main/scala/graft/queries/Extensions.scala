@@ -636,6 +636,22 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // FAISS-SQ8-style symmetric int8 quantization of the embedding
+    // store — scan-side, bit-exact round-half-up codes.
+    "x62_int8_quantize" -> ((s, dir) =>
+      Similarity.int8Quantize(T.embeddings(s, dir), "embedding", "vec_id")
+        .orderBy("vec_id")),
+
+    // Per-eval-example contamination report (GPT-3 appendix-C
+    // direction): fraction of each eval doc's shingles found in the
+    // training corpus. Same eval split convention as x25.
+    "x63_eval_contamination" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      Dedup.evalContamination(docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20), "text", "doc_id")
+        .orderBy("eval_id")
+    }),
+
     // CCNet-style perplexity head/middle/tail (arXiv:1911.00359):
     // per-language tertiles of the trigram-familiarity score via a
     // fixed-width histogram — no per-language corpus sort.
@@ -996,6 +1012,56 @@ object Extensions {
               ELSE 'head' END AS ppl_bucket
        FROM scored s JOIN cuts USING (pred_lang)
        ORDER BY doc_id"""
+
+  /** x62's oracle: int8 quantization replayed — float→double cast,
+    * list_max of abs, then the identical mul→div→add→floor chain per
+    * element. qscale through the shared round-6 grid.
+    */
+  private val int8QuantizeSql =
+    """WITH e AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         FROM embeddings),
+       m AS (
+         SELECT vec_id, vd,
+           list_max(list_transform(vd, x -> abs(x))) AS max_abs
+         FROM e)
+       SELECT vec_id,
+         max_abs / 127.0 AS qscale,
+         CASE WHEN max_abs = 0
+              THEN list_transform(vd, x -> 0)
+              ELSE list_transform(vd,
+                x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INTEGER))
+         END AS codes
+       FROM m ORDER BY vec_id"""
+
+  /** x63's oracle: the per-eval-example contamination report — distinct
+    * eval shingles (x02 tokenization) left-joined against the distinct
+    * corpus shingle set, integer hit counts, single exact division.
+    */
+  private val evalContaminationSql =
+    """WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+         FROM documents),
+       esh AS (
+         SELECT doc_id AS eval_id,
+           unnest(list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         FROM w WHERE doc_id < 20 AND len(ws) >= 3),
+       csh AS (
+         SELECT DISTINCT s FROM (
+           SELECT unnest(list_distinct(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE doc_id >= 20 AND len(ws) >= 3)),
+       j AS (
+         SELECT e.eval_id,
+           CASE WHEN c.s IS NULL THEN 0 ELSE 1 END AS hit
+         FROM esh e LEFT JOIN csh c ON e.s = c.s)
+       SELECT eval_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(hit) AS BIGINT) AS n_hit,
+         CAST(sum(hit) AS DOUBLE) / count(*) AS contam_frac,
+         sum(hit) = 0 AS clean
+       FROM j GROUP BY eval_id ORDER BY eval_id"""
 
   /** x59's oracle: the x14 component labels (same pair + closure CTEs),
     * then the split decision replayed — staged murmur3 hashLong of the
@@ -1807,6 +1873,8 @@ object Extensions {
     "x57_semantic_dedup" -> semDedupSql,
     "x58_duplicate_spans" -> duplicateSpansSql,
     "x61_remove_spans" -> removeSpansSql,
+    "x62_int8_quantize" -> int8QuantizeSql,
+    "x63_eval_contamination" -> evalContaminationSql,
     "x59_cluster_split" -> clusterSplitSql,
     "x60_perplexity_buckets" -> perplexityBucketsSql,
     "x46_negative_samples" -> negSampleSql,

@@ -469,6 +469,77 @@ class Round6OpsSpec extends SparkTestBase {
       "same cluster, same split")
   }
 
+  // ---------------------------------------------------------------- x62
+
+  test("int8Quantize: codes bounded by ±127 and hit ±127 at the max " +
+       "element; dequantization error ≤ qscale/2; zero vector → zero") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(-0.002f, 0.001f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = Similarity.int8Quantize(emb, "embedding", "vec_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2))))
+      .toMap
+    val origs = Map(
+      1L -> Seq(0.5, -1.0, 0.25, 0.0), 2L -> Seq(-0.002, 0.001),
+      3L -> Seq(0.0, 0.0, 0.0))
+    rows.foreach { case (id, (qscale, codes)) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"$id out of range")
+      if (id != 3L) assert(codes.exists(c => math.abs(c) == 127), s"$id max")
+      codes.zip(origs(id)).foreach { case (c, v) =>
+        assert(math.abs(c * qscale - v) <= qscale / 2 + 1e-6,
+          s"$id dequant err: code $c qscale $qscale orig $v")
+      }
+    }
+    assert(rows(3L)._1 === 0.0 && rows(3L)._2.forall(_ == 0))
+  }
+
+  test("int8Quantize plan: scan-side — no exchange at all") {
+    val q = Similarity.int8Quantize(
+      graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "embedding", "vec_id")
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "quantization must not shuffle")
+  }
+
+  // ---------------------------------------------------------------- x63
+
+  test("evalContamination: exact fractions — full copy 1.0/dirty, " +
+       "disjoint 0.0/clean, partial overlap the exact ratio") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "a b c d e"),
+      (101L, "strange unrelated corpus content here")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a b c d e"),        // all 3 shingles hit → 1.0
+      (2L, "x y z w v"),        // none hit → 0.0
+      (3L, "a b c y z w")).toDF("doc_id", "text")
+    // doc 3 shingles: "a b c"(hit), "b c y", "c y z", "y z w" → 1/4
+    val got = Dedup.evalContamination(corpus, eval, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    assert(got === Set(
+      (1L, 3L, 3L, 1.0, false),
+      (2L, 3L, 0L, 0.0, true),
+      (3L, 4L, 1L, 0.25, false)))
+  }
+
+  test("evalContamination plan: corpus streams through broadcast joins " +
+       "— the corpus side is never built or broadcast") {
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    val rep = Dedup.evalContamination(docs.filter(col("doc_id") >= 20),
+      docs.filter(col("doc_id") < 20), "text", "doc_id")
+    assert(rep.count() === 20)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
+  }
+
   // ---------------------------------------------------------------- x61
 
   private def md5hex(s: String): String =

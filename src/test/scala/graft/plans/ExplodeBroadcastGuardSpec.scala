@@ -46,7 +46,10 @@ class ExplodeBroadcastGuardSpec extends SparkTestBase {
     // subtree, so it neither is nor counts as a broadcast-of-explode)
     "x57_semantic_dedup" -> 0, "x58_duplicate_spans" -> 0,
     "x59_cluster_split" -> 0, "x60_perplexity_buckets" -> 0,
-    "x61_remove_spans" -> 0)
+    "x61_remove_spans" -> 0,
+    // x63's two broadcast builds are EVAL-bounded (the x25 contract):
+    // the eval shingle set, and the distinct hit set (≤ eval shingles)
+    "x62_int8_quantize" -> 0, "x63_eval_contamination" -> 2)
 
   private def broadcastExplodeSites(plan: SparkPlan): Int = {
     def hasGenerate(p: SparkPlan): Boolean =
