@@ -636,6 +636,14 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // Doc-preserving next-fit-decreasing bin packing per hash shard
+    // (arXiv:2107.02027): the no-split complement of x29. Sequential
+    // greedy per shard (typed mapPartitions), recursive-CTE oracle.
+    "x64_pack_bins" -> ((s, dir) =>
+      Packing.packBinsNfd(T.documents(s, dir), "text", "doc_id",
+          capacity = 256, nShards = 8)
+        .orderBy("doc_id")),
+
     // FAISS-SQ8-style symmetric int8 quantization of the embedding
     // store — scan-side, bit-exact round-half-up codes.
     "x62_int8_quantize" -> ((s, dir) =>
@@ -1012,6 +1020,44 @@ object Extensions {
               ELSE 'head' END AS ppl_bucket
        FROM scored s JOIN cuts USING (pred_lang)
        ORDER BY doc_id"""
+
+  /** x64's oracle: per-shard next-fit-decreasing replayed — murmur3
+    * shard CTEs, (len desc, id) row numbers, then the sequential greedy
+    * as a recursive CTE advancing one rank per step in every shard in
+    * parallel (depth = max docs/shard). Integer-only state.
+    */
+  private lazy val packBinsSql: String = {
+    val (hashCtes, huCte) =
+      Murmur3Sql.hashLongCtes("pb0", Seq("doc_id", "len"), "pbh")
+    s"""WITH RECURSIVE pb0 AS (
+         SELECT doc_id,
+           len(regexp_split_to_array(lower(text), '\\s+')) AS len,
+           doc_id AS v
+         FROM documents),
+       $hashCtes
+       s AS (SELECT doc_id, len, CAST(hu % 8 AS INTEGER) AS shard_id
+             FROM $huCte),
+       ord AS (
+         SELECT doc_id, len, shard_id,
+           row_number() OVER (PARTITION BY shard_id
+             ORDER BY len DESC, doc_id) AS rn
+         FROM s),
+       pack AS (
+         SELECT doc_id, shard_id, len, rn,
+           CAST(0 AS BIGINT) AS bin_id, len AS fill
+         FROM ord WHERE rn = 1
+         UNION ALL
+         SELECT o.doc_id, o.shard_id, o.len, o.rn,
+           CASE WHEN p.fill + o.len <= 256 THEN p.bin_id
+                ELSE p.bin_id + 1 END,
+           CASE WHEN p.fill + o.len <= 256 THEN p.fill + o.len
+                ELSE o.len END
+         FROM pack p JOIN ord o
+           ON o.shard_id = p.shard_id AND o.rn = p.rn + 1)
+       SELECT doc_id, shard_id, CAST(len AS BIGINT) AS len,
+         bin_id, CAST(fill AS BIGINT) AS fill_after
+       FROM pack ORDER BY doc_id"""
+  }
 
   /** x62's oracle: int8 quantization replayed — float→double cast,
     * list_max of abs, then the identical mul→div→add→floor chain per
@@ -1874,6 +1920,7 @@ object Extensions {
     "x58_duplicate_spans" -> duplicateSpansSql,
     "x61_remove_spans" -> removeSpansSql,
     "x62_int8_quantize" -> int8QuantizeSql,
+    "x64_pack_bins" -> packBinsSql,
     "x63_eval_contamination" -> evalContaminationSql,
     "x59_cluster_split" -> clusterSplitSql,
     "x60_perplexity_buckets" -> perplexityBucketsSql,

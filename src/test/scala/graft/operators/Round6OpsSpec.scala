@@ -469,6 +469,50 @@ class Round6OpsSpec extends SparkTestBase {
       "same cluster, same split")
   }
 
+  // ---------------------------------------------------------------- x64
+
+  test("packBinsNfd: exact next-fit-decreasing trace on one shard; " +
+       "oversized doc sits alone in its bin") {
+    import spark.implicits._
+    def words(n: Int, tag: String) = Seq.fill(n)(tag).mkString(" ")
+    // capacity 10, lens desc: 12(oversized), 7, 5, 4, 3, 3, 2
+    val docs = Seq(
+      (1L, words(7, "a")), (2L, words(5, "b")), (3L, words(4, "c")),
+      (4L, words(3, "d")), (5L, words(3, "e")), (6L, words(2, "f")),
+      (7L, words(12, "g"))).toDF("doc_id", "text")
+    val got = Packing.packBinsNfd(docs, "text", "doc_id",
+        capacity = 10, nShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // NFD order: 12 → bin0 (oversized, alone); 7 overflows → bin1;
+    // 5 overflows → bin2; 4 fits (9); 3 overflows → bin3; 3 fits (6);
+    // 2 fits (8).
+    assert(got === Set(
+      (7L, 0L, 12L), (1L, 1L, 7L), (2L, 2L, 5L), (3L, 2L, 9L),
+      (4L, 3L, 3L), (5L, 3L, 6L), (6L, 3L, 8L)))
+  }
+
+  test("packBinsNfd: corpus invariants — capacity respected except " +
+       "singleton oversized bins; NF 2-competitive bound per shard") {
+    val out = Packing.packBinsNfd(
+      T.documents(spark, "/root/testdata/sf0.001"), "text", "doc_id",
+      capacity = 256, nShards = 8).cache()
+    try {
+      assert(out.count() === 500)
+      val badBins = out.groupBy("shard_id", "bin_id")
+        .agg(sum(col("len")).as("load"), count(lit(1)).as("n"))
+        .filter(col("load") > 256 && col("n") > 1).count()
+      assert(badBins === 0, "multi-doc bin over capacity")
+      out.groupBy("shard_id")
+        .agg(sum(col("len")).as("total"),
+          (max(col("bin_id")) + 1).as("n_bins"))
+        .collect().foreach { r =>
+          val (sh, total, nBins) = (r.getInt(0), r.getLong(1), r.getLong(2))
+          val opt = (total + 255) / 256
+          assert(nBins <= 2 * opt + 1, s"shard $sh: $nBins bins vs opt $opt")
+        }
+    } finally out.unpersist()
+  }
+
   // ---------------------------------------------------------------- x62
 
   test("int8Quantize: codes bounded by ±127 and hit ±127 at the max " +

@@ -49,7 +49,8 @@ class ExplodeBroadcastGuardSpec extends SparkTestBase {
     "x61_remove_spans" -> 0,
     // x63's two broadcast builds are EVAL-bounded (the x25 contract):
     // the eval shingle set, and the distinct hit set (≤ eval shingles)
-    "x62_int8_quantize" -> 0, "x63_eval_contamination" -> 2)
+    "x62_int8_quantize" -> 0, "x63_eval_contamination" -> 2,
+    "x64_pack_bins" -> 0)
 
   private def broadcastExplodeSites(plan: SparkPlan): Int = {
     def hasGenerate(p: SparkPlan): Boolean =
