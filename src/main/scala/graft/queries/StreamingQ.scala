@@ -68,7 +68,15 @@ object StreamingQ {
           ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"),
           within = "30 minutes")
         .orderBy("src_id", "dst_id")
-    })
+    }),
+
+    // Streaming distinct-count composition: HLL registers maintained IN
+    // the stream (bounded additive state — the a23 sketch made
+    // streaming), harmonic estimate extracted on the sketch. Batch ≡
+    // stream on the registers (EventStreamsSpec).
+    "st10_window_distinct" -> ((s, dir) =>
+      EventStreams.windowDistinctUsers(T.events(s, dir), "1 hour")
+        .orderBy("w_start", "event_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +161,44 @@ object StreamingQ {
          SELECT w_start, event_type, CAST(max(n) AS BIGINT) AS n,
            min(CASE WHEN cum >= ceil(n * 0.5) THEN bucket END) AS p50_bucket,
            min(CASE WHEN cum >= ceil(n * 0.9) THEN bucket END) AS p90_bucket
-         FROM cum GROUP BY 1, 2 ORDER BY w_start, event_type"""
+         FROM cum GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "st10_window_distinct" -> windowDistinctSql
   )
+
+  /** st10's oracle: the a23 HLL arithmetic (murmur3 hashLong CTEs,
+    * register max-rank, harmonic estimate) grouped by the st01 window
+    * convention. Integer math until the single final division.
+    */
+  private lazy val windowDistinctSql: String = {
+    import graft.operators.Sketches
+    val p = Sketches.HllP
+    val m = 1L << p
+    val rmax = 33 - p
+    val pow = 1L << (32 - p)
+    val c = Sketches.hllNumerator(p)
+    val (hashCtes, huCte) =
+      Murmur3Sql.hashLongCtes("ev", Seq("w_start", "event_type"), "wh")
+    s"""WITH ev AS (
+         SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start,
+           event_type, user_id AS v
+         FROM events),
+       $hashCtes
+       br AS (SELECT w_start, event_type, hu // $pow AS bucket,
+                hu % $pow AS w
+              FROM $huCte),
+       rk AS (SELECT w_start, event_type, bucket,
+                CASE WHEN w = 0 THEN $rmax
+                     ELSE $rmax - length(bin(CAST(w AS BIGINT))) END AS rank
+              FROM br),
+       regs AS (SELECT w_start, event_type, bucket, max(rank) AS mj
+                FROM rk GROUP BY 1, 2, 3),
+       agg AS (SELECT w_start, event_type,
+                CAST(sum(CAST(1 AS BIGINT) << ($rmax - mj))
+                     + ($m - count(*)) * (CAST(1 AS BIGINT) << $rmax)
+                  AS BIGINT) AS s
+               FROM regs GROUP BY 1, 2)
+       SELECT w_start, event_type,
+         CAST(floor($c / s) AS BIGINT) AS distinct_users
+       FROM agg ORDER BY w_start, event_type"""
+  }
 }

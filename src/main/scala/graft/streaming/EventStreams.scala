@@ -155,6 +155,82 @@ object EventStreams {
                               watermark: String = "2 hours"): DataFrame =
     windowValueSketch(events.withWatermark("ts", watermark), width, grid)
 
+  /** HLL register sketch per (window, event_type) — the stream half of
+    * streaming distinct-count (the a23 HLL made streaming, split the
+    * st07 way): registers are (bucket → max rank), and max is
+    * associative/commutative, so the stream maintains BOUNDED state
+    * (≤ 2^p registers per group) under any event volume, merging
+    * map-side like any additive aggregate. Estimation happens on the
+    * sketch ([[distinctFromSketch]]) — callable on a streamed-out sink
+    * table, the DataSketches-style hand-off.
+    */
+  def windowDistinctSketch(events: DataFrame, width: String = "1 hour",
+                           p: Int = graft.operators.Sketches.HllP): DataFrame = {
+    val rmax = 33 - p
+    val u = hash(col("user_id")).cast("bigint").bitwiseAND(lit(4294967295L))
+    val w = u.bitwiseAND(lit((1L << (32 - p)) - 1))
+    val rank = when(w === 0, lit(rmax)).otherwise(lit(rmax) - length(bin(w)))
+    events
+      .withColumn("hll_bucket", shiftright(u, 32 - p))
+      .withColumn("hll_rank", rank)
+      .groupBy(window(col("ts"), width).as("win"), col("event_type"),
+        col("hll_bucket"))
+      .agg(max(col("hll_rank")).as("mj"))
+      .select(col("win.start").as("w_start"), col("event_type"),
+        col("hll_bucket"), col("mj"))
+  }
+
+  def windowDistinctSketchStream(events: DataFrame, width: String = "1 hour",
+                                 p: Int = graft.operators.Sketches.HllP,
+                                 watermark: String = "2 hours"): DataFrame =
+    windowDistinctSketch(events.withWatermark("ts", watermark), width, p)
+
+  /** Integer linear-counting table for the HLL small-range correction:
+    * entry V (1-based index V) is floor(m · ln(m / V)), precomputed
+    * HERE so neither engine evaluates a transcendental — the same
+    * constants are embedded as a Spark array literal and as a DuckDB
+    * list literal in the st10 oracle, making the correction
+    * bit-deterministic by construction (the oracle float rule:
+    * no ln/log in oracle-checked outputs).
+    */
+  def hllLinearCountTable(p: Int): IndexedSeq[Long] = {
+    val m = 1 << p
+    (1 to m).map(v => math.floor(m * math.log(m.toDouble / v)).toLong)
+  }
+
+  /** The estimation half: the standard HLL estimate from the registers
+    * — harmonic mean in the dense range (the exact arithmetic of
+    * [[graft.operators.Sketches.hllDistinct]]'s second stage), with
+    * Flajolet's small-range correction (linear counting over the empty-
+    * register count) below raw ≤ 5m/2, which the per-window distinct
+    * counts here squarely occupy. All comparisons and the table lookup
+    * are integer-exact; the single float division matches the a23
+    * oracle convention.
+    */
+  def distinctFromSketch(sketch: DataFrame,
+                         p: Int = graft.operators.Sketches.HllP): DataFrame = {
+    val m = 1L << p
+    val rmax = 33 - p
+    val lcArr = array(hllLinearCountTable(p).map(lit): _*)
+    sketch.groupBy("w_start", "event_type")
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rmax - mj)"))
+        + (lit(m) - count(lit(1))) * lit(1L << rmax)).as("hll_s"),
+        (lit(m) - count(lit(1))).as("hll_v"))
+      .withColumn("hll_raw",
+        floor(lit(graft.operators.Sketches.hllNumerator(p)) / col("hll_s"))
+          .cast("long"))
+      .withColumn("distinct_users",
+        when(col("hll_raw") <= lit(5L * m / 2) && col("hll_v") > 0,
+          element_at(lcArr, col("hll_v").cast("int")))
+          .otherwise(col("hll_raw")))
+      .drop("hll_s", "hll_v", "hll_raw")
+  }
+
+  /** Batch composition: sketch + estimate in one call. */
+  def windowDistinctUsers(events: DataFrame, width: String = "1 hour",
+                          p: Int = graft.operators.Sketches.HllP): DataFrame =
+    distinctFromSketch(windowDistinctSketch(events, width, p), p)
+
   /** p50/p90 buckets per (window, event type) from the sketch: exact
     * integer cumulative ranks over ≤ (value range / grid) rows per
     * group — the streaming-quantiles composition (grid in the stream,

@@ -332,4 +332,42 @@ class EventStreamsSpec extends SparkTestBase {
     assert(last.getLong(1) === 3L)
     assert(last.getTimestamp(2) === t("2024-01-01 00:20:00"))
   }
+
+  test("streaming HLL sketch + batch estimation equal the batch " +
+       "distinct-count; register state is bounded by 2^p") {
+    val streamedSketch = runStream(
+      EventStreams.windowDistinctSketchStream(_, "1 hour", watermark = "2 hours"),
+      "hll_sketch_out")
+    val fromStream = EventStreams.distinctFromSketch(streamedSketch)
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = EventStreams.windowDistinctUsers(events.toDF(), "1 hour")
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(fromStream === batch)
+    val maxRegs = streamedSketch.groupBy("w_start", "event_type").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(maxRegs <= (1L << graft.operators.Sketches.HllP))
+  }
+
+  test("st10 HLL window distinct-count tracks the exact count within " +
+       "the m=256 error bound on the events table") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.tables.Tables.events(spark, dir)
+    val est = EventStreams.windowDistinctUsers(ev, "1 hour")
+    val exact = ev.groupBy(
+        org.apache.spark.sql.functions.window($"ts", "1 hour").as("w"),
+        $"event_type")
+      .agg(org.apache.spark.sql.functions
+        .countDistinct($"user_id").as("exact"))
+      .select($"w.start".as("w_start"), $"event_type", $"exact")
+    val joined = est.join(exact, Seq("w_start", "event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, x) = (r.getLong(r.fieldIndex("distinct_users")).toDouble,
+        r.getLong(r.fieldIndex("exact")).toDouble)
+      // rsd ≈ 1.04/sqrt(256) ≈ 6.5 %; no small-range correction, so
+      // allow a loose absolute floor for sparse windows
+      assert(math.abs(e - x) <= math.max(0.20 * x, 4.0),
+        s"${r.get(0)}/${r.get(1)}: est $e vs exact $x")
+    }
+  }
 }
