@@ -167,7 +167,16 @@ object StreamingQ {
 
   /** st10's oracle: the a23 HLL arithmetic (murmur3 hashLong CTEs,
     * register max-rank, harmonic estimate) grouped by the st01 window
-    * convention. Integer math until the single final division.
+    * convention, PLUS Flajolet's small-range correction exactly as
+    * [[graft.streaming.EventStreams.distinctFromSketch]] applies it:
+    * when raw ≤ 5m/2 and some registers are empty, linear counting
+    * floor(m·ln(m/V)) read from the SAME precomputed integer table
+    * ([[graft.streaming.EventStreams.hllLinearCountTable]]) embedded
+    * here as a list literal — neither engine evaluates a
+    * transcendental. The per-hour-window groups sit squarely in the
+    * small range (≈3 distinct users each), so the correction decides
+    * nearly every output row. Integer math until the single final
+    * division.
     */
   private lazy val windowDistinctSql: String = {
     import graft.operators.Sketches
@@ -176,6 +185,8 @@ object StreamingQ {
     val rmax = 33 - p
     val pow = 1L << (32 - p)
     val c = Sketches.hllNumerator(p)
+    val lc = graft.streaming.EventStreams.hllLinearCountTable(p)
+      .mkString("[", ", ", "]")
     val (hashCtes, huCte) =
       Murmur3Sql.hashLongCtes("ev", Seq("w_start", "event_type"), "wh")
     s"""WITH ev AS (
@@ -195,10 +206,16 @@ object StreamingQ {
        agg AS (SELECT w_start, event_type,
                 CAST(sum(CAST(1 AS BIGINT) << ($rmax - mj))
                      + ($m - count(*)) * (CAST(1 AS BIGINT) << $rmax)
-                  AS BIGINT) AS s
-               FROM regs GROUP BY 1, 2)
+                  AS BIGINT) AS s,
+                CAST($m - count(*) AS BIGINT) AS v
+               FROM regs GROUP BY 1, 2),
+       est AS (SELECT w_start, event_type, v,
+                CAST(floor($c / s) AS BIGINT) AS raw
+               FROM agg)
        SELECT w_start, event_type,
-         CAST(floor($c / s) AS BIGINT) AS distinct_users
-       FROM agg ORDER BY w_start, event_type"""
+         CASE WHEN raw <= ${5L * m / 2} AND v > 0
+              THEN ($lc)[CAST(v AS INTEGER)]
+              ELSE raw END AS distinct_users
+       FROM est ORDER BY w_start, event_type"""
   }
 }

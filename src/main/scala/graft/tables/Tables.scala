@@ -21,15 +21,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read the raw nanos as long (legacy conf)
-    * and rebuild a micros timestamp — the driver data is micro-precision,
-    * so the floor-division is lossless.
+  /** The events table's `ts` physical type has varied across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read the raw nanos as long via the legacy conf
+    * and rebuild a micros timestamp; driver data is micro-precision, so
+    * the floor-division is lossless) vs TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ — cast
+    * to the session-zone TimestampType; the session zone is pinned UTC
+    * everywhere, so the cast is value-identity and downstream window /
+    * unix_timestamp arithmetic matches the DuckDB oracle's naive
+    * reading). Branch on the inferred schema so both generations load
+    * to the same TimestampType column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
