@@ -350,6 +350,20 @@ object Similarity {
           .as("codes"))
   }
 
+  /** [[int8Quantize]] in long format: one row per (vector, dimension)
+    * with `(vec_id, qscale, pos, code)`. Same scan-side element-wise
+    * math; the posexplode happens after quantization, so the plan is
+    * still exchange-free (Generate inside the scan stage). This is the
+    * cross-engine-comparable shape — array cells become scalar rows a
+    * sort can order, which the wide `array<int>` codes column cannot.
+    */
+  def int8QuantizeLong(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
+    int8Quantize(emb, vecCol, idCol)
+      .select(col("vec_id"), col("qscale"),
+        posexplode(col("codes")).as(Seq("pos", "code")))
+      .select(col("vec_id"), col("qscale"),
+        col("pos").cast("long").as("pos"), col("code"))
+
   /** Per-label centroids in long format (label, dim, centroid value).
     * Mean is computed per (label, dimension) after posexplode — a single
     * partial-aggregatable shuffle keyed on (label, pos).

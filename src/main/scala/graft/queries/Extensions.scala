@@ -645,10 +645,12 @@ object Extensions {
         .orderBy("doc_id")),
 
     // FAISS-SQ8-style symmetric int8 quantization of the embedding
-    // store — scan-side, bit-exact round-half-up codes.
+    // store — scan-side, bit-exact round-half-up codes. Long format
+    // (vec_id, qscale, pos, code): scalar cells the oracle harness can
+    // sort, where a raw array<int> column cannot be pandas-ordered.
     "x62_int8_quantize" -> ((s, dir) =>
-      Similarity.int8Quantize(T.embeddings(s, dir), "embedding", "vec_id")
-        .orderBy("vec_id")),
+      Similarity.int8QuantizeLong(T.embeddings(s, dir), "embedding", "vec_id")
+        .orderBy("vec_id", "pos")),
 
     // Per-eval-example contamination report (GPT-3 appendix-C
     // direction): fraction of each eval doc's shingles found in the
@@ -1061,7 +1063,8 @@ object Extensions {
 
   /** x62's oracle: int8 quantization replayed — float→double cast,
     * list_max of abs, then the identical mul→div→add→floor chain per
-    * element. qscale through the shared round-6 grid.
+    * element, emitted long (one row per dimension) via lockstep
+    * parallel unnests so the harness sorts scalar cells.
     */
   private val int8QuantizeSql =
     """WITH e AS (
@@ -1071,15 +1074,20 @@ object Extensions {
        m AS (
          SELECT vec_id, vd,
            list_max(list_transform(vd, x -> abs(x))) AS max_abs
-         FROM e)
-       SELECT vec_id,
-         max_abs / 127.0 AS qscale,
-         CASE WHEN max_abs = 0
-              THEN list_transform(vd, x -> 0)
-              ELSE list_transform(vd,
-                x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INTEGER))
-         END AS codes
-       FROM m ORDER BY vec_id"""
+         FROM e),
+       q AS (
+         SELECT vec_id,
+           max_abs / 127.0 AS qscale,
+           CASE WHEN max_abs = 0
+                THEN list_transform(vd, x -> 0)
+                ELSE list_transform(vd,
+                  x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS INTEGER))
+           END AS codes
+         FROM m)
+       SELECT vec_id, qscale,
+         unnest(range(0, len(codes))) AS pos,
+         unnest(codes) AS code
+       FROM q ORDER BY vec_id, pos"""
 
   /** x63's oracle: the per-eval-example contamination report — distinct
     * eval shingles (x02 tokenization) left-joined against the distinct

@@ -550,6 +550,34 @@ class Round6OpsSpec extends SparkTestBase {
     assert(exchanges.isEmpty, "quantization must not shuffle")
   }
 
+  test("int8QuantizeLong: cell-for-cell equal to the wide format, " +
+       "n·dim rows, and still exchange-free after the posexplode") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(-0.002f, 0.001f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val wide = Similarity.int8Quantize(emb, "embedding", "vec_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2))))
+      .toMap
+    val long = Similarity.int8QuantizeLong(emb, "embedding", "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    assert(long.length === wide.values.map(_._2.size).sum)
+    long.foreach { case (id, qscale, pos, code) =>
+      assert(qscale === wide(id)._1, s"$id qscale")
+      assert(code === wide(id)._2(pos.toInt), s"$id[$pos]")
+    }
+    val q = Similarity.int8QuantizeLong(
+      graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "embedding", "vec_id")
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "long-format quantization must not shuffle")
+  }
+
   // ---------------------------------------------------------------- x63
 
   test("evalContamination: exact fractions — full copy 1.0/dirty, " +
