@@ -40,6 +40,40 @@ object Extensions {
        || '/page?q=w' || CAST(doc_id % 3 AS VARCHAR)
        || '&id=' || CAST(doc_id AS VARCHAR)"""
 
+  /** Session-memoized near-dup cluster-label table — the banded-pairs →
+    * connected-components chain (x14's parameters) that x14, x44, and
+    * x59 all consume. [[graft.operators.Dedup.connectedComponentsKeepOne]]
+    * runs eager actions (the edge count / driver collect), so canonical-
+    * plan cache matching alone cannot deduplicate it across queries: the
+    * chain must be built ONCE and the resulting frame shared. Same
+    * lesson as x21's "mine pairs once", applied across queries.
+    *
+    * Ownership ([[graft.Caches]] policy): the table lives for the
+    * session; long-lived callers release it with [[releaseClusterLabels]]
+    * (which also unpersists) or `Caches.clearAll` + release.
+    */
+  private val clusterLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusterLabelCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      val docs = T.documents(sess, d)
+      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+        .select("d1", "d2")
+      graft.Caches.persistOnce(
+        Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs))
+    })
+
+  /** Drop the memoized label tables (all dirs of `s`), unpersisting each. */
+  def releaseClusterLabels(s: SparkSession): Unit = {
+    val it = clusterLabelCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
   /** The end-to-end document pipeline behind x21: language filter →
     * quality gate → exact content dedup → banded near-dup keep-one →
     * per-doc token stats + fingerprint. Every stage is the scale-path
@@ -427,15 +461,10 @@ object Extensions {
     // elected canonical. Pairs come from the BANDED path (candidates →
     // exact verify), so the composed pipeline is scale-safe end to end;
     // RecallSpec pins banded pairs == all-pairs on this corpus, so the
-    // recursive-CTE transitive-closure oracle still applies.
-    "x14_dedup_keepone" -> ((s, dir) => {
-      val docs = T.documents(s, dir)
-      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
-          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
-        .select("d1", "d2")
-      Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs)
-        .orderBy("doc_id")
-    }),
+    // recursive-CTE transitive-closure oracle still applies. The chain
+    // is built once per session (clusterLabels) — x44/x59 share it.
+    "x14_dedup_keepone" -> ((s, dir) =>
+      clusterLabels(s, dir).orderBy("doc_id")),
 
     // Edit-distance fuzzy dedup: (prefix, length-band) blocking, then
     // levenshtein verify on the candidates only.
@@ -486,18 +515,13 @@ object Extensions {
 
     // Corpus duplication report: histogram of near-dup cluster sizes —
     // the number the pipeline owner actually reads ("how duplicated is
-    // this crawl?"). Clusters from the banded scale path + connected
-    // components; two partial-aggregatable shuffles on top.
-    "x44_cluster_sizes" -> ((s, dir) => {
-      val docs = T.documents(s, dir)
-      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
-          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
-        .select("d1", "d2")
-      Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs)
+    // this crawl?"). Clusters from the shared session label table
+    // (clusterLabels); two partial-aggregatable shuffles on top.
+    "x44_cluster_sizes" -> ((s, dir) =>
+      clusterLabels(s, dir)
         .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_size")
-    }),
+        .orderBy("cluster_size")),
 
     // Dataset card: per (lang, quality-keep) doc/token/char volumes —
     // the rollup a dataset release documents. One partial-aggregatable
@@ -673,16 +697,9 @@ object Extensions {
     // Leakage-safe train/val/test split: the split hashes the near-dup
     // CLUSTER label (x14's components), so duplicates never straddle
     // train and the held-out sets.
-    "x59_cluster_split" -> ((s, dir) => {
-      val docs = T.documents(s, dir)
-      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
-          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
-        .select("d1", "d2")
-      Sampling.clusterSplit(
-          Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs),
-          "canonical_id")
-        .orderBy("doc_id")
-    }),
+    "x59_cluster_split" -> ((s, dir) =>
+      Sampling.clusterSplit(clusterLabels(s, dir), "canonical_id")
+        .orderBy("doc_id")),
 
     // PageRank over the deterministic doc-derived domain link graph —
     // the crawl-frontier / domain-quality prior. 5 power iterations,
