@@ -429,6 +429,15 @@ object Dedup {
       GraftFunctions.simhash64(split(lower(col(textCol)), "\\s+")).as("simhash"))
   }
 
+  /** Banded simhash self-join: candidate pairs whose fingerprints share
+    * any 16-bit band, with the exact Hamming distance attached.
+    *
+    * Cache ownership ([[graft.Caches]] policy): the banded fingerprint
+    * table is persisted for the SESSION — it feeds both sides of the
+    * self-join here and is reused across queries by canonical-plan
+    * matching. The library does not unpersist it; long-lived callers
+    * release it with `Caches.clearAll` (or unpersist the frame).
+    */
   def simhashCandidates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // Persisted: the banded fingerprint table feeds BOTH sides of the
     // self-join — without it the interpreted SimHash64 pass over the

@@ -410,6 +410,12 @@ object TextAnalysis {
     * entries — always broadcastable) → broadcast join back → one
     * per-doc aggregation. Capping at `prefixChars` bounds per-row
     * explode width.
+    *
+    * Cache ownership ([[graft.Caches]] policy): the per-doc trigram
+    * count table is persisted for the SESSION — it feeds both the
+    * frequency aggregate and the per-doc score, and downstream queries
+    * (x60) reuse it by canonical-plan matching. The library does not
+    * unpersist it; long-lived callers release with `Caches.clearAll`.
     */
   def trigramFamiliarity(docs: DataFrame, textCol: String, idCol: String,
                          prefixChars: Int = 128): DataFrame = {

@@ -39,8 +39,15 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case other =>
+        // fail fast: a silent cast of an unexpected physical type (e.g.
+        // string) would surface as null timestamps rows away from here
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other in $dir")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

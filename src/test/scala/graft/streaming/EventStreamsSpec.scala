@@ -364,10 +364,82 @@ class EventStreamsSpec extends SparkTestBase {
     joined.foreach { r =>
       val (e, x) = (r.getLong(r.fieldIndex("distinct_users")).toDouble,
         r.getLong(r.fieldIndex("exact")).toDouble)
-      // rsd ≈ 1.04/sqrt(256) ≈ 6.5 %; no small-range correction, so
-      // allow a loose absolute floor for sparse windows
+      // rsd ≈ 1.04/sqrt(256) ≈ 6.5 %; linear counting applies below
+      // raw ≤ 5m/2, so the loose tolerance here covers residual HLL
+      // error in the dense range, not a missing correction
       assert(math.abs(e - x) <= math.max(0.20 * x, 4.0),
         s"${r.get(0)}/${r.get(1)}: est $e vs exact $x")
     }
+  }
+
+  // -------------------------------------------- st10 correction boundary
+
+  /** Registers (bucket, mj) engineering an EXACT raw estimate: exactly
+    * `k` present buckets whose contributions 2^(rmax-mj) sum to
+    * `targetS` minus the absent buckets' (m-k)·2^rmax. Greedy binary
+    * decomposition, oversized bits split to ≤ 2^(rmax-1), then halved
+    * until exactly k terms.
+    */
+  private def sketchFor(p: Int, targetS: Long, k: Int): Seq[(Int, Int)] = {
+    val m = 1 << p; val rmax = 33 - p; val cap = 1L << (rmax - 1)
+    var rem = targetS - (m - k).toLong * (1L << rmax)
+    require(rem >= k && rem <= k * cap, s"target $targetS infeasible for k=$k")
+    var terms = List.empty[Long]
+    while (rem > 0) {
+      val b = math.min(cap, java.lang.Long.highestOneBit(rem))
+      terms ::= b; rem -= b
+    }
+    while (terms.length < k) {
+      val sorted = terms.sortBy(-_)
+      require(sorted.head > 1, "cannot split a 2^0 term")
+      terms = (sorted.head / 2) :: (sorted.head / 2) :: sorted.tail
+    }
+    require(terms.length == k && terms.sum + (m - k).toLong * (1L << rmax) == targetS)
+    terms.zipWithIndex.map { case (c, i) =>
+      (i, rmax - java.lang.Long.numberOfTrailingZeros(c))
+    }
+  }
+
+  private def estimateOf(p: Int, rows: Seq[(Int, Int)]): Long = {
+    val df = rows.toDF("hll_bucket", "mj")
+      .withColumn("w_start", org.apache.spark.sql.functions.lit(t("2024-01-01 00:00:00")))
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("click"))
+    EventStreams.distinctFromSketch(df, p)
+      .collect().head.getLong(2)
+  }
+
+  test("st10 boundary: raw == 5m/2 exactly still takes the linear-" +
+       "counting branch (the <= edge), raw == 5m/2 + 1 does not") {
+    val p = 4; val m = 1 << p
+    val num = graft.operators.Sketches.hllNumerator(p)
+    // s aligned down to a 2^16 grid keeps the bit count decomposable
+    // into 15 register terms; the (num/(r+1), num/r] interval is ~2^25
+    // wide at r = 40, so the alignment never leaves it.
+    def sFor(r: Int): Long = {
+      val s = (num / r).toLong >> 16 << 16
+      assert((num / s).toLong == r, s"engineered s misses raw=$r")
+      s
+    }
+    val thr = 5 * m / 2                                 // 40
+    val atEdge = estimateOf(p, sketchFor(p, sFor(thr), k = m - 1))
+    val lcTable = EventStreams.hllLinearCountTable(p)
+    assert(atEdge === lcTable(0),
+      s"raw == 5m/2 with v=1 must linear-count to ${lcTable(0)}")
+    val aboveEdge = estimateOf(p, sketchFor(p, sFor(thr + 1), k = m - 1))
+    assert(aboveEdge === (thr + 1).toLong,
+      "raw just above 5m/2 must use the raw harmonic estimate")
+  }
+
+  test("st10 boundary: v == 0 (every register hit) never linear-counts, " +
+       "even when raw falls below 5m/2") {
+    val p = 4; val m = 1 << p; val rmax = 33 - p
+    // all m buckets at mj=1: S = m·2^(rmax-1), raw = floor(num/S) = 21 < 40
+    val rows = (0 until m).map(b => (b, 1))
+    val raw = (graft.operators.Sketches.hllNumerator(p) /
+      (m.toLong << (rmax - 1))).toLong
+    assert(raw < 5 * m / 2, "premise: raw must sit in the correction range")
+    assert(estimateOf(p, rows) === raw,
+      "with zero empty registers the linear-count lookup is undefined — " +
+        "the estimate must stay raw")
   }
 }
