@@ -58,14 +58,15 @@ object Sampling {
     */
   def mixtureBalance(df: DataFrame, id: Column, stratumCol: String,
                      buckets: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(stratumCol)
-      .agg(count(lit(1)).as("n_stratum"))
-    // global-window min instead of a second aggregate: the counts
-    // subtree (and its scan) is computed once; the window runs on the
-    // strata-sized table, so the single partition is trivial
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rates = counts.withColumn("target_n", min(col("n_stratum")).over(w))
+    // The strata-sized counts table is persisted ([[graft.Caches]]
+    // ownership policy) so the global min is a second aggregate over the
+    // CACHED handful of rows, not a second scan of `df` — and not a
+    // partitionless window, whose WindowExec warning would be
+    // indistinguishable from a real single-partition scale bug.
+    val counts = graft.Caches.persistOnce(
+      df.groupBy(stratumCol).agg(count(lit(1)).as("n_stratum")))
+    val rates = counts.crossJoin(
+      broadcast(counts.agg(min(col("n_stratum")).as("target_n"))))
     df.join(broadcast(rates), stratumCol)
       .withColumn("samp_bucket", hashBucket(id, buckets).cast("long"))
       .filter(col("samp_bucket") * col("n_stratum") <
@@ -214,16 +215,17 @@ object Sampling {
     */
   def temperatureMixtureRates(df: DataFrame, stratumCol: String,
                               buckets: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grid = 1048576 // 2^20
-    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_stratum"))
-      .withColumn("gq",
-        floor(sqrt(col("n_stratum").cast("double")) * grid + lit(0.5)) / grid)
-    // strata-sized table: the global window runs on a handful of rows
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
-      .withColumn("denom", sum(col("gq")).over(w))
-      .withColumn("t_target", floor(sum(col("n_stratum")).over(w).cast("double") / 2))
+    // persisted strata-sized counts + broadcast single-row totals in
+    // place of partitionless windows — same single computation of the
+    // counts subtree, warning-free plan (see mixtureBalance)
+    val counts = graft.Caches.persistOnce(
+      df.groupBy(stratumCol).agg(count(lit(1)).as("n_stratum"))
+        .withColumn("gq",
+          floor(sqrt(col("n_stratum").cast("double")) * grid + lit(0.5)) / grid))
+    val totals = counts.agg(sum(col("gq")).as("denom"),
+      floor(sum(col("n_stratum")).cast("double") / 2).as("t_target"))
+    counts.crossJoin(broadcast(totals))
       .withColumn("mix_thr",
         floor(least(col("gq") / col("denom") * col("t_target") / col("n_stratum"),
           lit(1.0)) * buckets + lit(0.5)).cast("long"))

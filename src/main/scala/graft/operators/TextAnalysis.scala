@@ -201,7 +201,6 @@ object TextAnalysis {
   def bm25(docs: DataFrame, textCol: String, idCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val grid = 1048576 // 2^20
     val base = docs.select(col(idCol).as("doc_id"),
@@ -225,10 +224,16 @@ object TextAnalysis {
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
     // global top-k as sort+limit (TakeOrderedAndProject: per-partition
     // partial top-k, k rows to the driver — never a one-partition
-    // window over the scored set); rank assigned on the k survivors.
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    // window over the scored set). Rank is assigned on the k survivors
+    // WITHOUT a window: a partitionless window would emit the WindowExec
+    // single-partition warning, indistinguishable in the logs from a
+    // real scale bug. The k rows are forced into one sorted partition
+    // (no exchange — limit already yields one) where the per-partition
+    // monotonic id is 0..k-1 in row order.
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
-      .withColumn("rank", row_number().over(w).cast("int"))
+      .coalesce(1)
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
       .select("doc_id", "rank", "n_terms", "score")
   }
 
