@@ -27,9 +27,15 @@ object BenchSf1 {
     graft.plans.GraftExtensions.install(spark)
 
     val dir = Fixtures.ensureSf1(spark)
+    // Cluster family runs x14 → x44 → x59: the shared session label
+    // table (Extensions.clusterLabels) is built by x14's cold run, so
+    // x14 cold measures the full banded-pairs + CC chain and x44/x59
+    // measure the label-consumer cost — the sharing the design claims.
     val heavy = Seq(
       "x21_pipeline_docs", "x22_pipeline_embeddings", "x02_dedup_jaccard",
-      "x20_banded_jaccard", "x25_decontaminate", "x44_cluster_sizes",
+      "x20_banded_jaccard", "x25_decontaminate",
+      "x14_dedup_keepone", "x44_cluster_sizes", "x59_cluster_split",
+      "x57_semantic_dedup",
       "a03_join_star", "p15_pipeline_composite",
       "x50_ann_ivfpq", "x51_containment_dedup", "x52_bm25",
       "x58_duplicate_spans", "x60_perplexity_buckets", "x61_remove_spans")
@@ -50,11 +56,30 @@ object BenchSf1 {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val runs = heavy.map { n =>
+    val runs0 = heavy.map { n =>
       val cold = timeOne(n)
       val warm = timeOne(n)
       (n, cold, warm)
     }
+
+    // The distributed large-star/small-star path, FORCED
+    // (maxDriverEdges = 0): at sf1 the near-dup edge set is still under
+    // the driver union-find guard, so without forcing, the O(log d)
+    // rounds the 100 TB design rests on would never be the path
+    // measured here.
+    def timeCcDistributed(): Double = {
+      val t0 = System.nanoTime()
+      val docs = graft.tables.Tables.documents(spark, dir)
+      val pairs = graft.operators.Dedup.bandedJaccardMinhash(
+          docs, "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+        .select("d1", "d2")
+      graft.operators.Dedup.connectedComponentsKeepOne(
+          docs, "doc_id", pairs, maxDriverEdges = 0).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val runs = runs0 :+
+      ("cc_starcontraction_forced", timeCcDistributed(), timeCcDistributed())
     def fmt(v: Double): String = "%.3f".format(v)
     def m(sel: ((String, Double, Double)) => Double): String =
       runs.map(r => "\"" + r._1 + "\":" + fmt(sel(r))).mkString("{", ",", "}")
