@@ -23,6 +23,32 @@ import graft.tables.Exact
   */
 object Similarity {
 
+  /** A (cell, centroid) codebook collapsed to ONE row holding the
+    * entries as an array — the broadcastable scan-side form of
+    * nearest-cell election. Joining this single row (broadcast nested
+    * loop of 1 row) and computing a per-row argmin over the array
+    * replaces the former crossJoin-explode + rk=1-window form, which
+    * shuffled cells× exploded corpus rows just to elect a per-row
+    * minimum. Entry order in the array is irrelevant: the election is
+    * a lexicographic array_min.
+    */
+  private def cbArray(codebook: DataFrame) =
+    broadcast(codebook.agg(
+      collect_list(struct(col("cell"), col("centroid"))).as("cb")))
+
+  /** Per-codebook-entry election key for `vec`: struct(-cosine, cell),
+    * cosine floor-rounded to 1e-6 first. array_min of this ranking is
+    * exactly the old window election (max cell_sim, ties to the
+    * smallest cell id): minimal neg = maximal sim, and -0.0/0.0 order
+    * under IEEE total order the same way the desc sort ordered them.
+    */
+  private def cellRanking(vec: org.apache.spark.sql.Column) =
+    transform(col("cb"), e =>
+      struct(
+        (-Exact.round6(GraftFunctions.cosineSim(vec, e.getField("centroid"))))
+          .as("neg"),
+        e.getField("cell").as("cell")))
+
   /** Exact cosine top-k: for each query vector, the k nearest candidates.
     * Similarity is rounded to 1e-6 (deterministically) before ranking so
     * results are reproducible across engines and run orders; ties break
@@ -210,9 +236,10 @@ object Similarity {
     * before every ranking so ordering is engine-independent; ties break
     * on cell/candidate id.
     *
-    * 100 TB: the codebook is a driver-size sample (cells rows) broadcast
-    * to both sides; assignment is one shuffle keyed on cand_id (index
-    * build, done once and reusable as a partition column); the probe
+    * 100 TB: the codebook is a driver-size sample (cells rows) collapsed
+    * to ONE broadcast array row; assignment is scan-side (per-row argmin
+    * over the array — ZERO shuffle of the corpus, where the former
+    * rk=1-window form shuffled cells× exploded corpus rows); the probe
     * join touches nProbe/cells of the index.
     */
   def ivfTopKSampled(candidates: DataFrame, queries: DataFrame,
@@ -226,23 +253,14 @@ object Similarity {
       .orderBy(col("hu"), col("cand_id"))
       .limit(cells)
       .select(col("cand_id").as("cell"), col("cvec").as("centroid"))
-    val wAsg = Window.partitionBy(col("cand_id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val assigned = c.crossJoin(broadcast(codebook))
-      .withColumn("cell_sim",
-        Exact.round6(GraftFunctions.cosineSim(col("cvec"), col("centroid"))))
-      .withColumn("rk", row_number().over(wAsg))
-      .filter(col("rk") === 1)
+    val assigned = c.crossJoin(cbArray(codebook))
+      .withColumn("cell", array_min(cellRanking(col("cvec"))).getField("cell"))
       .select("cell", "cand_id", "cvec")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wPrb = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(codebook))
-      .withColumn("cell_sim",
-        Exact.round6(GraftFunctions.cosineSim(col("qv"), col("centroid"))))
-      .withColumn("rk", row_number().over(wPrb))
-      .filter(col("rk") <= nProbe)
-      .select("query_id", "qv", "cell")
+    val probes = q.crossJoin(cbArray(codebook))
+      .withColumn("pc",
+        explode(slice(array_sort(cellRanking(col("qv"))), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     probes.join(assigned, Seq("cell"))
@@ -292,18 +310,13 @@ object Similarity {
       .orderBy(col("hu"), col("cand_id"))
       .limit(cells)
       .select(col("cand_id").as("cell"), col("cvec").as("centroid"))
-    val wAsg = Window.partitionBy(col("cand_id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val assigned = c.crossJoin(broadcast(codebook))
-      .withColumn("cell_sim",
-        Exact.round6(GraftFunctions.cosineSim(col("cvec"), col("centroid"))))
-      .withColumn("rk", row_number().over(wAsg))
-      .filter(col("rk") === 1)
+    val assigned = c.crossJoin(cbArray(codebook))
+      .withColumn("cell", array_min(cellRanking(col("cvec"))).getField("cell"))
       .select(col("cell"), col("cand_id"), col("cvec"))
     // shuffle_hash: both pair-join sides are the corpus-sized assignment
-    // (the rk=1 filter hides its true size from the planner — the same
-    // estimate blindness as the explode-broadcast trap, pinned the same
-    // way).
+    // (a scan-side projection whose size the planner tracks, but the
+    // corpus is never broadcast-safe — pinned the same way as the
+    // explode-broadcast trap).
     val dom = assigned.select(col("cell"), col("cand_id").as("d1"), col("cvec").as("v1"))
       .hint("shuffle_hash")
       .join(assigned.select(col("cell"), col("cand_id").as("d2"), col("cvec").as("v2")),
@@ -420,16 +433,21 @@ object Similarity {
       .withColumn("w", (size(col("cv")) / m).cast("int"))
       .withColumn("csv", slice(col("cv"), col("sub") * col("w") + 1, col("w")))
       .select("sub", "code", "csv")
-    val d2 = aggregate(
-      zip_with(col("sv"), col("csv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-    val wMin = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2r"), col("code"))
-    sub.join(broadcast(cw), Seq("sub"))
-      .withColumn("d2r", Exact.round6(d2))
-      .withColumn("rk", row_number().over(wMin))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("code"), col("d2r").as("qerr"))
+    // per-subspace codewords collapsed to ONE array row per sub (m
+    // rows total): the nearest-codeword election is then a scan-side
+    // per-row argmin — zero shuffle, where the former rk=1 window
+    // shuffled corpus×m×ks exploded rows on (vec_id, sub)
+    val cws = broadcast(cw.groupBy("sub")
+      .agg(collect_list(struct(col("code"), col("csv"))).as("cws")))
+    def d2Of(sv: org.apache.spark.sql.Column, csv: org.apache.spark.sql.Column) =
+      aggregate(zip_with(sv, csv, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    sub.join(cws, Seq("sub"))
+      .withColumn("sel", array_min(transform(col("cws"), w =>
+        struct(Exact.round6(d2Of(col("sv"), w.getField("csv"))).as("d2r"),
+          w.getField("code").as("code")))))
+      .select(col("vec_id"), col("sub"),
+        col("sel.code").as("code"), col("sel.d2r").as("qerr"))
   }
 
   /** IVF + PQ: the composed billion-vector ANN shape — coarse inverted
@@ -450,13 +468,12 @@ object Similarity {
     * deterministic samples as the component operators, so the whole
     * pipeline replays bit-exactly in the DuckDB oracle.
     *
-    * 100 TB: both codebooks are driver-size broadcasts; PQ encoding is
-    * scan-side (broadcast join + per-row argmin, no shuffle of the
-    * corpus); the LUT is |queries|·m·ks tiny rows, broadcast; the probe
-    * join reads nProbe/cells of the encoded index; the per-(query,
-    * candidate) ADC sum is partial-aggregatable. The one corpus shuffle
-    * is the cell assignment — an index build, done once and reusable as
-    * a partition column.
+    * 100 TB: both codebooks are driver-size broadcasts; PQ encoding and
+    * cell assignment are both scan-side (broadcast codebook array +
+    * per-row argmin — ZERO shuffle of the corpus); the LUT is
+    * |queries|·m·ks tiny rows, broadcast; the probe join reads
+    * nProbe/cells of the encoded index; the per-(query, candidate) ADC
+    * sum is partial-aggregatable.
     */
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame,
                 vecCol: String, idCol: String, k: Int,
@@ -470,13 +487,8 @@ object Similarity {
       .orderBy(col("hu"), col("cand_id"))
       .limit(cells)
       .select(col("cand_id").as("cell"), col("cvec").as("centroid"))
-    val wAsg = Window.partitionBy(col("cand_id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val assigned = c.crossJoin(broadcast(codebook))
-      .withColumn("cell_sim",
-        Exact.round6(GraftFunctions.cosineSim(col("cvec"), col("centroid"))))
-      .withColumn("rk", row_number().over(wAsg))
-      .filter(col("rk") === 1)
+    val assigned = c.crossJoin(cbArray(codebook))
+      .withColumn("cell", array_min(cellRanking(col("cvec"))).getField("cell"))
       .select("cell", "cand_id")
     val codes = productQuantize(candidates, vecCol, idCol, m, ks)
       .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
@@ -496,14 +508,10 @@ object Similarity {
       .select("sub", "code", "csv")
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wPrb = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(codebook))
-      .withColumn("cell_sim",
-        Exact.round6(GraftFunctions.cosineSim(col("qv"), col("centroid"))))
-      .withColumn("rk", row_number().over(wPrb))
-      .filter(col("rk") <= nProbe)
-      .select("query_id", "cell")
+    val probes = q.crossJoin(cbArray(codebook))
+      .withColumn("pc",
+        explode(slice(array_sort(cellRanking(col("qv"))), 1, nProbe)))
+      .select(col("query_id"), col("pc.cell").as("cell"))
 
     // ADC lookup table: exact subvector-to-codeword L2² on the 2^-20 grid
     val grid = 1048576 // 2^20

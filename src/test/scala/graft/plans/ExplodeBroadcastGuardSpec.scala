@@ -39,7 +39,10 @@ class ExplodeBroadcastGuardSpec extends SparkTestBase {
     "x28_tfidf" -> 0, "x31_bloom_dedup" -> 1,
     "x32_heavy_hitters" -> 2, "x34_boilerplate" -> 1,
     "x37_fuzzy_dedup" -> 0, "x38_passage_dedup" -> 0,
-    "x43_product_quantize" -> 1, "x50_ann_ivfpq" -> 3,
+    // x50's 4th site (round 7): the probe list is now built by
+    // explode(slice(array_sort(...), 1, nProbe)) on the QUERY side —
+    // |queries|·nProbe rows, query-bounded like the LUT
+    "x43_product_quantize" -> 1, "x50_ann_ivfpq" -> 4,
     "x51_containment_dedup" -> 0, "x52_bm25" -> 1,
     // round-6 additions — all corpus-sized joins pinned shuffle_hash
     // (x60's cuts broadcast is lang-level and sits above a persisted
