@@ -715,6 +715,13 @@ object Dedup {
     * is organizing them with bounded memory and full parallelism, which
     * this shape does. For true near-dup mining (cos ≥ ~0.9) use
     * [[embeddingCosinePairsBucketed]].
+    *
+    * Cache ownership ([[graft.Caches]] policy): the RESULT — the
+    * threshold-filtered pair set, O(matching pairs), corpus-free bound —
+    * is persisted for the session: the O(n²) cosine sweep is the single
+    * most expensive embedding-side computation, and multiple consumers
+    * (x15's report, x22's components) otherwise each re-pay it. The
+    * library does not unpersist; release via `Caches.clearAll`.
     */
   def embeddingCosinePairsBlocked(emb: DataFrame, vecCol: String, idCol: String,
                                   threshold: Double, blocks: Int = 16): DataFrame = {
@@ -731,7 +738,7 @@ object Dedup {
     val left = v.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("blk").as("ba"))
       .join(blockPairs, Seq("ba"))
     val right = v.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("blk").as("bb"))
-    left.join(right, Seq("bb"))
+    graft.Caches.persistOnce(left.join(right, Seq("bb"))
       .filter(col("ba") =!= col("bb") || col("d1") < col("d2"))
       .withColumn("cosine",
         graft.tables.Exact.round6(GraftFunctions.cosineSim(col("v1"), col("v2"))))
@@ -739,7 +746,7 @@ object Dedup {
       .select(
         least(col("d1"), col("d2")).as("d1"),
         greatest(col("d1"), col("d2")).as("d2"),
-        col("cosine"))
+        col("cosine")))
   }
 
   /** Approximate near-dup embedding pairs via seeded random-hyperplane
