@@ -550,6 +550,41 @@ class Round6OpsSpec extends SparkTestBase {
     assert(exchanges.isEmpty, "quantization must not shuffle")
   }
 
+  test("scan-side nearest-cell election equals the window election on " +
+       "random vectors (the round-7 argmin refactor's semantic pin)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions
+    import graft.tables.Exact
+    (1 to 5).foreach { trial =>
+      val rnd = new scala.util.Random(1000L + trial)
+      val emb = (0 until 40).map { id =>
+        (id.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+      }.toDF("vec_id", "embedding")
+      // the argmin path, via semanticDedup's exposed cell column
+      // (threshold 2.0 keeps every vector so only assignment matters)
+      val got = Similarity.semanticDedup(emb, "embedding", "vec_id",
+          cells = 6, threshold = 2.0)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: the pre-round-7 rk=1 window election, rebuilt here
+      val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+      val codebook = c
+        .withColumn("hu",
+          hash(col("cand_id")).cast("bigint").bitwiseAND(lit(4294967295L)))
+        .orderBy(col("hu"), col("cand_id")).limit(6)
+        .select(col("cand_id").as("cell"), col("cvec").as("centroid"))
+      val w = Window.partitionBy(col("cand_id"))
+        .orderBy(col("cell_sim").desc, col("cell"))
+      val ref = c.crossJoin(broadcast(codebook))
+        .withColumn("cell_sim",
+          Exact.round6(GraftFunctions.cosineSim(col("cvec"), col("centroid"))))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cand_id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === ref, s"trial $trial: election diverged")
+    }
+  }
+
   test("int8QuantizeLong: cell-for-cell equal to the wide format, " +
        "n·dim rows, and still exchange-free after the posexplode") {
     import spark.implicits._
