@@ -122,6 +122,32 @@ object Sampling {
     * is exactly the parallelism the write needs. No global ordering
     * structure (zipWithIndex, single-partition window) anywhere.
     */
+  /** Deterministic fixed-size per-stratum subset: at most `n` rows per
+    * stratum, chosen by the murmur3-hash order of the id (the
+    * [[shuffleShard]] ordering restricted to each stratum), ties → id.
+    * The fixed-eval-subset builder: every language/source contributes a
+    * reproducible pseudo-random ≤ n regardless of stratum skew, stable
+    * across runs, partitionings, and engines — no RNG stream.
+    * `take_rank` (1-based) is the within-stratum position, so callers
+    * can later shrink the subset (rank ≤ m, m < n) without resampling.
+    *
+    * 100 TB: written as the standard rank-window + literal bound, which
+    * [[graft.plans.TopKViaWindowRewrite]] swaps for the bounded-heap
+    * TopKPerKeyExec — O(rows·log n) per partition with O(strata·n)
+    * state instead of a full per-stratum sort; one shuffle on the
+    * stratum key. A hot stratum costs its row count, not its sort.
+    */
+  def stratifiedTake(df: DataFrame, id: Column, stratumCol: String,
+                     n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("take_key"), id)
+    df.withColumn("take_key",
+        hash(id).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .withColumn("take_rank", row_number().over(w))
+      .filter(col("take_rank") <= n)
+      .drop("take_key")
+  }
+
   def shuffleShard(df: DataFrame, id: Column, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard_id"))

@@ -609,6 +609,14 @@ object Extensions {
         .select("shard_id", "shard_pos", "doc_id")
         .orderBy("shard_id", "shard_pos")),
 
+    // Deterministic fixed-size per-language subset (the eval-set
+    // builder): ≤ 20 docs per lang in murmur3 order, ranked by the
+    // custom TopKPerKeyExec via the transparent window rewrite.
+    "x65_stratified_take" -> ((s, dir) =>
+      Sampling.stratifiedTake(T.documents(s, dir), col("doc_id"), "lang", 20)
+        .select("lang", "take_rank", "doc_id")
+        .orderBy("lang", "take_rank")),
+
     // Temperature-weighted (α=0.5) mixture sampling per source: rare
     // strata upsampled toward sqrt-share of a half-corpus target.
     // Reported as the per-stratum mixing table (integers only).
@@ -1338,6 +1346,21 @@ object Extensions {
        FROM sh ORDER BY shard_id, shard_pos"""
   }
 
+  /** x65's oracle: the x53 murmur3 hash order replayed per language —
+    * rank within lang by (hu, doc_id), keep rank ≤ 20.
+    */
+  private lazy val stratifiedTakeSql: String = {
+    val (ctes, hu) = Murmur3Sql.hashLongCtes("st0", Seq("doc_id", "lang"), "sth")
+    s"""WITH st0 AS (SELECT doc_id, lang, doc_id AS v FROM documents),
+       $ctes
+       r AS (SELECT lang, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY hu, doc_id)
+                 AS INTEGER) AS take_rank
+             FROM $hu)
+       SELECT lang, take_rank, doc_id FROM r
+       WHERE take_rank <= 20 ORDER BY lang, take_rank"""
+  }
+
   /** x54's oracle: per-source counts → grid-quantized sqrt shares →
     * the same ((gq/denom)·T)/n left-to-right IEEE chain → integer
     * threshold, then the murmur3 bucket acceptance replayed per doc.
@@ -1938,6 +1961,7 @@ object Extensions {
     "x51_containment_dedup" -> containmentSql,
     "x52_bm25" -> bm25Sql,
     "x53_shuffle_shard" -> shuffleShardSql,
+    "x65_stratified_take" -> stratifiedTakeSql,
     "x54_temperature_mix" -> temperatureMixSql,
     "x55_pagerank" -> pageRankSql,
     "x56_importance_resample" -> importanceResampleSql,
