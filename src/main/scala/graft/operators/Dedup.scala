@@ -306,6 +306,65 @@ object Dedup {
       .select("doc_id", "h")
   }
 
+  /** Incremental NEAR-dup dedup: batch survivors after (a) dropping
+    * every batch doc whose minhash similarity estimate against ANY
+    * historical doc reaches `minEstimate`, and (b) one-hop in-batch
+    * domination (a batch doc is dropped when a SMALLER-id batch doc is
+    * within threshold — the [[Similarity.semanticDedup]] election,
+    * documented simplification of iterative keep-one). The near-dup
+    * analog of [[dedupAgainst]]: the operational shape for continuously
+    * growing corpora, where re-running full-corpus keep-one (x14) per
+    * ingest is unaffordable. Docs too short to shingle have no
+    * signature, cannot be near anything, and always survive.
+    *
+    * 100 TB: history participates ONLY through its signature table and
+    * (band, bucket) index keys — both precomputable once per corpus
+    * generation and bucketable on the band key, which makes the
+    * candidate join exchange-free on the index side; per-ingest cost is
+    * O(batch + colliding history rows), independent of corpus size.
+    * Candidate joins are shuffle_hash-pinned (the banded tables sit
+    * above Generate, whose row estimate blinds the planner — the
+    * containmentPairs trap).
+    */
+  def nearDedupAgainst(batch: DataFrame, historical: DataFrame,
+                       textCol: String, idCol: String,
+                       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+                       minEstimate: Double = 0.2, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bs = graft.Caches.persistOnce(
+      minhashSignatures(batch, textCol, idCol, n, numHashes, seed))
+    val hs = graft.Caches.persistOnce(
+      minhashSignatures(historical, textCol, idCol, n, numHashes, seed))
+    def keys(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"), col("sig"), explode(
+        array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            hash(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bk"))
+    def est(s1: Column, s2: Column): Column =
+      size(filter(zip_with(s1, s2, (x, y) => x === y), b => b))
+        .cast("double") / numHashes
+    val histHit = keys(bs)
+      .select(col("doc_id").as("b_id"), col("sig").as("bsig"), col("bk"))
+      .hint("shuffle_hash")
+      .join(keys(hs).select(col("sig").as("hsig"), col("bk")), Seq("bk"))
+      .filter(est(col("bsig"), col("hsig")) >= minEstimate)
+      .select(col("b_id")).distinct()
+    val bk = keys(bs)
+    val dominated = bk
+      .select(col("doc_id").as("d1"), col("sig").as("sig1"), col("bk"))
+      .hint("shuffle_hash")
+      .join(bk.select(col("doc_id").as("d2"), col("sig").as("sig2"), col("bk")),
+        Seq("bk"))
+      .filter(col("d1") < col("d2"))
+      .filter(est(col("sig1"), col("sig2")) >= minEstimate)
+      .select(col("d2").as("b_id")).distinct()
+    batch.select(col(idCol).as("doc_id"))
+      .join(histHit.unionByName(dominated).distinct()
+          .withColumnRenamed("b_id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash+LSH near-dup candidates via MLlib (deterministic via seed):
     * tokenize → shingle → binary HashingTF → MinHashLSH banding →
     * approxSimilarityJoin at `maxJaccardDistance`.

@@ -239,6 +239,18 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup dedup: the x27 batch/history split, but at
+    // minhash-estimate similarity — batch survivors after banded
+    // batch×history candidates + one-hop in-batch domination. History
+    // participates only via its signature index (never self-joined).
+    "x66_near_dedup_against" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      Dedup.nearDedupAgainst(docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8), "text", "doc_id",
+          numHashes = 16, bands = 8, minEstimate = 0.2)
+        .orderBy("doc_id")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): most-
     // repeated-trigram share per document.
     "x26_repetition" -> ((s, dir) =>
@@ -1534,7 +1546,14 @@ object Extensions {
     * bucket-collision pairs, and the equal-component similarity
     * estimate.
     */
-  private val minhashNativeSql: String = {
+  /** The x03 sig/band CTE chain (WITH-body text, no leading WITH):
+    * trigram shingles → 16 seeded murmur3 string hashes → per-seed
+    * signature mins → 8 band buckets. Ends at CTEs `sigs(doc_id, sig)`
+    * and `banded(doc_id, sig, band, bucket)`; shared by the x03 and
+    * x66 oracles so the replayed arithmetic can never drift between
+    * them.
+    */
+  private lazy val minhashSigBandCtes: String = {
     import Murmur3Sql._
     val seeds = Dedup.minhashSeeds(numHashes = 16, seed = 42L)
     val seedList = seeds.mkString(", ")
@@ -1544,7 +1563,7 @@ object Extensions {
     val wordMix = mixH1("h", mixK1("w"))
     val byteMix = mixH1("h", mixK1("b"))
     val hl = hashInt("v", "h")
-    s"""WITH w AS (
+    s"""w AS (
          SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
        sh AS (
          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
@@ -1597,7 +1616,11 @@ object Extensions {
                list_transform(sig[bb.b*2+1 : bb.b*2+2],
                  x -> CAST(CASE WHEN x < 0 THEN x + 4294967296 ELSE x END AS HUGEINT))),
              (h, v) -> $hl) AS bucket
-         FROM sigs, (SELECT unnest(range(0, 8)) AS b) bb),
+         FROM sigs, (SELECT unnest(range(0, 8)) AS b) bb)"""
+  }
+
+  private lazy val minhashNativeSql: String =
+    s"""WITH $minhashSigBandCtes,
        cand AS (
          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          FROM banded a JOIN banded b
@@ -1607,7 +1630,34 @@ object Extensions {
        FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2
        WHERE CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 16 >= 0.2
        ORDER BY d1, d2"""
-  }
+
+  /** x66's oracle: the shared sig/band chain split at the x27
+    * batch/history boundary — banded batch×history hits plus one-hop
+    * smaller-id in-batch domination, anti-joined from the full batch
+    * id set (shingle-less docs survive by construction).
+    */
+  private lazy val nearDedupAgainstSql: String =
+    s"""WITH $minhashSigBandCtes,
+       bband AS (SELECT * FROM banded WHERE doc_id % 10 >= 8),
+       hband AS (SELECT * FROM banded WHERE doc_id % 10 < 8),
+       histhit AS (
+         SELECT DISTINCT b.doc_id
+         FROM bband b JOIN hband h
+           ON b.band = h.band AND b.bucket = h.bucket
+         WHERE CAST(len(list_filter(range(1, 17), i -> b.sig[i] = h.sig[i]))
+           AS DOUBLE) / 16 >= 0.2),
+       dom AS (
+         SELECT DISTINCT b2.doc_id
+         FROM bband b1 JOIN bband b2
+           ON b1.band = b2.band AND b1.bucket = b2.bucket
+             AND b1.doc_id < b2.doc_id
+         WHERE CAST(len(list_filter(range(1, 17), i -> b1.sig[i] = b2.sig[i]))
+           AS DOUBLE) / 16 >= 0.2)
+       SELECT doc_id FROM documents
+       WHERE doc_id % 10 >= 8
+         AND doc_id NOT IN (SELECT doc_id FROM histhit)
+         AND doc_id NOT IN (SELECT doc_id FROM dom)
+       ORDER BY doc_id"""
 
   /** x30's oracle: the mixture-balance accept predicate replayed via
     * the shared staged murmur3 hashLong CTEs over doc_id, with the
@@ -2073,6 +2123,7 @@ object Extensions {
            ov.n_overlap / sz.sz AS contam_ratio
          FROM ov JOIN sz USING (doc_id)
          WHERE ov.n_overlap >= 1 ORDER BY ov.doc_id""",
+    "x66_near_dedup_against" -> nearDedupAgainstSql,
     "x27_incremental_dedup" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
          b AS (SELECT min(doc_id) AS doc_id, h FROM h
