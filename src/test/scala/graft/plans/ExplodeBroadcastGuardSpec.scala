@@ -53,7 +53,13 @@ class ExplodeBroadcastGuardSpec extends SparkTestBase {
     // x63's two broadcast builds are EVAL-bounded (the x25 contract):
     // the eval shingle set, and the distinct hit set (≤ eval shingles)
     "x62_int8_quantize" -> 0, "x63_eval_contamination" -> 2,
-    "x64_pack_bins" -> 0)
+    "x64_pack_bins" -> 0,
+    // x66: candidate joins are shuffle_hash-pinned and the final
+    // anti-join's broadcast build (the batch-bounded dropped-id set)
+    // aggregates before broadcasting, so no Generate sits under any
+    // broadcast build; history is never self-joined (pinned in
+    // IncrementalNearDedupSpec)
+    "x65_stratified_take" -> 0, "x66_near_dedup_against" -> 0)
 
   private def broadcastExplodeSites(plan: SparkPlan): Int = {
     def hasGenerate(p: SparkPlan): Boolean =
