@@ -35,7 +35,7 @@ object BenchSf1 {
       "x21_pipeline_docs", "x22_pipeline_embeddings", "x02_dedup_jaccard",
       "x20_banded_jaccard", "x25_decontaminate",
       "x14_dedup_keepone", "x44_cluster_sizes", "x59_cluster_split",
-      "x57_semantic_dedup",
+      "x57_semantic_dedup", "x66_near_dedup_against",
       "a03_join_star", "p15_pipeline_composite",
       "x50_ann_ivfpq", "x51_containment_dedup", "x52_bm25",
       "x58_duplicate_spans", "x60_perplexity_buckets", "x61_remove_spans")
