@@ -82,6 +82,35 @@ object TextAnalysis {
       .withColumn("bpe_tokens", size(regexp_extract_all(t, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))))
   }
 
+  /** Adjacent-token-pair frequencies — the first merge step of BPE /
+    * WordPiece vocabulary induction at corpus scale: every adjacent
+    * (lowercased, whitespace) token pair counted corpus-wide, the top-k
+    * merge candidates ranked by (count desc, pair asc). This one step
+    * is the expensive primitive: full BPE loops it with the winning
+    * pair merged, and every loop is the same partial-aggregatable
+    * count over the updated token stream.
+    *
+    * 100 TB: the pair stream is scan-side (a zip of two shifted slices
+    * — no join, no second scan); the count is ONE partial-aggregatable
+    * shuffle keyed on the pair; top-k is TakeOrderedAndProject
+    * (per-partition partial top-k, k rows to the driver). The pair
+    * vocabulary is never globally sorted.
+    */
+  def bpePairCandidates(docs: DataFrame, textCol: String,
+                        k: Int = 50): DataFrame = {
+    val ws = tokens(col(textCol))
+    docs.select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Content fingerprints: an md5 of the normalized text (cross-engine
     * checkable) and the engine's native 64-bit rolling hash (codegen'd
     * Catalyst expression — see graft.functions.RollingHash).

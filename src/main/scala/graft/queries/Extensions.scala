@@ -251,6 +251,12 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // First BPE merge step: corpus-wide adjacent-token-pair counts,
+    // top-50 merge candidates — scan-side pair stream, one partial-
+    // aggregatable shuffle, TakeOrdered top-k.
+    "x67_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCandidates(T.documents(s, dir), "text", k = 50)),
+
     // Intra-document repetition (Gopher-style quality signal): most-
     // repeated-trigram share per document.
     "x26_repetition" -> ((s, dir) =>
@@ -2124,6 +2130,17 @@ object Extensions {
          FROM ov JOIN sz USING (doc_id)
          WHERE ov.n_overlap >= 1 ORDER BY ov.doc_id""",
     "x66_near_dedup_against" -> nearDedupAgainstSql,
+    "x67_bpe_pairs" ->
+      """WITH w AS (
+           SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+           FROM documents),
+         p AS (
+           SELECT ws[i] AS w1, ws[i+1] AS w2
+           FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                 FROM w WHERE len(ws) >= 2))
+         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM p GROUP BY 1, 2
+         ORDER BY n_pairs DESC, w1, w2 LIMIT 50""",
     "x27_incremental_dedup" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
          b AS (SELECT min(doc_id) AS doc_id, h FROM h

@@ -59,7 +59,8 @@ class ExplodeBroadcastGuardSpec extends SparkTestBase {
     // aggregates before broadcasting, so no Generate sits under any
     // broadcast build; history is never self-joined (pinned in
     // IncrementalNearDedupSpec)
-    "x65_stratified_take" -> 0, "x66_near_dedup_against" -> 0)
+    "x65_stratified_take" -> 0, "x66_near_dedup_against" -> 0,
+    "x67_bpe_pairs" -> 0)
 
   private def broadcastExplodeSites(plan: SparkPlan): Int = {
     def hasGenerate(p: SparkPlan): Boolean =
