@@ -873,7 +873,51 @@ object Dedup {
     */
   def fuzzyPairs(docs: DataFrame, textCol: String, idCol: String,
                  prefixLen: Int = 24, lenBand: Int = 24,
-                 maxDist: Int = 20): DataFrame = {
+                 maxDist: Int = 20,
+                 collapseExactDups: Boolean = true): DataFrame = {
+    if (!collapseExactDups)
+      return fuzzyPairsDirect(docs, textCol, idCol, prefixLen, lenBand, maxDist)
+    // The x02 lesson applied to edit distance: identical texts share
+    // (prefix, length) by construction, so a dup group of size k sits
+    // in one block and pays k² levenshteins of LONG IDENTICAL strings
+    // (each O(len²)) — measured 40× growth at the 10× dup-heavy sf1.
+    // Collapse to one min-id representative per distinct content, mine
+    // blocked pairs over representatives only, then expand: distance
+    // is a function of the two texts, so every member pair inherits
+    // its representatives' distance, and intra-group pairs are 0 by
+    // definition.
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      sha2(col(textCol), 256).as("h"))
+    val reps = graft.Caches.persistOnce(keyed
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("__text"))).as("st"),
+        count(lit(1)).as("grp_n"))
+      .select(col("h"), col("st.doc_id").as("doc_id"),
+        col("st.__text").as("__text"), col("grp_n")))
+    val members = keyed.select(col("doc_id"), col("h"))
+    val repPairs = fuzzyPairsDirect(reps, "__text", "doc_id",
+      prefixLen, lenBand, maxDist)
+    val repIdx = reps.select(col("doc_id").as("rep"), col("h"))
+    val cross = repPairs
+      .join(repIdx.select(col("rep").as("d1"), col("h").as("h1")), "d1")
+      .join(repIdx.select(col("rep").as("d2"), col("h").as("h2")), "d2")
+      .join(members.select(col("doc_id").as("m1"), col("h").as("h1")), "h1")
+      .join(members.select(col("doc_id").as("m2"), col("h").as("h2")), "h2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("edit_dist"))
+    val dupMembers = members
+      .join(reps.filter(col("grp_n") >= 2).select("h"), "h")
+    val intra = dupMembers.select(col("h"), col("doc_id").as("m1"))
+      .join(dupMembers.select(col("h"), col("doc_id").as("m2")), Seq("h"))
+      .filter(col("m1") < col("m2"))
+      .select(col("m1").as("d1"), col("m2").as("d2"),
+        lit(0).as("edit_dist"))
+    cross.unionByName(intra)
+  }
+
+  private def fuzzyPairsDirect(docs: DataFrame, textCol: String, idCol: String,
+                               prefixLen: Int, lenBand: Int,
+                               maxDist: Int): DataFrame = {
     val d = docs.select(
       col(idCol).as("id"), col(textCol).as("t"),
       length(col(textCol)).as("len"),

@@ -103,6 +103,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("exact-dup collapse in fuzzyPairs equals the direct blocked join " +
+       "(incl. 0-distance intra-group pairs and cross-group inheritance)") {
+    // identical groups (incl. SHORT identical docs — unlike shingles,
+    // edit distance pairs them: dist 0 always qualifies), plus a
+    // near-identical cross pair within maxDist, plus far fillers
+    val corpus = (Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (1L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (2L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (3L, "the quick brown fox jumps over the lazy dog near the yard"),
+      (4L, "short one"),
+      (5L, "short one")) ++
+      (6L until 25L).map(i => (i, s"filler document number $i with its own unique long tail ${i * 31}")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val collapsed = canon(Dedup.fuzzyPairs(corpus, "text", "doc_id"))
+    val direct = canon(Dedup.fuzzyPairs(corpus, "text", "doc_id",
+      collapseExactDups = false))
+    assert(collapsed === direct)
+    // the 3-group contributes its 3 intra pairs at distance 0, and the
+    // short identical pair (4,5) qualifies too
+    assert(collapsed.count { case (_, _, d) => d == 0 } === 4)
+    // cross-group near-dup (barn vs yard) inherited by every member
+    assert(collapsed.count { case (a, b, d) => b == 3L && d > 0 } === 3)
+  }
+
   test("exact-dup collapse in ngramJaccard equals the direct all-pairs join") {
     // dup-heavy adversarial corpus: 3-deep identical groups, a cross-group
     // near-dup, shingle-less short docs (incl. identical short docs — no
