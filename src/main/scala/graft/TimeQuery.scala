@@ -33,6 +33,17 @@ object TimeQuery {
     def resolve(name: String): (SparkSession, String) => DataFrame = name match {
       case "x21_full" => (s, d) => queries.Extensions.pipelineDocs(s, d, mineSurvivorsOnly = false)
       case "x21_survivors" => (s, d) => queries.Extensions.pipelineDocs(s, d, mineSurvivorsOnly = true)
+      // collapse-vs-direct A/B handles (builder-side; the driver surface
+      // always runs the collapsed defaults)
+      case "x37_direct" => (s, d) => operators.Dedup.fuzzyPairs(
+        graft.tables.Tables.documents(s, d), "text", "doc_id",
+        collapseExactDups = false)
+      case "x19_direct" => (s, d) => operators.Dedup.simhashCandidates(
+        graft.tables.Tables.documents(s, d), "text", "doc_id",
+        collapseExactDups = false)
+      case "x02_direct" => (s, d) => operators.Dedup.ngramJaccard(
+        graft.tables.Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.2, collapseExactDups = false)
       case q => SparkEntry.queries(q)
     }
     // warmup codegen/classloading on the flagship

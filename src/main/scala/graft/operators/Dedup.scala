@@ -497,7 +497,57 @@ object Dedup {
     * matching. The library does not unpersist it; long-lived callers
     * release it with `Caches.clearAll` (or unpersist the frame).
     */
-  def simhashCandidates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        collapseExactDups: Boolean = true): DataFrame = {
+    if (!collapseExactDups)
+      return simhashCandidatesDirect(docs, textCol, idCol)
+    // The x02/x37 collapse, simhash edition: identical texts have
+    // identical fingerprints, hence identical bands — a dup group of
+    // size k is k² guaranteed candidates at hamming 0 (measured 11.5×
+    // growth at the 10× dup-heavy sf1). Mine the banded self-join over
+    // one min-id representative per distinct content; member pairs
+    // inherit their representatives' fingerprints (simhash is a
+    // function of the text), intra-group pairs are hamming 0.
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      sha2(col(textCol), 256).as("h"))
+    val reps = graft.Caches.persistOnce(keyed
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("__text"))).as("st"),
+        count(lit(1)).as("grp_n"))
+      .select(col("h"), col("st.doc_id").as("doc_id"),
+        col("st.__text").as("__text"), col("grp_n")))
+    val members = keyed.select(col("doc_id"), col("h"))
+    val repPairs = simhashCandidatesDirect(reps, "__text", "doc_id")
+    val repIdx = reps.select(col("doc_id").as("rep"), col("h"))
+    // orientation: after least/greatest the fingerprints must follow
+    // their documents (m1 carries d1's group hash h1, so sh1 is m1's)
+    val cross = repPairs
+      .join(repIdx.select(col("rep").as("d1"), col("h").as("h1")), "d1")
+      .join(repIdx.select(col("rep").as("d2"), col("h").as("h2")), "d2")
+      .join(members.select(col("doc_id").as("m1"), col("h").as("h1")), "h1")
+      .join(members.select(col("doc_id").as("m2"), col("h").as("h2")), "h2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"),
+        when(col("m1") <= col("m2"), col("sh1")).otherwise(col("sh2")).as("sh1"),
+        when(col("m1") <= col("m2"), col("sh2")).otherwise(col("sh1")).as("sh2"),
+        col("hamming"))
+    val repSh = simhash(reps, "__text", "doc_id")
+      .join(reps.select(col("doc_id"), col("h")), "doc_id")
+      .select(col("h"), col("simhash"))
+    val dupMembers = members
+      .join(reps.filter(col("grp_n") >= 2).select("h"), "h")
+    val intra = dupMembers.select(col("h"), col("doc_id").as("m1"))
+      .join(dupMembers.select(col("h"), col("doc_id").as("m2")), Seq("h"))
+      .filter(col("m1") < col("m2"))
+      .join(repSh, "h")
+      .select(col("m1").as("d1"), col("m2").as("d2"),
+        col("simhash").as("sh1"), col("simhash").as("sh2"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  private def simhashCandidatesDirect(docs: DataFrame, textCol: String,
+                                      idCol: String): DataFrame = {
     // Persisted: the banded fingerprint table feeds BOTH sides of the
     // self-join — without it the interpreted SimHash64 pass over the
     // corpus runs twice per action.

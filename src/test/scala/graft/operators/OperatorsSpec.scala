@@ -130,6 +130,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(collapsed.count { case (a, b, d) => b == 3L && d > 0 } === 3)
   }
 
+  test("exact-dup collapse in simhashCandidates equals the direct banded " +
+       "self-join, fingerprints following their documents through reorientation") {
+    val corpus = (Seq(
+      (5L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (1L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (9L, "the quick brown fox jumps over the lazy dog near the barn"),
+      (3L, "the quick brown fox jumps over the lazy dog near the yard"),
+      (4L, "short one"),
+      (8L, "short one")) ++
+      (10L until 30L).map(i => (i, s"filler document number $i with its own unique long tail ${i * 31}")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .sorted.toSeq
+    val collapsed = canon(Dedup.simhashCandidates(corpus, "text", "doc_id"))
+    val direct = canon(Dedup.simhashCandidates(corpus, "text", "doc_id",
+      collapseExactDups = false))
+    assert(collapsed === direct)
+    // every identical pair present at hamming 0 (3-group → 3 pairs,
+    // plus the short pair), fingerprints equal within a pair
+    val zeros = collapsed.filter(_._5 == 0)
+    assert(zeros.size >= 4)
+    zeros.foreach { case (_, _, s1, s2, _) => assert(s1 === s2) }
+  }
+
   test("exact-dup collapse in ngramJaccard equals the direct all-pairs join") {
     // dup-heavy adversarial corpus: 3-deep identical groups, a cross-group
     // near-dup, shingle-less short docs (incl. identical short docs — no
