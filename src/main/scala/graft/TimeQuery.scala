@@ -44,6 +44,10 @@ object TimeQuery {
       case "x02_direct" => (s, d) => operators.Dedup.ngramJaccard(
         graft.tables.Tables.documents(s, d), "text", "doc_id",
         n = 3, threshold = 0.2, collapseExactDups = false)
+      case "x20_direct" => (s, d) => operators.Dedup.bandedJaccardMinhash(
+        graft.tables.Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.2, numHashes = 16, bands = 8,
+        collapseExactDups = false)
       case q => SparkEntry.queries(q)
     }
     // warmup codegen/classloading on the flagship

@@ -787,9 +787,51 @@ object Dedup {
   def bandedJaccardMinhash(docs: DataFrame, textCol: String, idCol: String,
                            n: Int = 3, threshold: Double = 0.5,
                            numHashes: Int = 16, bands: Int = 8,
-                           seed: Long = 42L): DataFrame = {
-    val cand = minhashBandPairs(docs, textCol, idCol, n, numHashes, bands, seed)
-    verifyJaccard(docs, cand, textCol, idCol, n, threshold)
+                           seed: Long = 42L,
+                           collapseExactDups: Boolean = true): DataFrame = {
+    if (!collapseExactDups) {
+      val cand = minhashBandPairs(docs, textCol, idCol, n, numHashes, bands, seed)
+      return verifyJaccard(docs, cand, textCol, idCol, n, threshold)
+    }
+    // The x02 collapse on the banded path: identical texts have
+    // identical signatures, hence identical band buckets — a dup group
+    // of size k is k² guaranteed candidates, each paying a shingle-set
+    // intersection in the verify. Mine bands + verify over one min-id
+    // representative per distinct content; member pairs inherit their
+    // representatives' jaccard, intra-group pairs are exactly 1.0 —
+    // but ONLY for docs that shingle at all (the x02 predicate:
+    // shingle-less identical docs never pair, not even at "1.0").
+    // This is also the x14/x44/x59 cluster-chain build, so the chain's
+    // cost now tracks distinct-text count too.
+    val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      sha2(col(textCol), 256).as("h"))
+    val reps = graft.Caches.persistOnce(keyed
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("__text"))).as("st"),
+        count(lit(1)).as("grp_n"))
+      .select(col("h"), col("st.doc_id").as("doc_id"),
+        col("st.__text").as("__text"), col("grp_n")))
+    val members = keyed.select(col("doc_id"), col("h"))
+    val repCand = minhashBandPairs(reps, "__text", "doc_id",
+      n, numHashes, bands, seed)
+    val repPairs = verifyJaccard(reps, repCand, "__text", "doc_id", n, threshold)
+    val repIdx = reps.select(col("doc_id").as("rep"), col("h"))
+    val cross = repPairs
+      .join(repIdx.select(col("rep").as("d1"), col("h").as("h1")), "d1")
+      .join(repIdx.select(col("rep").as("d2"), col("h").as("h2")), "d2")
+      .join(members.select(col("doc_id").as("m1"), col("h").as("h1")), "h1")
+      .join(members.select(col("doc_id").as("m2"), col("h").as("h2")), "h2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("jaccard"))
+    val dupGroups = reps.filter(col("grp_n") >= 2)
+      .filter(size(split(lower(col("__text")), "\\s+")) >= n)
+      .select("h")
+    val dupMembers = members.join(dupGroups, "h")
+    val intra = dupMembers.select(col("h"), col("doc_id").as("m1"))
+      .join(dupMembers.select(col("h"), col("doc_id").as("m2")), Seq("h"))
+      .filter(col("m1") < col("m2"))
+      .select(col("m1").as("d1"), col("m2").as("d2"), lit(1.0).as("jaccard"))
+    if (threshold <= 1.0) cross.unionByName(intra) else cross
   }
 
   /** Embedding near-dup pairs: all pairs with cosine >= threshold.

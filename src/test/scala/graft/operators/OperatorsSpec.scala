@@ -156,6 +156,29 @@ class OperatorsSpec extends SparkTestBase {
     zeros.foreach { case (_, _, s1, s2, _) => assert(s1 === s2) }
   }
 
+  test("exact-dup collapse in bandedJaccardMinhash equals the direct " +
+       "banded path (incl. the shingle-less identical-doc predicate)") {
+    val corpus = (Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over a lazy dog"),
+      (6L, "short one"),
+      (7L, "short one"),
+      (8L, "")) ++ (9L until 30L).map(i => (i, s"filler doc $i with unique tail ${i * 7}")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val collapsed = canon(Dedup.bandedJaccardMinhash(corpus, "text", "doc_id",
+      n = 3, threshold = 0.2, numHashes = 16, bands = 8))
+    val direct = canon(Dedup.bandedJaccardMinhash(corpus, "text", "doc_id",
+      n = 3, threshold = 0.2, numHashes = 16, bands = 8,
+      collapseExactDups = false))
+    assert(collapsed === direct)
+    assert(collapsed.count { case (_, _, j) => j == 1.0 } >= 3)
+    assert(!collapsed.exists { case (a, b, _) => a == 6L && b == 7L })
+  }
+
   test("exact-dup collapse in ngramJaccard equals the direct all-pairs join") {
     // dup-heavy adversarial corpus: 3-deep identical groups, a cross-group
     // near-dup, shingle-less short docs (incl. identical short docs — no
