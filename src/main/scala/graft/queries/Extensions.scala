@@ -113,8 +113,12 @@ object Extensions {
     val ids = deduped.select("doc_id")
     val pairs =
       if (mineSurvivorsOnly)
+        // survivors are exact-deduped by construction — the dup
+        // collapse would key and expand for zero dup groups (measured
+        // +2.1 s at sf0.1); mine the direct banded path
         Dedup.bandedJaccardMinhash(deduped, "text", "doc_id",
-            n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+            n = 3, threshold = 0.2, numHashes = 16, bands = 8,
+            collapseExactDups = false)
           .select("d1", "d2")
       else
         Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
