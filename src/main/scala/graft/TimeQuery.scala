@@ -44,6 +44,67 @@ object TimeQuery {
       case "x02_direct" => (s, d) => operators.Dedup.ngramJaccard(
         graft.tables.Tables.documents(s, d), "text", "doc_id",
         n = 3, threshold = 0.2, collapseExactDups = false)
+      // r6-variant replicas for the round-7 rewrite A/Bs (builder-side
+      // measurement only): the partitionless-window forms that the
+      // warning-silencing rewrite replaced, reconstructed from commit
+      // 254065d so the old-vs-new delta is directly measurable.
+      case "x52_window" => (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val (k1, b, k) = (1.2, 0.75, 20)
+        val grid = 1048576
+        val docs = graft.tables.Tables.documents(s, d)
+        val base = docs.select(col("doc_id"),
+            split(lower(col("text")), "\\s+").as("ws"))
+          .withColumn("dl", size(col("ws")).cast("long"))
+        val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tok"))
+          .withColumn("avgdl", col("total_tok").cast("double") / col("n_docs"))
+          .select("n_docs", "avgdl")
+        val tf = base.select(col("doc_id"), col("dl"), explode(col("ws")).as("token"))
+          .filter(col("token").isin(queries.Extensions.bm25Terms: _*))
+          .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl") / col("avgdl"))
+        val raw = idf * col("tf") * lit(k1 + 1) / denom
+        val w = Window.orderBy(col("score").desc, col("doc_id"))
+        tf.join(broadcast(dfreq), "token")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib", floor(raw * grid + lit(0.5)) / grid)
+          .groupBy("doc_id")
+          .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+          .orderBy(col("score").desc, col("doc_id")).limit(k)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select("doc_id", "rank", "n_terms", "score")
+          .orderBy("rank")
+      }
+      case "x54_window" => (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val buckets = 10000
+        val grid = 1048576
+        val docs = graft.tables.Tables.documents(s, d)
+        val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rates = docs.groupBy("source").agg(count(lit(1)).as("n_stratum"))
+          .withColumn("gq",
+            floor(sqrt(col("n_stratum").cast("double")) * grid + lit(0.5)) / grid)
+          .withColumn("denom", sum(col("gq")).over(w))
+          .withColumn("t_target",
+            floor(sum(col("n_stratum")).over(w).cast("double") / 2))
+          .withColumn("mix_thr",
+            floor(least(col("gq") / col("denom") * col("t_target") / col("n_stratum"),
+              lit(1.0)) * buckets + lit(0.5)).cast("long"))
+          .select(col("source"), col("n_stratum"), col("mix_thr"))
+        val kept = docs.join(broadcast(rates), "source")
+          .filter(operators.Sampling.hashBucket(col("doc_id"), buckets) < col("mix_thr"))
+        rates
+          .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_stratum").as("n_in"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("mix_thr"))
+          .orderBy("source")
+      }
       case "x20_direct" => (s, d) => operators.Dedup.bandedJaccardMinhash(
         graft.tables.Tables.documents(s, d), "text", "doc_id",
         n = 3, threshold = 0.2, numHashes = 16, bands = 8,

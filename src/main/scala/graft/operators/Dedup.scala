@@ -26,6 +26,48 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Session memo behind [[hasExactDups]], keyed on (session, canonical
+    * input plan, text column): the probe is one partial-agg job, but the
+    * collapse family runs it per operator per action, and its answer for
+    * a given input cannot change within a session any more than
+    * CacheManager's canonical-plan-matched caches can — the same
+    * staleness contract. Entries die with the driver; they hold only a
+    * canonical plan and a boolean.
+    */
+  private val dupProbeMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        String),
+      java.lang.Boolean]
+
+  /** Exact-duplication probe: does `docs` contain at least one pair of
+    * identical `textCol` values? One partial-aggregatable count job on
+    * the uniform sha-256 digest (count vs count-distinct), memoized per
+    * (session, canonical plan). The collapse operators route on this:
+    * at zero duplication the rep-keying and member-expansion joins are
+    * pure fixed overhead (measured ~0.7 s each at sf0.1, PERF.md
+    * round 7) with nothing quadratic to save, so dup-free inputs take
+    * the direct path — which also shares its shingle/fingerprint plan
+    * caches with sibling queries, where the collapsed rep-level
+    * subtrees cannot. Routing never affects results: both paths are
+    * output-equal (pinned on adversarial corpora in OperatorsSpec).
+    */
+  private[operators] def hasExactDups(docs: DataFrame, textCol: String): Boolean = {
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, textCol)
+    val cached = dupProbeMemo.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      val r = docs.agg(
+        count(lit(1)).as("n"),
+        count_distinct(sha2(col(textCol), 256)).as("nd")).head()
+      val v = r.getLong(0) > r.getLong(1)
+      dupProbeMemo.putIfAbsent(key, java.lang.Boolean.valueOf(v))
+      v
+    }
+  }
+
   /** Exact content dedup: group on sha2 digest, keep the smallest id.
     * (Reference analog: all-column dropDuplicates,
     * /root/reference/data_process.py:242.)
@@ -111,7 +153,11 @@ object Dedup {
     * every page recurs k× costs k² more in the direct join but only
     * k× in the expansion joins (measured at the 10× dup-heavy sf1
     * fixture: 24.5 s direct → ~3 s collapsed). Intra-group pairs are
-    * emitted as exactly 1.0 without touching shingles.
+    * emitted as exactly 1.0 without touching shingles. (No
+    * [[hasExactDups]] probe routing here: unlike the x19/x37 family,
+    * this collapse measured FASTER even at zero duplication — the
+    * work avoided per shingle dwarfs the keying overhead; PERF.md
+    * round 7.)
     */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
@@ -344,13 +390,18 @@ object Dedup {
     def est(s1: Column, s2: Column): Column =
       size(filter(zip_with(s1, s2, (x, y) => x === y), b => b))
         .cast("double") / numHashes
-    val histHit = keys(bs)
+    // the batch's banded key projection feeds THREE consumers (the
+    // history probe plus both sides of the domination self-join) —
+    // persist it so the band explode over the signatures runs once per
+    // ingest, matching the operator's "index precomputable once" story
+    // (the history side has one consumer and stays underived)
+    val bk = graft.Caches.persistOnce(keys(bs))
+    val histHit = bk
       .select(col("doc_id").as("b_id"), col("sig").as("bsig"), col("bk"))
       .hint("shuffle_hash")
       .join(keys(hs).select(col("sig").as("hsig"), col("bk")), Seq("bk"))
       .filter(est(col("bsig"), col("hsig")) >= minEstimate)
       .select(col("b_id")).distinct()
-    val bk = keys(bs)
     val dominated = bk
       .select(col("doc_id").as("d1"), col("sig").as("sig1"), col("bk"))
       .hint("shuffle_hash")
@@ -499,7 +550,7 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         collapseExactDups: Boolean = true): DataFrame = {
-    if (!collapseExactDups)
+    if (!collapseExactDups || !hasExactDups(docs, textCol))
       return simhashCandidatesDirect(docs, textCol, idCol)
     // The x02/x37 collapse, simhash edition: identical texts have
     // identical fingerprints, hence identical bands — a dup group of
@@ -508,6 +559,10 @@ object Dedup {
     // one min-id representative per distinct content; member pairs
     // inherit their representatives' fingerprints (simhash is a
     // function of the text), intra-group pairs are hamming 0.
+    // Dup-free inputs route to the direct path above (hasExactDups):
+    // with zero groups the keying/expansion is pure fixed overhead
+    // (~0.6 s at sf0.1, PERF.md round 7) and the direct plan shares
+    // its fingerprint cache with sibling queries.
     val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
       sha2(col(textCol), 256).as("h"))
     val reps = graft.Caches.persistOnce(keyed
@@ -531,7 +586,11 @@ object Dedup {
         when(col("m1") <= col("m2"), col("sh1")).otherwise(col("sh2")).as("sh1"),
         when(col("m1") <= col("m2"), col("sh2")).otherwise(col("sh1")).as("sh2"),
         col("hamming"))
-    val repSh = simhash(reps, "__text", "doc_id")
+    // persistOnce is a no-op here when simhashCandidatesDirect(reps, …)
+    // above already persisted the canonically-identical simhash(reps)
+    // frame — the intra-group expansion then reads that cache instead
+    // of re-running the interpreted SimHash64 pass (round-7 ADVICE)
+    val repSh = graft.Caches.persistOnce(simhash(reps, "__text", "doc_id"))
       .join(reps.select(col("doc_id"), col("h")), "doc_id")
       .select(col("h"), col("simhash"))
     val dupMembers = members
@@ -546,19 +605,63 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Banded Hamming candidates over an ARBITRARY 64-bit fingerprint
+    * column — the [[simhashCandidates]] self-join machinery made
+    * fingerprint-agnostic (SimHash, perceptual dHash, any 64-bit
+    * signature): pairs sharing any 16-bit band of their fingerprints,
+    * with the exact Hamming distance attached. Output
+    * (d1, d2, f1, f2, hamming), d1 < d2, one row per pair.
+    *
+    * 100 TB: the fingerprint frame is persisted (both self-join sides
+    * read one cache); the candidate join is ONE shuffle keyed on
+    * (band, key) — shuffle_hash-pinned because the banded table sits
+    * above a Generate, whose row estimate blinds the planner into
+    * broadcasting a corpus-sized side (the containmentPairs trap).
+    * Never all-pairs: candidate volume is bounded by band collisions,
+    * i.e. by actual near-duplication.
+    */
+  def fingerprintBandCandidates(fp: DataFrame, idCol: String,
+                                fpCol: String): DataFrame = {
+    val base = graft.Caches.persistOnce(
+      fp.select(col(idCol).as("doc_id"), col(fpCol).as("fp64")))
+    val banded = base
+      .withColumn("bands", array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("fp64"), b * 16)
+          .bitwiseAND(lit(0xffffL)).as("key"))): _*))
+      .select(col("doc_id"), col("fp64"), explode(col("bands")).as("bk"))
+    val a = banded.select(col("doc_id").as("d1"), col("fp64").as("f1"), col("bk"))
+    val b = banded.select(col("doc_id").as("d2"), col("fp64").as("f2"), col("bk"))
+    a.hint("shuffle_hash").join(b, Seq("bk")).filter(col("d1") < col("d2"))
+      .select("d1", "d2", "f1", "f2").distinct()
+      .withColumn("hamming", bit_count(col("f1").bitwiseXOR(col("f2"))))
+  }
+
   private def simhashCandidatesDirect(docs: DataFrame, textCol: String,
                                       idCol: String): DataFrame = {
-    // Persisted: the banded fingerprint table feeds BOTH sides of the
-    // self-join — without it the interpreted SimHash64 pass over the
-    // corpus runs twice per action.
-    val fp = graft.Caches.persistOnce(simhash(docs, textCol, idCol)
+    // The UNEXPLODED fingerprint frame is what's persisted: SimHash64
+    // is an interpreted (non-codegen) pass over full texts — the
+    // expensive part, and it feeds BOTH sides of the self-join — while
+    // the 4-band explode from a cached 8-byte fingerprint is cheap to
+    // re-derive per consumer. Persisting the narrow frame still stops
+    // the double SimHash64 pass, and it lets the collapsed path's
+    // representative-fingerprint lookup ride the SAME cache entry
+    // (canonical-plan match on simhash(reps)) instead of re-running
+    // the interpreted pass over the representatives (round-7 ADVICE).
+    val sh = graft.Caches.persistOnce(simhash(docs, textCol, idCol))
+    val fp = sh
       .withColumn("bands", array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftrightunsigned(col("simhash"), b * 16)
           .bitwiseAND(lit(0xffffL)).as("key"))): _*))
-      .select(col("doc_id"), col("simhash"), explode(col("bands")).as("bk")))
+      .select(col("doc_id"), col("simhash"), explode(col("bands")).as("bk"))
     val a = fp.select(col("doc_id").as("d1"), col("simhash").as("sh1"), col("bk"))
     val b = fp.select(col("doc_id").as("d2"), col("simhash").as("sh2"), col("bk"))
-    a.join(b, Seq("bk")).filter(col("d1") < col("d2"))
+    // shuffle_hash: with the unexploded frame cached, the banded table
+    // sits above a live Generate whose row estimate blinds the planner
+    // into broadcasting a corpus-sized side (the containmentPairs trap;
+    // the old exploded-cache shape hid the Generate behind
+    // InMemoryRelation). Pin the documented one-shuffle-on-(band,key)
+    // plan.
+    a.hint("shuffle_hash").join(b, Seq("bk")).filter(col("d1") < col("d2"))
       .select("d1", "d2", "sh1", "sh2").distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
   }
@@ -789,6 +892,10 @@ object Dedup {
                            numHashes: Int = 16, bands: Int = 8,
                            seed: Long = 42L,
                            collapseExactDups: Boolean = true): DataFrame = {
+    // no hasExactDups probe routing: this collapse measured faster at
+    // BOTH scales, including dup-free sf0.1 (PERF.md round-7 A/B —
+    // the 16 seeded murmur3 hashes per shingle avoided per dup beat
+    // the keying overhead even with zero dup groups)
     if (!collapseExactDups) {
       val cand = minhashBandPairs(docs, textCol, idCol, n, numHashes, bands, seed)
       return verifyJaccard(docs, cand, textCol, idCol, n, threshold)
@@ -967,7 +1074,7 @@ object Dedup {
                  prefixLen: Int = 24, lenBand: Int = 24,
                  maxDist: Int = 20,
                  collapseExactDups: Boolean = true): DataFrame = {
-    if (!collapseExactDups)
+    if (!collapseExactDups || !hasExactDups(docs, textCol))
       return fuzzyPairsDirect(docs, textCol, idCol, prefixLen, lenBand, maxDist)
     // The x02 lesson applied to edit distance: identical texts share
     // (prefix, length) by construction, so a dup group of size k sits
@@ -977,7 +1084,9 @@ object Dedup {
     // blocked pairs over representatives only, then expand: distance
     // is a function of the two texts, so every member pair inherits
     // its representatives' distance, and intra-group pairs are 0 by
-    // definition.
+    // definition. Dup-free inputs route to the direct path above
+    // (hasExactDups): zero groups means the keying/expansion is pure
+    // fixed overhead (~0.7 s at sf0.1, PERF.md round 7).
     val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
       sha2(col(textCol), 256).as("h"))
     val reps = graft.Caches.persistOnce(keyed

@@ -233,6 +233,112 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference-hash (dHash) perceptual fingerprint — the
+    * standard near-duplicate IMAGE signature (average-pool to a 9×8
+    * grid, each bit = "is the right neighbor brighter?"): robust to
+    * re-encoding, resizing, and small edits, which exact byte hashing
+    * (x10/x12's checksums) cannot see through. Fingerprints are 64-bit,
+    * so near-dup mining is Hamming banding — EXACTLY the SimHash x19
+    * machinery via [[graft.operators.Dedup.fingerprintBandCandidates]].
+    *
+    * Image payloads (`image/`, decodable): luminance (R+G+B) sums are
+    * average-pooled into 8 rows × 9 columns with integer block bounds
+    * (x0 = c·W/9 … — every pixel in exactly one block); bit (r,c),
+    * index r·8+c, is set iff block (r,c+1) out-brightens block (r,c)
+    * under exact cross-multiplied normalization
+    * `sum₂·area₁ > sum₁·area₂` (no float division anywhere, so the
+    * fingerprint is bit-deterministic on any platform). Degenerate
+    * dimensions (W<9, H<8) leave empty blocks whose comparisons are
+    * 0>0 = false — still deterministic.
+    *
+    * Non-image or undecodable payloads take the same construction over
+    * the raw byte signal: 72 cells of unsigned-byte sums over integer
+    * ranges [k·n/72, (k+1)·n/72), read as the row-major 9×8 grid. This
+    * is the honest stand-in for codecs this container lacks (the
+    * [[StubDecoder]] convention) — and it is exactly replayable in SQL
+    * over code points, which keeps the whole x68 query oracle-checkable
+    * on the text-as-payload driver data.
+    */
+  def imageDHash(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val img = decodeImage(r.media_type, r.payload)
+      val h = if (img != null) dhashOfImage(img) else dhashOfBytes(r.payload)
+      (r.doc_id, h)
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** The 8×9-block luminance dHash over decoded pixels; see [[imageDHash]]. */
+  private[operators] def dhashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val sums = Array.ofDim[Long](gh * gw)
+    val areas = Array.ofDim[Long](gh * gw)
+    var r = 0
+    while (r < gh) {
+      val y0 = r * img.getHeight / gh
+      val y1 = (r + 1) * img.getHeight / gh
+      var c = 0
+      while (c < gw) {
+        val x0 = c * img.getWidth / gw
+        val x1 = (c + 1) * img.getWidth / gw
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(r * gw + c) = s
+        areas(r * gw + c) = (x1 - x0).toLong * (y1 - y0)
+        c += 1
+      }
+      r += 1
+    }
+    packDHashBits(sums, areas)
+  }
+
+  /** The byte-signal dHash analog for payloads with no decoder; see
+    * [[imageDHash]]. Cell k of 72 sums unsigned bytes in
+    * [k·n/72, (k+1)·n/72); "area" is the cell width.
+    */
+  private[operators] def dhashOfBytes(payload: Array[Byte]): Long = {
+    val cells = 72
+    val n = payload.length
+    val sums = Array.ofDim[Long](cells)
+    val widths = Array.ofDim[Long](cells)
+    var k = 0
+    while (k < cells) {
+      val from = k * n / cells
+      val until = (k + 1) * n / cells
+      var s = 0L
+      var j = from
+      while (j < until) { s += (payload(j) & 0xff); j += 1 }
+      sums(k) = s
+      widths(k) = until - from
+      k += 1
+    }
+    packDHashBits(sums, widths)
+  }
+
+  /** Bit (r,c) of the 64-bit hash, index r·8+c, compares grid cells
+    * r·9+c and r·9+c+1 with exact integer cross-multiplication.
+    */
+  private def packDHashBits(sums: Array[Long], areas: Array[Long]): Long = {
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      val left = (b / 8) * 9 + (b % 8)
+      val right = left + 1
+      if (sums(right) * areas(left) > sums(left) * areas(right)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
   /** Adapter: treat the documents table's text as a binary payload so the
     * full plumbing (binary transport → typed decode → features) runs on
     * the driver test data.

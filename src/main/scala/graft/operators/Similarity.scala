@@ -23,6 +23,23 @@ import graft.tables.Exact
   */
 object Similarity {
 
+  /** Hard cap on codebook entries collapsed into ONE driver-broadcast
+    * row by [[cbArray]]. Codebooks are cells/codewords-sized (≤
+    * thousands) by design; a caller passing a corpus-sized "codebook"
+    * would build a single giant row driver-side and broadcast it — the
+    * same failure class the connected-components 1 M-edge guard fences.
+    * The public `cells`/`ks` params are require-checked against this
+    * bound; cbArray itself re-checks scan-side (raise_error) so a
+    * future caller bypassing the require still fails fast, not OOM.
+    */
+  private[operators] val MaxCodebookEntries = 65536
+
+  private[operators] def requireCodebookSized(n: Int, what: String): Unit =
+    require(n <= MaxCodebookEntries,
+      s"$what=$n exceeds MaxCodebookEntries=$MaxCodebookEntries: " +
+        "the codebook is collapsed into one broadcast row and must stay " +
+        "codebook-sized, never corpus-sized")
+
   /** A (cell, centroid) codebook collapsed to ONE row holding the
     * entries as an array — the broadcastable scan-side form of
     * nearest-cell election. Joining this single row (broadcast nested
@@ -30,22 +47,36 @@ object Similarity {
     * replaces the former crossJoin-explode + rk=1-window form, which
     * shuffled cells× exploded corpus rows just to elect a per-row
     * minimum. Entry order in the array is irrelevant: the election is
-    * a lexicographic array_min.
+    * a lexicographic array_min. Guarded at [[MaxCodebookEntries]]: an
+    * oversized codebook raises at first action instead of building a
+    * corpus-sized single row on the driver.
     */
-  private def cbArray(codebook: DataFrame) =
-    broadcast(codebook.agg(
-      collect_list(struct(col("cell"), col("centroid"))).as("cb")))
+  private[operators] def cbArray(codebook: DataFrame) =
+    broadcast(codebook
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("cb0"))
+      .select(when(size(col("cb0")) <= MaxCodebookEntries, col("cb0"))
+        .otherwise(raise_error(concat(
+          lit(s"codebook exceeds MaxCodebookEntries=$MaxCodebookEntries: "),
+          size(col("cb0")).cast("string"), lit(" entries"))))
+        .as("cb")))
 
   /** Per-codebook-entry election key for `vec`: struct(-cosine, cell),
     * cosine floor-rounded to 1e-6 first. array_min of this ranking is
     * exactly the old window election (max cell_sim, ties to the
     * smallest cell id): minimal neg = maximal sim, and -0.0/0.0 order
-    * under IEEE total order the same way the desc sort ordered them.
+    * under IEEE total order the same way the desc sort ordered them —
+    * including nulls: cosineSim is null for a zero-norm vector or
+    * centroid, the window's `desc` ordering put nulls LAST, and a null
+    * struct field would sort FIRST under array_min, so the ranking key
+    * coalesces null to +∞ (never elected ahead of any real cosine;
+    * ties inside the null class still break on the smaller cell id).
     */
   private def cellRanking(vec: org.apache.spark.sql.Column) =
     transform(col("cb"), e =>
       struct(
-        (-Exact.round6(GraftFunctions.cosineSim(vec, e.getField("centroid"))))
+        coalesce(
+          -Exact.round6(GraftFunctions.cosineSim(vec, e.getField("centroid"))),
+          lit(Double.MaxValue))
           .as("neg"),
         e.getField("cell").as("cell")))
 
@@ -245,6 +276,7 @@ object Similarity {
   def ivfTopKSampled(candidates: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int,
                      cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    requireCodebookSized(cells, "cells")
     GraftFunctions.register(candidates.sparkSession)
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
     val codebook = c
@@ -302,6 +334,7 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
                     cells: Int = 16, threshold: Double = 0.7): DataFrame = {
+    requireCodebookSized(cells, "cells")
     GraftFunctions.register(emb.sparkSession)
     val c = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
     val codebook = c
@@ -417,6 +450,7 @@ object Similarity {
     */
   def productQuantize(emb: DataFrame, vecCol: String, idCol: String,
                       m: Int = 4, ks: Int = 8): DataFrame = {
+    requireCodebookSized(m * ks, "m*ks")
     val subIdx = explode(array((0 until m).map(lit(_)): _*))
     val sub = emb
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
@@ -479,6 +513,8 @@ object Similarity {
                 vecCol: String, idCol: String, k: Int,
                 cells: Int = 16, nProbe: Int = 4,
                 m: Int = 4, ks: Int = 8): DataFrame = {
+    requireCodebookSized(cells, "cells")
+    requireCodebookSized(m * ks, "m*ks")
     GraftFunctions.register(candidates.sparkSession)
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
     val codebook = c

@@ -111,6 +111,97 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Iterated BPE merge induction over the whitespace token stream
+    * (Sennrich et al. 2016, arXiv:1508.07909 — the loop whose single
+    * step is [[bpePairCandidates]]): `steps` greedy rounds, each one
+    * (a) counting adjacent token pairs corpus-wide, (b) electing the
+    * most frequent pair (count desc, then pair asc), and (c) merging
+    * every left-to-right non-overlapping occurrence of that pair into
+    * one token before the next round. Returns the learned merge TABLE —
+    * (step, w1, w2, n_pairs), one row per round, ending early if the
+    * stream runs out of pairs.
+    *
+    * Representation: each doc's token stream is carried as ONE string
+    * with a DOUBLED U+001F boundary between tokens (and at both ends).
+    * Applying a merge is then a literal `replace` of
+    * `⟨1F⟩w1⟨1F⟩⟨1F⟩w2⟨1F⟩` with `⟨1F⟩w1␣w2⟨1F⟩`: string replace
+    * consumes matches left-to-right without overlap — exactly BPE's
+    * greedy application order — and because each pattern anchor uses
+    * only ONE of a boundary's two chars, consecutive occurrences
+    * ("a b a b") both match while token-prefix false matches ("a"
+    * against "ab") cannot. Merged tokens keep an interior space, so a
+    * final token reads as the n-gram it covers. Every engine replays
+    * the same splits and literal replaces, so the whole loop is
+    * oracle-exact (texts containing U+001F would merge by those
+    * boundaries — identically on both engines).
+    *
+    * Iteration mechanics are the PageRank/CC pattern: each round's
+    * stream is persisted, the election is the round's one action (a
+    * 1-row TakeOrdered to the driver), and round k's cache is released
+    * once round k+1 materializes from it.
+    *
+    * 100 TB: per round — one scan of the cached stream, one
+    * partial-aggregatable pair-count shuffle, 1 row to the driver, and
+    * a scan-side literal replace. The merge table is `steps` rows of
+    * driver state, like any learned vocabulary; nothing corpus-sized
+    * ever sorts globally or collects.
+    */
+  def bpeMergeSequence(docs: DataFrame, textCol: String,
+                       steps: Int = 4): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bb = "\u001f\u001f"
+    def pairCounts(stream: DataFrame): DataFrame = {
+      val arr = split(col("stream"), bb)
+      // split boundaries leave a leading and trailing empty element;
+      // the inner slice is the token list
+      stream.select(slice(arr, lit(2), size(arr) - 2).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+    }
+    var cur = docs
+      .select(concat(lit(bb), array_join(tokens(col(textCol)), bb), lit(bb))
+        .as("stream"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = pairCounts(cur)
+        .orderBy(col("n_pairs").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      // the action above materialized cur from prev — prev is now free
+      if (prev != null) prev.unpersist()
+      prev = null
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val (w1, w2, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((step, w1, w2, n))
+        if (step < steps) {
+          val next = cur
+            .select(replace(col("stream"),
+              lit("\u001f" + w1 + bb + w2 + "\u001f"),
+              lit("\u001f" + w1 + " " + w2 + "\u001f")).as("stream"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prev = cur
+          cur = next
+        }
+        step += 1
+      }
+    }
+    if (prev != null) prev.unpersist()
+    cur.unpersist()
+    merges.toSeq.toDF("step", "w1", "w2", "n_pairs")
+  }
+
   /** Content fingerprints: an md5 of the normalized text (cross-engine
     * checkable) and the engine's native 64-bit rolling hash (codegen'd
     * Catalyst expression — see graft.functions.RollingHash).

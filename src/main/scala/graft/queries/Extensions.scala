@@ -49,21 +49,35 @@ object Extensions {
     * lesson as x21's "mine pairs once", applied across queries.
     *
     * Ownership ([[graft.Caches]] policy): the table lives for the
-    * session; long-lived callers release it with [[releaseClusterLabels]]
-    * (which also unpersists) or `Caches.clearAll` + release.
+    * session — entries are retained until [[releaseClusterLabels]] is
+    * called for that session (long-lived multi-session hosts must call
+    * it on session teardown or the map pins the session). The chain is
+    * built OUTSIDE any map lock (get + putIfAbsent, not
+    * computeIfAbsent): construction runs eager Spark actions taking
+    * seconds, and holding the bin lock through them would block
+    * concurrent first-use of other dirs hashing to the same bin. Two
+    * threads racing the same key both build, but `persistOnce`
+    * memoizes by canonical plan, so they converge on the SAME cached
+    * frame — the loser's handle is the winner's frame, nothing leaks.
     */
   private val clusterLabelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterLabelCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      val docs = T.documents(sess, d)
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val cached = clusterLabelCache.get(key)
+    if (cached != null) cached
+    else {
+      val docs = T.documents(s, dir)
       val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
           n = 3, threshold = 0.2, numHashes = 16, bands = 8)
         .select("d1", "d2")
-      graft.Caches.persistOnce(
+      val built = graft.Caches.persistOnce(
         Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs))
-    })
+      val prev = clusterLabelCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Drop the memoized label tables (all dirs of `s`), unpersisting each. */
   def releaseClusterLabels(s: SparkSession): Unit = {
@@ -260,6 +274,25 @@ object Extensions {
     // aggregatable shuffle, TakeOrdered top-k.
     "x67_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCandidates(T.documents(s, dir), "text", k = 50)),
+
+    // Iterated BPE vocabulary induction (x67's loop): 4 greedy merge
+    // rounds — per round one partial-agg pair-count shuffle, a 1-row
+    // election, and a scan-side boundary-anchored literal replace.
+    "x67b_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMergeSequence(T.documents(s, dir), "text", steps = 4)
+        .orderBy("step")),
+
+    // Perceptual-hash (dHash) near-dup candidates over the multimodal
+    // payload column: typed decode → 64-bit difference hash →
+    // 16-bit-banded Hamming candidates (the x19 banding machinery over
+    // an arbitrary fingerprint; never all-pairs).
+    "x68_phash_dedup" -> ((s, dir) => {
+      val fp = Multimodal.imageDHash(
+        Multimodal.documentsAsMedia(s, T.documents(s, dir)))
+      Dedup.fingerprintBandCandidates(fp, "doc_id", "dhash")
+        .select("d1", "d2", "f1", "f2", "hamming")
+        .orderBy("d1", "d2")
+    }),
 
     // Intra-document repetition (Gopher-style quality signal): most-
     // repeated-trigram share per document.
@@ -748,7 +781,7 @@ object Extensions {
   /** x52's query term set: mid-df corpus terms plus one rare term so
     * idf spread is exercised (df ≈ 394/385/382/391/25 at sf0.01).
     */
-  private val bm25Terms = Seq("query", "join", "vector", "stream", "dup")
+  private[graft] val bm25Terms = Seq("query", "join", "vector", "stream", "dup")
 
   /** The exact all-pairs n-gram Jaccard join in DuckDB SQL. Shared by
     * x02 (direct all-pairs) and x20 (banded candidates → exact verify):
@@ -801,6 +834,97 @@ object Extensions {
            sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
                     ELSE CAST(0 AS HUGEINT) END) AS hu
          FROM votes GROUP BY doc_id)"""
+
+  /** The x68 dHash replayed over code points (the documents-as-media
+    * payload is the text's bytes; driver data is ASCII, so byte k is
+    * char k+1 — the same identity x18's checksum oracle relies on):
+    * 72 cell sums over integer ranges, then 64 comparison bits under
+    * exact cross-multiplied width normalization, packed into a HUGEINT
+    * exactly like [[simhashUnsignedSql]]'s fingerprint build. The 64
+    * CASE terms are generated here from the SAME (row, col) indexing
+    * the Scala operator uses — never hand-duplicated.
+    */
+  private val dhashUnsignedSql: String = {
+    val cells = 72
+    def cmp(b: Int): String = {
+      val l = (b / 8) * 9 + (b % 8) + 1 // 1-based list index of cell (r,c)
+      val r = l + 1
+      s"(s[$r] * w[$l] > s[$l] * w[$r])"
+    }
+    val bitTerms = (0 until 64).map(b =>
+      s"CASE WHEN ${cmp(b)} THEN CAST(1 AS HUGEINT) << $b ELSE CAST(0 AS HUGEINT) END")
+      .mkString("\n             + ")
+    s"""g AS (
+         SELECT doc_id,
+           list_transform(range(0, $cells), k ->
+             coalesce(list_sum(list_transform(
+               range(CAST(k * length(text) // $cells + 1 AS INTEGER),
+                     CAST((k+1) * length(text) // $cells + 1 AS INTEGER)),
+               i -> unicode(text[i]))), 0)) AS s,
+           list_transform(range(0, $cells), k ->
+             (k+1) * length(text) // $cells - k * length(text) // $cells) AS w
+         FROM documents),
+       dfp AS (
+         SELECT doc_id,
+           ($bitTerms) AS hu
+         FROM g)"""
+  }
+
+  /** x68: dHash fingerprints → 16-bit-banded Hamming candidates — the
+    * x19 banding SQL verbatim over the dHash fingerprint table.
+    */
+  private def phashDedupSql: String =
+    s"""WITH $dhashUnsignedSql,
+       banded AS (
+         SELECT doc_id, hu, bb.b AS band,
+           (hu >> CAST(16 * bb.b AS INTEGER)) % 65536 AS key
+         FROM dfp, (SELECT unnest(range(0, 4)) AS b) bb),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           a.hu AS h1, b.hu AS h2
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       SELECT d1, d2, ${signed64("h1")} AS f1, ${signed64("h2")} AS f2,
+         CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+       FROM cand ORDER BY d1, d2"""
+
+  /** x67b: the BPE merge loop unrolled to `steps` generated CTE rounds —
+    * per round the x67 pair count over the current stream, a 1-row
+    * election, and the SAME boundary-anchored literal replace the Scala
+    * operator applies (chr(31) boundaries; each pattern anchor consumes
+    * one of the boundary's two chars, so consecutive occurrences both
+    * match and token-prefix false matches cannot).
+    */
+  private def bpeMergesSql(steps: Int): String = {
+    val B = "chr(31)"
+    val BB = s"($B || $B)"
+    def pairCtes(k: Int): String =
+      s"""c$k AS (
+           SELECT iw[i] AS w1, iw[i+1] AS w2, count(*) AS n_pairs
+           FROM (SELECT iw, unnest(range(1, len(iw))) AS i
+                 FROM (SELECT ws[2:len(ws)-1] AS iw
+                       FROM (SELECT string_split(stream, $BB) AS ws FROM s${k - 1})
+                       WHERE len(ws) >= 4))
+           GROUP BY 1, 2),
+         w$k AS (
+           SELECT CAST($k AS INTEGER) AS step, w1, w2, n_pairs
+           FROM c$k ORDER BY n_pairs DESC, w1, w2 LIMIT 1)"""
+    def applyCte(k: Int): String =
+      s"""s$k AS (
+           SELECT replace(s.stream,
+             $B || w.w1 || $BB || w.w2 || $B,
+             $B || w.w1 || ' ' || w.w2 || $B) AS stream
+           FROM s${k - 1} s, w$k w)"""
+    val ctes = (1 to steps).map { k =>
+      if (k < steps) pairCtes(k) + ",\n         " + applyCte(k) else pairCtes(k)
+    }.mkString(",\n         ")
+    val sel = (1 to steps).map(k => s"SELECT * FROM w$k").mkString(" UNION ALL ")
+    s"""WITH s0 AS (
+         SELECT $BB || array_to_string(regexp_split_to_array(lower(text), '\\s+'), $BB) || $BB AS stream
+         FROM documents),
+         $ctes
+       SELECT step, w1, w2, n_pairs FROM ($sel) ORDER BY step"""
+  }
 
   /** Symmetric transitive-closure CTE block over a CTE named `pairs`
     * with (d1, d2) columns — the SQL analog of
@@ -2134,6 +2258,8 @@ object Extensions {
          FROM ov JOIN sz USING (doc_id)
          WHERE ov.n_overlap >= 1 ORDER BY ov.doc_id""",
     "x66_near_dedup_against" -> nearDedupAgainstSql,
+    "x67b_bpe_merges" -> bpeMergesSql(4),
+    "x68_phash_dedup" -> phashDedupSql,
     "x67_bpe_pairs" ->
       """WITH w AS (
            SELECT regexp_split_to_array(lower(text), '\s+') AS ws

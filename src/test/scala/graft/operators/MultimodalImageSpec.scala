@@ -95,4 +95,101 @@ class MultimodalImageSpec extends SparkTestBase {
     assert(f.checksum === payload.map(_ & 0xff).sum.toLong)
     assert(f.sample_rate === 16000 && f.width === 0)
   }
+
+  // ---- perceptual dHash (x68) ----
+
+  /** A smooth horizontal-ramp test image: brightness rises with x, so
+    * every dHash bit is "right neighbor brighter" = 1 for all in-row
+    * comparisons — and the hash is invariant to the render resolution.
+    */
+  private def ramp(w: Int, h: Int, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (invert) 255 - (x * 255 / (w - 1)) else x * 255 / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def dhashOf(records: (Long, String, Array[Byte])*): Map[Long, Long] = {
+    val ds = records.map(r => Multimodal.MediaRecord(r._1, r._2, r._3)).toDS()
+    Multimodal.imageDHash(ds).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("dHash: resolution-invariant on smooth content, identical pixels → identical hash") {
+    val h = dhashOf(
+      (0L, "image/png", ramp(90, 80)),
+      (1L, "image/png", ramp(45, 40)),
+      (2L, "image/png", ramp(90, 80)),
+      (3L, "image/png", ramp(90, 80, invert = true)))
+    // a monotone horizontal ramp sets every bit: the canonical dHash value
+    assert(h(0L) === -1L, f"ramp dhash should be all-ones, got ${h(0L)}%016x")
+    // the perceptual property exact hashing lacks: same content at half
+    // the resolution hashes IDENTICALLY (block pooling absorbs scale)
+    assert(h(1L) === h(0L), "dHash not resolution-invariant on smooth ramp")
+    assert(h(2L) === h(0L))
+    // and the reversed ramp flips every comparison
+    assert(h(3L) === 0L, f"inverted ramp should be all-zeros, got ${h(3L)}%016x")
+    assert(java.lang.Long.bitCount(h(0L) ^ h(3L)) === 64)
+  }
+
+  test("dHash: a small local edit moves few bits; hamming is a usable near-dup signal") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ramp(90, 80)))
+    // darken one 10x10 corner block (1/72 of the grid)
+    for (y <- 0 until 10; x <- 0 until 10) img.setRGB(x, y, 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val h = dhashOf(
+      (0L, "image/png", ramp(90, 80)),
+      (1L, "image/png", bos.toByteArray))
+    val hamming = java.lang.Long.bitCount(h(0L) ^ h(1L))
+    info(s"one-block edit hamming: $hamming")
+    assert(hamming <= 8, s"local edit moved $hamming bits — not perceptual")
+  }
+
+  test("dHash byte path: matches an independent reimplementation of the " +
+       "72-cell construction (the SQL oracle's arithmetic)") {
+    val payload = "the quick brown fox jumps over the lazy dog 0123456789"
+      .getBytes("UTF-8")
+    // independent construction: BigInt accumulation over (cell, width)
+    // lists, structured differently from the operator's packed loop
+    val n = payload.length
+    val cells = (0 until 72).map { k =>
+      val (from, until) = (k * n / 72, (k + 1) * n / 72)
+      ((from until until).map(payload(_) & 0xff).sum.toLong, (until - from).toLong)
+    }
+    val expected = (0 until 64).foldLeft(BigInt(0)) { (acc, b) =>
+      val l = (b / 8) * 9 + (b % 8)
+      val (sl, wl) = cells(l); val (sr, wr) = cells(l + 1)
+      if (sr * wl > sl * wr) acc.setBit(b) else acc
+    }.toLong
+    val got = dhashOf((0L, "text/plain", payload))(0L)
+    assert(got === expected, f"byte dhash $got%016x != expected $expected%016x")
+    // undecodable "image" routes to the same byte path
+    val corrupt = dhashOf((1L, "image/png", payload))(1L)
+    assert(corrupt === expected)
+  }
+
+  test("x68 banding: identical payloads pair at hamming 0; plan is banded " +
+       "shuffle-hash, never all-pairs") {
+    val a = ramp(90, 80); val b = ramp(45, 40); val c = ramp(90, 80, invert = true)
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "image/png", a),
+      Multimodal.MediaRecord(2L, "image/png", b),
+      Multimodal.MediaRecord(3L, "image/png", c)).toDS()
+    val cand = Dedup.fingerprintBandCandidates(
+      Multimodal.imageDHash(ds), "doc_id", "dhash")
+    val got = cand.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    // 1 and 2 share every band (identical hash) → candidate at hamming 0;
+    // 3 shares NO band with the all-ones hash (every 16-bit band differs)
+    assert(got === Map((1L, 2L) -> 0), s"unexpected candidate set: $got")
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"band join not pinned:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded candidates must never be all-pairs:\n$plan")
+  }
 }

@@ -194,6 +194,41 @@ class RecallSpec extends SparkTestBase {
       f"x50 ivf+pq degenerated: recall $recall%.3f, ${got.size} rows")
   }
 
+  test("x17/x50 planted near-dups: IVF and IVF+PQ recover cos≈0.999 planted " +
+       "partners at production params — a QUALITY floor, unlike the " +
+       "random-corpus regression floors above") {
+    // The random-corpus recalls (0.48 / 0.04) say nothing about operator
+    // quality: there, quantization error swamps signal by construction.
+    // This is the regime ANN is FOR — plant near-identical pairs and
+    // require the operators to find them (mirrors the LSH planted test
+    // below, which achieves full recovery).
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(11L)
+    def randVec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, randVec()))
+    val plants = (0 until 10).map { i =>
+      val v = base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((1000 + i).toLong, v)
+    }
+    val df = (base ++ plants).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") >= 1000)
+    def plantedRecall(df0: org.apache.spark.sql.DataFrame): Double = {
+      val got = df0.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (0 until 10).count(i => got.contains(((1000 + i).toLong, i.toLong))) / 10.0
+    }
+    val ivf = plantedRecall(Similarity.ivfTopKSampled(df, queries,
+      "embedding", "vec_id", k = 10, cells = 16, nProbe = 4))
+    val pq = plantedRecall(Similarity.ivfPqTopK(df, queries,
+      "embedding", "vec_id", k = 10, cells = 16, nProbe = 4, m = 4, ks = 8))
+    info(f"planted recall@10 — ivf (sampled, nProbe 4/16): $ivf%.2f, ivf+pq (m=4, ks=8): $pq%.2f")
+    // a planted partner sits in (or next to) its query's own cell, so
+    // nProbe=4 coverage must find it; PQ's ADC ranks the near-identical
+    // partner at/near the per-cell LUT minimum
+    assert(ivf >= 0.9, f"ivf planted recall degraded: $ivf%.2f")
+    assert(pq >= 0.8, f"ivf+pq planted recall degraded: $pq%.2f")
+  }
+
   test("blocked embedding pairs EQUAL the n² baseline (exactness of the " +
        "block-pair rewrite) and plan has no cartesian node") {
     val blocked = Dedup.embeddingCosinePairsBlocked(emb, "embedding", "vec_id", 0.4)
