@@ -339,6 +339,33 @@ object Multimodal {
     h
   }
 
+  /** Per-sampled-frame perceptual fingerprints — the VIDEO half of the
+    * x68 image story: [[sampleFrames]]'s windows (every `everyN`-th
+    * `frameBytes` slice of the payload, a real pipeline's decoded frame
+    * tensors) each get the [[dhashOfBytes]] 64-bit difference hash, so
+    * cross-video duplicate-frame mining becomes the same Hamming-banded
+    * candidate join [[graft.operators.Dedup.fingerprintBandCandidates]]
+    * runs for still images. One row per sampled frame:
+    * `(doc_id, frame_idx, dhash)`.
+    *
+    * 100 TB: a flatMap inside the scan stage — frames never shuffle
+    * here; parallelism is the payload scan's partitioning, and each
+    * frame's hash reads only its own `frameBytes` window.
+    */
+  def frameDHash(records: Dataset[MediaRecord], frameBytes: Int = 256,
+                 everyN: Int = 4): DataFrame = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val n = math.max(1, r.payload.length / frameBytes)
+      (0 until n by everyN).map { i =>
+        val from = i * frameBytes
+        val until = math.min(r.payload.length, from + frameBytes)
+        (r.doc_id, i,
+          dhashOfBytes(java.util.Arrays.copyOfRange(r.payload, from, until)))
+      }
+    }.toDF("doc_id", "frame_idx", "dhash")
+  }
+
   /** Adapter: treat the documents table's text as a binary payload so the
     * full plumbing (binary transport → typed decode → features) runs on
     * the driver test data.

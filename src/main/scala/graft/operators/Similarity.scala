@@ -429,6 +429,93 @@ object Similarity {
       .agg(Exact.round6(sum(q) / count(lit(1))).as("centroid_val"))
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the real
+    * iterative fit behind the sampled-codebook stand-ins ([[ivfTopKSampled]]
+    * / [[semanticDedup]] use a hash-min sample precisely because a
+    * k-means fit was "not SQL-expressible"; this operator makes it
+    * expressible the same way PageRank and the BPE loop are: a
+    * deterministic round unrolled k times, every round exact).
+    *
+    * Initialization: the [[ivfTopKSampled]] hash-min sample — the `k`
+    * vectors with the smallest (murmur3(id), id) are the round-0
+    * centroids, and their ids name the cells for the whole fit (cell
+    * identity is stable across rounds). Per round: every vector joins
+    * the ONE broadcast codebook row and elects its nearest centroid
+    * scan-side (max rounded cosine, ties to the smaller cell —
+    * [[cellRanking]], identical to the ANN election); new centroids are
+    * the per-(cell, dimension) mean under [[labelCentroids]]'s exact
+    * arithmetic (elements grid-quantized to 2^-20 BEFORE summation, so
+    * the sum uses ≤ 26 mantissa bits and is accumulation-order-
+    * independent; the mean is floor-rounded to 1e-6). Cells that lose
+    * every member keep their previous centroid — deterministic, no
+    * respawn heuristic. After `iters` updates the corpus is assigned
+    * once more against the final codebook; the result is one row per
+    * vector: `(vec_id, cell, cosine)` with cosine the 1e-6-floored
+    * similarity to its final centroid (null for zero-norm vectors,
+    * which rank last in every election — same null discipline as the
+    * ANN family).
+    *
+    * Every step is relational and bit-deterministic, so the FULL fit —
+    * sample, k elections, k mean updates — replays in the DuckDB oracle
+    * as unrolled CTE rounds (the x55 PageRank pattern).
+    *
+    * 100 TB: per round, assignment is scan-side (broadcast 1-row
+    * codebook, per-row argmin — ZERO corpus shuffle) and the update is
+    * one partial-aggregatable shuffle of k·dim groups. The codebook
+    * lives as driver state between rounds (k·dim doubles, bounded by
+    * [[MaxCodebookEntries]] — the same "learned vocabulary on the
+    * driver" shape as the BPE merge table), so each round's plan starts
+    * from literals instead of a growing lineage chain.
+    */
+  def kMeans(emb: DataFrame, vecCol: String, idCol: String,
+             k: Int = 8, iters: Int = 2): DataFrame = {
+    requireCodebookSized(k, "k")
+    require(iters >= 1, "iters must be >= 1")
+    GraftFunctions.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val grid = 1048576 // 2^20 — labelCentroids' exact-summation grid
+    val c = graft.Caches.persistOnce(
+      emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")))
+    // round-0 codebook: hash-min sample, collected (k rows) into the
+    // driver-state representation the loop carries between rounds
+    var cb: Seq[(Long, Seq[Double])] = c
+      .withColumn("hu",
+        hash(col("vec_id")).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .orderBy(col("hu"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cell"), col("v").as("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    def cbDf: DataFrame = cb.toDF("cell", "centroid")
+    def assigned: DataFrame = c.crossJoin(cbArray(cbDf))
+      .withColumn("m", array_min(cellRanking(col("v"))))
+    var r = 0
+    while (r < iters) {
+      val q = floor(col("vv") * grid + lit(0.5)) / grid
+      val updated: Map[Long, Seq[Double]] = assigned
+        .select(col("m").getField("cell").as("cell"),
+          posexplode(col("v")).as(Seq("pos", "vv")))
+        .groupBy("cell", "pos")
+        .agg(Exact.round6(sum(q) / count(lit(1))).as("cv"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+        .select(col("cell"), transform(col("pc"), p => p.getField("cv")).as("centroid"))
+        .collect()
+        .map(row => (row.getLong(0), row.getSeq[Double](1)))
+        .toMap
+      cb = cb.map { case (cell, old) => (cell, updated.getOrElse(cell, old)) }
+      r += 1
+    }
+    assigned
+      .select(col("vec_id"), col("m").getField("cell").as("cell"),
+        when(col("m").getField("neg") === lit(Double.MaxValue),
+            lit(null).cast("double"))
+          .otherwise(-col("m").getField("neg")).as("cosine"))
+  }
+
   /** Product quantization: split each vector into `m` contiguous
     * subvectors and assign every subvector to its nearest codeword
     * (L2², ties → smaller code id) from a per-subspace codebook —

@@ -202,6 +202,58 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "w1", "w2", "n_pairs")
   }
 
+  /** TOKENIZE with a learned BPE vocabulary — the application half of
+    * [[bpeMergeSequence]]'s induction (learn once, encode every shard
+    * forever): rebuild each document's doubled-boundary token stream
+    * and apply the `merges` list IN LEARNED ORDER as the same
+    * boundary-anchored literal replaces the induction used, so the
+    * encoded stream is exactly the state the learner's corpus stream
+    * would reach (BpeEncodeSpec pins that equality). Returns one row
+    * per document: post-merge token count, how many tokens are merged
+    * units (they keep an interior space), and an md5 of the encoded
+    * stream (the cross-engine witness that the whole chain — not just
+    * the counts — matched).
+    *
+    * 100 TB: encoding is ONE scan-side pass — a chain of |merges|
+    * literal `replace`s fused into the scan's codegen stage, zero
+    * shuffle, zero joins; the merge table is driver state the size of
+    * the learned vocabulary, broadcast inside the plan as literals
+    * (exactly how a production tokenizer ships its merges file).
+    */
+  def bpeEncodeWith(docs: DataFrame, textCol: String, idCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val bb = "\u001f\u001f"
+    val stream0 = concat(lit(bb), array_join(tokens(col(textCol)), bb), lit(bb))
+    val encoded = merges.foldLeft(stream0) { case (s, (w1, w2)) =>
+      replace(s,
+        lit("\u001f" + w1 + bb + w2 + "\u001f"),
+        lit("\u001f" + w1 + " " + w2 + "\u001f"))
+    }
+    val arr = split(col("stream"), bb)
+    val inner = slice(arr, lit(2), size(arr) - 2)
+    docs.select(col(idCol).as("doc_id"), encoded.as("stream"))
+      .select(col("doc_id"),
+        size(inner).as("n_tokens"),
+        size(filter(inner, t => t.contains(" "))).as("n_merged"),
+        md5(col("stream")).as("enc_md5"))
+  }
+
+  /** Learn `steps` BPE merges on `docs` ([[bpeMergeSequence]]) and
+    * encode the same corpus with them ([[bpeEncodeWith]]) — the
+    * self-tokenizing shape pipelines use when inducing a vocabulary
+    * and materializing the tokenized corpus in one job. Unlike the
+    * learner's loop (which never applies the LAST elected merge — it
+    * only needs the stream for the NEXT election), encoding applies
+    * every learned merge including the final one.
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+                steps: Int = 4): DataFrame = {
+    val learned = bpeMergeSequence(docs, textCol, steps)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeWith(docs, textCol, idCol, learned)
+  }
+
   /** Content fingerprints: an md5 of the normalized text (cross-engine
     * checkable) and the engine's native 64-bit rolling hash (codegen'd
     * Catalyst expression — see graft.functions.RollingHash).

@@ -294,6 +294,49 @@ object Extensions {
         .orderBy("d1", "d2")
     }),
 
+    // Cross-video duplicate-frame mining (x68's VIDEO half): sampled
+    // byte-window "frames" → per-frame dHash → per-video distinct
+    // fingerprints (smallest frame_idx kept, so dup-heavy videos add
+    // candidates per distinct frame, not per repetition) → the x19/x68
+    // Hamming banding across frame fingerprints, cross-video pairs
+    // only — never all-pairs.
+    "x69_frame_dedup" -> ((s, dir) => {
+      val fr = Multimodal.frameDHash(
+        Multimodal.documentsAsMedia(s, T.documents(s, dir)))
+      val dd = fr.groupBy("doc_id", "dhash")
+        .agg(min("frame_idx").as("frame_idx"))
+      val keyed = dd.select(
+        (col("doc_id") * lit(1048576L) + col("frame_idx")).as("fid"),
+        col("dhash"))
+      Dedup.fingerprintBandCandidates(keyed, "fid", "dhash")
+        .select(
+          expr("d1 div 1048576").as("v1"),
+          pmod(col("d1"), lit(1048576L)).as("fr1"),
+          expr("d2 div 1048576").as("v2"),
+          pmod(col("d2"), lit(1048576L)).as("fr2"),
+          col("hamming"))
+        .filter(col("v1") =!= col("v2"))
+        .orderBy("v1", "fr1", "v2", "fr2")
+    }),
+
+    // Tokenize with the learned BPE vocabulary: x67b's 4 merges learned,
+    // then applied to the same corpus in ONE scan-side replace-chain
+    // pass — per-doc token counts, merged-unit counts, and the encoded
+    // stream's md5 as the cross-engine witness.
+    "x70_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(T.documents(s, dir), "text", "doc_id", steps = 4)
+        .orderBy("doc_id")),
+
+    // Distributed Lloyd k-means over the embedding store (the iterative
+    // fit the sampled-codebook ANN family deliberately avoids — here it
+    // IS the operator): hash-min seeding, 2 exact unrolled rounds
+    // (scan-side election, k·dim-group mean shuffle), final per-vector
+    // assignment with its centroid cosine.
+    "x71_kmeans" -> ((s, dir) =>
+      Similarity.kMeans(T.embeddings(s, dir), "embedding", "vec_id",
+          k = 8, iters = 2)
+        .orderBy("vec_id")),
+
     // Intra-document repetition (Gopher-style quality signal): most-
     // repeated-trigram share per document.
     "x26_repetition" -> ((s, dir) =>
@@ -844,16 +887,25 @@ object Extensions {
     * CASE terms are generated here from the SAME (row, col) indexing
     * the Scala operator uses — never hand-duplicated.
     */
-  private val dhashUnsignedSql: String = {
-    val cells = 72
+  /** The 64 dHash comparison bits over 72-cell sum/width lists named
+    * `s`/`w`, packed into a HUGEINT — generated from the SAME (row, col)
+    * indexing `Multimodal.packDHashBits` uses; shared by the x68
+    * whole-payload and x69 per-frame fingerprint builds.
+    */
+  private def dhashBitTerms: String = {
     def cmp(b: Int): String = {
       val l = (b / 8) * 9 + (b % 8) + 1 // 1-based list index of cell (r,c)
       val r = l + 1
       s"(s[$r] * w[$l] > s[$l] * w[$r])"
     }
-    val bitTerms = (0 until 64).map(b =>
+    (0 until 64).map(b =>
       s"CASE WHEN ${cmp(b)} THEN CAST(1 AS HUGEINT) << $b ELSE CAST(0 AS HUGEINT) END")
       .mkString("\n             + ")
+  }
+
+  private val dhashUnsignedSql: String = {
+    val cells = 72
+    val bitTerms = dhashBitTerms
     s"""g AS (
          SELECT doc_id,
            list_transform(range(0, $cells), k ->
@@ -924,6 +976,155 @@ object Extensions {
          FROM documents),
          $ctes
        SELECT step, w1, w2, n_pairs FROM ($sel) ORDER BY step"""
+  }
+
+  /** x70: BPE encode replayed — the x67b learning rounds (same pair
+    * counts and elections over the corpus-wide stream) but with doc_id
+    * carried through every stream state and ALL `steps` merges applied
+    * (the learner skips applying the last one; the encoder must not),
+    * then per-doc token counts and the encoded stream's md5.
+    */
+  private def bpeEncodeSql(steps: Int): String = {
+    val B = "chr(31)"
+    val BB = s"($B || $B)"
+    def pairCtes(k: Int): String =
+      s"""c$k AS (
+           SELECT iw[i] AS w1, iw[i+1] AS w2, count(*) AS n_pairs
+           FROM (SELECT iw, unnest(range(1, len(iw))) AS i
+                 FROM (SELECT ws[2:len(ws)-1] AS iw
+                       FROM (SELECT string_split(stream, $BB) AS ws FROM s${k - 1})
+                       WHERE len(ws) >= 4))
+           GROUP BY 1, 2),
+         w$k AS (
+           SELECT w1, w2 FROM c$k ORDER BY n_pairs DESC, w1, w2 LIMIT 1)"""
+    def applyCte(k: Int): String =
+      s"""s$k AS (
+           SELECT s.doc_id, replace(s.stream,
+             $B || w.w1 || $BB || w.w2 || $B,
+             $B || w.w1 || ' ' || w.w2 || $B) AS stream
+           FROM s${k - 1} s, w$k w)"""
+    val ctes = (1 to steps).map(k =>
+      pairCtes(k) + ",\n         " + applyCte(k)).mkString(",\n         ")
+    s"""WITH s0 AS (
+         SELECT doc_id,
+           $BB || array_to_string(regexp_split_to_array(lower(text), '\\s+'), $BB) || $BB AS stream
+         FROM documents),
+         $ctes
+       SELECT doc_id,
+         CAST(len(ws) - 2 AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(ws[2:len(ws)-1], t -> contains(t, ' '))) AS INTEGER) AS n_merged,
+         md5(stream) AS enc_md5
+       FROM (SELECT doc_id, stream, string_split(stream, $BB) AS ws FROM s$steps)
+       ORDER BY doc_id"""
+  }
+
+  /** x69: the per-frame dHash replayed — x18's byte-window frame
+    * sampling (every 4th 256-byte window; char k+1 is byte k on the
+    * ASCII driver data) feeding the x68 72-cell/64-bit fingerprint
+    * build parameterized on the frame's offset and length, then the
+    * per-video distinct-fingerprint collapse and the x68 banding with
+    * packed (video, frame) ids, cross-video pairs only.
+    */
+  private lazy val frameDedupSql: String = {
+    val bitTerms = dhashBitTerms
+    s"""WITH frames AS (
+         SELECT doc_id, text, i AS frame_idx, i * 256 AS frm,
+           least(length(text), i * 256 + 256) - i * 256 AS flen
+         FROM (SELECT doc_id, text,
+                 unnest(range(0, greatest(length(text) // 256, 1), 4)) AS i
+               FROM documents)),
+       g AS (
+         SELECT doc_id, frame_idx,
+           list_transform(range(0, 72), k ->
+             coalesce(list_sum(list_transform(
+               range(CAST(frm + k * flen // 72 + 1 AS INTEGER),
+                     CAST(frm + (k+1) * flen // 72 + 1 AS INTEGER)),
+               i -> unicode(text[i]))), 0)) AS s,
+           list_transform(range(0, 72), k ->
+             (k+1) * flen // 72 - k * flen // 72) AS w
+         FROM frames),
+       dfp AS (
+         SELECT doc_id, frame_idx,
+           ($bitTerms) AS hu
+         FROM g),
+       dd AS (
+         SELECT doc_id, hu, min(frame_idx) AS frame_idx
+         FROM dfp GROUP BY doc_id, hu),
+       fids AS (
+         SELECT doc_id * 1048576 + frame_idx AS fid, hu FROM dd),
+       banded AS (
+         SELECT fid, hu, bb.b AS band,
+           (hu >> CAST(16 * bb.b AS INTEGER)) % 65536 AS key
+         FROM fids, (SELECT unnest(range(0, 4)) AS b) bb),
+       cand AS (
+         SELECT DISTINCT a.fid AS d1, b.fid AS d2, a.hu AS h1, b.hu AS h2
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.fid < b.fid)
+       SELECT d1 // 1048576 AS v1, d1 % 1048576 AS fr1,
+         d2 // 1048576 AS v2, d2 % 1048576 AS fr2,
+         CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+       FROM cand
+       WHERE d1 // 1048576 <> d2 // 1048576
+       ORDER BY v1, fr1, v2, fr2"""
+  }
+
+  /** x71: the Lloyd k-means fit unrolled — the x17 hash-min codebook
+    * (centroids cast to DOUBLE element-wise, exactly like the
+    * operator), then per round a rank-1 rounded-cosine assignment and
+    * the x13 grid-exact mean update (2^-20-quantized elements summed,
+    * mean floor-rounded to 1e-6, lists reassembled in position order;
+    * cells with no members carry their previous centroid), ending with
+    * the final assignment and its cosine.
+    */
+  private lazy val kMeansSql: String = {
+    val k = 8
+    val iters = 2
+    val (hashCtes, huCte) = Murmur3Sql.hashLongCtes("cbs", Seq("cell", "centroid"), "kh")
+    def asgCte(r: Int): String =
+      s"""asg$r AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cb.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${cosineRounded("e.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+           FROM embeddings e, cb$r cb)
+         WHERE rk = 1)"""
+    def updCtes(r: Int): String =
+      s"""upd$r AS (
+           SELECT cell, i AS pos,
+             floor(sum(q) / count(*) * 1000000 + 0.5) / 1000000 AS cv
+           FROM (
+             SELECT a.cell,
+               unnest(range(1, len(e.embedding)+1)) AS i,
+               unnest(list_transform(range(1, len(e.embedding)+1),
+                 j -> floor(CAST(e.embedding[j] AS DOUBLE) * 1048576 + 0.5) / 1048576)) AS q
+             FROM asg$r a JOIN embeddings e USING (vec_id))
+           GROUP BY cell, i),
+         cb${r + 1} AS (
+           SELECT cell, list(cv ORDER BY pos) AS centroid
+           FROM upd$r GROUP BY cell
+           UNION ALL
+           SELECT cell, centroid FROM cb$r
+           WHERE cell NOT IN (SELECT cell FROM upd$r))"""
+    val rounds = (1 to iters).map(r =>
+      asgCte(r) + ",\n       " + updCtes(r)).mkString(",\n       ")
+    s"""WITH cbs AS (
+         SELECT vec_id AS cell,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
+           vec_id AS v
+         FROM embeddings),
+       $hashCtes
+       cb1 AS (
+         SELECT cell, centroid FROM (
+           SELECT cell, centroid, row_number() OVER (ORDER BY hu, cell) AS rn
+           FROM $huCte)
+         WHERE rn <= $k),
+       $rounds
+       SELECT vec_id, cell, cosine FROM (
+         SELECT e.vec_id, cb.cell,
+           ${cosineRounded("e.embedding", "cb.centroid")} AS cosine,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineRounded("e.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+         FROM embeddings e, cb${iters + 1} cb)
+       WHERE rk = 1 ORDER BY vec_id"""
   }
 
   /** Symmetric transitive-closure CTE block over a CTE named `pairs`
@@ -2260,6 +2461,9 @@ object Extensions {
     "x66_near_dedup_against" -> nearDedupAgainstSql,
     "x67b_bpe_merges" -> bpeMergesSql(4),
     "x68_phash_dedup" -> phashDedupSql,
+    "x69_frame_dedup" -> frameDedupSql,
+    "x70_bpe_encode" -> bpeEncodeSql(4),
+    "x71_kmeans" -> kMeansSql,
     "x67_bpe_pairs" ->
       """WITH w AS (
            SELECT regexp_split_to_array(lower(text), '\s+') AS ws
