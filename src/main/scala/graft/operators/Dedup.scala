@@ -26,26 +26,41 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
-  /** Session memo behind [[hasExactDups]], keyed on (session, canonical
+  /** Session memo behind [[dupFraction]], keyed on (session, canonical
     * input plan, text column): the probe is one partial-agg job, but the
     * collapse family runs it per operator per action, and its answer for
     * a given input cannot change within a session any more than
     * CacheManager's canonical-plan-matched caches can — the same
     * staleness contract. Entries die with the driver; they hold only a
-    * canonical plan and a boolean.
+    * canonical plan and a double.
     */
   private val dupProbeMemo =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession,
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         String),
-      java.lang.Boolean]
+      java.lang.Double]
 
-  /** Exact-duplication probe: does `docs` contain at least one pair of
-    * identical `textCol` values? One partial-aggregatable count job on
-    * the uniform sha-256 digest (count vs count-distinct), memoized per
-    * (session, canonical plan). The collapse operators route on this:
-    * at zero duplication the rep-keying and member-expansion joins are
+  /** Collapse-routing threshold on [[dupFraction]]: the dup collapse
+    * pays a FIXED keying/expansion cost (~0.6-0.7 s per operator at
+    * sf0.1, PERF.md round 7) and repays it in candidate work that
+    * scales with dup-pair volume (Σ group²). At the driver sf0.1 rate
+    * (0.16% dup rows) the saved k² work is noise against the fixed
+    * cost; at the dup-heavy sf1 fixture (90%) the collapse is 3-40×.
+    * The measured crossover sits around a few percent of duplicated
+    * rows — 2% routes both known corpora correctly with margin, and
+    * routing is semantics-free either way (collapse == direct output
+    * equality is pinned on adversarial corpora in Round8OpsSpec).
+    */
+  private[operators] val CollapseDupRateThreshold = 0.02
+
+  /** Exact-duplication-RATE probe: the fraction of `docs` rows whose
+    * `textCol` value repeats another row's — `(n - distinct)/n`, 0.0
+    * for empty input. One partial-aggregatable count job on the
+    * uniform sha-256 digest (count vs count-distinct), memoized per
+    * (session, canonical plan). The collapse operators route on this
+    * via [[collapseWorthwhile]]:
+    * at shallow duplication the rep-keying and member-expansion joins are
     * pure fixed overhead (measured ~0.7 s each at sf0.1, PERF.md
     * round 7) with nothing quadratic to save, so dup-free inputs take
     * the direct path — which also shares its shingle/fingerprint plan
@@ -53,20 +68,30 @@ object Dedup {
     * subtrees cannot. Routing never affects results: both paths are
     * output-equal (pinned on adversarial corpora in OperatorsSpec).
     */
-  private[operators] def hasExactDups(docs: DataFrame, textCol: String): Boolean = {
+  private[operators] def dupFraction(docs: DataFrame, textCol: String): Double = {
     val key = (docs.sparkSession,
       docs.queryExecution.analyzed.canonicalized, textCol)
     val cached = dupProbeMemo.get(key)
-    if (cached != null) cached.booleanValue()
+    if (cached != null) cached.doubleValue()
     else {
       val r = docs.agg(
         count(lit(1)).as("n"),
         count_distinct(sha2(col(textCol), 256)).as("nd")).head()
-      val v = r.getLong(0) > r.getLong(1)
-      dupProbeMemo.putIfAbsent(key, java.lang.Boolean.valueOf(v))
+      val v =
+        if (r.getLong(0) == 0L) 0.0
+        else (r.getLong(0) - r.getLong(1)).toDouble / r.getLong(0)
+      dupProbeMemo.putIfAbsent(key, java.lang.Double.valueOf(v))
       v
     }
   }
+
+  /** The routing decision the collapse family shares: collapse only
+    * when the probed dup RATE clears [[CollapseDupRateThreshold]] —
+    * "has any dup at all" routed the driver sf0.1 corpus (8 dup rows
+    * in 5000, 0.16%) into the collapse for ~nothing saved.
+    */
+  private[operators] def collapseWorthwhile(docs: DataFrame, textCol: String): Boolean =
+    dupFraction(docs, textCol) >= CollapseDupRateThreshold
 
   /** Exact content dedup: group on sha2 digest, keep the smallest id.
     * (Reference analog: all-column dropDuplicates,
@@ -154,7 +179,7 @@ object Dedup {
     * k× in the expansion joins (measured at the 10× dup-heavy sf1
     * fixture: 24.5 s direct → ~3 s collapsed). Intra-group pairs are
     * emitted as exactly 1.0 without touching shingles. (No
-    * [[hasExactDups]] probe routing here: unlike the x19/x37 family,
+    * [[collapseWorthwhile]] probe routing here: unlike the x19/x37 family,
     * this collapse measured FASTER even at zero duplication — the
     * work avoided per shingle dwarfs the keying overhead; PERF.md
     * round 7.)
@@ -550,7 +575,7 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         collapseExactDups: Boolean = true): DataFrame = {
-    if (!collapseExactDups || !hasExactDups(docs, textCol))
+    if (!collapseExactDups || !collapseWorthwhile(docs, textCol))
       return simhashCandidatesDirect(docs, textCol, idCol)
     // The x02/x37 collapse, simhash edition: identical texts have
     // identical fingerprints, hence identical bands — a dup group of
@@ -559,7 +584,7 @@ object Dedup {
     // one min-id representative per distinct content; member pairs
     // inherit their representatives' fingerprints (simhash is a
     // function of the text), intra-group pairs are hamming 0.
-    // Dup-free inputs route to the direct path above (hasExactDups):
+    // Shallow-dup inputs route to the direct path above (collapseWorthwhile):
     // with zero groups the keying/expansion is pure fixed overhead
     // (~0.6 s at sf0.1, PERF.md round 7) and the direct plan shares
     // its fingerprint cache with sibling queries.
@@ -892,7 +917,7 @@ object Dedup {
                            numHashes: Int = 16, bands: Int = 8,
                            seed: Long = 42L,
                            collapseExactDups: Boolean = true): DataFrame = {
-    // no hasExactDups probe routing: this collapse measured faster at
+    // no collapseWorthwhile probe routing: this collapse measured faster at
     // BOTH scales, including dup-free sf0.1 (PERF.md round-7 A/B —
     // the 16 seeded murmur3 hashes per shingle avoided per dup beat
     // the keying overhead even with zero dup groups)
@@ -1074,7 +1099,7 @@ object Dedup {
                  prefixLen: Int = 24, lenBand: Int = 24,
                  maxDist: Int = 20,
                  collapseExactDups: Boolean = true): DataFrame = {
-    if (!collapseExactDups || !hasExactDups(docs, textCol))
+    if (!collapseExactDups || !collapseWorthwhile(docs, textCol))
       return fuzzyPairsDirect(docs, textCol, idCol, prefixLen, lenBand, maxDist)
     // The x02 lesson applied to edit distance: identical texts share
     // (prefix, length) by construction, so a dup group of size k sits
@@ -1084,8 +1109,8 @@ object Dedup {
     // blocked pairs over representatives only, then expand: distance
     // is a function of the two texts, so every member pair inherits
     // its representatives' distance, and intra-group pairs are 0 by
-    // definition. Dup-free inputs route to the direct path above
-    // (hasExactDups): zero groups means the keying/expansion is pure
+    // definition. Shallow-dup inputs route to the direct path above
+    // (collapseWorthwhile): zero groups means the keying/expansion is pure
     // fixed overhead (~0.7 s at sf0.1, PERF.md round 7).
     val keyed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
       sha2(col(textCol), 256).as("h"))

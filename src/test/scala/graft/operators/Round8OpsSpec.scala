@@ -75,12 +75,24 @@ class Round8OpsSpec extends SparkTestBase {
       s"zero-norm centroid perturbed assignment/domination: ${dedup.toList}")
   }
 
-  test("hasExactDups probe: false on a dup-free corpus, true once any text repeats") {
+  test("dupFraction probe: 0 on a dup-free corpus, exact rate once text " +
+       "repeats; routing needs the threshold cleared, not just any dup") {
     val unique = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
     val dups = unique.unionByName(Seq((3L, "alpha beta gamma")).toDF("doc_id", "text"))
-    assert(!Dedup.hasExactDups(unique, "text"))
-    assert(Dedup.hasExactDups(dups, "text"))
+    assert(Dedup.dupFraction(unique, "text") === 0.0)
+    assert(Dedup.dupFraction(dups, "text") === 1.0 / 3.0)
+    assert(Dedup.collapseWorthwhile(dups, "text"),
+      "33% duplication must clear the collapse threshold")
+    // a shallow-dup corpus (1 dup in 100 rows = 1%) stays on the direct
+    // path: below CollapseDupRateThreshold the keying/expansion is
+    // fixed cost for ~no quadratic savings (the driver sf0.1 corpus is
+    // 0.16% dup — the round-7 artifact paid the collapse there for
+    // nothing)
+    val shallow = ((1L to 99L).map(i => (i, s"unique text $i")) :+
+      (100L, "unique text 1")).toDF("doc_id", "text")
+    assert(Dedup.dupFraction(shallow, "text") === 0.01)
+    assert(!Dedup.collapseWorthwhile(shallow, "text"))
   }
 
   test("dup-free corpora route x19/x37 to the DIRECT path (no collapse " +
