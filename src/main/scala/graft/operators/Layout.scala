@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT for the write path: Z-order (Morton)
+  * clustering, the standard trick for making a single sort order serve
+  * range predicates on SEVERAL columns at once (Morton 1966; the same
+  * interleaving Delta Lake's OPTIMIZE ZORDER and ClickHouse's
+  * mortonEncode expose). Rows whose z-values are close are close in
+  * EVERY interleaved dimension, so min/max footer pruning on a
+  * z-sorted parquet layout skips files for predicates on either
+  * column — at 100 TB the difference between scanning a shard and
+  * scanning the lake.
+  */
+object Layout {
+  /** The Morton interleave of two non-negative dimension values, low
+    * `bits` of each: bit i of x lands at z-bit 2i, bit i of y at
+    * 2i+1. Pure scan-side integer expression (shifts, masks, adds —
+    * codegen'd, no shuffle, replayable in ANSI SQL by the oracle).
+    * Callers quantize dimensions into [0, 2^bits) first — the
+    * interleave is only meaningful on bounded non-negative ints.
+    */
+  def mortonInterleave(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits out of range [1,31]")
+    val xm = pmod(x.cast("long"), lit(1L << bits))
+    val ym = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      (shiftright(xm, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(ym, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Cluster `df` for writing: z-value from two dimensions, then
+    * range-repartition + intra-partition sort ON the z-value. Each
+    * output file then covers a tight z-range — i.e. a tight rectangle
+    * in (x, y) — so parquet min/max stats prune on BOTH dimensions.
+    * `repartitionByRange` samples to pick balanced bounds (RangePartitioning
+    * in the plan — the same exchange a global sort uses, but without
+    * the final merge); the sort inside each partition is the spill-safe
+    * local sort. Partition BOUNDS are sampling-dependent, so file
+    * assignment is not bit-deterministic across runs — row CONTENT and
+    * per-file ordering are; callers needing deterministic assignment
+    * use explicit bucket bounds on the z-value instead.
+    */
+  def zOrderLayout(df: DataFrame, x: Column, y: Column,
+                   partitions: Int, bits: Int = 16): DataFrame =
+    df.withColumn("zval", mortonInterleave(x, y, bits))
+      .repartitionByRange(partitions, col("zval"))
+      .sortWithinPartitions(col("zval"))
+}

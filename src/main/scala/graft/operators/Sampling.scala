@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Deterministic hash-based sampling for training-data pipelines.
   *
@@ -256,5 +257,76 @@ object Sampling {
         floor(least(col("gq") / col("denom") * col("t_target") / col("n_stratum"),
           lit(1.0)) * buckets + lit(0.5)).cast("long"))
       .select(col(stratumCol), col("n_stratum"), col("mix_thr"))
+  }
+
+  /** DSIR — Data Selection via hashed n-gram Importance Resampling
+    * (Xie et al. 2023, arXiv:2302.03169). The paper estimates a target
+    * and a raw feature distribution over HASHED n-gram buckets and
+    * weights each raw document by its likelihood ratio; documents are
+    * then resampled by weight. Here the features are word unigrams +
+    * bigrams of the first `maxTokens` tokens, bucketed by the rolling
+    * hash mod `buckets` (a power of two so the signed/unsigned mod
+    * agree across engines), and the target distribution is estimated
+    * from the rows matching `targetPred` (an in-domain subset — e.g. a
+    * language or source — standing in for the paper's target corpus).
+    *
+    * Engine-exactness: the paper's per-bucket weight is a log-ratio;
+    * `ln` is not correctly-rounded-guaranteed across engines, so the
+    * weight here is the 2^-20-grid-quantized PLAIN likelihood ratio
+    * with add-one smoothing, λ_b = ⌊grid·(t_b+1)(R+B) / ((r_b+1)(T+B))
+    * + ½⌋, and a document's importance is the count-weighted SUM of
+    * λ_b over its buckets (arithmetic- rather than geometric-mean
+    * importance — monotone per feature, integer-exact end to end, the
+    * same no-ln policy as x42/x60). `keep` marks docs whose mean ratio
+    * exceeds 1 (imp_q > n_feat·grid): more target-like than neutral.
+    *
+    * 100 TB: the corpus streams ONCE into a persisted (doc, bucket)
+    * count table (one partial-aggregatable shuffle); the bucket
+    * distribution table is `buckets` rows — broadcast, with totals as
+    * a broadcast single-row aggregate — so scoring is a broadcast join
+    * + one per-doc partial agg. Nothing vocabulary- or corpus-sized
+    * ever reaches the driver; raising `buckets` (the paper uses 10^4)
+    * only grows the broadcast table linearly.
+    */
+  def dsirImportance(docs: DataFrame, textCol: String, idCol: String,
+                     targetPred: Column, buckets: Int = 512,
+                     maxTokens: Int = 256): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two: the oracle replays the " +
+        "bucket as an unsigned-2^64 mod, which equals Spark's signed pmod " +
+        "only when buckets divides 2^64")
+    GraftFunctions.register(docs.sparkSession)
+    val grid = 1048576L // 2^20
+    val ws = slice(split(lower(col(textCol)), "\\s+"), 1, maxTokens)
+    val unigrams = col("ws")
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    // one scan feeds both distributions and the scoring side: per-doc
+    // per-bucket counts with the doc's target flag carried along
+    val docBuckets = graft.Caches.persistOnce(
+      docs.select(col(idCol).as("doc_id"),
+          when(targetPred, lit(1L)).otherwise(lit(0L)).as("is_target"),
+          ws.as("ws"))
+        .select(col("doc_id"), col("is_target"),
+          explode(concat(unigrams, bigrams)).as("feat"))
+        .withColumn("b", pmod(GraftFunctions.rollingHash(col("feat")), lit(buckets.toLong)))
+        .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c")))
+    val dist = docBuckets.groupBy("b")
+      .agg(sum(col("c")).as("r_b"), sum(col("c") * col("is_target")).as("t_b"))
+    val totals = dist.agg(sum(col("r_b")).as("rr"), sum(col("t_b")).as("tt"))
+    val lambda = dist.crossJoin(broadcast(totals))
+      .withColumn("lambda_q",
+        floor((col("t_b") + 1).cast("double") * (col("rr") + buckets).cast("double")
+          / ((col("r_b") + 1).cast("double") * (col("tt") + buckets).cast("double"))
+          * grid + lit(0.5)).cast("long"))
+      .select("b", "lambda_q")
+    docBuckets.join(broadcast(lambda), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("lambda_q")).as("imp_q"), sum(col("c")).as("n_feat"))
+      .withColumn("keep",
+        when(col("imp_q") > col("n_feat") * grid, lit(1)).otherwise(lit(0)))
+      .select("doc_id", "n_feat", "imp_q", "keep")
   }
 }

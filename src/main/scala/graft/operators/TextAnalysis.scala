@@ -670,4 +670,129 @@ object TextAnalysis {
           .otherwise(lit("head")))
       .select("doc_id", "pred_lang", "fam_bucket", "ppl_bucket")
   }
+
+  /** Deterministic FIXTURE weight table for [[linearQuality]] — a
+    * Weyl-sequence LCG over the bucket index mapped into [-16, 16].
+    * Stands in for a TRAINED model's weight vector: in production the
+    * weights are driver state loaded from a model file (like the BPE
+    * merge table x70 ships); the fixture keeps the operator and its
+    * oracle self-contained, since the same Scala value generates both
+    * the Spark literal array and the SQL literal list.
+    */
+  def fixtureQualityWeights(buckets: Int): Seq[Int] =
+    Seq.tabulate(buckets)(b => (((b * 2654435761L + 104729L) % 33L) - 16L).toInt)
+
+  /** fastText-style linear quality classifier over hashed unigram
+    * features (Joulin et al. 2016, arXiv:1607.01759, the bag-of-hashed-
+    * ngrams architecture at dim=1): each token hashes into one of
+    * `buckets` weight cells (rolling hash mod a power of two — the
+    * signed/unsigned-mod equivalence the oracle needs), the document
+    * score is the integer SUM of its tokens' weights, and the label is
+    * `score > 0`. This is the CCNet/RedPajama "model-based quality
+    * filter" shape with the float softmax stripped to its integer
+    * decision core — no logs, no exp, hash-exact across engines.
+    *
+    * 100 TB: ZERO shuffle and zero joins — the weight table rides into
+    * every task as a literal array and the whole classifier is one
+    * codegen'd scan-side `aggregate` over the token array; model
+    * application is embarrassingly parallel, the ideal shape for a
+    * corpus-wide quality sweep. (A dim>1 embedding classifier would
+    * move the weight matrix to a broadcast and the dot products to
+    * `zip_with` — same no-shuffle story.)
+    */
+  def linearQuality(docs: DataFrame, textCol: String, idCol: String,
+                    buckets: Int = 64,
+                    weights: Seq[Int] = null): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two (oracle unsigned-mod equivalence)")
+    val w = if (weights == null) fixtureQualityWeights(buckets) else weights
+    require(w.length == buckets, s"weights.length=${w.length} != buckets=$buckets")
+    GraftFunctions.register(docs.sparkSession)
+    val warr = array(w.map(x => lit(x.toLong)): _*)
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("lin_score",
+        aggregate(col("ws"), lit(0L), (acc, tok) =>
+          acc + element_at(warr,
+            (pmod(GraftFunctions.rollingHash(tok), lit(buckets.toLong)) + 1).cast("int"))))
+      .withColumn("lin_label",
+        when(col("lin_score") > 0, lit(1)).otherwise(lit(0)))
+      .select("doc_id", "n_tok", "lin_score", "lin_label")
+  }
+
+  /** Corpus bigram language model with stupid backoff scoring (Brants
+    * et al. 2007, "Large Language Models in Machine Translation" — the
+    * web-scale LM that replaces smoothing with a fixed backoff factor
+    * because at corpus scale counts are all you can afford). Train:
+    * corpus unigram and bigram counts, keep the top `topV` bigrams and
+    * top `topU` unigrams (count desc, term asc — deterministic). Score:
+    * each document bigram (a,b) contributes the 2^-20-grid-quantized
+    * conditional q = ⌊grid·c(ab)/c(a)+½⌋ when (a,b) is in the kept
+    * table, else the backoff ⌊grid·0.4·c(b)/N+½⌋ (0 when b is outside
+    * the kept unigrams — the unseen-word floor). A document's score is
+    * the integer sum and floor-mean of its bigram contributions —
+    * higher = more in-distribution, the x60 bucketing's natural input.
+    * No logs anywhere (the no-ln policy): the mean of quantized
+    * conditionals replaces the paper's sum of log-probs, monotone per
+    * bigram and integer-exact across engines.
+    *
+    * 100 TB: two partial-aggregatable n-gram count shuffles over the
+    * corpus; the model is top-(U+V) rows — BOUNDED driver/broadcast
+    * state via TakeOrdered (never a global sort of the vocabulary); the
+    * c(ab)/c(a) join happens once at model build on the V-row side
+    * (shuffle_hash — the vocab side's size estimate is blind); scoring
+    * is two broadcast joins + one per-doc partial agg. Raising topV/U
+    * grows only the broadcast model, exactly how production n-gram LMs
+    * ship pruned tables.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String, idCol: String,
+                    topV: Int = 1024, topU: Int = 1024,
+                    backoff: Double = 0.4): DataFrame = {
+    val grid = 1048576L // 2^20
+    val base = graft.Caches.persistOnce(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws")))
+    val uni = graft.Caches.persistOnce(
+      base.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1")))
+    val nTok = uni.agg(sum(col("c1")).as("n_tok_corpus"))
+    val bigr = base
+      .filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // kept model tables: bounded top-k via sort+limit (TakeOrdered —
+    // per-partition partial top-k, k rows to the driver side of the
+    // exchange, never a global vocabulary sort)
+    val keptBigrams = bigr
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(topV)
+      .join(uni.withColumnRenamed("w", "w1").hint("shuffle_hash"), Seq("w1"))
+      .withColumn("q_cond",
+        floor(col("c2").cast("double") / col("c1").cast("double")
+          * grid + lit(0.5)).cast("long"))
+      .select("w1", "w2", "q_cond")
+    val keptUnigrams = uni
+      .orderBy(col("c1").desc, col("w")).limit(topU)
+      .crossJoin(broadcast(nTok))
+      .withColumn("q_back",
+        floor(lit(backoff) * col("c1").cast("double")
+          / col("n_tok_corpus").cast("double") * grid + lit(0.5)).cast("long"))
+      .select(col("w").as("w2"), col("q_back"))
+    base
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(broadcast(keptBigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(keptUnigrams), Seq("w2"), "left")
+      .withColumn("q", coalesce(col("q_cond"), col("q_back"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum(col("q")).as("sum_q"))
+      .withColumn("avg_q", expr("sum_q div n_bg"))
+      .select("doc_id", "n_bg", "sum_q", "avg_q")
+  }
 }

@@ -347,6 +347,49 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // DSIR hashed-ngram importance weights (arXiv:2302.03169): target
+    // distribution = the 'en' rows, raw = the corpus; per-doc importance
+    // = count-weighted sum of grid-quantized per-bucket likelihood
+    // ratios. The x56 proxy scores by a single surface ratio; this is
+    // the paper's estimated-distribution form.
+    "x73_dsir" -> ((s, dir) =>
+      Sampling.dsirImportance(T.documents(s, dir), "text", "doc_id",
+          targetPred = col("lang") === "en", buckets = 512, maxTokens = 256)
+        .orderBy("doc_id")),
+
+    // fastText-shape hashed linear quality classifier (arXiv:1607.01759
+    // at dim=1, integer decision core): fixture weight table, zero
+    // shuffle — the whole model applies inside the scan.
+    "x74_linear_quality" -> ((s, dir) =>
+      TextAnalysis.linearQuality(T.documents(s, dir), "text", "doc_id",
+          buckets = 64)
+        .orderBy("doc_id")),
+
+    // Z-order (Morton) write-layout clustering on the events table:
+    // (user_id, epoch-day) interleaved, the two-predicate pruning key.
+    // The query emits the deterministic z-value + a fixed-width z-shard
+    // (zval >> 24); the sampling-dependent repartitionByRange half of
+    // zOrderLayout is the write path, plan-pinned in LayoutSpec.
+    "x75_zorder" -> ((s, dir) => {
+      val ev = T.events(s, dir)
+      ev.withColumn("epoch_day",
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+        .withColumn("zval", graft.operators.Layout.mortonInterleave(
+          col("user_id"), col("epoch_day"), bits = 16))
+        .withColumn("z_shard", shiftright(col("zval"), 24).cast("int"))
+        .select("event_id", "zval", "z_shard")
+        .orderBy("event_id")
+    }),
+
+    // Stupid-backoff bigram LM corpus scoring (Brants et al. 2007):
+    // top-1024/1024 pruned count tables, grid-quantized conditionals,
+    // integer per-doc sum/mean — the trained-on-itself in-distribution
+    // score that feeds x60-style bucketing.
+    "x76_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(T.documents(s, dir), "text", "doc_id",
+          topV = 1024, topU = 1024)
+        .orderBy("doc_id")),
+
     // Intra-document repetition (Gopher-style quality signal): most-
     // repeated-trigram share per document.
     "x26_repetition" -> ((s, dir) =>
@@ -2063,7 +2106,142 @@ object Extensions {
        ORDER BY h.doc_id"""
   }
 
+  /** The x11 rolling hash (acc·1000003 + codepoint mod 2^64) replayed
+    * over an arbitrary string SQL expression `e` — the shared feature-
+    * hash of the x73/x74 oracles. Lambda variables are rh-prefixed so
+    * the fragment nests inside callers' own lambdas without capture.
+    */
+  private def rollingHashSqlOf(e: String): String =
+    s"""list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(range(1, length($e)+1),
+              rhci -> CAST(unicode(($e)[rhci]) AS HUGEINT))),
+          (rhacc, rhc) -> (rhacc * 1000003 + rhc)
+            % CAST(18446744073709551616 AS HUGEINT))"""
+
+  /** x73's oracle: the DSIR chain replayed — unigram+bigram features of
+    * the first 256 tokens, rolling-hash buckets mod 512 (2^64-divisor
+    * equivalence with Spark's signed pmod), add-one-smoothed quantized
+    * likelihood ratios, count-weighted per-doc sums.
+    */
+  private lazy val dsirSql: String = {
+    val b = 512; val grid = 1048576L
+    s"""WITH dbase AS (
+         SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+           (regexp_split_to_array(lower(text), '\\s+'))[1:256] AS ws
+         FROM documents),
+       feats AS (
+         SELECT doc_id, is_target, unnest(ws) AS feat FROM dbase
+         UNION ALL
+         SELECT doc_id, is_target,
+           unnest(list_transform(range(1, len(ws)),
+             dbi -> ws[dbi] || ' ' || ws[dbi+1])) AS feat
+         FROM dbase),
+       fb AS (
+         SELECT doc_id, is_target,
+           CAST(${rollingHashSqlOf("feat")} % $b AS BIGINT) AS bkt,
+           CAST(count(*) AS BIGINT) AS c
+         FROM feats GROUP BY 1, 2, 3),
+       dist AS (
+         SELECT bkt, sum(c) AS r_b, sum(c * is_target) AS t_b
+         FROM fb GROUP BY 1),
+       tot AS (SELECT sum(r_b) AS rr, sum(t_b) AS tt FROM dist),
+       lam AS (
+         SELECT bkt,
+           CAST(floor(CAST(t_b + 1 AS DOUBLE) * CAST(rr + $b AS DOUBLE)
+             / (CAST(r_b + 1 AS DOUBLE) * CAST(tt + $b AS DOUBLE))
+             * $grid + 0.5) AS BIGINT) AS lambda_q
+         FROM dist, tot)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feat,
+         CAST(sum(c * lambda_q) AS BIGINT) AS imp_q,
+         CASE WHEN sum(c * lambda_q) > sum(c) * $grid THEN 1 ELSE 0 END AS keep
+       FROM fb JOIN lam USING (bkt)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** x74's oracle: the hashed linear classifier replayed — the SAME
+    * Scala fixture generator emits the weight list literal, each token
+    * indexes it by rolling-hash mod 64.
+    */
+  private lazy val linearQualitySql: String = {
+    val wlist = graft.operators.TextAnalysis.fixtureQualityWeights(64)
+      .mkString("[", ", ", "]")
+    s"""WITH lbase AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+         FROM documents),
+       sc AS (
+         SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+           CAST(coalesce(list_sum(list_transform(ws, lqt ->
+             ($wlist)[CAST(${rollingHashSqlOf("lqt")} % 64 AS INTEGER) + 1])), 0)
+             AS BIGINT) AS lin_score
+         FROM lbase)
+       SELECT doc_id, n_tok, lin_score,
+         CASE WHEN lin_score > 0 THEN 1 ELSE 0 END AS lin_label
+       FROM sc ORDER BY doc_id"""
+  }
+
+  /** x75's oracle: the Morton interleave replayed bit by bit — the
+    * same generated shift/mask/sum expression (integer-exact), with
+    * epoch-day from the naive-UTC timestamp both engines share.
+    */
+  private lazy val zorderSql: String = {
+    val bits = 16
+    val x = "(user_id % 65536)"
+    val y = "((CAST(ts AS DATE) - DATE '1970-01-01') % 65536)"
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) * ${1L << (2 * i)})",
+      s"((($y >> $i) & 1) * ${1L << (2 * i + 1)})"))
+    s"""WITH z AS (
+         SELECT event_id,
+           CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+         FROM events)
+       SELECT event_id, zval, CAST(zval >> 24 AS INTEGER) AS z_shard
+       FROM z ORDER BY event_id"""
+  }
+
+  /** x76's oracle: the stupid-backoff bigram LM replayed — identical
+    * pruned top-1024 tables (count desc, term asc), identical staged
+    * double arithmetic in the quantized conditionals and backoffs.
+    */
+  private lazy val bigramLmSql: String =
+    s"""WITH gbase AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+         FROM documents),
+       uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+               FROM (SELECT unnest(ws) AS w FROM gbase) GROUP BY 1),
+       ntok AS (SELECT sum(c1) AS n_tok_corpus FROM uni),
+       pairs AS (
+         SELECT doc_id, ws[bi] AS w1, ws[bi+1] AS w2
+         FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS bi
+               FROM gbase WHERE len(ws) >= 2)),
+       bigr AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                FROM pairs GROUP BY 1, 2),
+       topv AS (SELECT w1, w2, c2 FROM bigr
+                ORDER BY c2 DESC, w1, w2 LIMIT 1024),
+       kb AS (SELECT t.w1, t.w2,
+                CAST(floor(CAST(t.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE)
+                  * 1048576 + 0.5) AS BIGINT) AS q_cond
+              FROM topv t JOIN uni u ON u.w = t.w1),
+       topu AS (SELECT w, c1 FROM uni ORDER BY c1 DESC, w LIMIT 1024),
+       ku AS (SELECT w AS w2,
+                CAST(floor(0.4 * CAST(c1 AS DOUBLE)
+                  / CAST(n.n_tok_corpus AS DOUBLE) * 1048576 + 0.5)
+                  AS BIGINT) AS q_back
+              FROM topu, ntok n)
+       SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         CAST(sum(coalesce(kb.q_cond, ku.q_back, 0)) AS BIGINT) AS sum_q,
+         CAST(sum(coalesce(kb.q_cond, ku.q_back, 0)) // count(*) AS BIGINT) AS avg_q
+       FROM pairs p
+         LEFT JOIN kb ON kb.w1 = p.w1 AND kb.w2 = p.w2
+         LEFT JOIN ku ON ku.w2 = p.w2
+       GROUP BY p.doc_id ORDER BY p.doc_id"""
+
   val oracle: Map[String, String] = Map(
+    "x73_dsir" -> dsirSql,
+    "x74_linear_quality" -> linearQualitySql,
+    "x75_zorder" -> zorderSql,
+    "x76_bigram_lm" -> bigramLmSql,
     // parse_url components replayed as anchored regexes — equivalent on
     // these single-host, single-query-param URLs.
     "x35_url_parts" ->

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.tables.{Tables => T}
+
+/** Round-8 additions: DSIR hashed-ngram importance (x73), the hashed
+  * linear quality classifier (x74), Z-order layout (x75), and the
+  * stupid-backoff bigram LM (x76) — semantics on constructed corpora
+  * plus the scale-shape plan pins.
+  */
+class Round8bOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Reference rolling hash (x11's fold) — Long arithmetic wraps mod
+    * 2^64, so floorMod against a power-of-two bucket count equals the
+    * unsigned mod both engines use.
+    */
+  private def rollHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((acc, c) => acc * 1000003L + c)
+
+  // ---------------------------------------------------------------- x73
+
+  test("dsirImportance: target == corpus degenerates to ratio 1 — every " +
+       "doc sits exactly at the neutral line, keep = 0") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta alpha"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirImportance(docs, "text", "doc_id",
+      targetPred = lit(true), buckets = 64).orderBy("doc_id").collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val (nFeat, impQ, keep) = (r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(impQ === nFeat * 1048576L,
+        s"t_b == r_b and T == R must give λ = grid exactly: $r")
+      assert(keep === 0, s"neutral docs must not be kept: $r")
+    }
+    // feature count: unigrams + bigrams of the token stream
+    assert(out.map(_.getLong(1)).toSeq === Seq(5L, 3L, 1L))
+  }
+
+  test("dsirImportance: docs made of target-exclusive vocabulary score " +
+       "above neutral and are kept; off-target vocabulary is not") {
+    // target docs use a disjoint vocabulary from the rest, so every
+    // target-vocab bucket has t_b = r_b (ratio > 1 after smoothing
+    // because (t+1)/(r+1) = 1 but (R+B)/(T+B) > 1 ... the global factor
+    // exceeds 1 exactly when the target is a strict subset), while
+    // off-target buckets have t_b = 0.
+    val docs = (1L to 8L).map(i => (i, "tgt" + i % 2, i <= 4)) // 2 shared tokens per side
+      .map { case (i, _, isT) =>
+        val w = if (isT) "aa bb cc" else "zz yy xx"
+        (i, w, if (isT) "en" else "de")
+      }.toDF("doc_id", "text", "lang")
+    val out = Sampling.dsirImportance(docs, "text", "doc_id",
+        targetPred = col("lang") === "en", buckets = 64)
+      .orderBy("doc_id").collect()
+    val (kept, dropped) = out.partition(_.getInt(3) == 1)
+    assert(kept.map(_.getLong(0)).toSet === (1L to 4L).toSet,
+      s"target-vocab docs must be kept: ${out.mkString(", ")}")
+    assert(dropped.map(_.getLong(0)).toSet === (5L to 8L).toSet)
+    // and the kept docs' mean ratio strictly exceeds the dropped ones'
+    val keptMean = kept.map(r => r.getLong(2).toDouble / r.getLong(1)).min
+    val dropMean = dropped.map(r => r.getLong(2).toDouble / r.getLong(1)).max
+    assert(keptMean > dropMean)
+  }
+
+  test("dsirImportance: buckets must be a power of two (oracle unsigned-" +
+       "mod equivalence)") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.dsirImportance(docs, "text", "doc_id", lit(true), buckets = 100)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
+
+  test("dsirImportance plan: bucket-distribution and λ tables broadcast " +
+       "onto the scoring side — no sort-merge join, one Generate") {
+    val plan = Sampling.dsirImportance(T.documents(spark, sf), "text",
+        "doc_id", col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"λ table must broadcast:\n$plan")
+    // the feature explode happens once, inside the PERSISTED (doc,
+    // bucket) count table; both consumers (scoring + distribution) read
+    // the cache — the Generate occurrences in the plan STRING are the
+    // cached subtree re-printed per InMemoryTableScan consumer
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"both consumers must read the persisted feature counts:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- x74
+
+  test("linearQuality: score equals the reference weight-table sum; label " +
+       "thresholds at zero; empty-ish docs hit the empty-string bucket") {
+    val w = TextAnalysis.fixtureQualityWeights(64)
+    val docs = Seq((1L, "Alpha beta GAMMA"), (2L, ""), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.linearQuality(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    def expected(text: String): Long =
+      text.toLowerCase.split("\\s+", -1)
+        .map(t => w(java.lang.Math.floorMod(rollHash(t), 64L).toInt).toLong).sum
+    assert(out.map(_.getLong(2)).toSeq ===
+      Seq(expected("Alpha beta GAMMA"), expected(""), expected("zz")))
+    out.foreach { r =>
+      assert(r.getInt(3) === (if (r.getLong(2) > 0) 1 else 0))
+    }
+    // the weight fixture itself is bounded as documented
+    assert(w.forall(x => x >= -16 && x <= 16) && w.length === 64)
+  }
+
+  test("linearQuality plan: ZERO exchanges — the whole classifier applies " +
+       "inside the scan") {
+    val plan = TextAnalysis.linearQuality(T.documents(spark, sf), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"model application must be scan-side only:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- x75
+
+  test("mortonInterleave: bit-exact against a reference interleave, " +
+       "including the 16-bit corners") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 0L),
+      (0L, 65535L), (65535L, 65535L), (12345L, 54321L), (65536L, 2L))
+    val got = cases.toDF("x", "y")
+      .withColumn("z", Layout.mortonInterleave(col("x"), col("y")))
+      .orderBy("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(x & 65535L, y & 65535L),
+        s"interleave($x, $y)")
+    }
+    // corner: full-width interleave is 2^32 - 1
+    assert(got((65535L, 65535L)) === (1L << 32) - 1)
+  }
+
+  test("zOrderLayout plan: RangePartitioning on zval + local (non-global) " +
+       "sort — the write-clustering exchange, not a global sort") {
+    val ev = T.events(spark, sf)
+    val plan = Layout.zOrderLayout(ev,
+        pmod(col("user_id"), lit(65536L)),
+        pmod(col("event_id"), lit(65536L)), partitions = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"layout must range-partition on zval:\n$plan")
+    // executedPlan prints SortExec as `Sort [keys], <global>, 0` — the
+    // boolean after the key list is the global flag
+    assert("Sort \\[zval[^\\]]*\\], false".r.findFirstIn(plan).isDefined,
+      s"the per-file sort must be partition-local (global=false):\n$plan")
+  }
+
+  test("zOrderLayout: clustering is a permutation — row multiset unchanged") {
+    val ev = T.events(spark, sf).select("event_id")
+    val out = Layout.zOrderLayout(T.events(spark, sf),
+        pmod(col("user_id"), lit(65536L)),
+        pmod(col("event_id"), lit(65536L)), partitions = 4)
+      .select("event_id")
+    assert(out.count() === ev.count())
+    assert(out.except(ev).count() === 0 && ev.except(out).count() === 0)
+  }
+
+  // ---------------------------------------------------------------- x76
+
+  test("bigramLmScore: hand-checked conditionals on a tiny corpus (all " +
+       "bigrams kept)") {
+    val grid = 1048576L
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // uni: a=3 b=2 c=1, N=6; bigrams: (a,b)=2 (b,a)=1 (a,c)=1
+    def q(c2: Long, c1: Long): Long =
+      math.floor(c2.toDouble / c1.toDouble * grid + 0.5).toLong
+    val out = TextAnalysis.bigramLmScore(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val d1 = q(2, 3) + q(1, 2) + q(2, 3) // a b, b a, a b
+    val d2 = q(1, 3)                     // a c
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L, d1), (2L, 1L, d2)))
+    assert(out.map(_.getLong(3)).toSeq === Seq(d1 / 3, d2))
+  }
+
+  test("bigramLmScore: pruning forces the backoff path — dropped bigrams " +
+       "fall to 0.4·c(b)/N, unseen-unigram bigrams to zero") {
+    val grid = 1048576L
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // topV=1 keeps only (a,b); topU=1 keeps only unigram a
+    val out = TextAnalysis.bigramLmScore(docs, "text", "doc_id",
+        topV = 1, topU = 1).orderBy("doc_id").collect()
+    def q(c2: Long, c1: Long): Long =
+      math.floor(c2.toDouble / c1.toDouble * grid + 0.5).toLong
+    def back(c1: Long): Long =
+      math.floor(0.4 * c1.toDouble / 6.0 * grid + 0.5).toLong
+    // d1: (a,b)→kept q(2,3); (b,a)→backoff on a = back(3); (a,b)→kept
+    // d2: (a,c)→c outside topU → 0
+    assert(out.map(_.getLong(2)).toSeq ===
+      Seq(q(2, 3) * 2 + back(3), 0L))
+  }
+
+  test("bigramLmScore: docs with fewer than two tokens are absent (no " +
+       "bigram evidence), not scored as zero") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(2L))
+  }
+
+  test("bigramLmScore plan: pruned model tables reach scoring as " +
+       "broadcasts; top-k via TakeOrdered, never a global vocabulary sort") {
+    val plan = TextAnalysis.bigramLmScore(T.documents(spark, sf), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model tables must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pruning must be TakeOrdered (bounded), not sort+limit stages:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring must not sort-merge the corpus:\n$plan")
+  }
+}
