@@ -280,13 +280,18 @@ object Sampling {
     * same no-ln policy as x42/x60). `keep` marks docs whose mean ratio
     * exceeds 1 (imp_q > n_feat·grid): more target-like than neutral.
     *
-    * 100 TB: the corpus streams ONCE into a persisted (doc, bucket)
-    * count table (one partial-aggregatable shuffle); the bucket
-    * distribution table is `buckets` rows — broadcast, with totals as
-    * a broadcast single-row aggregate — so scoring is a broadcast join
-    * + one per-doc partial agg. Nothing vocabulary- or corpus-sized
-    * ever reaches the driver; raising `buckets` (the paper uses 10^4)
-    * only grows the broadcast table linearly.
+    * 100 TB: the corpus is NEVER shuffled. Pass 1 (estimation) explodes
+    * features and partial-aggregates straight onto the bucket key — the
+    * exchange carries ≤ `buckets` rows per task, not per-doc counts.
+    * The λ table (`buckets` rows, bounded by the [[MaxDsirBuckets]]
+    * guard — the cbArray discipline) then collapses into ONE broadcast
+    * map row, and pass 2 (scoring) is a codegen'd scan-side `aggregate`
+    * over each doc's feature array with a map lookup per feature — zero
+    * joins on the corpus, zero per-doc shuffle, the x74 shape with
+    * data-learned weights. (A first cut kept per-(doc,bucket) counts
+    * through a doc-keyed shuffle + broadcast join + per-doc agg; the
+    * scan-side rewrite removed both corpus exchanges — A/B in PERF.md
+    * round 8.)
     */
   def dsirImportance(docs: DataFrame, textCol: String, idCol: String,
                      targetPred: Column, buckets: Int = 512,
@@ -295,6 +300,10 @@ object Sampling {
       s"buckets=$buckets must be a power of two: the oracle replays the " +
         "bucket as an unsigned-2^64 mod, which equals Spark's signed pmod " +
         "only when buckets divides 2^64")
+    require(buckets <= MaxDsirBuckets,
+      s"buckets=$buckets exceeds MaxDsirBuckets=$MaxDsirBuckets: the λ " +
+        "table is collapsed into one broadcast map row and must stay " +
+        "bucket-table-sized, never vocabulary-sized")
     GraftFunctions.register(docs.sparkSession)
     val grid = 1048576L // 2^20
     val ws = slice(split(lower(col(textCol)), "\\s+"), 1, maxTokens)
@@ -303,30 +312,51 @@ object Sampling {
       slice(col("ws"), lit(1), size(col("ws")) - 1),
       slice(col("ws"), lit(2), size(col("ws")) - 1),
       (a, b) => concat(a, lit(" "), b))
-    // one scan feeds both distributions and the scoring side: per-doc
-    // per-bucket counts with the doc's target flag carried along
-    val docBuckets = graft.Caches.persistOnce(
+    def bucketOf(c: Column) =
+      pmod(GraftFunctions.rollingHash(c), lit(buckets.toLong))
+    // persisted so the feature arrays materialize ONCE and both passes
+    // (estimation explode, scan-side scoring) read the cache — without
+    // it, InferFiltersFromGenerate re-derives the whole feats expression
+    // inside the estimation pass's pre-explode filter
+    val featDocs = graft.Caches.persistOnce(
       docs.select(col(idCol).as("doc_id"),
           when(targetPred, lit(1L)).otherwise(lit(0L)).as("is_target"),
           ws.as("ws"))
         .select(col("doc_id"), col("is_target"),
-          explode(concat(unigrams, bigrams)).as("feat"))
-        .withColumn("b", pmod(GraftFunctions.rollingHash(col("feat")), lit(buckets.toLong)))
-        .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c")))
-    val dist = docBuckets.groupBy("b")
-      .agg(sum(col("c")).as("r_b"), sum(col("c") * col("is_target")).as("t_b"))
+          concat(unigrams, bigrams).as("feats")))
+    // pass 1 — distribution estimate: explode + partial agg directly on
+    // the bucket key; the exchange is bucket-sized, not corpus-sized
+    val dist = featDocs
+      .select(col("is_target"), explode(col("feats")).as("feat"))
+      .groupBy(bucketOf(col("feat")).as("b"))
+      .agg(count(lit(1)).as("r_b"), sum(col("is_target")).as("t_b"))
     val totals = dist.agg(sum(col("r_b")).as("rr"), sum(col("t_b")).as("tt"))
-    val lambda = dist.crossJoin(broadcast(totals))
+    // λ per bucket, collapsed to ONE broadcast map row. Every bucket
+    // seen at scoring exists in the map by construction: the same
+    // corpus and the same deterministic hash produced pass 1.
+    val lamRow = broadcast(dist.crossJoin(broadcast(totals))
       .withColumn("lambda_q",
         floor((col("t_b") + 1).cast("double") * (col("rr") + buckets).cast("double")
           / ((col("r_b") + 1).cast("double") * (col("tt") + buckets).cast("double"))
           * grid + lit(0.5)).cast("long"))
-      .select("b", "lambda_q")
-    docBuckets.join(broadcast(lambda), Seq("b"))
-      .groupBy("doc_id")
-      .agg(sum(col("c") * col("lambda_q")).as("imp_q"), sum(col("c")).as("n_feat"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("lambda_q"))))
+        .as("lam")))
+    // pass 2 — scoring: scan-side aggregate over the feature array,
+    // one broadcast-map lookup per feature occurrence
+    featDocs.crossJoin(lamRow)
+      .select(col("doc_id"),
+        size(col("feats")).cast("long").as("n_feat"),
+        aggregate(col("feats"), lit(0L), (acc, f) =>
+          acc + element_at(col("lam"), bucketOf(f))).as("imp_q"))
       .withColumn("keep",
         when(col("imp_q") > col("n_feat") * grid, lit(1)).otherwise(lit(0)))
       .select("doc_id", "n_feat", "imp_q", "keep")
   }
+
+  /** Hard cap on [[dsirImportance]]'s bucket count: the λ table becomes
+    * one driver-built broadcast map row (the cbArray discipline —
+    * bucket tables are 10^2–10^4 entries by design; a vocabulary-sized
+    * "bucket count" would build a corpus-scale driver row).
+    */
+  private[operators] val MaxDsirBuckets = 65536
 }

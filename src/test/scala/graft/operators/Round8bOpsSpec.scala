@@ -74,19 +74,34 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("power of two"))
   }
 
-  test("dsirImportance plan: bucket-distribution and λ tables broadcast " +
-       "onto the scoring side — no sort-merge join, one Generate") {
+  test("dsirImportance plan: scoring is SCAN-SIDE — the λ map arrives as " +
+       "a one-row broadcast, the corpus never shuffles or joins for scoring") {
     val plan = Sampling.dsirImportance(T.documents(spark, sf), "text",
         "doc_id", col("lang") === "en")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
-      s"λ table must broadcast:\n$plan")
-    // the feature explode happens once, inside the PERSISTED (doc,
-    // bucket) count table; both consumers (scoring + distribution) read
-    // the cache — the Generate occurrences in the plan STRING are the
-    // cached subtree re-printed per InMemoryTableScan consumer
-    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
-      s"both consumers must read the persisted feature counts:\n$plan")
+    // the only join anywhere is the 1-row broadcast of the λ map (and
+    // the totals row inside the estimation subtree)
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"scoring must be a one-row broadcast map lookup, not a join:\n$plan")
+    // no exchange is keyed on the document — the corpus never shuffles;
+    // the only hash exchange is the bucket-keyed estimation aggregate
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"no per-doc shuffle allowed (scan-side scoring):\n$plan")
+    // the feature arrays materialize once (persisted) and feed both the
+    // estimation explode and the scoring aggregate from the cache
+    assert(plan.contains("InMemoryTableScan"),
+      s"feature arrays must persist across the two passes:\n$plan")
+  }
+
+  test("dsirImportance guard: a vocabulary-sized bucket count fails fast " +
+       "(the λ map is one broadcast row — cbArray discipline)") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.dsirImportance(docs, "text", "doc_id", lit(true),
+        buckets = 131072)
+    }
+    assert(e.getMessage.contains("MaxDsirBuckets"))
   }
 
   // ---------------------------------------------------------------- x74
