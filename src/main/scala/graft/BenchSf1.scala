@@ -38,7 +38,8 @@ object BenchSf1 {
       "x57_semantic_dedup", "x66_near_dedup_against",
       "a03_join_star", "p15_pipeline_composite",
       "x50_ann_ivfpq", "x51_containment_dedup", "x52_bm25",
-      "x58_duplicate_spans", "x60_perplexity_buckets", "x61_remove_spans")
+      "x58_duplicate_spans", "x60_perplexity_buckets", "x61_remove_spans",
+      "x73_dsir", "x76_bigram_lm")
 
     // warmup: touch every table once (JVM/codegen/classloading)
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

@@ -76,10 +76,24 @@ object StreamingQ {
     // stream on the registers (EventStreamsSpec).
     "st10_window_distinct" -> ((s, dir) =>
       EventStreams.windowDistinctUsers(T.events(s, dir), "1 hour")
-        .orderBy("w_start", "event_type"))
+        .orderBy("w_start", "event_type")),
+
+    // Stream-static enrichment: events joined to the customer dimension
+    // (broadcast — the stream never shuffles for the join), windowed
+    // counts per market segment. Streaming variant certified equal in
+    // EventStreamsSpec.
+    "st11_stream_enrich" -> ((s, dir) =>
+      EventStreams.enrichedSegmentCounts(T.events(s, dir),
+          T.customer(s, dir), "1 hour")
+        .orderBy("w_start", "c_mktsegment", "event_type"))
   )
 
   val oracle: Map[String, String] = Map(
+    "st11_stream_enrich" ->
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP) AS w_start,
+           c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2, 3 ORDER BY w_start, c_mktsegment, event_type""",
     "st08_stateful_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          f AS (SELECT user_id, event_id, ts,

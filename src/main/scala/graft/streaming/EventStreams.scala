@@ -117,6 +117,32 @@ object EventStreams {
     intervalJoin(left.withWatermark("ts", watermark),
       right.withWatermark("ts", watermark), within)
 
+  /** Stream-static enrichment: each event joined to its customer row
+    * (dimension table) and aggregated per (window, market segment,
+    * event type) — the canonical "enrich the stream against a slowly-
+    * changing dimension" shape. The dimension side is BROADCAST: a
+    * stream-static join is stateless (no watermark state — only the
+    * windowed agg above it holds state), and broadcasting the dim means
+    * the stream never shuffles for the join; at cluster scale the dim
+    * table refreshes per trigger from its source, exactly how Spark
+    * re-plans static sides of stream-static joins.
+    */
+  def enrichedSegmentCounts(events: DataFrame, customer: DataFrame,
+                            width: String = "1 hour"): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), width).as("w"),
+        col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("c_mktsegment"),
+        col("event_type"), col("n"))
+
+  def enrichedSegmentCountsStream(events: DataFrame, customer: DataFrame,
+                                  width: String = "1 hour",
+                                  watermark: String = "2 hours"): DataFrame =
+    enrichedSegmentCounts(events.withWatermark("ts", watermark), customer, width)
+
   /** Streaming first-occurrence dedup per (user, event type): watermarked
     * dropDuplicates keeps the FIRST ARRIVAL and expires key state past
     * the watermark (bounded state — the property that makes streaming

@@ -442,4 +442,22 @@ class EventStreamsSpec extends SparkTestBase {
       "with zero empty registers the linear-count lookup is undefined — " +
         "the estimate must stay raw")
   }
+
+  test("st11 stream-static enrichment: MemoryStream joined to a static " +
+       "dimension equals the batch join, and the dim side broadcasts") {
+    val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (3L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val streamed = runStream(
+      df => EventStreams.enrichedSegmentCountsStream(df, customer, "1 hour"),
+      "st11_out")
+    val batch = EventStreams.enrichedSegmentCounts(events.toDF(), customer, "1 hour")
+    assert(streamed.orderBy("w_start", "c_mktsegment", "event_type").collect().toSeq ===
+      batch.orderBy("w_start", "c_mktsegment", "event_type").collect().toSeq)
+    // user 3 has no events: enrichment is inner — no phantom segments
+    assert(!batch.select("c_mktsegment").collect().map(_.getString(0))
+      .contains("AUTOMOBILE"))
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"dimension side must broadcast — the stream never shuffles for the join:\n$plan")
+  }
 }
