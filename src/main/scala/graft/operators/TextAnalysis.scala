@@ -148,9 +148,20 @@ object TextAnalysis {
     */
   def bpeMergeSequence(docs: DataFrame, textCol: String,
                        steps: Int = 4): DataFrame = {
-    require(steps >= 1, "steps must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeMergeSeq(docs, textCol, steps).toDF("step", "w1", "w2", "n_pairs")
+  }
+
+  /** The learned merge table of [[bpeMergeSequence]] as driver state --
+    * (step, w1, w2, n_pairs) in learned order. This is the form callers
+    * memoize and share across queries: the loop's per-round elections
+    * are eager driver actions, so plan-level caching cannot deduplicate
+    * a re-learn; the tiny Seq can (see Extensions.bpeMerges).
+    */
+  def bpeMergeSeq(docs: DataFrame, textCol: String,
+                  steps: Int = 4): Seq[(Int, String, String, Long)] = {
+    require(steps >= 1, "steps must be >= 1")
     val bb = "\u001f\u001f"
     def pairCounts(stream: DataFrame): DataFrame = {
       val arr = split(col("stream"), bb)
@@ -199,7 +210,7 @@ object TextAnalysis {
     }
     if (prev != null) prev.unpersist()
     cur.unpersist()
-    merges.toSeq.toDF("step", "w1", "w2", "n_pairs")
+    merges.toSeq
   }
 
   /** TOKENIZE with a learned BPE vocabulary — the application half of
@@ -248,9 +259,7 @@ object TextAnalysis {
     */
   def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
                 steps: Int = 4): DataFrame = {
-    val learned = bpeMergeSequence(docs, textCol, steps)
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val learned = bpeMergeSeq(docs, textCol, steps).map(m => (m._2, m._3))
     bpeEncodeWith(docs, textCol, idCol, learned)
   }
 

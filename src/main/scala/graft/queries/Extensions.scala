@@ -79,6 +79,37 @@ object Extensions {
     }
   }
 
+  /** Session-memoized learned BPE merge table — the x67b induction loop
+    * runs `steps` eager driver elections, so (like [[clusterLabels]])
+    * plan-level caching cannot deduplicate a re-learn across queries:
+    * x67b (report the table) and x70 (encode with it) share ONE learn
+    * per (session, dir, steps). The value is `steps` driver-side rows —
+    * no persisted frames, so release is a plain map drop. Same locking
+    * discipline as clusterLabels: built OUTSIDE any map lock (get +
+    * putIfAbsent); two racing builders converge on the winner's value.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int),
+      Seq[(Int, String, String, Long)]]
+
+  private[graft] def bpeMerges(s: SparkSession, dir: String,
+                               steps: Int): Seq[(Int, String, String, Long)] = {
+    val key = (s, dir, steps)
+    val cached = bpeMergeCache.get(key)
+    if (cached != null) cached
+    else {
+      val built = TextAnalysis.bpeMergeSeq(T.documents(s, dir), "text", steps)
+      val prev = bpeMergeCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Drop the memoized merge tables for `s` (driver rows only). */
+  def releaseBpeMerges(s: SparkSession): Unit = {
+    val it = bpeMergeCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq s) it.remove()
+  }
+
   /** Drop the memoized label tables (all dirs of `s`), unpersisting each. */
   def releaseClusterLabels(s: SparkSession): Unit = {
     val it = clusterLabelCache.entrySet().iterator()
@@ -277,10 +308,14 @@ object Extensions {
 
     // Iterated BPE vocabulary induction (x67's loop): 4 greedy merge
     // rounds — per round one partial-agg pair-count shuffle, a 1-row
-    // election, and a scan-side boundary-anchored literal replace.
-    "x67b_bpe_merges" -> ((s, dir) =>
-      TextAnalysis.bpeMergeSequence(T.documents(s, dir), "text", steps = 4)
-        .orderBy("step")),
+    // election, and a scan-side boundary-anchored literal replace. The
+    // learned table is session-memoized (bpeMerges) so x70's encode
+    // reuses this learn instead of re-running the loop.
+    "x67b_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      bpeMerges(s, dir, steps = 4).toDF("step", "w1", "w2", "n_pairs")
+        .orderBy("step")
+    }),
 
     // Perceptual-hash (dHash) near-dup candidates over the multimodal
     // payload column: typed decode → 64-bit difference hash →
@@ -319,12 +354,13 @@ object Extensions {
         .orderBy("v1", "fr1", "v2", "fr2")
     }),
 
-    // Tokenize with the learned BPE vocabulary: x67b's 4 merges learned,
-    // then applied to the same corpus in ONE scan-side replace-chain
-    // pass — per-doc token counts, merged-unit counts, and the encoded
-    // stream's md5 as the cross-engine witness.
+    // Tokenize with the learned BPE vocabulary: x67b's 4 merges (shared
+    // via the session memo — learned ONCE per session), applied to the
+    // corpus in ONE scan-side replace-chain pass — per-doc token counts,
+    // merged-unit counts, and the encoded stream's md5 as the witness.
     "x70_bpe_encode" -> ((s, dir) =>
-      TextAnalysis.bpeEncode(T.documents(s, dir), "text", "doc_id", steps = 4)
+      TextAnalysis.bpeEncodeWith(T.documents(s, dir), "text", "doc_id",
+          bpeMerges(s, dir, steps = 4).map(m => (m._2, m._3)))
         .orderBy("doc_id")),
 
     // Distributed Lloyd k-means over the embedding store (the iterative

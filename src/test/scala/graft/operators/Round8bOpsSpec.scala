@@ -179,6 +179,26 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(out.except(ev).count() === 0 && ev.except(out).count() === 0)
   }
 
+  // ------------------------------------------------------- x67b/x70 memo
+
+  test("bpeMerges session memo: one learn per (session, dir, steps) — " +
+       "the second call returns the SAME driver value; release drops it") {
+    import graft.queries.Extensions
+    Extensions.releaseBpeMerges(spark)
+    val a = Extensions.bpeMerges(spark, sf, steps = 2)
+    val b = Extensions.bpeMerges(spark, sf, steps = 2)
+    assert(a eq b, "second call must hit the memo, not re-learn")
+    assert(a.length === 2 && a.map(_._1) === Seq(1, 2))
+    // memoized value equals a fresh direct learn (sharing is transparent)
+    val direct = TextAnalysis.bpeMergeSeq(
+      T.documents(spark, sf), "text", steps = 2)
+    assert(a === direct)
+    Extensions.releaseBpeMerges(spark)
+    val c = Extensions.bpeMerges(spark, sf, steps = 2)
+    assert(!(c eq a) && c === a, "release must force a re-learn to the same value")
+    Extensions.releaseBpeMerges(spark)
+  }
+
   // ---------------------------------------------------------------- x76
 
   test("bigramLmScore: hand-checked conditionals on a tiny corpus (all " +
