@@ -468,9 +468,26 @@ object Similarity {
     * from literals instead of a growing lineage chain.
     */
   def kMeans(emb: DataFrame, vecCol: String, idCol: String,
-             k: Int = 8, iters: Int = 2): DataFrame = {
-    val (c, cbDf) = kMeansFit(emb, vecCol, idCol, k, iters)
-    c.crossJoin(cbArray(cbDf))
+             k: Int = 8, iters: Int = 2): DataFrame =
+    kMeansAssignWith(emb, vecCol, idCol,
+      kMeansFitSeq(emb, vecCol, idCol, k, iters))
+
+  /** Final-assignment half of [[kMeans]], given an already-fitted
+    * codebook (the driver-state form [[kMeansFitSeq]] returns) — so one
+    * fit can label many corpora, and session callers can memoize the
+    * fit across queries (the x67b/x70 merge-table pattern: the fit's
+    * per-round elections are eager driver actions plan caching cannot
+    * deduplicate; the k·dim Seq can be shared).
+    */
+  def kMeansAssignWith(emb: DataFrame, vecCol: String, idCol: String,
+                       cb: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val c = graft.Caches.persistOnce(
+      emb.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")))
+    c.crossJoin(cbArray(cb.toDF("cell", "centroid")))
       .withColumn("m", array_min(cellRanking(col("v"))))
       .select(col("vec_id"), col("m").getField("cell").as("cell"),
         when(col("m").getField("neg") === lit(Double.MaxValue),
@@ -484,15 +501,18 @@ object Similarity {
     * separately so one fit can index many query batches.
     */
   def kMeansCodebook(emb: DataFrame, vecCol: String, idCol: String,
-                     k: Int = 8, iters: Int = 2): DataFrame =
-    kMeansFit(emb, vecCol, idCol, k, iters)._2
+                     k: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    kMeansFitSeq(emb, vecCol, idCol, k, iters).toDF("cell", "centroid")
+  }
 
-  /** Shared fit: returns (persisted double-cast corpus as (vec_id, v),
-    * final codebook frame). See [[kMeans]] for the algorithm and the
-    * 100 TB analysis.
+  /** The Lloyd fit alone, as driver state: `(cell, centroid)` rows in
+    * cell order — the memoizable form (see [[kMeansAssignWith]]). See
+    * [[kMeans]] for the algorithm and the 100 TB analysis.
     */
-  private def kMeansFit(emb: DataFrame, vecCol: String, idCol: String,
-                        k: Int, iters: Int): (DataFrame, DataFrame) = {
+  def kMeansFitSeq(emb: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     requireCodebookSized(k, "k")
     require(iters >= 1, "iters must be >= 1")
     GraftFunctions.register(emb.sparkSession)
@@ -532,7 +552,7 @@ object Similarity {
       cb = cb.map { case (cell, old) => (cell, updated.getOrElse(cell, old)) }
       r += 1
     }
-    (c, cbDf)
+    cb
   }
 
   /** IVF ANN over a TRAINED k-means codebook — the composition the
@@ -556,8 +576,25 @@ object Similarity {
   def ivfTopKTrained(candidates: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int,
                      cells: Int = 8, nProbe: Int = 2,
-                     iters: Int = 2): DataFrame = {
-    val (c, cbDf) = kMeansFit(candidates, vecCol, idCol, cells, iters)
+                     iters: Int = 2): DataFrame =
+    ivfTopKTrainedWith(candidates, queries, vecCol, idCol, k,
+      kMeansFitSeq(candidates, vecCol, idCol, cells, iters), nProbe)
+
+  /** [[ivfTopKTrained]] with an already-fitted codebook (driver state
+    * from [[kMeansFitSeq]]) — one fit serves both the x71 labeling and
+    * this index, and session callers memoize it across queries.
+    */
+  def ivfTopKTrainedWith(candidates: DataFrame, queries: DataFrame,
+                         vecCol: String, idCol: String, k: Int,
+                         cb: Seq[(Long, Seq[Double])],
+                         nProbe: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cbDf = cb.toDF("cell", "centroid")
+    val c = graft.Caches.persistOnce(
+      candidates.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")))
     val assigned = c.crossJoin(cbArray(cbDf))
       .withColumn("cell", array_min(cellRanking(col("v"))).getField("cell"))
       .select(col("cell"), col("vec_id").as("cand_id"), col("v").as("cvec"))

@@ -110,6 +110,36 @@ object Extensions {
     while (it.hasNext) if (it.next().getKey._1 eq s) it.remove()
   }
 
+  /** Session-memoized k-means codebook (the [[bpeMerges]] pattern for
+    * the embedding side): x71's labeling and x72's trained IVF index
+    * run the SAME Lloyd fit — `iters` eager election/update actions no
+    * plan cache can deduplicate — so the fitted `(cell, centroid)` Seq
+    * (k·dim doubles of driver state) is learned once per
+    * (session, dir, k, iters) and both queries consume it.
+    */
+  private val kmeansFitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int),
+      Seq[(Long, Seq[Double])]]
+
+  private[graft] def kmeansFit(s: SparkSession, dir: String,
+                               k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val key = (s, dir, k, iters)
+    val cached = kmeansFitCache.get(key)
+    if (cached != null) cached
+    else {
+      val built = Similarity.kMeansFitSeq(T.embeddings(s, dir),
+        "embedding", "vec_id", k, iters)
+      val prev = kmeansFitCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Drop the memoized k-means fits for `s` (driver rows only). */
+  def releaseKmeansFits(s: SparkSession): Unit = {
+    val it = kmeansFitCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 eq s) it.remove()
+  }
+
   /** Drop the memoized label tables (all dirs of `s`), unpersisting each. */
   def releaseClusterLabels(s: SparkSession): Unit = {
     val it = clusterLabelCache.entrySet().iterator()
@@ -369,8 +399,8 @@ object Extensions {
     // (scan-side election, k·dim-group mean shuffle), final per-vector
     // assignment with its centroid cosine.
     "x71_kmeans" -> ((s, dir) =>
-      Similarity.kMeans(T.embeddings(s, dir), "embedding", "vec_id",
-          k = 8, iters = 2)
+      Similarity.kMeansAssignWith(T.embeddings(s, dir), "embedding", "vec_id",
+          kmeansFit(s, dir, k = 8, iters = 2))
         .orderBy("vec_id")),
 
     // IVF ANN over the TRAINED x71 codebook — fit, assign, probe,
@@ -378,8 +408,9 @@ object Extensions {
     // sampled-codebook x17 stands in for when a fit is unreplayable).
     "x72_ann_ivf_trained" -> ((s, dir) => {
       val emb = T.embeddings(s, dir)
-      Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 5),
-          "embedding", "vec_id", k = 10, cells = 8, nProbe = 2, iters = 2)
+      Similarity.ivfTopKTrainedWith(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 10,
+          kmeansFit(s, dir, k = 8, iters = 2), nProbe = 2)
         .orderBy("query_id", "rank")
     }),
 

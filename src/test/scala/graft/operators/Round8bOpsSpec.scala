@@ -199,6 +199,22 @@ class Round8bOpsSpec extends SparkTestBase {
     Extensions.releaseBpeMerges(spark)
   }
 
+  test("kmeansFit session memo: one Lloyd fit per (session, dir, k, iters); " +
+       "assignment-with equals the self-fitting kMeans") {
+    import graft.queries.Extensions
+    Extensions.releaseKmeansFits(spark)
+    val a = Extensions.kmeansFit(spark, sf, k = 4, iters = 1)
+    val b = Extensions.kmeansFit(spark, sf, k = 4, iters = 1)
+    assert(a eq b, "second call must hit the memo, not re-fit")
+    val emb = T.embeddings(spark, sf)
+    val viaMemo = Similarity.kMeansAssignWith(emb, "embedding", "vec_id", a)
+      .orderBy("vec_id").collect().toSeq
+    val direct = Similarity.kMeans(emb, "embedding", "vec_id", k = 4, iters = 1)
+      .orderBy("vec_id").collect().toSeq
+    assert(viaMemo === direct)
+    Extensions.releaseKmeansFits(spark)
+  }
+
   // ---------------------------------------------------------------- x76
 
   test("bigramLmScore: hand-checked conditionals on a tiny corpus (all " +
