@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bloom, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, Sketches, TextAnalysis, Urls}
+import graft.operators.{Bloom, Dedup, Graph, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
 import graft.tables.{Tables => T}
 
 /** LLM-training-data pipeline operators as driver queries: dedup family,
@@ -456,6 +456,24 @@ object Extensions {
       TextAnalysis.bigramLmScore(T.documents(s, dir), "text", "doc_id",
           topV = 1024, topU = 1024)
         .orderBy("doc_id")),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    // the lexical arm (x52's BM25, top-50) fused with the semantic arm
+    // (exact cosine to query vector 0, top-50) by grid-quantized
+    // 1/(60+rank) sums — the RAG retrieval shape over this corpus
+    // (vec_id ≡ doc_id in the driver fixture).
+    "x77_hybrid_retrieval" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25(T.documents(s, dir), "text", "doc_id",
+          terms = bm25Terms, k = 50)
+        .select("doc_id", "rank")
+      val emb = T.embeddings(s, dir)
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), "embedding", "vec_id", k = 50)
+        .select(col("cand_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", k = 20)
+        .select("rank", "doc_id", "rrf_q", "lex_rank", "sem_rank")
+        .orderBy("rank")
+    }),
 
     // Intra-document repetition (Gopher-style quality signal): most-
     // repeated-trigram share per document.
@@ -2304,7 +2322,59 @@ object Extensions {
          LEFT JOIN ku ON ku.w2 = p.w2
        GROUP BY p.doc_id ORDER BY p.doc_id"""
 
+  /** x77's oracle: both arms replayed — the x52 BM25 chain at top-50,
+    * the x05 rounded-cosine ranking for query vector 0 at top-50 — then
+    * the RRF fusion: grid-quantized 1/(60+rank) per arm row, integer
+    * sums, (rrf_q desc, doc_id) top-20.
+    */
+  private lazy val hybridRetrievalSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val (k1s, bs, k1p1) = (k1.toString, b.toString, (k1 + 1).toString)
+    s"""WITH hbase AS (
+         SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS dl,
+           regexp_split_to_array(lower(text), '\\s+') AS ws
+         FROM documents),
+       hstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM hbase),
+       htf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(ws) AS token FROM hbase)
+              WHERE token IN ($terms) GROUP BY 1, 2, 3),
+       hdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM htf GROUP BY 1),
+       hcontrib AS (
+         SELECT t.doc_id,
+           floor((s.n_docs - d.df + 0.5) / (d.df + 0.5) * t.tf * $k1p1
+             / (t.tf + $k1s * (1.0 - $bs + $bs * t.dl / s.avgdl))
+             * 1048576 + 0.5) / 1048576 AS contrib
+         FROM htf t JOIN hdf d USING (token), hstats s),
+       hscored AS (SELECT doc_id, sum(contrib) AS score FROM hcontrib GROUP BY doc_id),
+       lex AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+               FROM hscored ORDER BY score DESC, doc_id LIMIT 50),
+       hq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       hsem0 AS (
+         SELECT e.vec_id AS doc_id,
+           ${cosineRounded("q.qv", "e.embedding")} AS cosine
+         FROM embeddings e, hq q WHERE e.vec_id <> 0),
+       sem AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+               FROM hsem0 ORDER BY cosine DESC, doc_id LIMIT 50),
+       un AS (SELECT doc_id, rank, 'lex' AS arm FROM lex
+              UNION ALL SELECT doc_id, rank, 'sem' AS arm FROM sem),
+       fused AS (
+         SELECT doc_id,
+           CAST(sum(CAST(floor(1048576.0 / (rank + 60) + 0.5) AS BIGINT)) AS BIGINT) AS rrf_q,
+           max(CASE WHEN arm = 'lex' THEN rank END) AS lex_rank,
+           max(CASE WHEN arm = 'sem' THEN rank END) AS sem_rank
+         FROM un GROUP BY doc_id)
+       SELECT CAST(row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS INTEGER) AS rank,
+         doc_id, rrf_q, lex_rank, sem_rank
+       FROM fused ORDER BY rrf_q DESC, doc_id LIMIT 20"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "x77_hybrid_retrieval" -> hybridRetrievalSql,
     "x73_dsir" -> dsirSql,
     "x74_linear_quality" -> linearQualitySql,
     "x75_zorder" -> zorderSql,

@@ -179,6 +179,43 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(out.except(ev).count() === 0 && ev.except(out).count() === 0)
   }
 
+  // ---------------------------------------------------------------- x77
+
+  test("rrfFuse: hand-checked fusion — shared docs sum both arms, " +
+       "single-arm docs keep one contribution, ties break on id") {
+    val grid = 1048576L
+    def q(rank: Long): Long = math.floor(grid.toDouble / (rank + 60) + 0.5).toLong
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id")
+      .orderBy("rank").collect()
+    val scores = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores === Map(
+      20L -> (q(2) + q(1)), 10L -> q(1), 40L -> q(2), 30L -> q(3)))
+    // doc 20 (both arms) must outrank every single-arm doc
+    assert(out.head.getLong(0) === 20L && out.head.getInt(4) === 1)
+    // per-arm ranks carried; missing arm is null
+    val d40 = out.find(_.getLong(0) === 40L).get
+    assert(d40.isNullAt(2) && d40.getLong(3) === 2L) // lex_rank null, sem_rank 2
+    // equal-score tie (10 lex#1 vs 40 sem#... not equal) — construct one:
+    val a = Seq((5L, 1)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1)).toDF("doc_id", "rank")
+    val tie = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id")
+      .orderBy("rank").collect()
+    assert(tie.map(_.getLong(0)).toSeq === Seq(3L, 5L),
+      "equal fused scores must order by id")
+  }
+
+  test("rrfFuse guards: empty arm list and duplicate arm names rejected") {
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, "doc_id")
+    }
+    val df = Seq((1L, 1)).toDF("doc_id", "rank")
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("a" -> df, "a" -> df), "doc_id")
+    }
+  }
+
   // ------------------------------------------------------- x67b/x70 memo
 
   test("bpeMerges session memo: one learn per (session, dir, steps) — " +
