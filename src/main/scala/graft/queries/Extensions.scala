@@ -992,7 +992,7 @@ object Extensions {
     * [[graft.functions.SimHash64]]. ASCII corpus ⇒ codepoints == UTF-8
     * bytes, so `unicode()` per char replays the byte loop.
     */
-  private val simhashUnsignedSql =
+  private[graft] val simhashUnsignedSql =
     """toks AS (
          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
          FROM documents),

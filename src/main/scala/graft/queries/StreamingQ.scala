@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.streaming.EventStreams
+import graft.streaming.{DocStreams, EventStreams}
 import graft.tables.{Tables => T}
 
 /** Streaming-shaped transformations run in batch over the `events` table.
@@ -85,10 +85,41 @@ object StreamingQ {
     "st11_stream_enrich" -> ((s, dir) =>
       EventStreams.enrichedSegmentCounts(T.events(s, dir),
           T.customer(s, dir), "1 hour")
-        .orderBy("w_start", "c_mktsegment", "event_type"))
+        .orderBy("w_start", "c_mktsegment", "event_type")),
+
+    // Streaming near-dup ingest filter: x19's SimHash banding as ONE
+    // keyed-state operator (per-band fingerprint state) + the bounded
+    // cross-band combine — the "dedup the crawl as it arrives" shape.
+    // Stream ≡ batch certified in DocStreamsSpec.
+    "st12_stream_neardup" -> ((s, dir) =>
+      DocStreams.nearDupFlags(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st12: the x19 banded-candidate machinery (shared simhash CTEs)
+    // with the Hamming gate and a per-doc min-earlier-partner reduce —
+    // the relational statement of the keyed-state semantics.
+    "st12_stream_neardup" ->
+      s"""WITH ${Extensions.simhashUnsignedSql},
+         banded AS (
+           SELECT doc_id, hu, bb.b AS band,
+             (hu >> CAST(16 * bb.b AS INTEGER)) % 65536 AS key
+           FROM fpu, (SELECT unnest(range(0, 4)) AS b) bb),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.hu AS h1, b.hu AS h2
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         dups AS (
+           SELECT d2 AS doc_id, min(d1) AS dup_of
+           FROM cand
+           WHERE CAST(bit_count(xor(h1, h2)) AS INTEGER) <= 3
+           GROUP BY d2)
+         SELECT f.doc_id, d.dup_of,
+           CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup
+         FROM fpu f LEFT JOIN dups d USING (doc_id)
+         ORDER BY f.doc_id""",
     "st11_stream_enrich" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP) AS w_start,
            c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n

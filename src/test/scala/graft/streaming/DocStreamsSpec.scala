@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestBase
+
+case class Doc(doc_id: Long, text: String)
+
+/** st12: the streaming near-dup ingest filter — keyed band state in the
+  * stream, bounded cross-band combine outside it (the windowQuantiles
+  * hand-off), certified stream ≡ batch on an id-ordered arrival.
+  */
+class DocStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    Doc(1L, "the quick brown fox jumps over the lazy dog again and again"),
+    Doc(2L, "the quick brown fox jumps over the lazy dog again and again"),  // exact dup of 1
+    Doc(3L, "completely different text about spark streaming state stores"),
+    Doc(4L, "the quick brown fox jumps over the lazy dog again and AGAIN"),  // near dup of 1/2
+    Doc(5L, "another unrelated document mentioning parquet and shuffles"))
+
+  test("batch semantics: exact dup flags the earliest partner; chained " +
+       "dups flag the ORIGINAL (state keeps dups); uniques pass") {
+    val out = DocStreams.nearDupFlags(docs.toDF(), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val flags = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(flags(1L) === None)
+    assert(flags(2L) === Some(1L), "exact dup must flag the earliest")
+    assert(flags(3L) === None)
+    // doc 4's earliest Hamming<=3 partner over any shared band is doc 1
+    // (dup-of-dup chains to the original because dups stay in state)
+    assert(flags(4L) === Some(1L))
+    assert(flags(5L) === None)
+    assert(out.map(_.getInt(2)).toSeq === Seq(0, 1, 0, 1, 0))
+  }
+
+  test("stream (MemoryStream, id-ordered arrival) band flags + batch " +
+       "combine EQUALS the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    input.addData(docs)
+    val q = DocStreams.nearDupBandFlags(input.toDF(), "text", "doc_id")
+      .toDF()
+      .writeStream.format("memory").queryName("st12_flags")
+      .outputMode(OutputMode.Update())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = DocStreams.combineBandFlags(spark.table("st12_flags"))
+      .orderBy("doc_id").collect().toSeq
+    val batch = DocStreams.nearDupFlags(docs.toDF(), "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("cross-micro-batch state: a dup arriving in a LATER batch still " +
+       "flags against the first batch's fingerprints") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocStreams.nearDupBandFlags(input.toDF(), "text", "doc_id")
+      .toDF()
+      .writeStream.format("memory").queryName("st12_flags2")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(docs.take(3))
+      q.processAllAvailable()
+      input.addData(docs.drop(3)) // docs 4 (near dup of 1) and 5
+      q.processAllAvailable()
+    } finally q.stop()
+    val combined = DocStreams.combineBandFlags(spark.table("st12_flags2"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(combined(4L) === Some(1L),
+      "state must survive the micro-batch boundary")
+    assert(combined(5L) === None)
+  }
+}
