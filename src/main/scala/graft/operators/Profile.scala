@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-introspection operators — the ANALYZE-style passes a pipeline
+  * runs BEFORE committing to a physical design at 100 TB: per-column
+  * statistics (null fraction, exact NDV, typed min/max) and key-skew
+  * diagnosis (the report that decides salting factors).
+  */
+object Profile {
+  /** One-pass column profiler: for each (name, typed expression) spec —
+    * row count, null count, EXACT distinct count, and min/max rendered
+    * to strings AFTER typed aggregation (so numeric/date ordering is
+    * the typed one, never lexicographic; callers pass exactness-safe
+    * expressions, e.g. a DECIMAL view of a money double, so the string
+    * rendering is engine-stable).
+    *
+    * 100 TB: ONE aggregation pass. Multiple exact count-distincts in a
+    * single agg plan via Spark's Expand (|specs|× row multiplication
+    * before the partial agg — the standard exact-ANALYZE cost; swap in
+    * approx_count_distinct when estimates suffice). The result is one
+    * row, unpivoted driver-free via stack().
+    */
+  def profile(df: DataFrame, specs: Seq[(String, Column)]): DataFrame = {
+    require(specs.nonEmpty, "profile needs at least one column spec")
+    require(specs.map(_._1).distinct.size == specs.size, "spec names must be unique")
+    val aggs = specs.flatMap { case (name, c) =>
+      Seq(count(lit(1)).as(s"__n_$name"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$name"),
+        count_distinct(c).as(s"__nd_$name"),
+        min(c).cast("string").as(s"__mn_$name"),
+        max(c).cast("string").as(s"__mx_$name"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = specs.map { case (name, _) =>
+      s"'$name', __n_$name, __nn_$name, __nd_$name, __mn_$name, __mx_$name"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${specs.size}, $stacked) AS " +
+        "(col_name, n_rows, n_null, n_distinct, min_s, max_s)")
+  }
+
+  /** Key-skew diagnosis: per-key counts, each key's integer log2 bucket
+    * (`length(bin(cnt))` — exact, no libm), its 2^-20-grid-quantized
+    * share of the table, and the salting factor that would bound the
+    * heaviest reducer at `targetPerKey` rows (`ceil(cnt/target)` in
+    * integer arithmetic). Top `k` heaviest keys reported (TakeOrdered —
+    * the key space never sorts globally).
+    *
+    * 100 TB: one partial-aggregatable count shuffle; everything after
+    * operates on the key-count table. This report IS the decision
+    * input for `Skew.saltedAgg`'s factor.
+    */
+  def skewReport(df: DataFrame, key: Column, k: Int = 10,
+                 targetPerKey: Long = 64): DataFrame = {
+    require(targetPerKey >= 1, "targetPerKey must be >= 1")
+    val grid = 1048576L // 2^20
+    val counts = graft.Caches.persistOnce(
+      df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("log2b", length(bin(col("cnt"))).cast("int"))
+      .withColumn("share_q",
+        floor(col("cnt").cast("double") / col("n_total").cast("double")
+          * grid + lit(0.5)).cast("long"))
+      .withColumn("salt_rec",
+        expr(s"(cnt + ${targetPerKey - 1}) div $targetPerKey"))
+      .orderBy(col("cnt").desc, col("key")).limit(k)
+      .select("key", "cnt", "log2b", "share_q", "salt_rec")
+  }
+}

@@ -457,6 +457,29 @@ object Extensions {
           topV = 1024, topU = 1024)
         .orderBy("doc_id")),
 
+    // One-pass ANALYZE-style column profiler over lineitem: exact NDV
+    // via Expand, typed min/max rendered to engine-stable strings
+    // (DECIMAL views of the money doubles, DATE of the timestamp).
+    "x78_profile" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+      graft.operators.Profile.profile(li, Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_quantity" -> col("l_quantity").cast("decimal(12,2)"),
+        "l_extendedprice" -> col("l_extendedprice").cast("decimal(12,2)"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_shipdate" -> col("l_shipdate").cast("date")))
+        .orderBy("col_name")
+    }),
+
+    // Key-skew diagnosis on the documents language key: per-key counts,
+    // integer log2 buckets, quantized shares, and the salting factor
+    // that bounds the heaviest reducer at 64 rows — the decision input
+    // for Skew.saltedAgg's factor.
+    "x79_skew_report" -> ((s, dir) =>
+      graft.operators.Profile.skewReport(T.documents(s, dir), col("lang"),
+          k = 10, targetPerKey = 64)
+        .orderBy(col("cnt").desc, col("key"))),
+
     // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     // the lexical arm (x52's BM25, top-50) fused with the semantic arm
     // (exact cosine to query vector 0, top-50) by grid-quantized
@@ -2373,7 +2396,43 @@ object Extensions {
        FROM fused ORDER BY rrf_q DESC, doc_id LIMIT 20"""
   }
 
+  /** x78's oracle: the same five per-column aggregate groups, unioned —
+    * identical DECIMAL/DATE views before min/max so the string
+    * rendering matches Spark's typed casts.
+    */
+  private lazy val profileSql: String = {
+    def colBlock(name: String, e: String) =
+      s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+           CAST(min($e) AS VARCHAR) AS min_s,
+           CAST(max($e) AS VARCHAR) AS max_s
+         FROM lineitem"""
+    Seq(
+      colBlock("l_orderkey", "l_orderkey"),
+      colBlock("l_quantity", "CAST(l_quantity AS DECIMAL(12,2))"),
+      colBlock("l_extendedprice", "CAST(l_extendedprice AS DECIMAL(12,2))"),
+      colBlock("l_returnflag", "l_returnflag"),
+      colBlock("l_shipdate", "CAST(l_shipdate AS DATE)"))
+      .mkString("", "\n UNION ALL\n", "\n ORDER BY col_name")
+  }
+
+  /** x79's oracle: key counts + integer log2 (`length(bin(cnt))`),
+    * quantized share, ceil-division salting factor.
+    */
+  private lazy val skewReportSql: String =
+    """WITH c AS (SELECT lang AS key, CAST(count(*) AS BIGINT) AS cnt
+                  FROM documents GROUP BY 1),
+       t AS (SELECT sum(cnt) AS n_total FROM c)
+       SELECT key, cnt, CAST(length(bin(cnt)) AS INTEGER) AS log2b,
+         CAST(floor(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
+           * 1048576 + 0.5) AS BIGINT) AS share_q,
+         CAST((cnt + 63) // 64 AS BIGINT) AS salt_rec
+       FROM c, t ORDER BY cnt DESC, key LIMIT 10"""
+
   val oracle: Map[String, String] = Map(
+    "x78_profile" -> profileSql,
+    "x79_skew_report" -> skewReportSql,
     "x77_hybrid_retrieval" -> hybridRetrievalSql,
     "x73_dsir" -> dsirSql,
     "x74_linear_quality" -> linearQualitySql,

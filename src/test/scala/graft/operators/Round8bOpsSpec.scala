@@ -179,6 +179,52 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(out.except(ev).count() === 0 && ev.except(out).count() === 0)
   }
 
+  // ------------------------------------------------------------ x78/x79
+
+  test("profile: nulls counted, NDV exact, min/max typed (9 < 10 numeric " +
+       "— never lexicographic) and rendered post-aggregation") {
+    val df = Seq[(java.lang.Long, String)](
+      (9L, "b"), (10L, "a"), (10L, null), (null, "c"))
+      .toDF("num", "txt")
+    val out = Profile.profile(df, Seq(
+        "num" -> col("num"), "txt" -> col("txt")))
+      .orderBy("col_name").collect()
+    val num = out(0); val txt = out(1)
+    assert(num.getString(0) === "num" && num.getLong(1) === 4 &&
+      num.getLong(2) === 1 && num.getLong(3) === 2)
+    assert(num.getString(4) === "9" && num.getString(5) === "10",
+      "numeric min/max must use typed ordering (9 < 10)")
+    assert(txt.getLong(2) === 1 && txt.getLong(3) === 3 &&
+      txt.getString(4) === "a" && txt.getString(5) === "c")
+  }
+
+  test("profile plan: multiple exact distincts compile to ONE aggregation " +
+       "pass over an Expand — not one scan per column") {
+    val li = T.lineitem(spark, sf)
+    val plan = Profile.profile(li, Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_returnflag" -> col("l_returnflag")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"exact multi-NDV must go through Expand:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size === 1,
+      s"profiler must scan the table exactly once:\n$plan")
+  }
+
+  test("skewReport: hand-checked counts, log2 buckets, shares, and the " +
+       "ceil-division salting factor") {
+    val df = (Seq.fill(130)("hot") ++ Seq.fill(64)("warm") ++ Seq("cold"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val out = Profile.skewReport(df, col("k"), k = 10, targetPerKey = 64)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(4))).toSeq ===
+      Seq(("hot", 130L, 8, 3L),   // 130 → bin length 8, ceil(130/64) = 3
+          ("warm", 64L, 7, 1L),   // exactly one target bucket
+          ("cold", 1L, 1, 1L)))
+    // shares sum to ~grid (195 rows total)
+    val shareSum = out.map(_.getLong(3)).sum
+    assert(math.abs(shareSum - 1048576L) <= 2)
+  }
+
   // ---------------------------------------------------------------- x77
 
   test("rrfFuse: hand-checked fusion — shared docs sum both arms, " +
