@@ -353,6 +353,40 @@ object Sampling {
       .select("doc_id", "n_feat", "imp_q", "keep")
   }
 
+  /** Contrastive triplet mining: (anchor, positive, negative) training
+    * rows from a mined near-dup PAIR set (the positives — e.g.
+    * [[Dedup.embeddingCosinePairsBlocked]]'s output, the session
+    * artifact x15/x22 already share) plus `negsPerAnchor` deterministic
+    * hash-drawn negatives per pair — the in-batch-negatives shape
+    * contrastive embedding training consumes, with the x46/x24 RNG-free
+    * discipline: the negative draw is `murmur3(anchor·k + j) mod n`, a
+    * pure function of the data, so the triplet set replays identically
+    * across runs, partitionings, and engines. Draws that collide with
+    * the anchor or its positive are DROPPED, not resampled (the
+    * deterministic choice; at corpus scale the collision fraction is
+    * ~2/n).
+    *
+    * 100 TB: the pair set is the bounded output of the banded/blocked
+    * miner; negatives add a k-way scan-side explode and a broadcast
+    * single-row count — no join against the corpus until the caller
+    * fetches negative payloads (an id-keyed join it can defer to
+    * training-shard assembly).
+    */
+  def tripletMine(pairs: DataFrame, items: DataFrame, idCol: String,
+                  negsPerAnchor: Int = 2): DataFrame = {
+    require(negsPerAnchor >= 1, "negsPerAnchor must be >= 1")
+    val n = broadcast(items.agg(count(lit(1)).as("n")))
+    pairs.select(col("d1").as("anchor"), col("d2").as("positive"), col("cosine"))
+      .crossJoin(n)
+      .select(col("anchor"), col("positive"), col("cosine"), col("n"),
+        explode(array((0 until negsPerAnchor).map(lit(_)): _*)).as("j"))
+      .withColumn("neg_id",
+        hash(col("anchor") * negsPerAnchor + col("j")).cast("bigint")
+          .bitwiseAND(lit(4294967295L)) % col("n"))
+      .filter(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("positive"))
+      .select("anchor", "positive", "cosine", "j", "neg_id")
+  }
+
   /** Hard cap on [[dsirImportance]]'s bucket count: the λ table becomes
     * one driver-built broadcast map row (the cbArray discipline —
     * bucket tables are 10^2–10^4 entries by design; a vocabulary-sized

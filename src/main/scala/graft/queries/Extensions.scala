@@ -457,6 +457,18 @@ object Extensions {
           topV = 1024, topU = 1024)
         .orderBy("doc_id")),
 
+    // Contrastive triplet mining: the x15 near-dup pair set as positives
+    // + 2 deterministic murmur3 negatives per pair (drawn mod corpus
+    // size, collisions dropped not resampled) — the contrastive-
+    // training data builder, RNG-free end to end.
+    "x80_triplet_mine" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      val pairs = Dedup.embeddingCosinePairsBlocked(emb, "embedding",
+        "vec_id", 0.4)
+      Sampling.tripletMine(pairs, emb, "vec_id", negsPerAnchor = 2)
+        .orderBy("anchor", "positive", "j")
+    }),
+
     // One-pass ANALYZE-style column profiler over lineitem: exact NDV
     // via Expand, typed min/max rendered to engine-stable strings
     // (DECIMAL views of the money doubles, DATE of the timestamp).
@@ -2430,7 +2442,33 @@ object Extensions {
          CAST((cnt + 63) // 64 AS BIGINT) AS salt_rec
        FROM c, t ORDER BY cnt DESC, key LIMIT 10"""
 
+  /** x80's oracle: the x15 all-pairs cosine truth as positives, the x46
+    * staged-murmur3 machinery for the negative draws, collision rows
+    * dropped — the same lockstep arithmetic end to end.
+    */
+  private lazy val tripletMineSql: String = {
+    val (ctes, hc) = Murmur3Sql.hashLongCtes("tmsrc",
+      Seq("anchor", "positive", "cosine", "j"), "tm")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       pr AS (SELECT a.vec_id AS anchor, b.vec_id AS positive,
+                ${cosineRounded("a.embedding", "b.embedding")} AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE ${cosineRounded("a.embedding", "b.embedding")} >= 0.4),
+       tmsrc AS (SELECT anchor, positive, cosine, jj.j AS j,
+                 anchor * 2 + jj.j AS v
+               FROM pr, (SELECT unnest(range(0, 2)) AS j) AS jj),
+       $ctes
+       cand AS (SELECT anchor, positive, cosine, CAST(j AS INTEGER) AS j,
+                  CAST(hu % (SELECT n FROM nn) AS BIGINT) AS neg_id
+                FROM $hc)
+       SELECT anchor, positive, cosine, j, neg_id
+       FROM cand WHERE neg_id <> anchor AND neg_id <> positive
+       ORDER BY anchor, positive, j"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "x80_triplet_mine" -> tripletMineSql,
     "x78_profile" -> profileSql,
     "x79_skew_report" -> skewReportSql,
     "x77_hybrid_retrieval" -> hybridRetrievalSql,

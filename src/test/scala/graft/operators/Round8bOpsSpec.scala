@@ -179,6 +179,32 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(out.except(ev).count() === 0 && ev.except(out).count() === 0)
   }
 
+  // ---------------------------------------------------------------- x80
+
+  test("tripletMine: negatives are the murmur3 draw mod n; collisions " +
+       "with anchor or positive DROP (never resample); per-pair fan-out") {
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.5)).toDF("d1", "d2", "cosine")
+    val items = (0L to 9L).toDF("vec_id")
+    val out = Sampling.tripletMine(pairs, items, "vec_id", negsPerAnchor = 2)
+      .orderBy("anchor", "j").collect()
+    // replay the draw through Spark itself (same hash function, no
+    // reimplementation drift): expected = hash(anchor*2+j) & 0xFFFFFFFF % 10
+    val expected = Seq((1L, 0), (1L, 1), (3L, 0), (3L, 1)).toDF("anchor", "j")
+      .withColumn("neg_id",
+        hash(col("anchor") * 2 + col("j")).cast("bigint")
+          .bitwiseAND(lit(4294967295L)) % 10)
+      .orderBy("anchor", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val got = out.map(r => (r.getLong(0), r.getInt(3), r.getLong(4)))
+    // every emitted triplet matches its replayed draw, and the dropped
+    // ones are exactly the anchor/positive collisions
+    val expectedKept = expected.filter { case (a, j, n) =>
+      val pos = if (a == 1L) 2L else 4L
+      n != a && n != pos
+    }
+    assert(got.toSeq === expectedKept.toSeq)
+  }
+
   // ------------------------------------------------------------ x78/x79
 
   test("profile: nulls counted, NDV exact, min/max typed (9 < 10 numeric " +
