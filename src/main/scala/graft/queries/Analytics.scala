@@ -716,8 +716,46 @@ object Analytics {
           array_position(w1, element_at(w2, 1)).as("pos1"),
           arrays_overlap(w1, w2).as("ovl"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Ordered conversion funnel over the event stream: per user, first
+    // signup, first click strictly AFTER it, first purchase strictly
+    // after that — the sequential product-analytics query. Three window
+    // aggregates share ONE user_id exchange (same partitioning; each
+    // step's window reads the previous step's materialized column);
+    // per-user rows are bounded, the final rollup is a 1-row global
+    // aggregate unpivoted to (step, event_type, users).
+    "a55_funnel" -> ((s, dir) =>
+      funnelTimes(T.events(s, dir), "signup", "click", "purchase")
+        .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+          count(col("t3")).as("u3"))
+        .selectExpr("stack(3, 1, 'signup', u1, 2, 'click', u2, " +
+          "3, 'purchase', u3) AS (step, event_type, users)")
+        .orderBy("step"))
   )
+
+  /** Per-user ordered funnel stage times over an event frame with
+    * (user_id, event_type, ts): t1 = first `s1`, t2 = first `s2`
+    * strictly AFTER t1, t3 = first `s3` strictly after t2 — null where
+    * the stage was never reached in order. The three window aggregates
+    * share ONE user_id exchange (identical partitioning; each step's
+    * window reads the previous step's materialized column).
+    */
+  private[graft] def funnelTimes(ev: DataFrame, s1: String, s2: String,
+                                 s3: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    ev.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === s1, col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === s2 && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === s3 && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+  }
 
   /** Shared Spark/DuckDB SQL: orders that match their priority's maximum
     * price (correlated scalar subquery) for customers in a balance band
@@ -1220,6 +1258,23 @@ object Analytics {
              list_filter(w1, x -> NOT list_contains(w2, x)))), '|'), '') AS e,
            CAST(coalesce(list_position(w1, w2[1]), 0) AS BIGINT) AS pos1,
            list_has_any(w1, w2) AS ovl
-         FROM t ORDER BY doc_id"""
+         FROM t ORDER BY doc_id""",
+    "a55_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         u1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN u1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN u2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+         c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM u1) AS u1n,
+                      (SELECT CAST(count(*) AS BIGINT) FROM u2) AS u2n,
+                      (SELECT CAST(count(*) AS BIGINT) FROM u3) AS u3n)
+         SELECT * FROM (
+           SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type, u1n AS users FROM c
+           UNION ALL SELECT 2, 'click', u2n FROM c
+           UNION ALL SELECT 3, 'purchase', u3n FROM c)
+         ORDER BY step"""
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bloom, Dedup, Graph, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
+import graft.operators.{Bloom, Dedup, Graph, Linkage, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
 import graft.tables.{Tables => T}
 
 /** LLM-training-data pipeline operators as driver queries: dedup family,
@@ -467,6 +467,35 @@ object Extensions {
         "vec_id", 0.4)
       Sampling.tripletMine(pairs, emb, "vec_id", negsPerAnchor = 2)
         .orderBy("anchor", "positive", "j")
+    }),
+
+    // Blocked fuzzy record linkage over the part catalog: rows collapse
+    // to distinct entity strings FIRST (2 000 rows → 64 names at
+    // sf0.01 — candidate volume tracks entities, not row duplication),
+    // then a first-token-blocked self-join keeps Levenshtein ≤ 4 pairs
+    // — integer edit distance, replayed verbatim by DuckDB.
+    "x81_record_linkage" -> ((s, dir) =>
+      Linkage.entityPairs(T.part(s, dir), "p_name", maxDist = 4)
+        .orderBy("name1", "name2")),
+
+    // Cluster-then-balance curation (diversity mixing over UNLABELED
+    // data): every embedding is assigned to its x71 k-means cell (fit
+    // shared via the session memo), then temperature-sampled (α=0.5)
+    // across CELLS as strata — rare clusters upsampled toward
+    // sqrt-share, dominant clusters capped. Reported as the per-cell
+    // mixing table (integers only): the x54 shape with a LEARNED
+    // stratum key.
+    "x82_cluster_mixture" -> ((s, dir) => {
+      val assigned = Similarity.kMeansAssignWith(T.embeddings(s, dir),
+          "embedding", "vec_id", kmeansFit(s, dir, k = 8, iters = 2))
+        .select(col("vec_id"), col("cell"))
+      val kept = Sampling.temperatureMixture(assigned, col("vec_id"), "cell")
+      Sampling.temperatureMixtureRates(assigned, "cell")
+        .join(kept.groupBy("cell").agg(count(lit(1)).as("n_kept")),
+          Seq("cell"), "left")
+        .select(col("cell"), col("n_stratum").as("n_in"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("mix_thr"))
+        .orderBy("cell")
     }),
 
     // One-pass ANALYZE-style column profiler over lineitem: exact NDV
@@ -2467,7 +2496,57 @@ object Extensions {
        ORDER BY anchor, positive, j"""
   }
 
+  /** x81's oracle: the identical collapse → block → Levenshtein chain;
+    * edit distance is integer-valued in both engines.
+    */
+  private val recordLinkageSql: String =
+    """WITH d AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows,
+                    split_part(p_name, ' ', 1) AS blk
+               FROM part GROUP BY 1)
+       SELECT a.name AS name1, b.name AS name2,
+         CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+         a.n_rows AS n1, b.n_rows AS n2
+       FROM d a JOIN d b ON a.blk = b.blk AND a.name < b.name
+       WHERE levenshtein(a.name, b.name) <= 4
+       ORDER BY name1, name2"""
+
+  /** x82's oracle: the x71 fit CTEs feeding the x54 temperature-rate
+    * arithmetic with the k-means cell as the stratum key; acceptance
+    * replays the murmur3 bucket of vec_id.
+    */
+  private lazy val clusterMixtureSql: String = {
+    val (ctes, cbf) = kMeansCbCtes(k = 8, iters = 2)
+    val (hashCtes, hu) = Murmur3Sql.hashLongCtes("cm0", Seq("vec_id", "cell"), "cmh")
+    s"""WITH $ctes,
+       asgf AS (SELECT vec_id, cell FROM (
+                SELECT e.vec_id, cb.cell,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosineRounded("e.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings e, $cbf cb)
+              WHERE rk = 1),
+       cm0 AS (SELECT vec_id, cell, vec_id AS v FROM asgf),
+       $hashCtes
+       b AS (SELECT vec_id, cell, hu % 10000 AS bucket FROM $hu),
+       counts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_in FROM asgf GROUP BY 1),
+       g AS (SELECT cell, n_in,
+               floor(sqrt(CAST(n_in AS DOUBLE)) * 1048576 + 0.5) / 1048576 AS gq
+             FROM counts),
+       tot AS (SELECT CAST(sum(n_in) AS BIGINT) AS total, sum(gq) AS denom FROM g),
+       rates AS (SELECT cell, n_in,
+           CAST(floor(least(gq / denom * floor(CAST(total AS DOUBLE) / 2) / n_in,
+             1.0) * 10000 + 0.5) AS BIGINT) AS mix_thr
+         FROM g, tot),
+       kept AS (SELECT b.cell, CAST(count(*) AS BIGINT) AS n_kept
+                FROM b JOIN rates USING (cell)
+                WHERE b.bucket < rates.mix_thr GROUP BY 1)
+       SELECT r.cell, r.n_in, coalesce(k.n_kept, 0) AS n_kept, r.mix_thr
+       FROM rates r LEFT JOIN kept k USING (cell)
+       ORDER BY r.cell"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "x81_record_linkage" -> recordLinkageSql,
+    "x82_cluster_mixture" -> clusterMixtureSql,
     "x80_triplet_mine" -> tripletMineSql,
     "x78_profile" -> profileSql,
     "x79_skew_report" -> skewReportSql,
