@@ -93,10 +93,39 @@ object StreamingQ {
     // Stream ≡ batch certified in DocStreamsSpec.
     "st12_stream_neardup" -> ((s, dir) =>
       DocStreams.nearDupFlags(T.documents(s, dir), "text", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Live conversion funnel: a55's ordered-funnel semantics as keyed
+    // stream state (3 timestamps per user; monotone slots). In batch
+    // each user processes once over full history ⇒ rows are final.
+    // Stream ≡ batch certified in EventStreamsSpec.
+    "st13_stream_funnel" -> ((s, dir) =>
+      EventStreams.statefulFunnel(T.events(s, dir))
+        .toDF()
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st13: the a55 conditional-min chain per user — first signup,
+    // first click strictly after it, first purchase strictly after
+    // that — with the reached stage derived from which slots filled.
+    "st13_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         us AS (SELECT DISTINCT user_id FROM e),
+         u1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN u1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN u2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1)
+         SELECT us.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage,
+           t1, t2, t3
+         FROM us LEFT JOIN u1 USING (user_id) LEFT JOIN u2 USING (user_id)
+           LEFT JOIN u3 USING (user_id)
+         ORDER BY us.user_id""",
     // st12: the x19 banded-candidate machinery (shared simhash CTEs)
     // with the Hamming gate and a per-doc min-earlier-partner reduce —
     // the relational statement of the keyed-state semantics.

@@ -355,6 +355,63 @@ object EventStreams {
       }
   }
 
+  /** Per-user ordered-funnel state: first `s1`, first `s2` strictly
+    * after it, first `s3` strictly after that —
+    * [[graft.queries.Analytics]] `funnelTimes` (a55) semantics
+    * maintained as keyed stream state (the live conversion dashboard:
+    * stage counts advance as events arrive instead of re-scanning
+    * history).
+    *
+    * Each micro-batch sorts its rows by event time and advances a
+    * 3-slot state machine; under event-time-ordered delivery (the
+    * [[statefulSessionize]] condition) the final state equals the
+    * batch window formulation — certified in EventStreamsSpec. A
+    * filled slot never regresses (first-wins IS the in-order
+    * semantics), and equal-timestamp events cannot advance a later
+    * slot regardless of intra-batch order because every chain
+    * condition is strictly-after.
+    *
+    * 100 TB/streaming: state is three timestamps per user — O(users)
+    * bounded, horizontally partitioned on the user key; each
+    * micro-batch touches only the users present in it. In batch each
+    * key processes once over its full history, so emitted rows are
+    * final and replayable by the a55-style oracle chain.
+    */
+  final case class FunnelState(t1: Option[Timestamp], t2: Option[Timestamp],
+                               t3: Option[Timestamp])
+  final case class FunnelStage(user_id: Long, stage: Int,
+                               t1: Option[Timestamp], t2: Option[Timestamp],
+                               t3: Option[Timestamp])
+
+  def statefulFunnel(events: DataFrame, s1: String = "signup",
+                     s2: String = "click", s3: String = "purchase")
+      : Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Timestamp)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+            if (st.t1.isEmpty && tpe == s1)
+              st = st.copy(t1 = Some(ts))
+            else if (st.t1.nonEmpty && st.t2.isEmpty && tpe == s2 &&
+                     ts.after(st.t1.get))
+              st = st.copy(t2 = Some(ts))
+            else if (st.t2.nonEmpty && st.t3.isEmpty && tpe == s3 &&
+                     ts.after(st.t2.get))
+              st = st.copy(t3 = Some(ts))
+          }
+          state.update(st)
+          Iterator.single(FunnelStage(user,
+            Seq(st.t1, st.t2, st.t3).takeWhile(_.nonEmpty).size,
+            st.t1, st.t2, st.t3))
+      }
+  }
+
   /** Per-(user, event type) running count + exact-cents value totals on
     * Spark 4's `transformWithState` — the modern arbitrary-state API
     * (SPARK-46815): typed composite state (here a `MapState` keyed by

@@ -460,4 +460,58 @@ class EventStreamsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
       s"dimension side must broadcast — the stream never shuffles for the join:\n$plan")
   }
+
+  test("st13 stateful funnel: stream across micro-batches equals batch, " +
+       "equals the a55 window formulation, and ordering edges hold") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      // user 1 reaches all 3 in order
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "signup"),
+      EvJ(2L, t("2024-01-01 00:10:00"), 1L, "click"),
+      EvJ(3L, t("2024-01-01 00:20:00"), 1L, "purchase"),
+      // user 2: click BEFORE signup → stage 1 only
+      EvJ(4L, t("2024-01-01 00:01:00"), 2L, "click"),
+      EvJ(5L, t("2024-01-01 00:05:00"), 2L, "signup"),
+      // user 3: never signs up → stage 0
+      EvJ(6L, t("2024-01-01 00:02:00"), 3L, "purchase"),
+      // user 4: purchase between signup and click → stage 2 (no
+      // purchase strictly after the click)
+      EvJ(7L, t("2024-01-01 00:00:00"), 4L, "signup"),
+      EvJ(8L, t("2024-01-01 00:05:00"), 4L, "purchase"),
+      EvJ(9L, t("2024-01-01 00:08:00"), 4L, "click"))
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulFunnel(input.toDF())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // event-time-ordered delivery split across micro-batches so the
+      // chain must advance from persisted state, not intra-batch rows:
+      // user 1's purchase and user 4's click arrive one batch later
+      input.addData(evs.sortBy(_.ts.getTime).take(6))
+      q.processAllAvailable()
+      input.addData(evs.sortBy(_.ts.getTime).drop(6))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode re-emits a user's row as its stage advances: the
+    // max-stage row per user is final
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct($"stage", $"t1", $"t2", $"t3"),
+        $"stage").as("s"))
+      .select($"user_id", $"s.stage", $"s.t1", $"s.t2", $"s.t3")
+      .orderBy("user_id").collect().toSeq
+    val batch = EventStreams.statefulFunnel(evs.toDF())
+      .toDF().orderBy("user_id").collect().toSeq
+    assert(streamed === batch)
+    assert(batch.map(r => r.getLong(0) -> r.getInt(1)).toMap ===
+      Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 2))
+    // equality with the a55 batch window formulation on the same frame
+    val wf = graft.queries.Analytics.funnelTimes(
+        evs.toDF(), "signup", "click", "purchase")
+      .orderBy("user_id").collect().toSeq
+    assert(batch.map(r => (r.getLong(0), r.get(2), r.get(3), r.get(4))) ===
+      wf.map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))))
+  }
 }
