@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Bloom, Dedup, Graph, Linkage, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
 import graft.tables.{Tables => T}
@@ -496,6 +497,51 @@ object Extensions {
         .select(col("cell"), col("n_stratum").as("n_in"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("mix_thr"))
         .orderBy("cell")
+    }),
+
+    // Per-stratum score calibration: rank every doc WITHIN its language
+    // by quality score (x08's stopword ratio) — the per-domain
+    // percentile-threshold step of web curation (one global cutoff
+    // over-prunes some languages and under-prunes others).
+    // percent_rank = (rank−1)/(n−1): exact integers in, one correctly
+    // rounded division out — engine-exact. 100 TB: one shuffle on the
+    // stratum key + a per-stratum sort; the rank IS the deliverable —
+    // when only a cutoff is needed, the quantile-sketch path (st07's
+    // grid) avoids the sort entirely.
+    "x83_score_calibrate" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(T.documents(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("stopword_ratio"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("stopword_ratio").desc_nulls_last, col("doc_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("keep",
+          when(col("pct_rank") <= 0.5, lit(1)).otherwise(lit(0)))
+        .select("lang", "doc_id", "rk", "pct_rank", "keep")
+        .orderBy("lang", "rk")
+    }),
+
+    // Cross-source near-duplication matrix: which sources copy each
+    // other (the overlap report read before mixing corpora). The pair
+    // set is x20's banded-jaccard machinery VERBATIM (same call — the
+    // persisted signature/pair subtrees are shared by canonical-plan
+    // caching); sources attach by two id-keyed joins and pairs count
+    // per unordered source pair. Output is ≤ sources² rows.
+    "x84_source_overlap" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+        .select("d1", "d2")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .select(least(col("s1"), col("s2")).as("source_a"),
+          greatest(col("s1"), col("s2")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
     }),
 
     // One-pass ANALYZE-style column profiler over lineitem: exact NDV
@@ -2544,7 +2590,43 @@ object Extensions {
        ORDER BY r.cell"""
   }
 
+  /** x83's oracle: x08's stopword-ratio arithmetic + the identical
+    * rank/percent_rank window — (rank−1)/(n−1) is a division of exact
+    * integers, identical in both engines.
+    */
+  private val scoreCalibrateSql: String =
+    """WITH w AS (
+         SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS ws
+         FROM documents),
+       m AS (
+         SELECT doc_id, lang,
+           CAST(len(list_filter(ws, t -> list_contains(
+             ['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+             / len(ws) AS score
+         FROM w)
+       SELECT lang, doc_id, CAST(row_number() OVER win AS INTEGER) AS rk,
+         percent_rank() OVER win AS pct_rank,
+         CASE WHEN percent_rank() OVER win <= 0.5 THEN 1 ELSE 0 END AS keep
+       FROM m
+       WINDOW win AS (PARTITION BY lang ORDER BY score DESC NULLS LAST, doc_id)
+       ORDER BY lang, rk"""
+
+  /** x84's oracle: the shared exact jaccard pair CTEs (x02/x14/x59's —
+    * banded == exact is pinned in RecallSpec) joined back to sources,
+    * counted per unordered source pair.
+    */
+  private lazy val sourceOverlapSql: String =
+    s"""WITH $jaccardPairsCtes,
+       lab AS (SELECT least(da.source, db.source) AS source_a,
+                      greatest(da.source, db.source) AS source_b
+               FROM pairs JOIN documents da ON da.doc_id = pairs.d1
+                          JOIN documents db ON db.doc_id = pairs.d2)
+       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val oracle: Map[String, String] = Map(
+    "x83_score_calibrate" -> scoreCalibrateSql,
+    "x84_source_overlap" -> sourceOverlapSql,
     "x81_record_linkage" -> recordLinkageSql,
     "x82_cluster_mixture" -> clusterMixtureSql,
     "x80_triplet_mine" -> tripletMineSql,

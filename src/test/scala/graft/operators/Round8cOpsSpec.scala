@@ -110,6 +110,81 @@ class Round8cOpsSpec extends SparkTestBase {
     assert(expected === expected.sorted.reverse)
   }
 
+  // ---------------------------------------------------------------- x83
+
+  test("x83 score calibration: per-stratum ranks are contiguous from 1, " +
+       "scores are non-increasing within a stratum, and keep == " +
+       "(pct_rank <= 0.5)") {
+    val out = graft.queries.Extensions.queries("x83_score_calibrate")(spark, sf)
+      .collect()
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to rows.length),
+        s"ranks must be 1..n for $lang")
+      sorted.foreach { r =>
+        val pr = r.getDouble(3)
+        assert(pr >= 0.0 && pr <= 1.0)
+        assert((r.getInt(4) == 1) === (pr <= 0.5), s"keep rule broken: $r")
+      }
+      // roughly half of each stratum survives the 0.5 cutoff
+      val kept = rows.count(_.getInt(4) == 1)
+      assert(kept >= rows.length / 2,
+        s"$lang: pct_rank <= 0.5 must keep at least the top half")
+    }
+  }
+
+  // ---------------------------------------------------------------- x84
+
+  test("x84 source overlap: matrix equals the one computed from the " +
+       "EXACT all-pairs jaccard join, and pairs are unordered-normalized") {
+    val docs = T.documents(spark, sf)
+    val out = graft.queries.Extensions.queries("x84_source_overlap")(spark, sf)
+      .collect()
+    out.foreach(r => assert(r.getString(0) <= r.getString(1),
+      s"source pair must be least/greatest normalized: $r"))
+    // independent truth: the exact O(n²)-within-shingle-block jaccard
+    // join (x02's machinery), sources attached and counted the same way
+    val exact = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3,
+        threshold = 0.2)
+      .select("d1", "d2")
+    val src = docs.select(col("doc_id"), col("source"))
+    val truth = exact
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      truth.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
+  // ---------------------------------------------------------------- a56
+
+  test("a56 basket affinity: every reported pair replays against direct " +
+       "basket counts and the lift formula") {
+    val out = graft.queries.Analytics.queries("a56_basket_affinity")(spark, sf)
+      .collect()
+    assert(out.nonEmpty, "sf0.001 must produce at least one supported pair")
+    val li = T.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select("ok").distinct().count()
+    // spot-check the first and last reported pairs end to end
+    Seq(out.head, out.last).foreach { r =>
+      val (p1, p2) = (r.getLong(0), r.getLong(1))
+      val aOrders = li.filter(col("pk") === p1).select("ok")
+      val bOrders = li.filter(col("pk") === p2).select("ok")
+      val nab = aOrders.intersect(bOrders).count()
+      assert(r.getLong(2) === nab && nab >= 3, s"support mismatch: $r")
+      assert(r.getLong(3) === aOrders.count() && r.getLong(4) === bOrders.count())
+      val lift = nab.toDouble * nOrders / (r.getLong(3) * r.getLong(4))
+      assert(r.getDouble(5) === lift, s"lift mismatch: $r")
+      assert(p1 < p2)
+    }
+  }
+
   // ---------------------------------------------------------------- x82
 
   test("x82 cluster mixture: one row per populated cell, kept ≤ in, " +
