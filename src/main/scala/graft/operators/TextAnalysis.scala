@@ -275,6 +275,35 @@ object TextAnalysis {
       .withColumn("fp_rolling", GraftFunctions.rollingHash(normalized))
   }
 
+  /** Per-document n-gram NOVELTY in id (ingestion) order: the fraction
+    * of a document's distinct n-grams whose FIRST corpus occurrence
+    * (minimum doc_id) is this document — the "how much genuinely new
+    * text does each document add" curriculum/dedup signal (a doc whose
+    * grams all appeared earlier is pure rehash; novelty 1.0 is fresh
+    * content). Deterministic: ordering is the id, not arrival
+    * randomness.
+    *
+    * 100 TB: rides [[Dedup.shingleFlat]]'s persisted distinct-shingle
+    * table (the plan shape every shingle operator shares); the
+    * first-occurrence table is one partial-aggregatable min keyed on
+    * the gram, joined back on the same key — two gram-keyed exchanges,
+    * nothing corpus-quadratic. shuffle_hash pinned: both sides are
+    * explode-fed/estimate-blind, a broadcast guess either way would be
+    * corpus-sized.
+    */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleFlat(docs, textCol, idCol, n).select("doc_id", "s")
+    val first = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    sh.hint("shuffle_hash")
+      .join(first.hint("shuffle_hash"), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** Intra-document repetition metrics (Gopher-style quality signal):
     * per document, the total n-gram count, the count of the most
     * repeated n-gram, and their ratio — repetitive boilerplate scores

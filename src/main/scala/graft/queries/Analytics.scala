@@ -772,6 +772,27 @@ object Analytics {
           col("n_ab").cast("double") * col("n_orders") / (col("n_a") * col("n_b")))
         .select("p1", "p2", "n_ab", "n_a", "n_b", "lift")
         .orderBy("p1", "p2")
+    }),
+
+    // Cohort retention matrix: users grouped by first-activity week,
+    // counted per week-offset of later activity — the product-
+    // analytics retention triangle. Weeks align on Monday in both
+    // engines (date_trunc 'week'); the offset is a day-difference of
+    // week-truncated stamps divided by 7 — exact integers. One
+    // (user, week) distinct shuffle, a per-user min, and a tiny
+    // partial-agg rollup.
+    "a57_retention_cohorts" -> ((s, dir) => {
+      val weeks = graft.Caches.persistOnce(
+        T.events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct())
+      val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      weeks.join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
     })
   )
 
@@ -1317,6 +1338,17 @@ object Analytics {
            UNION ALL SELECT 2, 'click', u2n FROM c
            UNION ALL SELECT 3, 'purchase', u3n FROM c)
          ORDER BY step""",
+    "a57_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         w AS (SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM e),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1)
+         SELECT c.cohort_wk,
+           CAST(datediff('day', CAST(c.cohort_wk AS DATE), CAST(w.wk AS DATE)) // 7
+             AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+         FROM w JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "a56_basket_affinity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),

@@ -544,6 +544,15 @@ object Extensions {
         .orderBy("source_a", "source_b")
     }),
 
+    // Per-doc n-gram novelty in ingestion order: fraction of a doc's
+    // distinct trigrams first seen in THIS doc (min doc_id attribution)
+    // — the "how much new text does each doc add" curriculum signal.
+    // Rides the shared persisted shingle table; two gram-keyed
+    // partial-agg exchanges, shuffle_hash-pinned.
+    "x85_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // One-pass ANALYZE-style column profiler over lineitem: exact NDV
     // via Expand, typed min/max rendered to engine-stable strings
     // (DECIMAL views of the money doubles, DATE of the timestamp).
@@ -2624,7 +2633,29 @@ object Extensions {
        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
        FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** x85's oracle: the shared distinct-shingle derivation + min-doc_id
+    * first-occurrence attribution; the novelty ratio is one division
+    * of exact integers.
+    */
+  private val ngramNoveltySql: String =
+    """WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+         FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         FROM w WHERE len(ws) >= 3),
+       f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+       SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+         CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS novelty
+       FROM sh JOIN f USING (s)
+       GROUP BY 1 ORDER BY 1"""
+
   val oracle: Map[String, String] = Map(
+    "x85_ngram_novelty" -> ngramNoveltySql,
     "x83_score_calibrate" -> scoreCalibrateSql,
     "x84_source_overlap" -> sourceOverlapSql,
     "x81_record_linkage" -> recordLinkageSql,

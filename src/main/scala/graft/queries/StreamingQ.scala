@@ -102,10 +102,43 @@ object StreamingQ {
     "st13_stream_funnel" -> ((s, dir) =>
       EventStreams.statefulFunnel(T.events(s, dir))
         .toDF()
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Streaming EWMA anomaly flags per (user, event type): α=½ so the
+    // running average is one rounding + one exact halving per event —
+    // the whole state replays bit-identically in the oracle's ordered
+    // fold. One output row per event. Stream ≡ batch certified in
+    // EventStreamsSpec.
+    "st14_stream_ewma" -> ((s, dir) =>
+      EventStreams.statefulEwma(T.events(s, dir))
+        .toDF()
+        .orderBy("user_id", "event_type", "event_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st14: the α=½ EWMA recurrence replayed as an ordered list fold —
+    // list_reduce over the (ts, event_id)-sorted value prefix; the
+    // spike gate reads the PRE-event fold. (a+v)/2 is one IEEE
+    // addition + one exact halving in both engines.
+    "st14_stream_ewma" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                      CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         g AS (SELECT user_id, event_type,
+                 list(value ORDER BY ts, event_id) AS vs,
+                 list(event_id ORDER BY ts, event_id) AS ids
+               FROM e GROUP BY 1, 2),
+         x AS (SELECT user_id, event_type,
+                 unnest(ids) AS event_id,
+                 unnest(range(1, len(ids) + 1)) AS i, vs
+               FROM g)
+         SELECT user_id, event_type, event_id,
+           vs[i] AS value,
+           list_reduce(vs[1:i], (a, v) -> (a + v) / 2.0) AS ewma,
+           CASE WHEN i > 1 AND
+                vs[i] > 2 * list_reduce(vs[1:greatest(i - 1, 1)],
+                                        (a, v) -> (a + v) / 2.0)
+                THEN true ELSE false END AS spike
+         FROM x ORDER BY user_id, event_type, event_id""",
     // st13: the a55 conditional-min chain per user — first signup,
     // first click strictly after it, first purchase strictly after
     // that — with the reached stage derived from which slots filled.

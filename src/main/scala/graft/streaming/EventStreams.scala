@@ -412,6 +412,54 @@ object EventStreams {
       }
   }
 
+  /** Streaming EWMA anomaly flags per (user, event type): the running
+    * α=½ exponentially weighted moving average of `value`, with each
+    * event flagged a spike when it exceeds 2× the PRE-event average
+    * (the prediction at arrival time). α is FIXED at ½ because the
+    * recurrence `ewma' = (ewma + v) / 2` is then one addition (rounds
+    * identically on every IEEE engine) and one EXACT halving — the
+    * whole running state replays bit-identically in the DuckDB oracle
+    * via an ordered fold, the same no-libm discipline as x42/x54.
+    *
+    * Each micro-batch folds its rows in (ts, event_id) order from the
+    * persisted state; one output row per EVENT, emitted exactly once.
+    * Under event-time-ordered delivery the stream equals the batch
+    * fold (certified in EventStreamsSpec).
+    *
+    * 100 TB/streaming: state is one double + one count per
+    * (user, type) key — O(keys) bounded, partitioned on the group key;
+    * the per-event output is append-shaped (each event's row is final
+    * when emitted).
+    */
+  final case class EwmaState(ewma: Double, n: Long)
+  final case class EwmaPoint(user_id: Long, event_type: String,
+                             event_id: Long, value: Double, ewma: Double,
+                             spike: Boolean)
+
+  def statefulEwma(events: DataFrame): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .as[(Long, String, Long, Timestamp, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Timestamp, Double)],
+         state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+          rows.toSeq.sortBy(r => (r._4.getTime, r._3)).foreach {
+            case (_, _, eid, _, v) =>
+              val spike = st.n > 0L && v > 2 * st.ewma
+              val ewma = if (st.n == 0L) v else (st.ewma + v) / 2
+              st = EwmaState(ewma, st.n + 1)
+              out += EwmaPoint(key._1, key._2, eid, v, ewma, spike)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-(user, event type) running count + exact-cents value totals on
     * Spark 4's `transformWithState` — the modern arbitrary-state API
     * (SPARK-46815): typed composite state (here a `MapState` keyed by

@@ -185,6 +185,50 @@ class Round8cOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---------------------------------------------------------------- x85
+
+  test("ngramNovelty: first doc is all-novel, a verbatim copy is " +
+       "zero-novel, partial overlap counts exactly the new grams") {
+    val docs = Seq(
+      (1L, "a b c d"),        // grams: "a b c", "b c d" — both novel
+      (2L, "a b c d"),        // exact copy → novelty 0
+      (3L, "b c d e f")       // "b c d" seen, "c d e"/"d e f" new → 2/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L, 2L), (2L, 2L, 0L), (3L, 3L, 2L)))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(1.0, 0.0, 2.0 / 3))
+  }
+
+  // ---------------------------------------------------------------- a57
+
+  test("a57 retention cohorts: week-0 row counts every cohort member, " +
+       "offsets are non-negative, and per-cohort user counts never " +
+       "exceed the cohort size") {
+    val out = graft.queries.Analytics.queries("a57_retention_cohorts")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val byCohort = out.groupBy(_.getTimestamp(0))
+    // independent cohort sizes: distinct users whose first week is wk
+    val ev = T.events(spark, sf)
+    val firstWk = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk"))
+      .groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      .groupBy("cohort_wk").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    byCohort.foreach { case (wk, rows) =>
+      val offsets = rows.map(_.getInt(1))
+      assert(offsets.forall(_ >= 0) && offsets.contains(0),
+        s"cohort $wk must include its own week 0")
+      val w0 = rows.find(_.getInt(1) == 0).get.getLong(2)
+      assert(w0 === firstWk(wk),
+        s"week-0 count must equal the cohort size for $wk")
+      rows.foreach(r => assert(r.getLong(2) <= w0,
+        s"retention can never exceed the cohort size: $r"))
+    }
+  }
+
   // ---------------------------------------------------------------- x82
 
   test("x82 cluster mixture: one row per populated cell, kept ≤ in, " +

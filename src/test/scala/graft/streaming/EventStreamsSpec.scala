@@ -10,6 +10,9 @@ case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
 case class EvJ(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 
+case class EvV(event_id: Long, ts: Timestamp, user_id: Long,
+               event_type: String, value: Double)
+
 /** Structured Streaming surface: the same EventStreams transforms run as
   * a real stream (MemoryStream source, memory sink) and must produce the
   * batch results — the equivalence the batch DuckDB oracle certifies.
@@ -513,5 +516,43 @@ class EventStreamsSpec extends SparkTestBase {
       .orderBy("user_id").collect().toSeq
     assert(batch.map(r => (r.getLong(0), r.get(2), r.get(3), r.get(4))) ===
       wf.map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))))
+  }
+
+  test("st14 stateful EWMA: stream across micro-batches equals batch, " +
+       "the α=1/2 recurrence and spike gate replay by hand") {
+    implicit val ctx = spark.sqlContext
+    // one key (user 1, click): values 4, 4, 24 (spike vs ewma 4), 2;
+    // a second key interleaved to prove state isolation
+    val evs = Seq(
+      EvV(1L, t("2024-01-01 00:00:00"), 1L, "click", 4.0),
+      EvV(2L, t("2024-01-01 00:10:00"), 1L, "click", 4.0),
+      EvV(3L, t("2024-01-01 00:15:00"), 2L, "click", 100.0),
+      EvV(4L, t("2024-01-01 00:20:00"), 1L, "click", 24.0),
+      EvV(5L, t("2024-01-01 00:30:00"), 1L, "click", 2.0))
+    val input = MemoryStream[EvV]
+    val q = EventStreams.statefulEwma(input.toDF())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(3))   // event-time order, split mid-key
+      q.processAllAvailable()
+      input.addData(evs.drop(3))   // 24-spike must read CROSS-batch state
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_out")
+      .orderBy("user_id", "event_type", "event_id").collect().toSeq
+    val batch = EventStreams.statefulEwma(evs.toDF())
+      .toDF().orderBy("user_id", "event_type", "event_id").collect().toSeq
+    assert(streamed === batch)
+    // hand replay for user 1: ewma 4 → (4+4)/2=4 → (4+24)/2=14 → (14+2)/2=8
+    val u1 = batch.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getDouble(4)).toSeq === Seq(4.0, 4.0, 14.0, 8.0))
+    // spikes: first event never (no history); 24 > 2·4 spikes; 2 < 2·14 not
+    assert(u1.map(_.getBoolean(5)).toSeq === Seq(false, false, true, false))
+    // user 2's lone event: own state, no spike, ewma = value
+    val u2 = batch.filter(_.getLong(0) == 2L)
+    assert(u2.map(r => (r.getDouble(4), r.getBoolean(5))).toSeq ===
+      Seq((100.0, false)))
   }
 }
