@@ -25,6 +25,17 @@ object Profile {
   def profile(df: DataFrame, specs: Seq[(String, Column)]): DataFrame = {
     require(specs.nonEmpty, "profile needs at least one column spec")
     require(specs.map(_._1).distinct.size == specs.size, "spec names must be unique")
+    // Narrow-input spread (the duplicateSpans pattern): the |specs|×
+    // Expand multiplication happens BEFORE the first exchange, so on a
+    // single-row-group file the whole expansion would run in the scan's
+    // one task (measured at sf0.1, 5 specs over lineitem: 8.3-9.2 s
+    // single-task vs 2.3-3.3 s spread — the residual is the expanded
+    // partial agg itself). At production scale the source is many-split
+    // and this repartition is a no-op.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val input =
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+      else df
     val aggs = specs.flatMap { case (name, c) =>
       Seq(count(lit(1)).as(s"__n_$name"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$name"),
@@ -32,7 +43,7 @@ object Profile {
         min(c).cast("string").as(s"__mn_$name"),
         max(c).cast("string").as(s"__mx_$name"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = input.agg(aggs.head, aggs.tail: _*)
     val stacked = specs.map { case (name, _) =>
       s"'$name', __n_$name, __nn_$name, __nd_$name, __mn_$name, __mx_$name"
     }.mkString(", ")
