@@ -39,7 +39,12 @@ object BenchSf1 {
       "a03_join_star", "p15_pipeline_composite",
       "x50_ann_ivfpq", "x51_containment_dedup", "x52_bm25",
       "x58_duplicate_spans", "x60_perplexity_buckets", "x61_remove_spans",
-      "x73_dsir", "x76_bigram_lm")
+      "x73_dsir", "x76_bigram_lm",
+      // round-8/9 heavies: candidate-volume-sensitive shapes (x84 rides
+      // the shared bandedPairs build, so its cold run prices the x20
+      // chain here) + the Expand-free approx profiler A/B partner
+      "x84_source_overlap", "x85_ngram_novelty", "a56_basket_affinity",
+      "x78_profile", "x78b_profile_kmv")
 
     // warmup: touch every table once (JVM/codegen/classloading)
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

@@ -554,6 +554,81 @@ object Dedup {
       .select("d1", "d2", "jaccard_est")
   }
 
+  /** One-permutation MinHash signatures (Li, Owen & Zhang 2012) with
+    * rotation densification (Shrivastava & Li 2014): ONE murmur3 per
+    * shingle instead of [[minhashSignatures]]'s k — the hash value is
+    * binned by `pmod(h, k)` and each bin keeps its min; an empty bin
+    * borrows circularly from the nearest populated bin to the right,
+    * PLUS the borrow distance so borrowed components stay distinct
+    * across different borrow patterns (the densified value is a long —
+    * donor int + distance — so the add never wraps).
+    *
+    * 100 TB: the scan-side hash work drops k× (16× at the default) —
+    * on a corpus where hashing dominates signature cost this is the
+    * difference between one murmur3 per shingle and sixteen. The
+    * aggregate is k filtered `min`s in ONE partial-aggregatable
+    * groupBy — same single shuffle as the seeded family, smaller map
+    * side. Estimator variance is higher at equal k (each bin sees only
+    * ~1/k of the shingles), so banding recall floors are re-pinned
+    * separately in RecallSpec rather than inherited from x03.
+    */
+  def ophSignatures(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, k: Int = 16, seed: Int = 42): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val flat = shingleFlat(docs, textCol, idCol, n)
+    val hv = GraftFunctions.murmur3Seeded(col("s"), seed)
+    val binned = flat.select(col("doc_id"), hv.as("hv"),
+      pmod(GraftFunctions.murmur3Seeded(col("s"), seed), lit(k)).as("bin"))
+    val aggs = (0 until k).map(i =>
+      min(when(col("bin") === i, col("hv"))).as(s"b$i"))
+    val sig = (0 until k).map { i =>
+      coalesce((0 until k).map { j =>
+        col(s"b${(i + j) % k}").cast("long") + lit(j.toLong)
+      }: _*).as(s"s$i")
+    }
+    binned.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: sig: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** OPH banding: candidate pairs share a band of `r` consecutive
+    * densified components; the band key is the COMPONENT VALUES
+    * themselves (struct), not a hash of them — collision-free band
+    * buckets, trivially engine-replayable, at the cost of a wider
+    * shuffle key (r longs vs one int; at r=2 that is 16 bytes — still
+    * a narrow key). Estimate = matching components / k, as in
+    * [[minhashNative]].
+    */
+  def ophMinhash(docs: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3, k: Int = 16, bands: Int = 8,
+                 minEstimate: Double = 0.2, seed: Int = 42): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = graft.Caches.persistOnce(
+      ophSignatures(docs, textCol, idCol, n, k, seed))
+    val banded = sigs.select(col("doc_id"), explode(
+      array((0 until bands).map(b =>
+        struct((lit(b).as("band") +:
+          (0 until r).map(i => col("sig")(b * r + i).as(s"c$i"))): _*)): _*))
+      .as("bk"))
+    // shuffle_hash: same Generate-estimate broadcast trap as
+    // minhashNative — pin the (band, components)-keyed shuffle.
+    val cand = banded.select(col("doc_id").as("d1"), col("bk"))
+      .hint("shuffle_hash")
+      .join(banded.select(col("doc_id").as("d2"), col("bk")), Seq("bk"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("jaccard_est") >= minEstimate)
+      .select("d1", "d2", "jaccard_est")
+  }
+
   /** SimHash fingerprints + banded bucket candidates: documents sharing
     * any 16-bit band of their 64-bit simhash are near-dup candidates.
     */

@@ -31,7 +31,11 @@ object Profile {
     // one task (measured at sf0.1, 5 specs over lineitem: 8.3-9.2 s
     // single-task vs 2.3-3.3 s spread — the residual is the expanded
     // partial agg itself). At production scale the source is many-split
-    // and this repartition is a no-op.
+    // and this repartition is a no-op. Tradeoff (deliberate): on a
+    // LARGE few-partition input the round-robin exchange ships the
+    // full table once to win |specs|× post-Expand parallelism — worth
+    // it when specs > 1; for estimate-grade stats at that scale use
+    // [[profileApprox]], which has no Expand and no spread at all.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val input =
       if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
@@ -50,6 +54,43 @@ object Profile {
     one.selectExpr(
       s"stack(${specs.size}, $stacked) AS " +
         "(col_name, n_rows, n_null, n_distinct, min_s, max_s)")
+  }
+
+  /** Estimate-grade one-pass profiler — the 100 TB companion the
+    * [[profile]] scaladoc promises: same (col_name, n_rows, n_null,
+    * NDV, min/max) shape, but NDV comes from the deterministic KMV
+    * bottom-k sketch ([[Sketches.kmvDistinct]] — a plain aggregate,
+    * NOT a distinct aggregate), so the plan has NO Expand and NO row
+    * multiplication: one HashAggregate pass at |specs|·k longs of
+    * state total, regardless of table size. Exact below k distinct
+    * values, ≈6 % rsd above (k = 256). No narrow-input spread either —
+    * without the Expand there is nothing to parallelize beyond the
+    * scan itself.
+    *
+    * Determinism: KMV ranks unsigned-32-bit murmur3 hashes, so the
+    * DuckDB oracle replays the estimate bit-exactly via the staged
+    * murmur3 CTEs (the a23 pattern). Callers pass non-negative
+    * long-valued spec expressions (the hash the oracle can replay);
+    * null rows are counted in n_null but specs here are non-null keys.
+    */
+  def profileApprox(df: DataFrame, specs: Seq[(String, Column)],
+                    k: Int = Sketches.KmvK): DataFrame = {
+    require(specs.nonEmpty, "profileApprox needs at least one column spec")
+    require(specs.map(_._1).distinct.size == specs.size, "spec names must be unique")
+    val aggs = specs.flatMap { case (name, c) =>
+      Seq(count(lit(1)).as(s"__n_$name"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$name"),
+        Sketches.kmvDistinct(c, k).as(s"__nd_$name"),
+        min(c).cast("string").as(s"__mn_$name"),
+        max(c).cast("string").as(s"__mx_$name"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = specs.map { case (name, _) =>
+      s"'$name', __n_$name, __nn_$name, __nd_$name, __mn_$name, __mx_$name"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${specs.size}, $stacked) AS " +
+        "(col_name, n_rows, n_null, n_distinct_kmv, min_s, max_s)")
   }
 
   /** Key-skew diagnosis: per-key counts, each key's integer log2 bucket

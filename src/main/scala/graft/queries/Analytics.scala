@@ -21,6 +21,33 @@ import graft.tables.{Tables => T, Exact}
 object Analytics {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Hard cap on distinct parts per order basket in a56: pair
+    * generation is k²/2 per basket, so an unfenced mega-order (k=100 k)
+    * would emit 5×10⁹ pairs inside a single task. 10 k distinct parts
+    * (≤ 50 M pairs, one task-seconds of scan-side work) is far above
+    * any real order while fencing the quadratic — the same scan-side
+    * raise_error discipline as `Similarity.MaxCodebookEntries` and the
+    * 1 M-edge connected-components guard.
+    */
+  private[graft] val MaxBasketSize = 10000
+
+  /** a56's per-order basket table — (ok, sorted distinct parts array) —
+    * with the [[MaxBasketSize]] fence applied scan-side: an oversized
+    * basket raises at first action (order id + size in the message)
+    * instead of silently emitting its k²/2 pairs. Factored out so the
+    * fence is testable against a synthetic mega-order (BasketFenceSpec).
+    */
+  private[graft] def fencedBaskets(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts0"))
+      .select(col("ok"),
+        when(size(col("parts0")) <= lit(MaxBasketSize), col("parts0"))
+          .otherwise(raise_error(concat(
+            lit(s"a56 basket exceeds MaxBasketSize=$MaxBasketSize: order "),
+            col("ok").cast("string"), lit(" has "),
+            size(col("parts0")).cast("string"), lit(" distinct parts"))))
+          .as("parts"))
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 pricing summary: partial-aggregatable group-by over the
     // largest table; sums routed through exact decimals.
@@ -736,12 +763,17 @@ object Analytics {
     // Market-basket affinity over order baskets: part pairs co-ordered
     // in the same order with support ≥ 3 and their lift — the
     // recommendation/affinity query class. Pair generation is keyed on
-    // the ORDER (baskets are bounded — a handful of lines each — so
-    // pair volume is ≤ k²/2 per order, linear in orders, never a
-    // part×part cartesian); per-part supports are a parts-sized
-    // dimension aggregate broadcast back, the order count a 1-row
-    // broadcast. lift = n_ab·N/(n_a·n_b): exact integers in, one
-    // correctly rounded double division out — engine-exact.
+    // the ORDER, so pair volume is ≤ k²/2 per order — linear in orders
+    // for bounded baskets, never a part×part cartesian — and the bound
+    // is ENFORCED scan-side ([[MaxBasketSize]]): a pathological
+    // mega-order raises at first action instead of emitting k²/2 pairs
+    // inside one task (the MaxCodebookEntries/1 M-edge-CC guard
+    // discipline). Per-part supports are a parts-cardinality aggregate
+    // joined on the part key (shuffled — parts is NOT a bounded
+    // dimension; AQE may still elect broadcast when it measures small),
+    // the order count a 1-row broadcast. lift = n_ab·N/(n_a·n_b):
+    // exact integers in, one correctly rounded double division out —
+    // engine-exact.
     "a56_basket_affinity" -> ((s, dir) => {
       // ONE corpus shuffle: baskets materialize per order (collect_set
       // dedups within the order), then pairs generate SCAN-SIDE from
@@ -751,9 +783,7 @@ object Analytics {
       // single-row-group local files make every variant scan-bound)
       // but two fewer corpus exchanges, which is what scales.
       val baskets = graft.Caches.persistOnce(
-        T.lineitem(s, dir)
-          .groupBy(col("l_orderkey").as("ok"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("parts")))
+        fencedBaskets(T.lineitem(s, dir)))
       val nOrders = broadcast(baskets.agg(count(lit(1)).as("n_orders")))
       val support = baskets.select(explode(col("parts")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).as("n_p"))
@@ -765,8 +795,8 @@ object Analytics {
         .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
       pairs
-        .join(broadcast(support.select(col("pk").as("p1"), col("n_p").as("n_a"))), "p1")
-        .join(broadcast(support.select(col("pk").as("p2"), col("n_p").as("n_b"))), "p2")
+        .join(support.select(col("pk").as("p1"), col("n_p").as("n_a")), "p1")
+        .join(support.select(col("pk").as("p2"), col("n_p").as("n_b")), "p2")
         .crossJoin(nOrders)
         .withColumn("lift",
           col("n_ab").cast("double") * col("n_orders") / (col("n_a") * col("n_b")))

@@ -70,13 +70,49 @@ object Extensions {
     if (cached != null) cached
     else {
       val docs = T.documents(s, dir)
-      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
-          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
-        .select("d1", "d2")
+      val pairs = bandedPairs(s, dir).select("d1", "d2")
       val built = graft.Caches.persistOnce(
         Dedup.connectedComponentsKeepOne(docs, "doc_id", pairs))
       val prev = clusterLabelCache.putIfAbsent(key, built)
       if (prev != null) prev else built
+    }
+  }
+
+  /** Session-memoized corpus banded-jaccard pair frame — the ONE
+    * parameter site for the (n=3, threshold=0.2, 16 hashes, 8 bands)
+    * banding that x20 reports, x84 attributes to sources, and the
+    * [[clusterLabels]] chain contracts. Previously x84 rode x20's
+    * persisted subtrees only via canonical-plan matching of two
+    * textually identical call sites — load-bearing for the bench but
+    * unpinned: a parameter drift at either site would silently split
+    * the cache and ~5× the x84 row (r8 verdict "what's wrong" item 4).
+    * Memoizing the FRAME (persistOnce + this map) makes the sharing an
+    * identity, asserted in SharedSubtreeSpec. Release via
+    * [[releaseBandedPairs]]; same get + putIfAbsent-outside-the-lock
+    * discipline as [[clusterLabels]].
+    */
+  private val bandedPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[graft] def bandedPairs(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val cached = bandedPairCache.get(key)
+    if (cached != null) cached
+    else {
+      val built = graft.Caches.persistOnce(
+        Dedup.bandedJaccardMinhash(T.documents(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.2, numHashes = 16, bands = 8))
+      val prev = bandedPairCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Drop the memoized banded-pair frames (all dirs of `s`), unpersisting each. */
+  def releaseBandedPairs(s: SparkSession): Unit = {
+    val it = bandedPairCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
     }
   }
 
@@ -247,9 +283,21 @@ object Extensions {
     // every pair at j ≥ 0.9 with near-certainty (RecallSpec pins recall
     // 1.0 on this corpus), so the output equals the all-pairs join and
     // the exact x02 oracle applies — at O(candidates) shuffle volume.
+    // The pair frame is the session-memoized [[bandedPairs]] shared
+    // with x84 and the x14/x44/x59 cluster chain — one build per
+    // (session, dir), pinned in SharedSubtreeSpec.
     "x20_banded_jaccard" -> ((s, dir) =>
-      Dedup.bandedJaccardMinhash(T.documents(s, dir), "text", "doc_id",
-          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
+      bandedPairs(s, dir).orderBy("d1", "d2")),
+
+    // One-permutation MinHash near-dup pairs — x03's estimator at 1/16th
+    // the scan-side hash cost (ONE murmur3 per shingle, binned mins,
+    // rotation densification; Li/Owen/Zhang 2012 + Shrivastava/Li 2014).
+    // Band keys are the component values themselves (collision-free,
+    // no array-hash to replay); the whole chain — single-seed string
+    // murmur3, signed bin pmod, filtered bin mins, +distance
+    // densification, component-equality banding — replays in DuckDB.
+    "x86_oph_minhash" -> ((s, dir) =>
+      Dedup.ophMinhash(T.documents(s, dir), "text", "doc_id")
         .orderBy("d1", "d2")),
 
     // SimHash banded near-dup candidates with Hamming distances. Oracle:
@@ -524,15 +572,18 @@ object Extensions {
 
     // Cross-source near-duplication matrix: which sources copy each
     // other (the overlap report read before mixing corpora). The pair
-    // set is x20's banded-jaccard machinery VERBATIM (same call — the
-    // persisted signature/pair subtrees are shared by canonical-plan
-    // caching); sources attach by two id-keyed joins and pairs count
-    // per unordered source pair. Output is ≤ sources² rows.
+    // set IS x20's — the session-memoized [[bandedPairs]] frame (one
+    // build + persist per (session, dir); identity pinned in
+    // SharedSubtreeSpec, so a bench reorder or parameter drift cannot
+    // silently rebuild it). Sources attach by two id-keyed joins and
+    // pairs count per unordered source pair. Output is ≤ sources² rows.
+    // Oracle note: equality vs the exact-jaccard pair CTEs leans on the
+    // banding's measured recall 1.0 at tested scales (RecallSpec) —
+    // the probabilistic-recall dependency is deliberate and shared
+    // with x20 itself (ADVICE r8).
     "x84_source_overlap" -> ((s, dir) => {
       val docs = T.documents(s, dir)
-      val pairs = Dedup.bandedJaccardMinhash(docs, "text", "doc_id",
-          n = 3, threshold = 0.2, numHashes = 16, bands = 8)
-        .select("d1", "d2")
+      val pairs = bandedPairs(s, dir).select("d1", "d2")
       val src = docs.select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
@@ -564,6 +615,25 @@ object Extensions {
         "l_extendedprice" -> col("l_extendedprice").cast("decimal(12,2)"),
         "l_returnflag" -> col("l_returnflag"),
         "l_shipdate" -> col("l_shipdate").cast("date")))
+        .orderBy("col_name")
+    }),
+
+    // Estimate-grade ANALYZE over lineitem — x78's 100 TB companion:
+    // NDV per column via the deterministic KMV bottom-k sketch (a
+    // plain aggregate), so the plan is ONE HashAggregate pass with NO
+    // Expand and no |specs|× row multiplication — the shape that makes
+    // multi-column profiling affordable at scale. Specs are the
+    // non-negative long keys whose murmur3 the DuckDB oracle replays
+    // bit-exactly (the a23 staged-CTE arithmetic): exact below k=256
+    // distinct values (l_linenumber, l_quantity), sketched above.
+    "x78b_profile_kmv" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+      graft.operators.Profile.profileApprox(li, Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_partkey" -> col("l_partkey"),
+        "l_suppkey" -> col("l_suppkey"),
+        "l_linenumber" -> col("l_linenumber").cast("bigint"),
+        "l_quantity" -> col("l_quantity").cast("bigint")))
         .orderBy("col_name")
     }),
 
@@ -2251,6 +2321,83 @@ object Extensions {
          FROM sigs, (SELECT unnest(range(0, 8)) AS b) bb)"""
   }
 
+  /** x86's oracle: the OPH chain replayed end to end — ONE seed-42
+    * string murmur3 per distinct shingle (the x03 byte-word staging,
+    * without the 16-seed cross join), signed pmod binning, 16 filtered
+    * bin mins, +distance rotation densification, and banding on the
+    * component values (no array-hash — the band key IS the pair of
+    * densified longs).
+    */
+  private lazy val ophMinhashSql: String = {
+    import Murmur3Sql._
+    val wordMix = mixH1("h", mixK1("w"))
+    val byteMix = mixH1("h", mixK1("b"))
+    val binMins = (0 until 16)
+      .map(i => s"min(hv) FILTER (WHERE bin = $i)")
+      .mkString(",\n           ")
+    // densified component i: first populated bin at circular distance j,
+    // value + j (BIGINT arithmetic end to end)
+    val dens = (0 until 16).map { i =>
+      "coalesce(" + (0 until 16).map { j =>
+        s"bm[${(i + j) % 16 + 1}] + $j"
+      }.mkString(", ") + ")"
+    }.mkString(",\n           ")
+    s"""WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         FROM w WHERE len(ws) >= 3),
+       shc AS (
+         SELECT doc_id, length(s) AS sl,
+           list_transform(range(1, length(s)+1), i -> CAST(unicode(s[i]) AS HUGEINT)) AS cps
+         FROM sh),
+       shw AS (
+         SELECT doc_id, sl,
+           list_transform(range(0, sl // 4),
+             j -> cps[4*j+1] + cps[4*j+2]*256 + cps[4*j+3]*65536 + cps[4*j+4]*16777216) AS words,
+           list_transform(range(sl // 4 * 4 + 1, sl + 1), i -> cps[i]) AS tail
+         FROM shc),
+       shmw AS (
+         SELECT doc_id, sl, tail,
+           list_reduce(list_prepend(CAST(42 AS HUGEINT), words), (h, w) ->
+             $wordMix) AS hw
+         FROM shw),
+       shm2 AS (
+         SELECT doc_id, sl,
+           list_reduce(list_prepend(hw, tail), (h, b) ->
+             $byteMix) AS h
+         FROM shmw),
+       g1 AS (SELECT doc_id, xor(h, CAST(sl AS HUGEINT)) AS h FROM shm2),
+       g2 AS (SELECT doc_id, xor(h, h // 65536) AS h FROM g1),
+       g3 AS (SELECT doc_id, (h * 2246822507) % 4294967296 AS h FROM g2),
+       g4 AS (SELECT doc_id, xor(h, h // 8192) AS h FROM g3),
+       g5 AS (SELECT doc_id, (h * 3266489909) % 4294967296 AS h FROM g4),
+       shh AS (
+         SELECT doc_id,
+           CAST(CASE WHEN xor(h, h // 65536) >= 2147483648
+                     THEN xor(h, h // 65536) - 4294967296
+                     ELSE xor(h, h // 65536) END AS BIGINT) AS hv
+         FROM g5),
+       bins AS (SELECT doc_id, hv, ((hv % 16) + 16) % 16 AS bin FROM shh),
+       bm AS (SELECT doc_id, [$binMins] AS bm FROM bins GROUP BY doc_id),
+       sigs AS (SELECT doc_id, [$dens] AS sig FROM bm),
+       banded AS (
+         SELECT doc_id, sig, bb.b AS band,
+           sig[bb.b*2+1] AS c0, sig[bb.b*2+2] AS c1
+         FROM sigs, (SELECT unnest(range(0, 8)) AS b) bb),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.c0 = b.c0 AND a.c1 = b.c1
+             AND a.doc_id < b.doc_id)
+       SELECT d1, d2,
+         CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 16 AS jaccard_est
+       FROM cand JOIN sigs s1 ON s1.doc_id = d1 JOIN sigs s2 ON s2.doc_id = d2
+       WHERE CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) AS DOUBLE) / 16 >= 0.2
+       ORDER BY d1, d2"""
+  }
+
   private lazy val minhashNativeSql: String =
     s"""WITH $minhashSigBandCtes,
        cand AS (
@@ -2513,6 +2660,50 @@ object Extensions {
       .mkString("", "\n UNION ALL\n", "\n ORDER BY col_name")
   }
 
+  /** x78b's oracle: per spec column, the KMV bottom-k estimate replayed
+    * exactly — staged murmur3 hashLong CTEs ([[Murmur3Sql]], the a23
+    * machinery), DISTINCT hashes ranked ascending, the k-th smallest
+    * hash inverted to (k−1)·2³² // kth (exact count below k) — unioned
+    * with the plain count/null/min/max stats per column.
+    */
+  private lazy val profileKmvSql: String = {
+    val k = graft.operators.Sketches.KmvK
+    val kmvNum = (k - 1).toLong * 4294967296L
+    val specs = Seq(
+      ("l_orderkey", "l_orderkey", "pka"),
+      ("l_partkey", "l_partkey", "pkb"),
+      ("l_suppkey", "l_suppkey", "pkc"),
+      ("l_linenumber", "CAST(l_linenumber AS BIGINT)", "pkd"),
+      ("l_quantity", "CAST(l_quantity AS BIGINT)", "pke"))
+    val pieces = specs.map { case (name, e, pfx) =>
+      val (ctes, hc) = Murmur3Sql.hashLongCtes(s"${pfx}src", Seq.empty, pfx)
+      val cteBlock =
+        s"""${pfx}src AS (SELECT $e AS v FROM lineitem),
+           $ctes
+           ${pfx}dh AS (SELECT DISTINCT hu FROM $hc),
+           ${pfx}rn AS (SELECT hu, row_number() OVER (ORDER BY hu) AS rn
+                        FROM ${pfx}dh),
+           ${pfx}km AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                          CAST(max(CASE WHEN rn = $k THEN hu END) AS BIGINT) AS kth
+                        FROM ${pfx}rn),
+           ${pfx}st AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                          CAST(sum(CASE WHEN $e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                          CAST(min($e) AS VARCHAR) AS min_s,
+                          CAST(max($e) AS VARCHAR) AS max_s
+                        FROM lineitem)"""
+      val select =
+        s"""SELECT '$name' AS col_name, st.n_rows, st.n_null,
+             CASE WHEN km.cnt < $k THEN km.cnt
+                  WHEN km.kth = 0 THEN CAST($k AS BIGINT)
+                  ELSE $kmvNum // km.kth END AS n_distinct_kmv,
+             st.min_s, st.max_s
+           FROM ${pfx}st st, ${pfx}km km"""
+      (cteBlock, select)
+    }
+    s"WITH ${pieces.map(_._1).mkString(",\n")}\n" +
+      pieces.map(_._2).mkString("", "\n UNION ALL\n", "\n ORDER BY col_name")
+  }
+
   /** x79's oracle: key counts + integer log2 (`length(bin(cnt))`),
     * quantized share, ceil-division salting factor.
     */
@@ -2662,6 +2853,7 @@ object Extensions {
     "x82_cluster_mixture" -> clusterMixtureSql,
     "x80_triplet_mine" -> tripletMineSql,
     "x78_profile" -> profileSql,
+    "x78b_profile_kmv" -> profileKmvSql,
     "x79_skew_report" -> skewReportSql,
     "x77_hybrid_retrieval" -> hybridRetrievalSql,
     "x73_dsir" -> dsirSql,
@@ -2857,6 +3049,7 @@ object Extensions {
          WHERE ${canonicalKeep("d.doc_id")}
          ORDER BY d.doc_id""",
     "x03_dedup_minhash" -> minhashNativeSql,
+    "x86_oph_minhash" -> ophMinhashSql,
     "x20_banded_jaccard" -> exactJaccardSql,
     "x22_pipeline_embeddings" ->
       s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding, label FROM embeddings),

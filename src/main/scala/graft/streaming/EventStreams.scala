@@ -329,7 +329,7 @@ object EventStreams {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Timestamp)],
          state: GroupState[OpenSession]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
           var open = state.getOption
           sorted.foreach { case (_, _, ts) =>
@@ -395,7 +395,10 @@ object EventStreams {
         (user: Long, rows: Iterator[(Long, String, Timestamp)],
          state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+          // getTime is millisecond-truncated while events.ts carries
+          // microseconds; getNanos restores the sub-ms component so the
+          // intra-batch fold order matches the oracle's ORDER BY ts.
+          rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos)).foreach { case (_, tpe, ts) =>
             if (st.t1.isEmpty && tpe == s1)
               st = st.copy(t1 = Some(ts))
             else if (st.t1.nonEmpty && st.t2.isEmpty && tpe == s2 &&
@@ -448,7 +451,11 @@ object EventStreams {
          state: GroupState[EwmaState]) =>
           var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
-          rows.toSeq.sortBy(r => (r._4.getTime, r._3)).foreach {
+          // Full-precision sort key (ms + sub-ms nanos + event_id): the
+          // EWMA fold is order-sensitive, and the oracle folds by the
+          // microsecond-precision ORDER BY ts, event_id — two same-ms
+          // events must not swap (ADVICE r8, medium).
+          rows.toSeq.sortBy(r => (r._4.getTime, r._4.getNanos, r._3)).foreach {
             case (_, _, eid, _, v) =>
               val spike = st.n > 0L && v > 2 * st.ewma
               val ewma = if (st.n == 0L) v else (st.ewma + v) / 2

@@ -303,4 +303,28 @@ class RecallSpec extends SparkTestBase {
     info(s"fuzzy blocking recall: $recall (${got.size}/${truth.size} pairs)")
     assert(recall >= 0.9, s"prefix blocking recall $recall below floor")
   }
+
+  test("x86 OPH minhash: recall vs exact pairs measured and floored " +
+       "(re-pinned separately — OPH variance exceeds the seeded family's)") {
+    val got = Dedup.ophMinhash(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = recallOf(got, exactJaccard.keySet)
+    info(s"OPH recall: $recall (${got.size} candidates, ${exactJaccard.size} true)")
+    assert(recall >= 0.9, s"OPH banding recall $recall below floor")
+    // densified components are donor+distance longs, so a same-bin
+    // identical pair of docs still matches exactly on every component
+    val sigs = Dedup.ophSignatures(docs, "text", "doc_id").collect()
+    assert(sigs.forall(_.getSeq[Long](1).size == 16))
+  }
+
+  test("x86 OPH at sf0.1: recall floored one scale step above the gate") {
+    val bigDocs = T.documents(spark, "/root/testdata/sf0.1")
+    val exact = Dedup.ngramJaccard(bigDocs, "text", "doc_id", n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.ophMinhash(bigDocs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = recallOf(got, exact)
+    info(s"OPH sf0.1 recall: $recall (${got.size} candidates, ${exact.size} true)")
+    assert(recall >= 0.9, s"OPH banding recall $recall below floor at sf0.1")
+  }
 }

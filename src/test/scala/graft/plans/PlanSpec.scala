@@ -115,8 +115,14 @@ class PlanSpec extends SparkTestBase {
 
   test("x20 banded query never joins on raw shingle strings") {
     // the quadratic shape is a join keyed on the exploded shingle column;
-    // the banded path must join only on (band,bucket) structs and doc ids
-    val df = graft.queries.Extensions.queries("x20_banded_jaccard")(spark, sf)
+    // the banded path must join only on (band,bucket) structs and doc ids.
+    // Built directly (not via the query): the x20 query returns the
+    // session-memoized bandedPairs frame, whose optimized plan is an
+    // InMemoryRelation once persisted — the joins under audit live in
+    // the chain that BUILDS it.
+    val df = graft.operators.Dedup.bandedJaccardMinhash(
+      T.documents(spark, sf), "text", "doc_id",
+      n = 3, threshold = 0.2, numHashes = 16, bands = 8)
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         j.condition.map(_.references.map(_.name).toSet).getOrElse(Set.empty)

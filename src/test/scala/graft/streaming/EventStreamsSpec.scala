@@ -555,4 +555,35 @@ class EventStreamsSpec extends SparkTestBase {
     assert(u2.map(r => (r.getDouble(4), r.getBoolean(5))).toSeq ===
       Seq((100.0, false)))
   }
+
+  test("st14 EWMA fold order honors sub-millisecond event time " +
+       "(microseconds beat event_id — ADVICE r8 regression)") {
+    // Same millisecond, event_id order OPPOSITE to microsecond order:
+    // Timestamp.getTime truncates to ms, so a (getTime, event_id) sort
+    // key would fold id 1 first and erase the spike; the oracle's
+    // ORDER BY ts, event_id folds id 10 first (ewma 4 → spike on 24).
+    val evs = Seq(
+      EvV(10L, Timestamp.valueOf("2024-01-01 00:00:00.000100"), 1L, "click", 4.0),
+      EvV(1L, Timestamp.valueOf("2024-01-01 00:00:00.000900"), 1L, "click", 24.0))
+    val out = EventStreams.statefulEwma(evs.toDF()).toDF().collect()
+    val byId = out.map(r => r.getLong(2) -> ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(byId(10L) === ((4.0, false)))
+    assert(byId(1L) === ((14.0, true)), "24 must spike against pre-event ewma 4")
+  }
+
+  test("st13 funnel first-wins honors sub-millisecond event time") {
+    // Two signups in the same millisecond (ids reversed vs micros), then
+    // a click between them in microseconds: t1 must be the .000100
+    // signup so the .000500 click is strictly-after → stage 2. A
+    // ms-truncated sort could elect the .000900 signup as t1 (stage 1).
+    val evs = Seq(
+      EvJ(5L, Timestamp.valueOf("2024-01-01 00:00:00.000900"), 1L, "signup"),
+      EvJ(6L, Timestamp.valueOf("2024-01-01 00:00:00.000100"), 1L, "signup"),
+      EvJ(7L, Timestamp.valueOf("2024-01-01 00:00:00.000500"), 1L, "click"))
+    val out = EventStreams.statefulFunnel(evs.toDF()).toDF().collect()
+    assert(out.length === 1)
+    assert(out(0).getInt(1) === 2, "click strictly after the earlier signup")
+    assert(out(0).getTimestamp(2) ===
+      Timestamp.valueOf("2024-01-01 00:00:00.000100"))
+  }
 }
