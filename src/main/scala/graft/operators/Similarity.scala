@@ -85,6 +85,34 @@ object Similarity {
     * results are reproducible across engines and run orders; ties break
     * on candidate id.
     */
+  /** Embedding-table quality audit — the pre-index ANALYZE for vector
+    * data: per vector, its dimension count, grid-quantized squared L2
+    * norm, zero-vector flag, and exact min/max components. Catches the
+    * failure modes that silently poison ANN indexes (zero vectors from
+    * failed encodes, dimension drift across shards, exploding norms
+    * before normalization, NaN/Inf components surfacing as extreme
+    * min/max).
+    *
+    * 100 TB: a pure scan-side narrow pass — no shuffle, no join; every
+    * metric folds inside the row. Arithmetic discipline: squares sum in
+    * double (float→double casts are exact) and quantize on the 1e-6
+    * grid (`Exact.round6`), the same no-libm lockstep the cosine
+    * oracles use; min/max are comparisons only.
+    */
+  def embeddingAudit(embeddings: DataFrame, vecCol: String,
+                     idCol: String): DataFrame = {
+    val v = col(vecCol)
+    val norm2 = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    embeddings.select(
+      col(idCol).as("vec_id"),
+      size(v).as("n_dims"),
+      Exact.round6(norm2).as("norm2_q"),
+      (Exact.round6(norm2) === 0.0).as("is_zero"),
+      array_min(v).cast("double").as("min_e"),
+      array_max(v).cast("double").as("max_e"))
+  }
+
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     GraftFunctions.register(candidates.sparkSession)

@@ -811,6 +811,30 @@ object Analytics {
     // week-truncated stamps divided by 7 — exact integers. One
     // (user, week) distinct shuffle, a per-user min, and a tiny
     // partial-agg rollup.
+    // Rolling 7-day distinct active users per observed day — the DAU/
+    // WAU product-analytics staple. Sliding DISTINCT windows don't
+    // partial-aggregate (a window frame over per-day sets would
+    // re-merge sets per row), so the scale form is CONTRIBUTION
+    // explode: each distinct (user, day) contributes to the ≤7 report
+    // days it falls in (a bounded 7× scan-side expansion — no window,
+    // no per-day set state), then one countDistinct shuffle keyed on
+    // the report day. Report days restricted to days present in the
+    // data (semi join against the observed-day spine).
+    "a58_rolling_active" -> ((s, dir) => {
+      val ud = T.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      val contrib = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"), col("d"))
+        .select(col("user_id"), expr("date_add(d, o)").as("day"))
+      contrib.join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy("day")
+    }),
+
     "a57_retention_cohorts" -> ((s, dir) => {
       val weeks = graft.Caches.persistOnce(
         T.events(s, dir)
@@ -1368,6 +1392,17 @@ object Analytics {
            UNION ALL SELECT 2, 'click', u2n FROM c
            UNION ALL SELECT 3, 'purchase', u3n FROM c)
          ORDER BY step""",
+    // a58: the same contribution-explode formulation — each distinct
+    // (user, day) feeds report days d..d+6, restricted to observed days.
+    "a58_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         ds AS (SELECT DISTINCT d AS day FROM ud),
+         c AS (SELECT user_id, d + CAST(o.o AS INTEGER) AS day
+               FROM ud, (SELECT unnest(range(0, 7)) AS o) o)
+         SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
+         FROM c JOIN ds USING (day)
+         GROUP BY 1 ORDER BY 1""",
+
     "a57_retention_cohorts" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          w AS (SELECT DISTINCT user_id,

@@ -300,6 +300,14 @@ object Extensions {
       Dedup.ophMinhash(T.documents(s, dir), "text", "doc_id")
         .orderBy("d1", "d2")),
 
+    // Embedding-table quality audit — the pre-index ANALYZE for vector
+    // data (zero vectors, dimension drift, norm blowups): pure
+    // scan-side narrow pass, no shuffle; norms quantized on the 1e-6
+    // grid so the fold replays in DuckDB.
+    "x87_embedding_audit" -> ((s, dir) =>
+      Similarity.embeddingAudit(T.embeddings(s, dir), "embedding", "vec_id")
+        .orderBy("vec_id")),
+
     // SimHash banded near-dup candidates with Hamming distances. Oracle:
     // fingerprints + 16-bit band self-join replayed in DuckDB SQL.
     "x19_simhash_candidates" -> ((s, dir) =>
@@ -3050,6 +3058,20 @@ object Extensions {
          ORDER BY d.doc_id""",
     "x03_dedup_minhash" -> minhashNativeSql,
     "x86_oph_minhash" -> ophMinhashSql,
+    // x87: per-vector audit — list_sum of double squares on the same
+    // 1e-6 floor grid the cosine oracles use; min/max are comparisons.
+    "x87_embedding_audit" ->
+      """SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           floor(list_sum(list_transform(range(1, len(embedding)+1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS norm2_q,
+           floor(list_sum(list_transform(range(1, len(embedding)+1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 = 0.0 AS is_zero,
+           CAST(list_min(embedding) AS DOUBLE) AS min_e,
+           CAST(list_max(embedding) AS DOUBLE) AS max_e
+         FROM embeddings ORDER BY vec_id""",
     "x20_banded_jaccard" -> exactJaccardSql,
     "x22_pipeline_embeddings" ->
       s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding, label FROM embeddings),

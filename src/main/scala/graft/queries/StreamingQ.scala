@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import graft.streaming.{DocStreams, EventStreams}
 import graft.tables.{Tables => T}
 
@@ -112,10 +113,36 @@ object StreamingQ {
     "st14_stream_ewma" -> ((s, dir) =>
       EventStreams.statefulEwma(T.events(s, dir))
         .toDF()
-        .orderBy("user_id", "event_type", "event_id"))
+        .orderBy("user_id", "event_type", "event_id")),
+
+    // Live retention cohorts: a57's matrix as keyed stream state — the
+    // stateful op emits each (user, week_offset) exactly once; the
+    // rollup runs OUTSIDE the stream (the st12 combine hand-off). In
+    // batch each key processes once over full history, so the rollup
+    // equals the a57 window formulation (stream≡batch certified in
+    // EventStreamsSpec).
+    "st15_stream_cohorts" -> ((s, dir) =>
+      EventStreams.statefulCohorts(T.events(s, dir))
+        .toDF()
+        .groupBy("cohort_wk", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "week_offset"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st15: the a57 retention matrix (each (user, offset) emits exactly
+    // once in batch, so the stateful rollup equals the window form).
+    "st15_stream_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         w AS (SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM e),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1)
+         SELECT c.cohort_wk,
+           CAST(datediff('day', CAST(c.cohort_wk AS DATE), CAST(w.wk AS DATE)) // 7
+             AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+         FROM w JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // st14: the α=½ EWMA recurrence replayed as an ordered list fold —
     // list_reduce over the (ts, event_id)-sorted value prefix; the
     // spike gate reads the PRE-event fold. (a+v)/2 is one IEEE

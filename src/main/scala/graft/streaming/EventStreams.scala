@@ -467,6 +467,60 @@ object EventStreams {
       }
   }
 
+  /** Streaming retention cohorts — a57's matrix maintained as keyed
+    * stream state (the live retention dashboard): per user, the cohort
+    * week (first-activity week) and the set of week offsets already
+    * reported; each micro-batch emits ONLY newly seen (user, offset)
+    * rows, so the downstream rollup `groupBy(cohort_wk, week_offset)
+    * .count()` — run OUTSIDE the stream, the st12 combine hand-off —
+    * ticks up live without rescanning history.
+    *
+    * Assumes event-time-ordered delivery per key (the
+    * [[statefulSessionize]] condition): the user's first batch then
+    * holds their true cohort week. A cross-batch straggler from an
+    * EARLIER week would belong to an earlier cohort; it is skipped
+    * defensively (never a negative offset) rather than re-cohorted,
+    * since emitted rows are append-shaped and final.
+    *
+    * 100 TB/streaming: state is one timestamp + the offset set per
+    * user — bounded by campaign length in weeks, partitioned on the
+    * user key. In batch each key processes once over full history, so
+    * each (user, offset) emits exactly once and the rollup equals the
+    * a57 window formulation (certified in EventStreamsSpec).
+    */
+  final case class CohortState(cohortWk: Timestamp, seen: Seq[Int])
+  final case class CohortHit(user_id: Long, cohort_wk: Timestamp,
+                             week_offset: Int)
+
+  def statefulCohorts(events: DataFrame): Dataset[CohortHit] = {
+    import events.sparkSession.implicits._
+    val weekMs = 7L * 86400000L
+    events.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CohortState, CohortHit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)],
+         state: GroupState[CohortState]) =>
+          // week stamps are ms-aligned (date_trunc output) — no sub-ms
+          val wks = rows.map(_._2).toSeq.distinct.sortBy(_.getTime)
+          if (wks.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(CohortState(wks.head, Seq.empty))
+            val out = scala.collection.mutable.ArrayBuffer.empty[CohortHit]
+            wks.foreach { wk =>
+              val off = ((wk.getTime - st.cohortWk.getTime) / weekMs).toInt
+              if (wk.getTime >= st.cohortWk.getTime && !st.seen.contains(off)) {
+                st = st.copy(seen = st.seen :+ off)
+                out += CohortHit(user, st.cohortWk, off)
+              }
+            }
+            state.update(st)
+            out.iterator
+          }
+      }
+  }
+
   /** Per-(user, event type) running count + exact-cents value totals on
     * Spark 4's `transformWithState` — the modern arbitrary-state API
     * (SPARK-46815): typed composite state (here a `MapState` keyed by

@@ -40,6 +40,38 @@ class Round9OpsSpec extends SparkTestBase {
       s"est=$est exact=$exact")
   }
 
+  test("x87 embedding audit: hand-checked norms, zero flag, min/max") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, Seq(3.0f, 4.0f, 0.0f)),
+      (3L, Seq(-2.0f, 0.5f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingAudit(df, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getInt(1)).toSeq === Seq(3, 3, 3))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(0.0, 25.0, 5.25))
+    assert(out.map(_.getBoolean(3)).toSeq === Seq(true, false, false))
+    assert(out.map(r => (r.getDouble(4), r.getDouble(5))).toSeq ===
+      Seq((0.0, 0.0), (0.0, 4.0), (-2.0, 1.0)))
+  }
+
+  test("a58 rolling 7-day active equals the brute-force window on real data") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Analytics.queries("a58_rolling_active")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // brute force: for every observed day, distinct users with any
+    // event in [d-6, d]
+    val ud = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val expect = days.map { d =>
+      d.toString -> ud.filter { case (_, ed) =>
+        !ed.isAfter(d) && !ed.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    assert(got === expect)
+  }
+
   test("profileApprox plans one aggregate pass with NO Expand") {
     val df = spark.range(1000).select(col("id"), (col("id") % 7).as("m"))
     val plan = Profile.profileApprox(df, Seq(

@@ -571,6 +571,49 @@ class EventStreamsSpec extends SparkTestBase {
     assert(byId(1L) === ((14.0, true)), "24 must spike against pre-event ewma 4")
   }
 
+  test("st15 stateful cohorts: stream across micro-batches equals batch, " +
+       "rollup equals the a57 window formulation") {
+    implicit val ctx = spark.sqlContext
+    // user 1: weeks 0, 1, 3 (split across batches — offset 3 must read
+    // the cohort week from CROSS-batch state); user 2: one week
+    val evs = Seq(
+      Ev(t("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Ev(t("2024-01-03 10:00:00"), 1L, "click", 1.0),   // same week — no new row
+      Ev(t("2024-01-08 10:00:00"), 1L, "click", 1.0),
+      Ev(t("2024-01-09 10:00:00"), 2L, "view", 1.0),
+      Ev(t("2024-01-22 10:00:00"), 1L, "click", 1.0))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.statefulCohorts(input.toDF())
+      .writeStream.format("memory").queryName("cohort_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(3))
+      q.processAllAvailable()
+      input.addData(evs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cohort_out")
+      .orderBy("user_id", "week_offset").collect().toSeq
+    val batch = EventStreams.statefulCohorts(evs.toDF())
+      .toDF().orderBy("user_id", "week_offset").collect().toSeq
+    // each (user, offset) row is emitted exactly once, in both regimes
+    assert(streamed === batch)
+    assert(batch.map(r => (r.getLong(0), r.getInt(2))).toSeq ===
+      Seq((1L, 0), (1L, 1), (1L, 3), (2L, 0)))
+    // week stamps align on Monday (2024-01-01 is a Monday)
+    assert(batch.head.getTimestamp(1) === t("2024-01-01 00:00:00"))
+  }
+
+  test("st15 query rollup equals the a57 retention matrix on the fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val st15 = graft.queries.StreamingQ.queries("st15_stream_cohorts")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val a57 = graft.queries.Analytics.queries("a57_retention_cohorts")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(st15 === a57)
+  }
+
   test("st13 funnel first-wins honors sub-millisecond event time") {
     // Two signups in the same millisecond (ids reversed vs micros), then
     // a click between them in microseconds: t1 must be the .000100
