@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Heavy-tail benchmark at ~sf1.0 on the multi-file [[Fixtures]] layout:
   * the scale-stress companion to [[Bench]] (which runs the full surface
@@ -84,8 +85,24 @@ object BenchSf1 {
           docs, "doc_id", pairs, maxDriverEdges = 0).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Exact triangle counts over the DENSE support-1 co-order graph
+    // (a60's bench form prunes to repeat co-orders; this is the
+    // unpruned stress — 1.2 M edges / 41 M wedges at sf0.1, ~10× at
+    // sf1): the degree-oriented node-iterator under real wedge volume.
+    def timeTrianglesDense(): Double = {
+      val t0 = System.nanoTime()
+      val li = graft.tables.Tables.lineitem(spark, dir)
+      val edges = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = edges.as("x").join(edges.as("y"), "ok")
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      graft.operators.Graph.triangleCounts(pairs, "a", "b").count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val runs = runs0 :+
-      ("cc_starcontraction_forced", timeCcDistributed(), timeCcDistributed())
+      ("cc_starcontraction_forced", timeCcDistributed(), timeCcDistributed()) :+
+      ("triangles_dense_forced", timeTrianglesDense(), timeTrianglesDense())
     def fmt(v: Double): String = "%.3f".format(v)
     def m(sel: ((String, Double, Double)) => Double): String =
       runs.map(r => "\"" + r._1 + "\":" + fmt(sel(r))).mkString("{", ",", "}")

@@ -34,6 +34,71 @@ object Graph {
     * (fixed, small) round count. Hot dst nodes salt like any skewed
     * aggregation key.
     */
+  /** Per-node exact triangle counts via degree orientation — the
+    * MapReduce node-iterator of Suri & Vassilvitskii (WWW'11, "Counting
+    * triangles and the curse of the last reducer").
+    *
+    * Each undirected edge is oriented from its lower-(degree, id)
+    * endpoint to the higher one, so wedges (candidate two-paths)
+    * generate ONLY at an edge's source: a node spawns C(outdeg, 2)
+    * candidates and oriented out-degrees are O(√m) on any graph, which
+    * caps wedge volume at O(m^1.5) — a mega-hub node (the "last
+    * reducer" that makes naive per-node triangle counting die at
+    * scale) contributes almost nothing because its edges all point
+    * INTO it. One closing equi-join against the canonical (a<b) edge
+    * set confirms each wedge; each confirmed triangle then credits all
+    * three corners via a bounded ×3 explode and a partial-agg count.
+    *
+    * Deterministic by construction (set semantics + integer counts) —
+    * no quantization needed; the oracle replays the same orientation
+    * rule and joins.
+    *
+    * 100 TB: two shuffles on node keys (degree, wedge-source grouping)
+    * plus the closing equi-join on the canonical pair key — no
+    * all-pairs path; skewed wedge sources are ordinary skewed join
+    * keys (AQE/salting territory), already bounded by the orientation.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+                     broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+    val canon = graft.Caches.persistOnce(
+      edges.select(least(col(aCol), col(bCol)).as("a"),
+                   greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b") && col("a").isNotNull).distinct())
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // measured broadcast decision (the Dedup dup-rate-routing
+    // discipline): canon is persisted, so the count is a cache pass.
+    // Under the limit, degree and closing-edge joins broadcast — the
+    // 41 M-wedge stream then probes a hash table scan-side and NEVER
+    // shuffles; above it, ordinary shuffled equi-joins (the keys are
+    // uniform node/pair ids).
+    val nEdges = canon.count()
+    def maybeB(df: DataFrame): DataFrame =
+      if (nEdges <= broadcastEdgeLimit) broadcast(df) else df
+    val withDeg = canon
+      .join(maybeB(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+      .join(maybeB(deg.select(col("v").as("b"), col("d").as("db"))), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("w"))
+    // wedges generate SCAN-SIDE from per-source sorted out-neighbor
+    // lists (the a56 posexplode × tail-slice trick) — one shuffle on u
+    // builds adjacency, and list length is the oriented out-degree,
+    // O(√m) by construction, so no list is ever a mega-basket.
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("w"))).as("ws"))
+    val wedges = adj
+      .select(col("u"), col("ws"), posexplode(col("ws")).as(Seq("i", "a")))
+      .select(col("u"), col("a"),
+        explode(slice(col("ws"), col("i") + lit(2), size(col("ws"))))
+          .as("b"))
+    wedges.join(maybeB(canon), Seq("a", "b"))
+      .select(explode(array(col("u"), col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85,
                checkpointEvery: Int = 8): DataFrame = {

@@ -372,6 +372,80 @@ object Sampling {
     * fetches negative payloads (an id-keyed join it can defer to
     * training-shard assembly).
     */
+  private[graft] val MaxMixSources = 65536
+
+  /** Token-budget waterfilling mix: fill a global training-token budget
+    * across sources, smallest-first — small sources contribute
+    * everything, large sources are capped at a common integer level
+    * (the max-min-fair "waterfilling" allocation). The budgeted
+    * curation step a pipeline runs AFTER per-doc filtering: "give me
+    * B tokens, as source-diverse as possible".
+    *
+    * Semantics (deterministic, engine-replayable): sources sorted
+    * ascending by (total, source); the greedy prefix that fully fits
+    * takes everything (source k fits when its total ≤ the integer
+    * level `(B − taken) div (sources left)`); every remaining source
+    * gets the SAME fixed level `(B − prefix total) div (rest count)` —
+    * each such source's total strictly exceeds that level by
+    * construction, and the sub-`rest` integer remainder stays
+    * unallocated (≤ one token per source — noise at any real B). Doc
+    * selection within a source is the murmur3-ordered prefix whose
+    * cumulative token count stays within the allocation (hash order =
+    * the x24/x65 reproducible-sample discipline; a doc straddling the
+    * boundary is dropped, never split).
+    *
+    * 100 TB: the corpus streams once into (doc, tokens) — scan-side
+    * token counts, no text shuffle; per-source totals are a
+    * partial-agg over source cardinality; the allocation solve is
+    * driver state BOUNDED by source count ([[MaxMixSources]]-fenced —
+    * the codebook-guard discipline) and rejoins as a broadcast; the
+    * per-source cumulative-sum window shuffles ids+counts only, never
+    * text. A mega-source's window sort is the one per-key order
+    * statistic — at extreme skew, shard it two-level (per-shard
+    * subtotals, then shard offsets) like any distributed prefix sum.
+    */
+  def tokenBudgetMix(docs: DataFrame, textCol: String, idCol: String,
+                     sourceCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = docs.sparkSession
+    val toks = graft.Caches.persistOnce(docs.select(
+      col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      size(split(lower(col(textCol)), "\\s+")).cast("bigint").as("toks")))
+    val totals = toks.groupBy("source").agg(sum("toks").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(totals.length <= MaxMixSources,
+      s"tokenBudgetMix saw ${totals.length} sources; the driver-side " +
+        s"waterfilling solve is fenced at MaxMixSources=$MaxMixSources")
+    val sorted = totals.sortBy { case (s, t) => (t, s) }
+    val n = sorted.length
+    var taken = 0L
+    var k = 0
+    while (k < n &&
+        sorted(k)._2 <= math.max(budget - taken, 0L) / (n - k)) {
+      taken += sorted(k)._2
+      k += 1
+    }
+    val level = if (k < n) math.max(budget - taken, 0L) / (n - k) else 0L
+    val alloc = sorted.zipWithIndex.map { case ((s, t), i) =>
+      (s, if (i < k) t else level)
+    }
+    import spark.implicits._
+    val allocDf = alloc.toSeq.toDF("source", "alloc")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("hu"), col("doc_id"))
+    toks.join(broadcast(allocDf), "source")
+      .withColumn("hu",
+        hash(col("doc_id")).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("kept", (col("cum") <= col("alloc")).cast("int"))
+      .groupBy("source")
+      .agg(sum("toks").as("total_tokens"),
+        max("alloc").as("alloc_tokens"),
+        sum("kept").cast("bigint").as("kept_docs"),
+        sum(when(col("kept") === 1, col("toks")).otherwise(lit(0L)))
+          .as("kept_tokens"))
+  }
+
   def tripletMine(pairs: DataFrame, items: DataFrame, idCol: String,
                   negsPerAnchor: Int = 2): DataFrame = {
     require(negsPerAnchor >= 1, "negsPerAnchor must be >= 1")

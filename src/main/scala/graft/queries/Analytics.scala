@@ -835,6 +835,63 @@ object Analytics {
         .orderBy("day")
     }),
 
+    // Last-touch marketing attribution: each purchase credits the
+    // user's most recent preceding touch (click/view/signup — error
+    // events never attribute) within a 7-day lookback; purchases with
+    // no in-window touch land in the '(none)' bucket. ONE user_id
+    // exchange feeds a single ordered window; ts carries microseconds
+    // and event_id breaks exact ties (the st14 discipline), and the
+    // two IGNORE NULLS last_values share one null pattern so they pick
+    // the same touch row. Revenue routes through DECIMAL(12,2)
+    // (Exact.dsum) for bit-identical cross-engine totals.
+    // 100 TB: windows partition on user_id — no global sort; the
+    // rollup is a channel-cardinality partial agg.
+    "a59_last_touch" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isTouch = col("event_type").isin("click", "view", "signup")
+      T.events(s, dir)
+        .withColumn("t_ts", last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("t_ty", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("t_ts").isNotNull &&
+               col("t_ts") >= col("ts") - expr("INTERVAL 7 DAYS"), col("t_ty"))
+            .otherwise(lit("(none)")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          Exact.dsum(col("value")).as("revenue"))
+        .orderBy("channel")
+    }),
+
+    // Triadic product bundles: per-part exact triangle counts over the
+    // REPEAT co-order graph (parts linked when co-ordered in ≥ 2
+    // orders — single co-occurrence is noise on basket data) — the
+    // graph-analytics companion to a56's pairwise affinity (a triangle
+    // = three parts that pairwise repeat-co-occur, the bundle signal
+    // pair support can't see). Edges ride a56's persistOnce'd
+    // fenced-basket frame (sorted arrays ⇒ p1 < p2 scan-side, never a
+    // lineitem self-join); the count runs the degree-oriented
+    // node-iterator ([[graft.operators.Graph.triangleCounts]]) so
+    // wedge volume is O(m^1.5)-bounded even under hub parts. The
+    // support-1 co-occurrence graph (1.2 M edges / 41 M wedges at
+    // sf0.1) is the BenchSf1 `triangles_dense_forced` stress row, not
+    // a per-round bench tax.
+    "a60_basket_triangles" -> ((s, dir) => {
+      val baskets = graft.Caches.persistOnce(fencedBaskets(T.lineitem(s, dir)))
+      val edges = baskets
+        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+        .select(col("p1"),
+          explode(slice(col("parts"), col("i") + lit(2), size(col("parts"))))
+            .as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      graft.operators.Graph.triangleCounts(edges, "p1", "p2")
+        .withColumnRenamed("v", "part")
+        .orderBy("part")
+    }),
+
     "a57_retention_cohorts" -> ((s, dir) => {
       val weeks = graft.Caches.persistOnce(
         T.events(s, dir)
@@ -1401,6 +1458,49 @@ object Analytics {
                FROM ud, (SELECT unnest(range(0, 7)) AS o) o)
          SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
          FROM c JOIN ds USING (day)
+         GROUP BY 1 ORDER BY 1""",
+
+    // a59: identical window — the same (ts, event_id) order, the same
+    // 1-PRECEDING frame, the same shared null pattern for the two
+    // IGNORE NULLS picks; revenue through DECIMAL(12,2).
+    "a59_last_touch" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type, value FROM events),
+         t AS (SELECT *,
+             last_value(CASE WHEN event_type IN ('click','view','signup')
+                             THEN ts END IGNORE NULLS) OVER w AS t_ts,
+             last_value(CASE WHEN event_type IN ('click','view','signup')
+                             THEN event_type END IGNORE NULLS) OVER w AS t_ty
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT CASE WHEN t_ts IS NOT NULL AND t_ts >= ts - INTERVAL 7 DAY
+                     THEN t_ty ELSE '(none)' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+
+    // a60: same orientation rule ((degree, id) row-value compare), same
+    // wedge + closing joins, same 3-corner credit.
+    "a60_basket_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS a, b.pk AS b
+               FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+               FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+               GROUP BY 1),
+         o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+                      CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS w
+               FROM e JOIN d da ON da.v = e.a JOIN d db ON db.v = e.b),
+         wg AS (SELECT e1.u AS u, e1.w AS a, e2.w AS b
+                FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.w < e2.w),
+         t AS (SELECT u, a, b FROM wg JOIN e USING (a, b))
+         SELECT v AS part, CAST(count(*) AS BIGINT) AS n_tri
+         FROM (SELECT u AS v FROM t UNION ALL SELECT a FROM t
+               UNION ALL SELECT b FROM t)
          GROUP BY 1 ORDER BY 1""",
 
     "a57_retention_cohorts" ->

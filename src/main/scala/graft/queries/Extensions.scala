@@ -308,6 +308,16 @@ object Extensions {
       Similarity.embeddingAudit(T.embeddings(s, dir), "embedding", "vec_id")
         .orderBy("vec_id")),
 
+    // Token-budget waterfilling mix: fill a 24k-token budget across
+    // sources, smallest-first — max-min-fair source diversity under a
+    // global budget. At sf0.01 both branches fire on real data (the
+    // two smallest sources fit whole; the rest cap at the common
+    // level); doc selection is the murmur3-ordered prefix.
+    "x88_token_budget_mix" -> ((s, dir) =>
+      Sampling.tokenBudgetMix(T.documents(s, dir), "text", "doc_id",
+          "source", budget = 24000L)
+        .orderBy("source")),
+
     // SimHash banded near-dup candidates with Hamming distances. Oracle:
     // fingerprints + 16-bit band self-join replayed in DuckDB SQL.
     "x19_simhash_candidates" -> ((s, dir) =>
@@ -2336,6 +2346,55 @@ object Extensions {
     * component values (no array-hash — the band key IS the pair of
     * densified longs).
     */
+  /** x88: the waterfilling solve replayed as window SQL — sources
+    * ascending by (total, source); `fits` uses the same non-negative
+    * integer division as the Scala loop (operands floored at 0, so
+    * `//` truncation == floor in both engines), `all_fit` is the
+    * prefix-AND that pins the greedy stop point, and the fixed level
+    * divides by `greatest(rest, 1)` only to keep the dead branch from
+    * tripping DuckDB's eager checker when every source fits. Doc
+    * selection replays Spark's murmur3 hashLong via the staged CTEs.
+    */
+  private lazy val tokenBudgetMixSql: String = {
+    val b = "24000"
+    val (hashCtes, huCte) =
+      Murmur3Sql.hashLongCtes("d0", Seq("source", "doc_id", "toks"), "xh")
+    s"""WITH d0 AS (SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS toks,
+             doc_id AS v
+           FROM documents),
+       $hashCtes
+       ps AS (SELECT source, sum(toks) AS total FROM d0 GROUP BY 1),
+       lv AS (SELECT source, total,
+           row_number() OVER (ORDER BY total, source) AS k,
+           sum(total) OVER (ORDER BY total, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           count(*) OVER () AS n
+         FROM ps),
+       f AS (SELECT *, CASE WHEN total <=
+             greatest($b - (cum - total), 0) // (n - k + 1)
+             THEN 1 ELSE 0 END AS fits FROM lv),
+       g AS (SELECT *, min(fits) OVER (ORDER BY total, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS all_fit
+           FROM f),
+       sv AS (SELECT coalesce(max(CASE WHEN all_fit = 1 THEN cum END), 0) AS sat_cum,
+              coalesce(sum(all_fit), 0) AS sat_n, max(n) AS n FROM g),
+       al AS (SELECT g.source, g.total,
+           CASE WHEN g.all_fit = 1 THEN g.total
+                ELSE greatest($b - sv.sat_cum, 0) //
+                     greatest(sv.n - sv.sat_n, 1) END AS alloc
+         FROM g, sv),
+       r AS (SELECT h.source, h.toks, al.alloc,
+           sum(h.toks) OVER (PARTITION BY h.source ORDER BY h.hu, h.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM $huCte h JOIN al USING (source))
+       SELECT source, CAST(sum(toks) AS BIGINT) AS total_tokens,
+         CAST(max(alloc) AS BIGINT) AS alloc_tokens,
+         CAST(sum(CASE WHEN cum <= alloc THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         CAST(sum(CASE WHEN cum <= alloc THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+       FROM r GROUP BY 1 ORDER BY 1"""
+  }
+
   private lazy val ophMinhashSql: String = {
     import Murmur3Sql._
     val wordMix = mixH1("h", mixK1("w"))
@@ -3072,6 +3131,7 @@ object Extensions {
            CAST(list_min(embedding) AS DOUBLE) AS min_e,
            CAST(list_max(embedding) AS DOUBLE) AS max_e
          FROM embeddings ORDER BY vec_id""",
+    "x88_token_budget_mix" -> tokenBudgetMixSql,
     "x20_banded_jaccard" -> exactJaccardSql,
     "x22_pipeline_embeddings" ->
       s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding, label FROM embeddings),

@@ -126,10 +126,39 @@ object StreamingQ {
         .toDF()
         .groupBy("cohort_wk", "week_offset")
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_wk", "week_offset"))
+        .orderBy("cohort_wk", "week_offset")),
+
+    // Streaming Bloom first-seen filter: x31's membership prefilter as
+    // keyed stream state (one long per bit position — mBits longs of
+    // state TOTAL), per-doc AND + exact verify outside the stream (the
+    // st12 combine hand-off). bloom_maybe ≥ is_dup on every row; the
+    // gap rows are the live FP tail.
+    "st16_stream_bloom" -> ((s, dir) =>
+      DocStreams.bloomFirstSeenFlags(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st16: probe hit ⇔ the position's first setter has a smaller id
+    // (in batch each position group processes ids ascending, so
+    // "earlier set" = min setter < prober); exact dup = an earlier doc
+    // with the same sha256.
+    "st16_stream_bloom" ->
+      """WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         p AS (SELECT doc_id,
+             CAST(concat('0x', substr(h, 1 + 12*r, 12)) AS BIGINT) % 16384 AS pos
+           FROM d, range(4) t(r)),
+         fs AS (SELECT pos, min(doc_id) AS first_id FROM p GROUP BY 1),
+         mb AS (SELECT p.doc_id,
+             CAST(min(CASE WHEN fs.first_id < p.doc_id THEN 1 ELSE 0 END)
+               AS INTEGER) AS bloom_maybe
+           FROM p JOIN fs USING (pos) GROUP BY 1),
+         fh AS (SELECT h, min(doc_id) AS first_h FROM d GROUP BY 1)
+         SELECT d.doc_id, mb.bloom_maybe,
+           CAST(CASE WHEN fh.first_h < d.doc_id THEN 1 ELSE 0 END
+             AS INTEGER) AS is_dup
+         FROM d JOIN mb ON mb.doc_id = d.doc_id JOIN fh ON fh.h = d.h
+         ORDER BY d.doc_id""",
     // st15: the a57 retention matrix (each (user, offset) emits exactly
     // once in batch, so the stateful rollup equals the window form).
     "st15_stream_cohorts" ->

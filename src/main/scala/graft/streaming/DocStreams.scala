@@ -68,6 +68,71 @@ object DocStreams {
       }
   }
 
+  /** Streaming Bloom first-seen filter — x31's exact-dedup prefilter as
+    * keyed stream state (the "have I crawled this before?" front gate a
+    * live ingest answers BEFORE paying the exact verify join). Each
+    * document probes the k=4 sha256-slice bit positions of
+    * [[graft.operators.Bloom.digestPositions]]; the filter's bit array
+    * partitions horizontally across `mBits` position keys, and the
+    * state per key is ONE long — the earliest doc that set that bit —
+    * so total state is `mBits` longs regardless of corpus size. A
+    * probe hits when its bit was set by a STRICTLY earlier doc; the
+    * per-doc AND across probes (`bloom_maybe`) happens OUTSIDE the
+    * stream — the st12/windowQuantiles combine hand-off.
+    *
+    * No false negatives by construction: an exact earlier dup set all
+    * k of this doc's positions. In batch each position group processes
+    * once with ids sorted ascending, so "earlier" = smaller id; in a
+    * stream it is arrival order, equal whenever docs arrive in id
+    * order (the DocStreamsSpec certification discipline).
+    */
+  def bloomFirstSeenProbes(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 4,
+                           mBits: Int = 1 << 14): Dataset[BloomProbe] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = graft.operators.Bloom.digestPositions(
+      sha2(col(textCol), 256), k, mBits)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array(pos: _*)).as("pos"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PosState, BloomProbe](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (pos: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[PosState]) =>
+          val sorted = rows.map(_._1).toSeq.distinct.sorted
+          var first = state.getOption.map(_.firstId)
+          val out = sorted.map { id =>
+            val hit = first.exists(_ < id)
+            if (!first.exists(_ <= id)) first = Some(id)
+            BloomProbe(id, hit)
+          }
+          state.update(PosState(first.get))
+          out.iterator
+      }
+  }
+
+  /** Per-doc combine of [[bloomFirstSeenProbes]] + the exact verify:
+    * `bloom_maybe` = every probe hit (1/0), `is_dup` = an earlier doc
+    * with the same digest exists. `bloom_maybe ≥ is_dup` always (no
+    * false negatives); the gap rows are the Bloom FP tail the exact
+    * join caught. Batch composition over the probe sink.
+    */
+  def bloomFirstSeenFlags(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int = 4, mBits: Int = 1 << 14): DataFrame = {
+    val probes = bloomFirstSeenProbes(docs, textCol, idCol, k, mBits).toDF()
+    val mb = probes.groupBy("doc_id")
+      .agg(min(when(col("hit"), lit(1)).otherwise(lit(0))).as("bloom_maybe"))
+    val d = docs.select(col(idCol).cast("long").as("doc_id"),
+      sha2(col(textCol), 256).as("h"))
+    val firstH = d.groupBy("h").agg(min("doc_id").as("first_h"))
+    mb.join(d, "doc_id").join(firstH, "h")
+      .select(col("doc_id"), col("bloom_maybe"),
+        when(col("first_h") < col("doc_id"), lit(1)).otherwise(lit(0))
+          .as("is_dup"))
+  }
+
   /** Cross-band combine of [[nearDupBandFlags]]: one row per doc with
     * the earliest dup partner over any band (`dup_of`, null if unique)
     * and the 0/1 flag. Batch composition; in a streaming deployment
@@ -92,3 +157,7 @@ object DocStreams {
 final case class BandFlag(doc_id: Long, band: Int, dup_of: Option[Long])
 
 final case class BandBucketState(fps: Vector[(Long, Long)])
+
+final case class BloomProbe(doc_id: Long, hit: Boolean)
+
+final case class PosState(firstId: Long)

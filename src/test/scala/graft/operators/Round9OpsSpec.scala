@@ -84,4 +84,81 @@ class Round9OpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"))
   }
+
+  test("triangleCounts: K4 gives every node 3 triangles; a path gives none; " +
+       "direction/duplicate/self-loop inputs canonicalize away") {
+    // K4 on {1,2,3,4} fed as a messy multigraph: reversed duplicates,
+    // a self-loop, a repeated edge
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 4L), (2L, 4L), (4L, 2L), (3L, 3L)).toDF("a", "b")
+    val out = Graph.triangleCounts(k4, "a", "b")
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      "K4 has C(4,3)=4 triangles, each node in exactly 3")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCounts(path, "a", "b").count() === 0L)
+  }
+
+  test("triangleCounts: hub star plus one closing edge yields exactly " +
+       "one triangle (the orientation never wedges at the hub)") {
+    // hub 100 connected to 1..10, plus edge (1,2): one triangle
+    val star = (1L to 10L).map(i => (100L, i)) :+ ((1L, 2L))
+    val out = Graph.triangleCounts(star.toDF("a", "b"), "a", "b")
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L), (100L, 1L)))
+  }
+
+  test("tokenBudgetMix: small sources fit whole, large ones cap at the " +
+       "common level; zero and ample budgets hit the boundary branches") {
+    // srcA: 2 docs x 2 tokens = 4; srcB: 3 docs x 4 = 12; srcC: 1 doc x 30
+    val docs = Seq(
+      (1L, "w w", "A"), (2L, "w w", "A"),
+      (3L, "w w w w", "B"), (4L, "w w w w", "B"), (5L, "w w w w", "B"),
+      (6L, Seq.fill(30)("w").mkString(" "), "C")).toDF("doc_id", "text", "source")
+    // budget 20: A(4) <= 20/3=6 fits; B(12) > (20-4)/2=8 caps at 8; C caps at 8
+    val out = Sampling.tokenBudgetMix(docs, "text", "doc_id", "source", 20L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) === (("A", 4L, 4L, 2L, 4L)), "A fits whole")
+    assert(out(1)._3 === 8L, "B allocation is the fixed level (20-4)/2")
+    assert(out(1)._5 <= 8L && out(1)._5 % 4 === 0L, "B keeps whole docs under the level")
+    assert(out(2) === (("C", 30L, 8L, 0L, 0L)),
+      "C's single 30-token doc straddles the level and is dropped, never split")
+    // ample budget: everything kept
+    val all = Sampling.tokenBudgetMix(docs, "text", "doc_id", "source", 1000L)
+      .agg(sum("kept_tokens"), sum("total_tokens")).head
+    assert(all.getLong(0) === all.getLong(1))
+    // zero budget: nothing kept
+    val none = Sampling.tokenBudgetMix(docs, "text", "doc_id", "source", 0L)
+      .agg(sum("kept_tokens")).head
+    assert(none.getLong(0) === 0L)
+  }
+
+  test("a59 last-touch: in-window touch attributes, stale touch and " +
+       "touchless purchases fall to (none), errors never attribute") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val evs = Seq(
+      // user 1: click then purchase 2 days later -> click
+      (1L, t("2024-01-01 10:00:00"), 1L, "click", 10.0),
+      (2L, t("2024-01-03 10:00:00"), 1L, "purchase", 100.0),
+      // user 2: view 10 days before purchase -> (none)
+      (3L, t("2024-01-01 10:00:00"), 2L, "view", 5.0),
+      (4L, t("2024-01-11 10:00:00"), 2L, "purchase", 50.0),
+      // user 3: error right before purchase, view before that -> view
+      (5L, t("2024-01-05 09:00:00"), 3L, "view", 1.0),
+      (6L, t("2024-01-05 09:30:00"), 3L, "error", 1.0),
+      (7L, t("2024-01-05 10:00:00"), 3L, "purchase", 25.0),
+      // user 4: purchase with no history -> (none)
+      (8L, t("2024-01-02 10:00:00"), 4L, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("a59").toString
+    evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Analytics.queries("a59_last_touch")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("click") === ((1L, 100.0)))
+    assert(out("view") === ((1L, 25.0)))
+    assert(out("(none)") === ((2L, 57.0)))
+    assert(!out.contains("error"))
+  }
 }

@@ -77,4 +77,41 @@ class DocStreamsSpec extends SparkTestBase {
       "state must survive the micro-batch boundary")
     assert(combined(5L) === None)
   }
+
+  test("st16 bloom first-seen: exact dup blooms AND verifies; stream " +
+       "across micro-batches equals batch; no false negatives") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocStreams.bloomFirstSeenProbes(input.toDF(), "text", "doc_id")
+      .toDF()
+      .writeStream.format("memory").queryName("st16_probes")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(docs.take(3))
+      q.processAllAvailable()
+      input.addData(docs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // combine the streamed probe sink exactly like the batch composition
+    val probes = spark.table("st16_probes")
+    val mb = probes.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("hit"), 1).otherwise(0))
+        .as("bloom_maybe"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = DocStreams.bloomFirstSeenFlags(docs.toDF(), "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(batch.map(r => r._1 -> r._2).toMap === mb,
+      "streamed probe state must reproduce the batch bloom flags")
+    val byId = batch.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) === ((0, 0)), "first copy is clean")
+    assert(byId(2L) === ((1, 1)), "exact dup of 1 blooms and verifies")
+    assert(byId(4L)._2 === 0, "near-dup (different digest) is NOT an exact dup")
+    batch.foreach { case (id, maybe, dup) =>
+      assert(maybe >= dup, s"doc $id: bloom false negative")
+    }
+  }
 }
