@@ -21,11 +21,14 @@ object TimeQuery {
     val noClear = args(2) == "--no-clear"
     val names = args.drop(if (noClear) 3 else 2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // same optional multi-file split override as Bench (sf1 fixtures)
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .fold(builder0)(b => builder0.config("spark.sql.files.maxPartitionBytes", b))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)

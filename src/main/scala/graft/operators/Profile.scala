@@ -31,16 +31,23 @@ object Profile {
     // one task (measured at sf0.1, 5 specs over lineitem: 8.3-9.2 s
     // single-task vs 2.3-3.3 s spread — the residual is the expanded
     // partial agg itself). At production scale the source is many-split
-    // and this repartition is a no-op. Tradeoff (deliberate): on a
-    // LARGE few-partition input the round-robin exchange ships the
-    // full table once to win |specs|× post-Expand parallelism — worth
-    // it when specs > 1; for estimate-grade stats at that scale use
-    // [[profileApprox]], which has no Expand and no spread at all.
+    // and this repartition is a no-op. Two guards keep the spread from
+    // costing more than it saves on a LARGE few-partition input (the
+    // round-8 sf1 regression: 3 packed multi-file splits → a full-table
+    // round-robin exchange): (1) the exchange ships ONLY the spec
+    // columns — the profile never needs the rest of the row; (2) the
+    // spread fires only when the input is truly narrow (≤ parallelism/4
+    // partitions), where the |specs|× post-Expand parallelism win
+    // dominates the projected exchange. For estimate-grade stats at
+    // scale use [[profileApprox]] — no Expand, no spread at all.
+    val pruned = df.select(specs.map { case (n, c) => c.as(s"__c_$n") }: _*)
+    val specCols = specs.map { case (n, _) => (n, col(s"__c_$n")) }
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val input =
-      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
-      else df
-    val aggs = specs.flatMap { case (name, c) =>
+      if (pruned.rdd.getNumPartitions * 4 <= parallelism)
+        pruned.repartition(parallelism)
+      else pruned
+    val aggs = specCols.flatMap { case (name, c) =>
       Seq(count(lit(1)).as(s"__n_$name"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$name"),
         count_distinct(c).as(s"__nd_$name"),

@@ -892,6 +892,30 @@ object Analytics {
         .orderBy("part")
     }),
 
+    // Degree-distribution profile of the repeat co-order graph — the
+    // graph ANALYZE that decides whether a60's node-iterator needs
+    // skew handling (x79's philosophy applied to graph degrees):
+    // nodes per integer-log2 degree bucket with the bucket's exact
+    // min/max degree. log2 via length(bin(d)) — the x79 no-libm
+    // idiom; everything else is integer counts. One edge shuffle +
+    // one node-cardinality agg + a ≤64-bucket rollup.
+    "a61_degree_profile" -> ((s, dir) => {
+      val baskets = graft.Caches.persistOnce(fencedBaskets(T.lineitem(s, dir)))
+      val edges = baskets
+        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+        .select(col("p1"),
+          explode(slice(col("parts"), col("i") + lit(2), size(col("parts"))))
+            .as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      edges.select(explode(array(col("p1"), col("p2"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .groupBy(length(bin(col("d"))).cast("int").as("log2_bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .orderBy("log2_bucket")
+    }),
+
     "a57_retention_cohorts" -> ((s, dir) => {
       val weeks = graft.Caches.persistOnce(
         T.events(s, dir)
@@ -1480,6 +1504,22 @@ object Analytics {
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
          FROM t WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY 1""",
+
+    // a61: same repeat-edge CTE as a60, degree per node, len(bin())
+    // log2 buckets (both engines' bin drops leading zeros).
+    "a61_degree_profile" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS a, b.pk AS b
+               FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+               FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+               GROUP BY 1)
+         SELECT CAST(len(bin(d)) AS INTEGER) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(d) AS min_d, max(d) AS max_d
+         FROM d GROUP BY 1 ORDER BY 1""",
 
     // a60: same orientation rule ((degree, id) row-value compare), same
     // wedge + closing joins, same 3-corner credit.

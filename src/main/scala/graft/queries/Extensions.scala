@@ -318,6 +318,27 @@ object Extensions {
           "source", budget = 24000L)
         .orderBy("source")),
 
+    // ANN recall report: x17's IVF probe measured against x05's exact
+    // brute-force truth, per query — the index-quality gate a pipeline
+    // runs before trusting an approximate index (the RecallSpec floor,
+    // promoted to a first-class query). Both arms are the existing
+    // oracle-exact operators; the report is a k-row-per-query join +
+    // per-query count, so its cost is the arms', not the compare's.
+    "x89_ann_recall" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("cand_id"))
+      val ivf = Similarity.ivfTopKSampled(emb, q, "embedding", "vec_id",
+          k = 10, cells = 16, nProbe = 4)
+        .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+      bf.join(ivf, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+        .withColumn("recall_at_10", col("n_hits").cast("double") / 10)
+        .orderBy("query_id")
+    }),
+
     // SimHash banded near-dup candidates with Hamming distances. Oracle:
     // fingerprints + 16-bit band self-join replayed in DuckDB SQL.
     "x19_simhash_candidates" -> ((s, dir) =>
@@ -2346,6 +2367,56 @@ object Extensions {
     * component values (no array-hash — the band key IS the pair of
     * densified longs).
     */
+  /** x89: both arms replayed — the x17 sampled-codebook IVF chain
+    * (hash-min 16-cell codebook, rk=1 assignment, nProbe=4, in-cell
+    * re-rank) and the x05 brute-force chain — then the per-query
+    * top-10 overlap. n_hits/10 is one correctly-rounded double
+    * division, identical in both engines.
+    */
+  private lazy val annRecallSql: String = {
+    val (hashCtes, huCte) =
+      Murmur3Sql.hashLongCtes("cb0", Seq("cell", "centroid"), "rh")
+    s"""WITH cb0 AS (SELECT vec_id AS cell, embedding AS centroid, vec_id AS v FROM embeddings),
+       $hashCtes
+       cb AS (SELECT cell, centroid FROM (
+                SELECT cell, centroid, row_number() OVER (ORDER BY hu, cell) AS rn
+                FROM $huCte)
+              WHERE rn <= 16),
+       asg AS (SELECT cell, cand_id, cvec FROM (
+                SELECT cb.cell, c.vec_id AS cand_id, c.embedding AS cvec,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY ${cosineRounded("c.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings c, cb)
+              WHERE rk = 1),
+       prb AS (SELECT query_id, qv, cell FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, cb.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosineRounded("q.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings q, cb WHERE q.vec_id < 5)
+              WHERE rk <= 4),
+       iscored AS (SELECT p.query_id, a.cand_id,
+                    ${cosineRounded("p.qv", "a.cvec")} AS cosine
+                   FROM prb p JOIN asg a USING (cell)
+                   WHERE p.query_id <> a.cand_id),
+       ivfk AS (SELECT query_id, cand_id FROM (
+                 SELECT query_id, cand_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+                 FROM iscored) WHERE rank <= 10),
+       bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                    ${cosineRounded("q.embedding", "c.embedding")} AS cosine
+                   FROM embeddings q, embeddings c
+                   WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+       bfk AS (SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+                FROM bscored) WHERE rank <= 10)
+       SELECT b.query_id, CAST(count(i.cand_id) AS INTEGER) AS n_hits,
+         CAST(count(i.cand_id) AS DOUBLE) / 10 AS recall_at_10
+       FROM bfk b LEFT JOIN ivfk i
+         ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+       GROUP BY 1 ORDER BY 1"""
+  }
+
   /** x88: the waterfilling solve replayed as window SQL — sources
     * ascending by (total, source); `fits` uses the same non-negative
     * integer division as the Scala loop (operands floored at 0, so
@@ -3132,6 +3203,7 @@ object Extensions {
            CAST(list_max(embedding) AS DOUBLE) AS max_e
          FROM embeddings ORDER BY vec_id""",
     "x88_token_budget_mix" -> tokenBudgetMixSql,
+    "x89_ann_recall" -> annRecallSql,
     "x20_banded_jaccard" -> exactJaccardSql,
     "x22_pipeline_embeddings" ->
       s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding, label FROM embeddings),

@@ -135,10 +135,43 @@ object StreamingQ {
     // gap rows are the live FP tail.
     "st16_stream_bloom" -> ((s, dir) =>
       DocStreams.bloomFirstSeenFlags(T.documents(s, dir), "text", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Streaming KMV distinct-user counter per event type: a23/x78b's
+    // deterministic bottom-k sketch as keyed stream state (≤ k longs +
+    // a counter per key). Bottom-k union is a semilattice, so stream
+    // state equals the batch fold under ANY arrival order and the
+    // estimate replays bit-exactly.
+    "st17_stream_kmv" -> ((s, dir) =>
+      EventStreams.statefulKmvDistinct(T.events(s, dir))
+        .toDF()
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st17: the KMV replay — distinct murmur3 user hashes per type
+    // (staged hashLong CTEs), kth-smallest via row_number, the exact
+    // KmvDistinctAgg.finish arithmetic ((k-1)*2^32 = 1095216660480).
+    "st17_stream_kmv" -> {
+      val (hashCtes, hu) =
+        graft.queries.Murmur3Sql.hashLongCtes("sk0", Seq("event_type"), "skh")
+      s"""WITH sk0 AS (SELECT event_type, user_id AS v FROM events),
+         $hashCtes
+         dh AS (SELECT DISTINCT event_type, hu FROM $hu),
+         rn AS (SELECT event_type, hu, row_number() OVER (
+                  PARTITION BY event_type ORDER BY hu) AS rn FROM dh),
+         km AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(max(CASE WHEN rn = 256 THEN hu END) AS BIGINT) AS kth
+                FROM rn GROUP BY 1),
+         ne AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1)
+         SELECT ne.event_type, ne.n_events,
+           CASE WHEN km.cnt < 256 THEN km.cnt
+                WHEN km.kth = 0 THEN CAST(256 AS BIGINT)
+                ELSE 1095216660480 // km.kth END AS est_users
+         FROM ne JOIN km USING (event_type) ORDER BY event_type"""
+    },
+
     // st16: probe hit ⇔ the position's first setter has a smaller id
     // (in batch each position group processes ids ascending, so
     // "earlier set" = min setter < prober); exact dup = an earlier doc

@@ -521,6 +521,70 @@ object EventStreams {
       }
   }
 
+  /** Streaming KMV distinct-user estimate per event type — the live
+    * "how many unique users did X" dashboard counter, carrying the
+    * SAME deterministic bottom-k sketch as [[graft.operators.Sketches
+    * .kmvDistinct]] (a23/x78b) as keyed stream state: per event type,
+    * the running event count plus the k smallest distinct unsigned
+    * murmur3 user hashes. Bottom-k union is a semilattice — fold order
+    * CANNOT matter — so stream state after any arrival order equals
+    * the batch fold, and the estimate replays bit-exactly in the
+    * oracle (exact below k distinct users; `(k−1)·2³² div kth` above,
+    * the [[graft.functions.TypedAggregators.KmvDistinctAgg]] finish).
+    * Estimates are monotone non-decreasing across micro-batches (more
+    * hashes only lower the kth min), so the live row per key is simply
+    * the latest.
+    *
+    * 100 TB/streaming: state is ≤ k longs + one counter per event
+    * type — bounded regardless of user cardinality; hashing runs
+    * codegen'd in the select BEFORE the keyed shuffle, so the stateful
+    * operator only ever sees (type, hash) pairs.
+    */
+  final case class KmvState(count: Long, hashes: Vector[Long])
+  final case class KmvEstimate(event_type: String, n_events: Long,
+                               est_users: Long)
+
+  def statefulKmvDistinct(events: DataFrame, k: Int = 256): Dataset[KmvEstimate] = {
+    require(k >= 2, s"k=$k too small")
+    import events.sparkSession.implicits._
+    events.select(col("event_type"),
+        hash(col("user_id")).cast("bigint")
+          .bitwiseAND(lit(4294967295L)).as("hu"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (ty: String, rows: Iterator[(String, Long)],
+         state: GroupState[KmvState]) =>
+          var st = state.getOption.getOrElse(KmvState(0L, Vector.empty))
+          var n = st.count
+          var hs = st.hashes
+          rows.foreach { case (_, hu) =>
+            n += 1
+            if (hs.size < k || hu < hs.last) {
+              // lower-bound insert, dedup on equal hash
+              var lo = 0; var hi = hs.size
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (hs(mid) < hu) lo = mid + 1 else hi = mid
+              }
+              if (!(lo < hs.size && hs(lo) == hu)) {
+                hs = (hs.take(lo) :+ hu) ++ hs.drop(lo)
+                if (hs.size > k) hs = hs.take(k)
+              }
+            }
+          }
+          state.update(KmvState(n, hs))
+          val est =
+            if (hs.size < k) hs.size.toLong
+            else {
+              val kth = hs.last
+              if (kth == 0L) k.toLong else (k - 1).toLong * 4294967296L / kth
+            }
+          Iterator.single(KmvEstimate(ty, n, est))
+      }
+  }
+
   /** Per-(user, event type) running count + exact-cents value totals on
     * Spark 4's `transformWithState` — the modern arbitrary-state API
     * (SPARK-46815): typed composite state (here a `MapState` keyed by

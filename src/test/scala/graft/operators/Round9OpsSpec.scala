@@ -134,6 +134,49 @@ class Round9OpsSpec extends SparkTestBase {
     assert(none.getLong(0) === 0L)
   }
 
+  test("x89 ann recall: per-query rows bounded in [0,1], full-probe IVF " +
+       "achieves perfect recall against brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Extensions.queries("x89_ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    out.foreach { case (q, h, rec) =>
+      assert(h >= 0 && h <= 10 && rec === h / 10.0, s"query $q")
+    }
+    // nProbe = cells ⇒ IVF == brute force ⇒ recall 1.0 everywhere
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 10)
+      .select("query_id", "cand_id")
+    val full = Similarity.ivfTopKSampled(emb, q, "embedding", "vec_id",
+        k = 10, cells = 16, nProbe = 16)
+      .select("query_id", "cand_id")
+    assert(full.exceptAll(bf).count() === 0L && bf.exceptAll(full).count() === 0L)
+  }
+
+  test("a61 degree profile: buckets replay length(bin(d)) and cover " +
+       "every node exactly once") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Analytics.queries("a61_degree_profile")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (b, _, mn, mx) =>
+      assert(mn >= (1L << (b - 1)) && mx < (1L << b),
+        s"bucket $b must hold degrees in [2^${b - 1}, 2^$b)")
+      assert(mn <= mx)
+    }
+    // bucket node counts sum to the graph's node count
+    val baskets = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = baskets.as("x").join(baskets.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val nNodes = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .distinct().count()
+    assert(out.map(_._2).sum === nNodes)
+  }
+
   test("a59 last-touch: in-window touch attributes, stale touch and " +
        "touchless purchases fall to (none), errors never attribute") {
     import java.sql.Timestamp

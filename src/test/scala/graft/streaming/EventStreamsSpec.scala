@@ -614,6 +614,52 @@ class EventStreamsSpec extends SparkTestBase {
     assert(st15 === a57)
   }
 
+  test("st17 streaming KMV: stream across micro-batches equals batch " +
+       "equals the exact count below k; estimates are monotone") {
+    implicit val ctx = spark.sqlContext
+    // 3 event types, distinct users per type: 5, 3, 1 — all below k,
+    // so estimates are EXACT and cross-regime equality is strict
+    val evs = (1L to 5L).map(u => Ev(t("2024-01-01 10:00:00"), u, "click", 1.0)) ++
+      Seq(1L, 2L, 3L, 1L).map(u => Ev(t("2024-01-01 11:00:00"), u, "view", 1.0)) ++
+      Seq(Ev(t("2024-01-01 12:00:00"), 9L, "purchase", 1.0))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.statefulKmvDistinct(input.toDF())
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(4))
+      q.processAllAvailable()
+      input.addData(evs.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per key (estimates are monotone, so max works)
+    val streamed = spark.table("kmv_out")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("est_users").as("est_users"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = EventStreams.statefulKmvDistinct(evs.toDF())
+      .collect().map(e => e.event_type -> ((e.n_events, e.est_users))).toMap
+    assert(streamed === batch)
+    assert(batch === Map(
+      "click" -> ((5L, 5L)), "view" -> ((4L, 3L)), "purchase" -> ((1L, 1L))))
+  }
+
+  test("st17 KMV estimator matches the KmvDistinctAgg batch aggregate " +
+       "above k (same bottom-k fold, same finish arithmetic)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 2000 distinct users on one key — well above k=256
+    val evs = (1L to 2000L).map(u => Ev(t("2024-01-01 10:00:00"), u, "click", 1.0))
+    val viaStream = EventStreams.statefulKmvDistinct(evs.toDF())
+      .collect().head.est_users
+    val viaAgg = evs.toDF()
+      .agg(graft.operators.Sketches.kmvDistinct(col("user_id")).as("est"))
+      .head.getLong(0)
+    assert(viaStream === viaAgg)
+    assert(math.abs(viaStream - 2000L).toDouble / 2000 < 0.25)
+  }
+
   test("st13 funnel first-wins honors sub-millisecond event time") {
     // Two signups in the same millisecond (ids reversed vs micros), then
     // a click between them in microseconds: t1 must be the .000100
