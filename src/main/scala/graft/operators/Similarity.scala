@@ -113,6 +113,34 @@ object Similarity {
       array_max(v).cast("double").as("max_e"))
   }
 
+  /** Embedding gram (uncentered second-moment) matrix — the one-pass
+    * input to PCA / whitening / covariance estimation over the vector
+    * store: `G[i,j] = Σ_rows q(v_i · v_j)` for the upper triangle
+    * (i ≤ j), with each per-row product quantized on the 2^-20 grid
+    * BEFORE summation so grid addends sum exactly in double and
+    * aggregation order cannot matter (the pageRank determinism
+    * discipline).
+    *
+    * 100 TB: the d²/2 per-row expansion happens scan-side and the
+    * partial hash aggregate collapses it to ≤ d²/2 groups per task
+    * before the exchange — wire cost is O(partitions · d²), the same
+    * bound the classic per-partition outer-product accumulator gives,
+    * with no custom code. One shuffle over d²/2 keys total.
+    */
+  def gramMatrix(emb: DataFrame, vecCol: String): DataFrame = {
+    val grid = 1048576 // 2^20
+    emb.select(col(vecCol).as("vv"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(transform(col("vv"), x => x.cast("double")))
+          .as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        (floor(col("xi") * col("xj") * grid + lit(0.5)) / grid).as("q"))
+      .groupBy("i", "j").agg(sum(col("q")).as("g"))
+  }
+
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     GraftFunctions.register(candidates.sparkSession)

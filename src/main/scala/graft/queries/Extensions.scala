@@ -318,6 +318,13 @@ object Extensions {
           "source", budget = 24000L)
         .orderBy("source")),
 
+    // Embedding gram matrix (the PCA/whitening/covariance input over
+    // the vector store): one scan, d²/2 upper-triangle keys, grid-
+    // quantized per-row products so the sums replay bit-exactly.
+    "x90_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(T.embeddings(s, dir), "embedding")
+        .orderBy("i", "j")),
+
     // ANN recall report: x17's IVF probe measured against x05's exact
     // brute-force truth, per query — the index-quality gate a pipeline
     // runs before trusting an approximate index (the RecallSpec floor,
@@ -3204,6 +3211,18 @@ object Extensions {
          FROM embeddings ORDER BY vec_id""",
     "x88_token_budget_mix" -> tokenBudgetMixSql,
     "x89_ann_recall" -> annRecallSql,
+    // x90: same grid-quantized per-row products, exact grid-addend sums.
+    "x90_gram_matrix" ->
+      """WITH p AS (
+           SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+             floor(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)
+                 * CAST(embedding[CAST(j.j AS INTEGER) + 1] AS DOUBLE)
+                 * 1048576 + 0.5) / 1048576 AS q
+           FROM embeddings,
+             (SELECT unnest(range(0, 64)) AS i) i,
+             (SELECT unnest(range(0, 64)) AS j) j
+           WHERE j.j >= i.i)
+         SELECT i, j, sum(q) AS g FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "x20_banded_jaccard" -> exactJaccardSql,
     "x22_pipeline_embeddings" ->
       s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding, label FROM embeddings),

@@ -177,6 +177,21 @@ class Round9OpsSpec extends SparkTestBase {
     assert(out.map(_._2).sum === nNodes)
   }
 
+  test("gramMatrix: hand-checked sums on crafted vectors, upper " +
+       "triangle only, diagonal carries the quantized square sums") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(0.5f, -1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.gramMatrix(df, "embedding")
+      .orderBy("i", "j").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // exact grid values: products are representable multiples of 2^-20
+    assert(out((0, 0)) === 1.0 + 0.25)
+    assert(out((0, 1)) === 2.0 + -0.5)
+    assert(out((1, 1)) === 4.0 + 1.0)
+    assert(out.size === 3, "lower triangle must not appear")
+  }
+
   test("a59 last-touch: in-window touch attributes, stale touch and " +
        "touchless purchases fall to (none), errors never attribute") {
     import java.sql.Timestamp
