@@ -129,7 +129,9 @@ object Similarity {
     */
   def gramMatrix(emb: DataFrame, vecCol: String): DataFrame = {
     val grid = 1048576 // 2^20
-    emb.select(col(vecCol).as("vv"),
+    // d²/2 rows — persistOnce so x90 and the x91 power iteration share
+    // one corpus pass per (session, source) by canonical plan
+    graft.Caches.persistOnce(emb.select(col(vecCol).as("vv"),
         posexplode(transform(col(vecCol), x => x.cast("double")))
           .as(Seq("i", "xi")))
       .select(col("i"), col("xi"),
@@ -138,7 +140,64 @@ object Similarity {
       .filter(col("j") >= col("i"))
       .select(col("i"), col("j"),
         (floor(col("xi") * col("xj") * grid + lit(0.5)) / grid).as("q"))
-      .groupBy("i", "j").agg(sum(col("q")).as("g"))
+      .groupBy("i", "j").agg(sum(col("q")).as("g")))
+  }
+
+  private[graft] val MaxGramDim = 1024
+
+  /** Top principal direction of the embedding store by power iteration
+    * on the [[gramMatrix]] — the PCA/whitening direction an embedding
+    * pipeline monitors (anisotropy, rogue dominant axes). The corpus
+    * contributes ONLY through the gram matrix (one distributed pass);
+    * the iteration itself runs on driver state bounded by d²/2 doubles
+    * ([[MaxGramDim]]-fenced — the codebook-guard discipline), exactly
+    * like the k-means codebook elections.
+    *
+    * Bit-determinism across engines (the x71 unrolled-replay recipe):
+    * every matvec addend and every squared term quantizes on the 2^-20
+    * grid BEFORE its sum (grid addends sum exactly → order-free), the
+    * norm is one IEEE `sqrt` (correctly rounded, engine-identical),
+    * and each component re-quantizes after the division. The oracle
+    * replays the identical `iters` rounds as generated CTEs.
+    */
+  def pcaPowerIteration(emb: DataFrame, vecCol: String,
+                        iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val grid = 1048576.0
+    def q(x: Double): Double = math.floor(x * grid + 0.5) / grid
+    val gRows = gramMatrix(emb, vecCol).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val d = gRows.keys.map(_._2).max + 1
+    require(d <= MaxGramDim,
+      s"pcaPowerIteration saw dim=$d; driver-side iteration is fenced " +
+        s"at MaxGramDim=$MaxGramDim")
+    def gAt(i: Int, j: Int): Double =
+      if (i <= j) gRows((i, j)) else gRows((j, i))
+    var y = Array.fill(d)(1.0)
+    for (_ <- 1 to iters) {
+      val s = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += q(gAt(i, j) * y(j)); j += 1 }
+        acc
+      }
+      var n2 = 0.0
+      s.foreach(x => n2 += q(x * x))
+      require(n2 > 0.0, "power iteration collapsed to the zero vector")
+      val nrm = math.sqrt(n2)
+      y = s.map(x => q(x / nrm))
+    }
+    val gy = Array.tabulate(d) { i =>
+      var acc = 0.0; var j = 0
+      while (j < d) { acc += q(gAt(i, j) * y(j)); j += 1 }
+      acc
+    }
+    var lambda = 0.0
+    var i = 0
+    while (i < d) { lambda += q(y(i) * gy(i)); i += 1 }
+    y.zipWithIndex.map { case (v, idx) => (idx, v, lambda) }.toSeq
+      .toDF("i", "v", "lambda")
   }
 
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,

@@ -325,6 +325,16 @@ object Extensions {
       Similarity.gramMatrix(T.embeddings(s, dir), "embedding")
         .orderBy("i", "j")),
 
+    // Top principal direction by power iteration on x90's gram matrix
+    // (anisotropy / dominant-axis monitoring): corpus contributes only
+    // through the shared persistOnce'd gram; the 3-round iteration is
+    // MaxGramDim-fenced driver state, every addend grid-quantized so
+    // the oracle replays the rounds bit-exactly.
+    "x91_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerIteration(T.embeddings(s, dir), "embedding",
+          iters = 3)
+        .orderBy("i")),
+
     // ANN recall report: x17's IVF probe measured against x05's exact
     // brute-force truth, per query — the index-quality gate a pipeline
     // runs before trusting an approximate index (the RecallSpec floor,
@@ -2424,6 +2434,42 @@ object Extensions {
        GROUP BY 1 ORDER BY 1"""
   }
 
+  /** x91: the power iteration unrolled as generated CTE rounds (the
+    * x71/x67b recipe) over the x90 gram CTE mirrored to the full
+    * symmetric matrix — every matvec addend and squared term quantized
+    * on the 2^-20 grid before its sum, one IEEE sqrt per round.
+    */
+  private lazy val pcaPowerSql: String = {
+    val iters = 3
+    def q(e: String) = s"floor(($e) * 1048576 + 0.5) / 1048576"
+    val rounds = (1 to iters).map { t =>
+      s"""s$t AS (SELECT gm.i AS i, sum(${q(s"gm.g * y${t - 1}.v")}) AS s
+            FROM gm JOIN y${t - 1} ON y${t - 1}.i = gm.j GROUP BY 1),
+         n$t AS (SELECT sqrt(sum(${q("s * s")})) AS nrm FROM s$t),
+         y$t AS (SELECT i, ${q("s / nrm")} AS v FROM s$t, n$t)"""
+    }.mkString(",\n")
+    s"""WITH p AS (
+         SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+           floor(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)
+               * CAST(embedding[CAST(j.j AS INTEGER) + 1] AS DOUBLE)
+               * 1048576 + 0.5) / 1048576 AS q
+         FROM embeddings,
+           (SELECT unnest(range(0, 64)) AS i) i,
+           (SELECT unnest(range(0, 64)) AS j) j
+         WHERE j.j >= i.i),
+       g AS (SELECT i, j, sum(q) AS g FROM p GROUP BY 1, 2),
+       gm AS (SELECT i, j, g FROM g
+              UNION ALL SELECT j, i, g FROM g WHERE i <> j),
+       y0 AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS i,
+                CAST(1.0 AS DOUBLE) AS v),
+       $rounds,
+       gy AS (SELECT gm.i AS i, sum(${q(s"gm.g * y$iters.v")}) AS s
+              FROM gm JOIN y$iters ON y$iters.i = gm.j GROUP BY 1),
+       lam AS (SELECT sum(${q("y.v * gy.s")}) AS lambda
+               FROM y$iters y JOIN gy ON gy.i = y.i)
+       SELECT y.i, y.v, lam.lambda FROM y$iters y, lam ORDER BY y.i"""
+  }
+
   /** x88: the waterfilling solve replayed as window SQL — sources
     * ascending by (total, source); `fits` uses the same non-negative
     * integer division as the Scala loop (operands floored at 0, so
@@ -3211,6 +3257,7 @@ object Extensions {
          FROM embeddings ORDER BY vec_id""",
     "x88_token_budget_mix" -> tokenBudgetMixSql,
     "x89_ann_recall" -> annRecallSql,
+    "x91_pca_power" -> pcaPowerSql,
     // x90: same grid-quantized per-row products, exact grid-addend sums.
     "x90_gram_matrix" ->
       """WITH p AS (

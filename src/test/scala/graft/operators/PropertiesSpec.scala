@@ -84,4 +84,39 @@ class PropertiesSpec extends SparkTestBase {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  private val mixGen = Gen.listOfN(40, for {
+    src <- Gen.oneOf("A", "B", "C", "D")
+    nTok <- Gen.choose(1, 30)
+  } yield (src, nTok))
+
+  test("tokenBudgetMix invariants: kept never exceeds alloc, total " +
+       "alloc never exceeds budget, and alloc is monotone in budget") {
+    (1 to 8).foreach { i =>
+      val rows = mixGen.pureApply(Gen.Parameters.default, Seed(90L + i))
+      val docs = rows.zipWithIndex.map { case ((src, n), id) =>
+        (id.toLong, Seq.fill(n)("w").mkString(" "), src)
+      }.toDF("doc_id", "text", "source")
+      val budgets = Seq(0L, 17L, 61L, 200L, 10000L)
+      val allocByBudget = budgets.map { b =>
+        val out = Sampling.tokenBudgetMix(docs, "text", "doc_id", "source", b)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+        out.foreach { case (src, (total, alloc, keptToks)) =>
+          assert(keptToks <= alloc, s"budget $b src $src kept>alloc")
+          assert(alloc <= total, s"budget $b src $src alloc>total")
+        }
+        assert(out.values.map(_._2).sum <= math.max(b, 0L),
+          s"budget $b total alloc exceeded")
+        out.map { case (s, (_, a, _)) => s -> a }
+      }
+      budgets.indices.dropRight(1).foreach { j =>
+        val (lo, hi) = (allocByBudget(j), allocByBudget(j + 1))
+        lo.keys.foreach { s =>
+          assert(lo(s) <= hi(s),
+            s"alloc not monotone in budget for $s: ${lo(s)} > ${hi(s)}")
+        }
+      }
+    }
+  }
 }

@@ -192,6 +192,33 @@ class Round9OpsSpec extends SparkTestBase {
     assert(out.size === 3, "lower triangle must not appear")
   }
 
+  test("pcaPowerIteration: recovers the dominant axis of an anisotropic " +
+       "cloud, unit norm up to grid error, Rayleigh quotient dominates") {
+    // 200 vectors stretched 10x along axis 0, noise elsewhere:
+    // deterministic integers so the fixture is reproducible
+    val vecs = (0 until 200).map { r =>
+      (r.toLong, Seq.tabulate(8) { c =>
+        if (c == 0) (10.0 + (r % 7)).toFloat
+        else ((r * 31 + c * 17) % 5 - 2).toFloat
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pcaPowerIteration(df, "embedding", iters = 5)
+      .orderBy("i").collect()
+    val v = out.map(_.getDouble(1))
+    val lambda = out.head.getDouble(2)
+    assert(math.abs(v(0)) > 0.98, s"axis 0 must dominate: ${v.toSeq}")
+    val norm2 = v.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"norm2=$norm2")
+    // Rayleigh quotient of the top direction ~ sum of squares along
+    // axis 0 = 200 * E[(10..16)^2] — far above any noise axis
+    assert(lambda > 0.8 * vecs.map(t => math.pow(t._2.head, 2)).sum)
+    // x90 gram diag sanity: G[0,0] equals the quantized square sums
+    val g00 = Similarity.gramMatrix(df, "embedding")
+      .filter(col("i") === 0 && col("j") === 0).head.getDouble(2)
+    assert(math.abs(g00 - vecs.map(t => math.pow(t._2.head, 2)).sum) < 1e-3)
+  }
+
   test("a59 last-touch: in-window touch attributes, stale touch and " +
        "touchless purchases fall to (none), errors never attribute") {
     import java.sql.Timestamp
