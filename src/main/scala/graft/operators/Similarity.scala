@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
@@ -162,9 +162,19 @@ object Similarity {
     */
   def pcaPowerIteration(emb: DataFrame, vecCol: String,
                         iters: Int = 3): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
+    val (y, lambda) = pcaPowerFit(emb, vecCol, iters)
+    y.zipWithIndex.map { case (v, idx) => (idx, v, lambda) }.toSeq
+      .toDF("i", "v", "lambda")
+  }
+
+  /** The fit alone, as driver state: (direction, Rayleigh quotient) —
+    * the memoizable form [[removeTopComponent]] composes scan-side.
+    */
+  private[graft] def pcaPowerFit(emb: DataFrame, vecCol: String,
+                                 iters: Int): (Array[Double], Double) = {
+    require(iters >= 1, "iters must be >= 1")
     val grid = 1048576.0
     def q(x: Double): Double = math.floor(x * grid + 0.5) / grid
     val gRows = gramMatrix(emb, vecCol).collect()
@@ -196,8 +206,43 @@ object Similarity {
     var lambda = 0.0
     var i = 0
     while (i < d) { lambda += q(y(i) * gy(i)); i += 1 }
-    y.zipWithIndex.map { case (v, idx) => (idx, v, lambda) }.toSeq
-      .toDF("i", "v", "lambda")
+    (y, lambda)
+  }
+
+  /** "All-but-the-top" embedding post-processing (Mu & Viswanath,
+    * ICLR'18): project out the dominant principal direction — the
+    * anisotropy-removal step that measurably improves cosine retrieval
+    * on real embedding stores. Per vector: the projection coefficient
+    * `coef = Σ_c q(v_c·u_c)` and the residual energy
+    * `resid_norm2 = Σ_c q((q(v_c − q(coef·u_c)))²)` after removal.
+    *
+    * 100 TB: the direction `u` comes from [[pcaPowerFit]] (one
+    * distributed gram pass + fenced driver iteration) and ships as a
+    * d-element LITERAL array, so the removal itself is a pure
+    * scan-side `zip_with`/`aggregate` pass — zero shuffles, zero
+    * joins. Quantization grid as everywhere (addends exact, order
+    * free).
+    */
+  def removeTopComponent(emb: DataFrame, vecCol: String, idCol: String,
+                         iters: Int = 3): DataFrame = {
+    val (u, _) = pcaPowerFit(emb, vecCol, iters)
+    val grid = 1048576
+    def q(c: Column): Column = floor(c * grid + lit(0.5)) / grid
+    val uLit = array(u.map(lit(_)): _*)
+    emb
+      .withColumn("coef",
+        aggregate(
+          zip_with(col(vecCol), uLit, (x, w) => q(x.cast("double") * w)),
+          lit(0.0), (a, b) => a + b))
+      .withColumn("resid_norm2",
+        aggregate(
+          zip_with(col(vecCol), uLit,
+            (x, w) => {
+              val dch = q(x.cast("double") - q(col("coef") * w))
+              q(dch * dch)
+            }),
+          lit(0.0), (a, b) => a + b))
+      .select(col(idCol).as("vec_id"), col("coef"), col("resid_norm2"))
   }
 
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,

@@ -335,6 +335,16 @@ object Extensions {
           iters = 3)
         .orderBy("i")),
 
+    // "All-but-the-top" (Mu & Viswanath ICLR'18): project out x91's
+    // dominant direction — scan-side zip_with/aggregate with the
+    // direction as a literal array (zero shuffles, zero joins); per
+    // vector the projection coefficient and the post-removal residual
+    // energy, both grid-quantized.
+    "x92_remove_top_pc" -> ((s, dir) =>
+      Similarity.removeTopComponent(T.embeddings(s, dir), "embedding",
+          "vec_id", iters = 3)
+        .orderBy("vec_id")),
+
     // ANN recall report: x17's IVF probe measured against x05's exact
     // brute-force truth, per query — the index-quality gate a pipeline
     // runs before trusting an approximate index (the RecallSpec floor,
@@ -2439,16 +2449,19 @@ object Extensions {
     * symmetric matrix — every matvec addend and squared term quantized
     * on the 2^-20 grid before its sum, one IEEE sqrt per round.
     */
-  private lazy val pcaPowerSql: String = {
-    val iters = 3
-    def q(e: String) = s"floor(($e) * 1048576 + 0.5) / 1048576"
+  private def pcaQ(e: String) = s"floor(($e) * 1048576 + 0.5) / 1048576"
+
+  /** The x91 CTE chain up to the converged direction `y<iters>` and
+    * `lam` — shared by the x91 statement and x92's removal replay.
+    */
+  private def pcaPowerCtes(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
-      s"""s$t AS (SELECT gm.i AS i, sum(${q(s"gm.g * y${t - 1}.v")}) AS s
+      s"""s$t AS (SELECT gm.i AS i, sum(${pcaQ(s"gm.g * y${t - 1}.v")}) AS s
             FROM gm JOIN y${t - 1} ON y${t - 1}.i = gm.j GROUP BY 1),
-         n$t AS (SELECT sqrt(sum(${q("s * s")})) AS nrm FROM s$t),
-         y$t AS (SELECT i, ${q("s / nrm")} AS v FROM s$t, n$t)"""
+         n$t AS (SELECT sqrt(sum(${pcaQ("s * s")})) AS nrm FROM s$t),
+         y$t AS (SELECT i, ${pcaQ("s / nrm")} AS v FROM s$t, n$t)"""
     }.mkString(",\n")
-    s"""WITH p AS (
+    s"""p AS (
          SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
            floor(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE)
                * CAST(embedding[CAST(j.j AS INTEGER) + 1] AS DOUBLE)
@@ -2463,12 +2476,35 @@ object Extensions {
        y0 AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS i,
                 CAST(1.0 AS DOUBLE) AS v),
        $rounds,
-       gy AS (SELECT gm.i AS i, sum(${q(s"gm.g * y$iters.v")}) AS s
+       gy AS (SELECT gm.i AS i, sum(${pcaQ(s"gm.g * y$iters.v")}) AS s
               FROM gm JOIN y$iters ON y$iters.i = gm.j GROUP BY 1),
-       lam AS (SELECT sum(${q("y.v * gy.s")}) AS lambda
-               FROM y$iters y JOIN gy ON gy.i = y.i)
-       SELECT y.i, y.v, lam.lambda FROM y$iters y, lam ORDER BY y.i"""
+       lam AS (SELECT sum(${pcaQ("y.v * gy.s")}) AS lambda
+               FROM y$iters y JOIN gy ON gy.i = y.i)"""
   }
+
+  private lazy val pcaPowerSql: String =
+    s"""WITH ${pcaPowerCtes(3)}
+       SELECT y.i, y.v, lam.lambda FROM y3 y, lam ORDER BY y.i"""
+
+  /** x92: the removal replayed against the SAME converged direction —
+    * coefficient = grid-exact dot, residual energy = grid-exact sum of
+    * squared quantized differences (identical staging to the Spark
+    * zip_with/aggregate chain).
+    */
+  private lazy val removeTopPcSql: String =
+    s"""WITH ${pcaPowerCtes(3)},
+       cf AS (SELECT e.vec_id,
+           sum(${pcaQ("CAST(e.embedding[y.i + 1] AS DOUBLE) * y.v")}) AS coef
+         FROM embeddings e, y3 y GROUP BY 1),
+       rs AS (SELECT e.vec_id,
+           sum(${pcaQ("(" +
+             pcaQ("CAST(e.embedding[y.i + 1] AS DOUBLE) - " +
+               pcaQ("cf.coef * y.v")) + ") * (" +
+             pcaQ("CAST(e.embedding[y.i + 1] AS DOUBLE) - " +
+               pcaQ("cf.coef * y.v")) + ")")}) AS resid_norm2
+         FROM embeddings e JOIN cf USING (vec_id), y3 y GROUP BY 1)
+       SELECT cf.vec_id, cf.coef, rs.resid_norm2
+       FROM cf JOIN rs USING (vec_id) ORDER BY cf.vec_id"""
 
   /** x88: the waterfilling solve replayed as window SQL — sources
     * ascending by (total, source); `fits` uses the same non-negative
@@ -3258,6 +3294,7 @@ object Extensions {
     "x88_token_budget_mix" -> tokenBudgetMixSql,
     "x89_ann_recall" -> annRecallSql,
     "x91_pca_power" -> pcaPowerSql,
+    "x92_remove_top_pc" -> removeTopPcSql,
     // x90: same grid-quantized per-row products, exact grid-addend sums.
     "x90_gram_matrix" ->
       """WITH p AS (

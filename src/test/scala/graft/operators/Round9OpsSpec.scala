@@ -219,6 +219,40 @@ class Round9OpsSpec extends SparkTestBase {
     assert(math.abs(g00 - vecs.map(t => math.pow(t._2.head, 2)).sum) < 1e-3)
   }
 
+  test("removeTopComponent: residual is orthogonal to the removed " +
+       "direction up to grid error, energy splits Pythagoras-style, " +
+       "and the removal pass plans ZERO exchanges") {
+    val vecs = (0 until 200).map { r =>
+      (r.toLong, Seq.tabulate(8) { c =>
+        if (c == 0) (10.0 + (r % 7)).toFloat
+        else ((r * 31 + c * 17) % 5 - 2).toFloat
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.removeTopComponent(df, "embedding", "vec_id", iters = 5)
+      .orderBy("vec_id").collect()
+    val u = Similarity.pcaPowerIteration(df, "embedding", iters = 5)
+      .orderBy("i").collect().map(_.getDouble(1))
+    vecs.zip(out).foreach { case ((id, v), row) =>
+      assert(row.getLong(0) === id)
+      val coef = row.getDouble(1)
+      val resid = row.getDouble(2)
+      val dot = v.zip(u).map { case (x, w) => x * w }.sum
+      assert(math.abs(coef - dot) < 1e-3, s"vec $id coef")
+      val norm2 = v.map(x => x.toDouble * x).sum
+      // ||v||^2 = coef^2 + resid (orthogonal split), up to grid error
+      assert(math.abs(norm2 - (coef * coef + resid)) < 0.05,
+        s"vec $id energy split: $norm2 vs ${coef * coef + resid}")
+      // residual re-projected onto u is ~0
+      val rvec = v.zip(u).map { case (x, w) => x - coef * w }
+      assert(math.abs(rvec.zip(u).map { case (x, w) => x * w }.sum) < 1e-3)
+    }
+    val plan = Similarity.removeTopComponent(df, "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"removal must be a pure scan-side pass:\n$plan")
+  }
+
   test("a59 last-touch: in-window touch attributes, stale touch and " +
        "touchless purchases fall to (none), errors never attribute") {
     import java.sql.Timestamp
