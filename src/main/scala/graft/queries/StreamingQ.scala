@@ -145,7 +145,16 @@ object StreamingQ {
     "st17_stream_kmv" -> ((s, dir) =>
       EventStreams.statefulKmvDistinct(T.events(s, dir))
         .toDF()
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Event-time throttle ("at most one alert per user+type per hour")
+    // with WATERMARK-EVICTED state — the state-lifecycle demonstration:
+    // EventTimeTimeout removes a key's row once the watermark passes
+    // last_kept + gap, so state tracks active keys, not keys ever seen.
+    "st18_stream_throttle" -> ((s, dir) =>
+      EventStreams.statefulThrottle(T.events(s, dir))
+        .toDF()
+        .orderBy("event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,6 +180,33 @@ object StreamingQ {
                 ELSE 1095216660480 // km.kth END AS est_users
          FROM ne JOIN km USING (event_type) ORDER BY event_type"""
     },
+
+    // st18: the greedy throttle fold replayed per key (the st14
+    // list_reduce recipe) — strict-prefix fold to the last kept micros,
+    // keep iff this event clears it by more than the gap. The sentinel
+    // init makes the first event always keep (no overflow: adding the
+    // gap to it stays far below any real timestamp).
+    "st18_stream_throttle" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+         g AS (SELECT user_id, event_type,
+                 list(epoch_us(ts) ORDER BY ts, event_id) AS ms,
+                 list(event_id ORDER BY ts, event_id) AS ids,
+                 list(ts ORDER BY ts, event_id) AS tss
+               FROM e GROUP BY 1, 2),
+         x AS (SELECT user_id, event_type,
+                 unnest(ids) AS event_id, unnest(tss) AS ts,
+                 unnest(range(1, len(ids) + 1)) AS i, ms
+               FROM g),
+         k AS (SELECT *, list_reduce(
+                 list_prepend(CAST(-9223372036854775807 AS BIGINT),
+                              ms[1:i-1]),
+                 (a, m) -> CASE WHEN m > a + 3600000000 THEN m
+                                ELSE a END) AS acc
+               FROM x)
+         SELECT event_id, user_id, event_type, ts FROM k
+         WHERE ms[i] > acc + 3600000000
+         ORDER BY event_id""",
 
     // st16: probe hit ⇔ the position's first setter has a smaller id
     // (in batch each position group processes ids ascending, so

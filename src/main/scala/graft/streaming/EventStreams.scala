@@ -585,6 +585,69 @@ object EventStreams {
       }
   }
 
+  /** Event-time throttle with WATERMARK-EVICTED state — keep a key's
+    * event only if the last KEPT event of that key is more than `gap`
+    * of event time behind it (the alerting/notification rate-limit
+    * shape: "at most one alert per user+type per hour"). Greedy and
+    * deterministic: events fold in (event-time micros, event_id)
+    * order; the first event of a key always keeps.
+    *
+    * This is the repo's state-LIFECYCLE demonstration: every other
+    * stateful op here holds state forever (NoTimeout); this one
+    * registers an [[GroupStateTimeout.EventTimeTimeout]] at
+    * `last_kept + gap`, so once the watermark passes the point where
+    * the key could still suppress anything, the state row is REMOVED —
+    * state size tracks keys active within the gap horizon, not keys
+    * ever seen (the unbounded-ingest requirement at 100 TB/day). In
+    * batch each key processes once and timeouts never fire — the exact
+    * same fold, which is what the oracle replays (the st14 list_reduce
+    * recipe). Timeout registration is skipped in batch (no watermark
+    * exists to anchor it).
+    */
+  final case class ThrottleState(lastKeptMicros: Long)
+  final case class KeptEvent(event_id: Long, user_id: Long,
+                             event_type: String, ts: Timestamp)
+
+  def statefulThrottle(events: DataFrame,
+                       gapMicros: Long = 3600L * 1000000L): Dataset[KeptEvent] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src =
+      if (streaming) events.withWatermark("ts", "1 hour") else events
+    def micros(t: Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    src.select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, String, Timestamp)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[ThrottleState, KeptEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, Long, String, Timestamp)],
+         state: GroupState[ThrottleState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_kept + gap: nothing left to
+            // suppress — drop the state row
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (micros(r._4), r._1))
+            var last = state.getOption.map(_.lastKeptMicros)
+              .getOrElse(Long.MinValue)
+            val out = scala.collection.mutable.ArrayBuffer.empty[KeptEvent]
+            sorted.foreach { case (id, user, ty, ts) =>
+              val m = micros(ts)
+              if (m > last + gapMicros) {
+                out += KeptEvent(id, user, ty, ts)
+                last = m
+              }
+            }
+            state.update(ThrottleState(last))
+            if (streaming)
+              state.setTimeoutTimestamp(last / 1000L + gapMicros / 1000L + 1L)
+            out.iterator
+          }
+      }
+  }
+
   /** Per-(user, event type) running count + exact-cents value totals on
     * Spark 4's `transformWithState` — the modern arbitrary-state API
     * (SPARK-46815): typed composite state (here a `MapState` keyed by

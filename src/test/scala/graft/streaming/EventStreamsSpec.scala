@@ -660,6 +660,72 @@ class EventStreamsSpec extends SparkTestBase {
     assert(math.abs(viaStream - 2000L).toDouble / 2000 < 0.25)
   }
 
+  test("st18 throttle: stream (in-order, no eviction horizon crossed) " +
+       "equals batch; first-per-key always keeps; gap suppresses") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      EvJ(1L, t("2024-01-01 10:00:00"), 1L, "alert"),
+      EvJ(2L, t("2024-01-01 10:30:00"), 1L, "alert"),   // within 1h — dropped
+      EvJ(3L, t("2024-01-01 11:00:00"), 1L, "alert"),   // exactly 1h — dropped (strict >)
+      EvJ(4L, t("2024-01-01 11:30:00"), 1L, "alert"),   // 90min after kept 1 — kept
+      EvJ(5L, t("2024-01-01 10:15:00"), 2L, "alert"))   // other key — kept
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulThrottle(input.toDF())
+      .toDF()
+      .writeStream.format("memory").queryName("thr_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(evs.take(3))
+      q.processAllAvailable()
+      input.addData(evs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("thr_out")
+      .orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    val batch = EventStreams.statefulThrottle(evs.toDF())
+      .toDF().orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed === batch)
+    assert(batch === Seq(1L, 4L, 5L))
+  }
+
+  test("st18 throttle: EventTimeTimeout EVICTS a key's state once the " +
+       "watermark passes last_kept + gap — a later arrival starts fresh") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulThrottle(input.toDF())
+      .toDF()
+      .writeStream.format("memory").queryName("thr_evict")
+      .outputMode(OutputMode.Append())
+      .start()
+    def stateCounts: Seq[Long] = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    try {
+      // b1: key 1 keeps at 10:00; key 2's 13:30 event pushes the
+      // watermark (1h delay) to 12:30 — past key 1's horizon (11:00).
+      // processAllAvailable runs the data batch (2 state rows) plus the
+      // watermark-advancing follow-up trigger, whose timeout pass
+      // REMOVES key 1's expired row (a key with data never times out).
+      input.addData(Seq(
+        EvJ(1L, t("2024-01-01 10:00:00"), 1L, "alert"),
+        EvJ(2L, t("2024-01-01 13:30:00"), 2L, "alert")))
+      q.processAllAvailable()
+      assert(stateCounts.max === 2L, "both keys held state in the data batch")
+      assert(stateCounts.last === 1L,
+        "key 1's state row must be evicted once the watermark passes " +
+          "last_kept + gap")
+      // b2: key 2's 13:40 event is inside its gap — suppressed, and the
+      // surviving state stays at one row
+      input.addData(Seq(EvJ(3L, t("2024-01-01 13:40:00"), 2L, "alert")))
+      q.processAllAvailable()
+      assert(stateCounts.last === 1L)
+    } finally q.stop()
+    val kept = spark.table("thr_evict")
+      .orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 2L))
+  }
+
   test("st13 funnel first-wins honors sub-millisecond event time") {
     // Two signups in the same millisecond (ids reversed vs micros), then
     // a click between them in microseconds: t1 must be the .000100
