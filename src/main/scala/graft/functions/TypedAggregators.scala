@@ -64,6 +64,7 @@ object TypedAggregators {
     override def zero: KmvBuf = KmvBuf(new Array[Long](k), 0)
 
     override def reduce(b: KmvBuf, hu: Long): KmvBuf = {
+      if (hu < 0) return b // NULL sentinel from kmvDistinct — not a hash
       if (b.size == k && hu >= b.hashes(k - 1)) return b // above current k-th min
       var lo = 0
       var hi = b.size

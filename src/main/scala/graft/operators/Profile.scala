@@ -76,9 +76,10 @@ object Profile {
     *
     * Determinism: KMV ranks unsigned-32-bit murmur3 hashes, so the
     * DuckDB oracle replays the estimate bit-exactly via the staged
-    * murmur3 CTEs (the a23 pattern). Callers pass non-negative
-    * long-valued spec expressions (the hash the oracle can replay);
-    * null rows are counted in n_null but specs here are non-null keys.
+    * murmur3 CTEs (the a23 pattern). NULL rows are counted in n_null
+    * and EXCLUDED from the NDV sketch by [[Sketches.kmvDistinct]]'s
+    * null guard — `count(DISTINCT c)` semantics on both engines, so
+    * nullable specs are safe (not just a scaladoc precondition).
     */
   def profileApprox(df: DataFrame, specs: Seq[(String, Column)],
                     k: Int = Sketches.KmvK): DataFrame = {

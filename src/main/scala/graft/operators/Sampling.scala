@@ -408,8 +408,11 @@ object Sampling {
                      sourceCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     val spark = docs.sparkSession
+    // source is a LABEL in the output schema — cast up front so a
+    // non-string source column (int shard id, date partition) feeds the
+    // driver solve instead of a ClassCastException at getString.
     val toks = graft.Caches.persistOnce(docs.select(
-      col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      col(sourceCol).cast("string").as("source"), col(idCol).as("doc_id"),
       size(split(lower(col(textCol)), "\\s+")).cast("bigint").as("toks")))
     val totals = toks.groupBy("source").agg(sum("toks").as("total"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -449,14 +452,27 @@ object Sampling {
   def tripletMine(pairs: DataFrame, items: DataFrame, idCol: String,
                   negsPerAnchor: Int = 2): DataFrame = {
     require(negsPerAnchor >= 1, "negsPerAnchor must be >= 1")
-    val n = broadcast(items.agg(count(lit(1)).as("n")))
+    // Negatives are drawn as hash % n over the id DOMAIN, which is only
+    // a sample of `items` when ids are dense 0..n-1 — on a sparse id
+    // space the modulus would silently fabricate ids with no vector
+    // behind them. Fence it: one 1-row aggregate (the codebook-guard
+    // discipline; sparse callers should rank ids first, e.g.
+    // row_number() over (order by id) - 1).
+    val s = items.agg(countDistinct(col(idCol)).as("n"),
+      min(col(idCol)).cast("bigint").as("mn"),
+      max(col(idCol)).cast("bigint").as("mx")).collect()(0)
+    val n = s.getLong(0)
+    require(n > 0, "tripletMine needs a non-empty items table")
+    require(s.getLong(1) == 0L && s.getLong(2) == n - 1,
+      s"tripletMine requires a dense 0..n-1 id space for hash-modulus " +
+        s"negatives; saw n=$n ids spanning [${s.getLong(1)}, ${s.getLong(2)}] " +
+        "— rank ids densely first (row_number() - 1)")
     pairs.select(col("d1").as("anchor"), col("d2").as("positive"), col("cosine"))
-      .crossJoin(n)
-      .select(col("anchor"), col("positive"), col("cosine"), col("n"),
+      .select(col("anchor"), col("positive"), col("cosine"),
         explode(array((0 until negsPerAnchor).map(lit(_)): _*)).as("j"))
       .withColumn("neg_id",
         hash(col("anchor") * negsPerAnchor + col("j")).cast("bigint")
-          .bitwiseAND(lit(4294967295L)) % col("n"))
+          .bitwiseAND(lit(4294967295L)) % lit(n))
       .filter(col("neg_id") =!= col("anchor") && col("neg_id") =!= col("positive"))
       .select("anchor", "positive", "cosine", "j", "neg_id")
   }

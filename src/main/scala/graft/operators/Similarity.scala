@@ -183,6 +183,14 @@ object Similarity {
     require(d <= MaxGramDim,
       s"pcaPowerIteration saw dim=$d; driver-side iteration is fenced " +
         s"at MaxGramDim=$MaxGramDim")
+    // A ragged store (rows of mixed dimension) leaves (i,j) holes in the
+    // gram upper triangle; fail with the diagnosis instead of an opaque
+    // NoSuchElementException from gAt. embeddingAudit (x87) locates the
+    // offending rows.
+    require(gRows.size == d * (d + 1) / 2,
+      s"gram matrix has ${gRows.size} of ${d * (d + 1) / 2} upper-triangle " +
+        s"entries for dim=$d — embedding dimensions are inconsistent " +
+        "(run embeddingAudit to locate ragged rows)")
     def gAt(i: Int, j: Int): Double =
       if (i <= j) gRows((i, j)) else gRows((j, i))
     var y = Array.fill(d)(1.0)

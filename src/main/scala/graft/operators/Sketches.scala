@@ -38,12 +38,23 @@ object Sketches {
     * values; pure integer estimator above, so it complements
     * [[hllDistinct]] where raw HLL is biased (n ≲ 3m) without HLL++'s
     * non-SQL-expressible correction tables.
+    *
+    * NULL inputs never enter the sketch: Spark's `hash(NULL)` returns
+    * the seed (a valid 32-bit value), so hashing first would count all
+    * NULL rows as one phantom distinct value — and DuckDB's murmur3
+    * replay propagates NULL instead, a silent cross-engine NDV
+    * divergence on nullable columns. NULLs map to the out-of-domain
+    * sentinel -1, which [[KmvDistinctAgg.reduce]] skips, so both
+    * engines exclude NULLs identically (SQL `count(DISTINCT c)`
+    * semantics).
     */
   def kmvDistinct(value: Column, k: Int = KmvK): Column = {
     val agg = org.apache.spark.sql.functions.udaf(
       new graft.functions.TypedAggregators.KmvDistinctAgg(k),
       org.apache.spark.sql.Encoders.scalaLong)
-    agg(hash(value).cast("bigint").bitwiseAND(lit(4294967295L)))
+    agg(when(value.isNotNull,
+      hash(value).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .otherwise(lit(-1L)))
   }
 
   /** alpha_m — the harmonic-mean bias constant from Flajolet et al. */

@@ -48,6 +48,47 @@ object Analytics {
             size(col("parts0")).cast("string"), lit(" distinct parts"))))
           .as("parts"))
 
+  /** Session-memoized REPEAT co-order edge frame — (p1 < p2, n_ab ≥ 2)
+    * over the fenced-basket table — shared by a60 (triangles) and a61
+    * (degree profile). The pair aggregate is the expensive half of both
+    * queries; before this memo each rebuilt it as a textually identical
+    * subtree (converging only via canonical-plan cache matching — the
+    * exact silent-split risk the r8 verdict flagged for x20/x84).
+    * Object identity instead, the [[Extensions.bandedPairs]] pattern:
+    * one build + persist per (session, dir), pinned in Round10PlanSpec;
+    * release via [[releaseRepeatEdges]]. Built OUTSIDE the map lock
+    * (get + putIfAbsent; racing builders converge on the winner).
+    */
+  private val repeatEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[graft] def repeatEdges(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val cached = repeatEdgeCache.get(key)
+    if (cached != null) cached
+    else {
+      val baskets = graft.Caches.persistOnce(fencedBaskets(T.lineitem(s, dir)))
+      val built = graft.Caches.persistOnce(baskets
+        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+        .select(col("p1"),
+          explode(slice(col("parts"), col("i") + lit(2), size(col("parts"))))
+            .as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2))
+      val prev = repeatEdgeCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Drop the memoized repeat-edge frames (all dirs of `s`), unpersisting each. */
+  def releaseRepeatEdges(s: SparkSession): Unit = {
+    val it = repeatEdgeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 pricing summary: partial-aggregatable group-by over the
     // largest table; sums routed through exact decimals.
@@ -870,45 +911,31 @@ object Analytics {
     // orders — single co-occurrence is noise on basket data) — the
     // graph-analytics companion to a56's pairwise affinity (a triangle
     // = three parts that pairwise repeat-co-occur, the bundle signal
-    // pair support can't see). Edges ride a56's persistOnce'd
-    // fenced-basket frame (sorted arrays ⇒ p1 < p2 scan-side, never a
-    // lineitem self-join); the count runs the degree-oriented
-    // node-iterator ([[graft.operators.Graph.triangleCounts]]) so
-    // wedge volume is O(m^1.5)-bounded even under hub parts. The
-    // support-1 co-occurrence graph (1.2 M edges / 41 M wedges at
-    // sf0.1) is the BenchSf1 `triangles_dense_forced` stress row, not
-    // a per-round bench tax.
-    "a60_basket_triangles" -> ((s, dir) => {
-      val baskets = graft.Caches.persistOnce(fencedBaskets(T.lineitem(s, dir)))
-      val edges = baskets
-        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
-        .select(col("p1"),
-          explode(slice(col("parts"), col("i") + lit(2), size(col("parts"))))
-            .as("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-      graft.operators.Graph.triangleCounts(edges, "p1", "p2")
+    // pair support can't see). Edges are the session-memoized
+    // [[repeatEdges]] frame (one build + persist shared with a61;
+    // sorted basket arrays ⇒ p1 < p2 scan-side, never a lineitem
+    // self-join); the count runs the degree-oriented node-iterator
+    // ([[graft.operators.Graph.triangleCounts]]) so wedge volume is
+    // O(m^1.5)-bounded even under hub parts. The support-1
+    // co-occurrence graph (1.2 M edges / 41 M wedges at sf0.1) is the
+    // BenchSf1 `triangles_dense_forced` stress row, not a per-round
+    // bench tax.
+    "a60_basket_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCounts(repeatEdges(s, dir), "p1", "p2")
         .withColumnRenamed("v", "part")
-        .orderBy("part")
-    }),
+        .orderBy("part")),
 
     // Degree-distribution profile of the repeat co-order graph — the
     // graph ANALYZE that decides whether a60's node-iterator needs
     // skew handling (x79's philosophy applied to graph degrees):
     // nodes per integer-log2 degree bucket with the bucket's exact
     // min/max degree. log2 via length(bin(d)) — the x79 no-libm
-    // idiom; everything else is integer counts. One edge shuffle +
-    // one node-cardinality agg + a ≤64-bucket rollup.
+    // idiom; everything else is integer counts. Edges are the
+    // session-memoized [[repeatEdges]] frame shared with a60, so this
+    // costs a node-cardinality agg + a ≤64-bucket rollup over the
+    // persisted edges, not a basket re-aggregation.
     "a61_degree_profile" -> ((s, dir) => {
-      val baskets = graft.Caches.persistOnce(fencedBaskets(T.lineitem(s, dir)))
-      val edges = baskets
-        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
-        .select(col("p1"),
-          explode(slice(col("parts"), col("i") + lit(2), size(col("parts"))))
-            .as("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-      edges.select(explode(array(col("p1"), col("p2"))).as("v"))
+      repeatEdges(s, dir).select(explode(array(col("p1"), col("p2"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
         .groupBy(length(bin(col("d"))).cast("int").as("log2_bucket"))
         .agg(count(lit(1)).as("n_nodes"),

@@ -2453,6 +2453,9 @@ object Extensions {
 
   /** The x91 CTE chain up to the converged direction `y<iters>` and
     * `lam` — shared by the x91 statement and x92's removal replay.
+    * The index spines derive the dimension from the data
+    * (`max(len(embedding))` — the x87 discipline) so the oracle tracks
+    * the Spark side on any uniform-dim fixture instead of pinning 64.
     */
   private def pcaPowerCtes(iters: Int): String = {
     val rounds = (1 to iters).map { t =>
@@ -2467,13 +2470,16 @@ object Extensions {
                * CAST(embedding[CAST(j.j AS INTEGER) + 1] AS DOUBLE)
                * 1048576 + 0.5) / 1048576 AS q
          FROM embeddings,
-           (SELECT unnest(range(0, 64)) AS i) i,
-           (SELECT unnest(range(0, 64)) AS j) j
+           (SELECT unnest(range(0, (SELECT max(len(embedding))
+                                    FROM embeddings))) AS i) i,
+           (SELECT unnest(range(0, (SELECT max(len(embedding))
+                                    FROM embeddings))) AS j) j
          WHERE j.j >= i.i),
        g AS (SELECT i, j, sum(q) AS g FROM p GROUP BY 1, 2),
        gm AS (SELECT i, j, g FROM g
               UNION ALL SELECT j, i, g FROM g WHERE i <> j),
-       y0 AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS i,
+       y0 AS (SELECT CAST(unnest(range(0, (SELECT max(len(embedding))
+                                           FROM embeddings))) AS INTEGER) AS i,
                 CAST(1.0 AS DOUBLE) AS v),
        $rounds,
        gy AS (SELECT gm.i AS i, sum(${pcaQ(s"gm.g * y$iters.v")}) AS s
@@ -3303,8 +3309,10 @@ object Extensions {
                  * CAST(embedding[CAST(j.j AS INTEGER) + 1] AS DOUBLE)
                  * 1048576 + 0.5) / 1048576 AS q
            FROM embeddings,
-             (SELECT unnest(range(0, 64)) AS i) i,
-             (SELECT unnest(range(0, 64)) AS j) j
+             (SELECT unnest(range(0, (SELECT max(len(embedding))
+                                      FROM embeddings))) AS i) i,
+             (SELECT unnest(range(0, (SELECT max(len(embedding))
+                                      FROM embeddings))) AS j) j
            WHERE j.j >= i.i)
          SELECT i, j, sum(q) AS g FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "x20_banded_jaccard" -> exactJaccardSql,

@@ -48,34 +48,75 @@ object EventStreams {
       .groupBy(col("user_id"), col("event_type"))
       .agg(min(col("ts")).as("first_ts"))
 
-  /** Per-user lifetime stats via explicit keyed state
-    * (flatMapGroupsWithState) — the custom-state surface for logic the
-    * built-in windowed aggregations can't express. In streaming the
-    * state carries totals across micro-batches (Update mode); in batch
-    * each key is processed once, so the output equals a plain
-    * aggregation — which is what the driver's SQL oracle certifies.
+  /** Prepare a session for `transformWithState` in BOTH modes:
+    * each named state lives in its own column family, which only the
+    * RocksDB provider supports (the HDFS provider throws
+    * STATE_STORE_MULTIPLE_COLUMN_FAMILIES) — RocksDB is the production
+    * state backend anyway, and it is a general provider, so setting it
+    * session-wide is safe for the other stateful operators. Batch
+    * transformWithState still loads a real state store, whose executors
+    * look up the driver's StateStoreCoordinator endpoint; that endpoint
+    * is created by the StreamingQueryManager CONSTRUCTOR, which a
+    * batch-only session never builds — touching `streams` keeps the
+    * lookup from hitting RpcEndpointNotFound in pure-batch runs.
+    */
+  private def twsReady(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.streams
+  }
+
+  /** Per-user lifetime stats via explicit keyed state — the custom-state
+    * surface for logic the built-in windowed aggregations can't
+    * express, on Spark 4's `transformWithState` (SPARK-46815; migrated
+    * from `flatMapGroupsWithState` per the r9 verdict — st09 proved the
+    * API, this closes the promise). State per user is ONE `ValueState`
+    * row (count + first/last ts). In streaming the state carries totals
+    * across micro-batches (Update mode); in batch each key is processed
+    * once, so the output equals a plain aggregation — which is what the
+    * driver's SQL oracle certifies.
     */
   final case class UserStats(user_id: Long, n_events: Long,
                              first_ts: Timestamp, last_ts: Timestamp)
 
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp), UserStats] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var stats: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[UserStats]("stats",
+        E.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Timestamp)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserStats] = {
+      var st = if (stats.exists()) stats.get() else null
+      rows.foreach { case (_, t) =>
+        st =
+          if (st == null) UserStats(user, 1L, t, t)
+          else UserStats(user, st.n_events + 1L,
+            if (t.before(st.first_ts)) t else st.first_ts,
+            if (t.after(st.last_ts)) t else st.last_ts)
+      }
+      if (st == null) Iterator.empty
+      else { stats.update(st); Iterator.single(st) }
+    }
+  }
+
   def statefulUserStats(events: DataFrame): Dataset[UserStats] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
     events.select(col("user_id"), col("ts"))
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[UserStats, UserStats](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[UserStats]) =>
-          val batch = rows.map(_._2).toSeq
-          val merged = (state.getOption.toSeq ++ batch.map(t => UserStats(user, 1L, t, t)))
-            .reduce { (a, b) =>
-              UserStats(user, a.n_events + b.n_events,
-                if (a.first_ts.before(b.first_ts)) a.first_ts else b.first_ts,
-                if (a.last_ts.after(b.last_ts)) a.last_ts else b.last_ts)
-            }
-          state.update(merged)
-          Iterator.single(merged)
-      }
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Interval join: for each left event, the right-side events of the
@@ -289,10 +330,12 @@ object EventStreams {
   }
 
   /** Gap-based sessionization with CUSTOM keyed state — the
-    * flatMapGroupsWithState counterpart of [[sessionize]]/a39 for
-    * session logic the built-in `session_window` can't express
-    * (per-session sequence numbers here; arbitrary per-event state
-    * machines in general).
+    * custom-state counterpart of [[sessionize]]/a39 for session logic
+    * the built-in `session_window` can't express (per-session sequence
+    * numbers here; arbitrary per-event state machines in general), on
+    * Spark 4's `transformWithState` (migrated from
+    * `flatMapGroupsWithState` per the r9 verdict; the open session is
+    * one `ValueState` row).
     *
     * State per user: the one OPEN session (seq, start, end, count).
     * Each invocation sorts its micro-batch by (ts, event_id), extends
@@ -319,40 +362,57 @@ object EventStreams {
   final case class Session(user_id: Long, session_seq: Long, n_events: Long,
                            session_start: Timestamp, session_end: Timestamp)
 
+  private class SessionizeProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Timestamp), Session] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var openState: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      openState = getHandle.getValueState[OpenSession]("open",
+        E.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Long, Timestamp)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var open: Option[OpenSession] =
+        if (openState.exists()) Some(openState.get()) else None
+      sorted.foreach { case (_, _, ts) =>
+        open match {
+          case Some(o) if ts.getTime <= o.end.getTime + gapMs =>
+            // A cross-batch late event (ts < open end) must not
+            // regress the session end; keep the max. In batch the
+            // per-key sort makes this a no-op.
+            val end = if (ts.getTime > o.end.getTime) ts else o.end
+            open = Some(o.copy(end = end, n = o.n + 1))
+          case Some(o) =>
+            out += Session(user, o.seq, o.n, o.start, o.end)
+            open = Some(OpenSession(o.seq + 1, ts, ts, 1L))
+          case None =>
+            open = Some(OpenSession(1L, ts, ts, 1L))
+        }
+      }
+      open.foreach { o =>
+        openState.update(o)
+        out += Session(user, o.seq, o.n, o.start, o.end)
+      }
+      out.iterator
+    }
+  }
+
   def statefulSessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
     events.select(col("user_id"), col("event_id"), col("ts"))
       .as[(Long, Long, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Timestamp)],
-         state: GroupState[OpenSession]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._2))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var open = state.getOption
-          sorted.foreach { case (_, _, ts) =>
-            open match {
-              case Some(o) if ts.getTime <= o.end.getTime + gapMs =>
-                // A cross-batch late event (ts < open end) must not
-                // regress the session end; keep the max. In batch the
-                // per-key sort makes this a no-op.
-                val end = if (ts.getTime > o.end.getTime) ts else o.end
-                open = Some(o.copy(end = end, n = o.n + 1))
-              case Some(o) =>
-                out += Session(user, o.seq, o.n, o.start, o.end)
-                open = Some(OpenSession(o.seq + 1, ts, ts, 1L))
-              case None =>
-                open = Some(OpenSession(1L, ts, ts, 1L))
-            }
-          }
-          open.foreach { o =>
-            state.update(o)
-            out += Session(user, o.seq, o.n, o.start, o.end)
-          }
-          out.iterator
-      }
+      .transformWithState(new SessionizeProcessor(gapMinutes * 60000L),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Per-user ordered-funnel state: first `s1`, first `s2` strictly
@@ -387,18 +447,21 @@ object EventStreams {
                      s2: String = "click", s3: String = "purchase")
       : Dataset[FunnelStage] = {
     import events.sparkSession.implicits._
-    events.select(col("user_id"), col("event_type"), col("ts"))
-      .as[(Long, String, Timestamp)]
+    events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelStage](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, String, Timestamp)],
+        (user: Long, rows: Iterator[(Long, String, Timestamp, Long)],
          state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          // getTime is millisecond-truncated while events.ts carries
-          // microseconds; getNanos restores the sub-ms component so the
-          // intra-batch fold order matches the oracle's ORDER BY ts.
-          rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos)).foreach { case (_, tpe, ts) =>
+          // Full-precision sort key (ms + sub-ms nanos + event_id), the
+          // statefulEwma/st18 discipline matching the oracle's ORDER BY
+          // ts, event_id: the strictly-after chain conditions make a
+          // same-microsecond tie nearly harmless, but two different
+          // event types at an identical timestamp must still bind
+          // stages in one engine-independent order.
+          rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._4)).foreach { case (_, tpe, ts, _) =>
             if (st.t1.isEmpty && tpe == s1)
               st = st.copy(t1 = Some(ts))
             else if (st.t1.nonEmpty && st.t2.isEmpty && tpe == s2 &&
@@ -652,10 +715,11 @@ object EventStreams {
     * Spark 4's `transformWithState` — the modern arbitrary-state API
     * (SPARK-46815): typed composite state (here a `MapState` keyed by
     * event type inside each user's state row) instead of one opaque
-    * case-class blob, with per-state TTL and timers available. This is
-    * the API the `flatMapGroupsWithState` operators ([[statefulUserStats]],
-    * [[statefulSessionize]]) migrate to; both are kept since the old API
-    * remains supported.
+    * case-class blob, with per-state TTL and timers available.
+    * [[statefulUserStats]] and [[statefulSessionize]] now ride the same
+    * API (ValueState); `flatMapGroupsWithState` remains in use only
+    * where its fold shape is the natural fit (funnel/EWMA/cohort/KMV/
+    * throttle emit-per-event folds).
     *
     * Value totals are per-row quantized to integer cents
     * (`floor(v·100+0.5)` — the 2^-? analog for money) and summed as
@@ -704,20 +768,7 @@ object EventStreams {
   def statefulTypeStats(events: DataFrame): Dataset[TypeStats] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    // transformWithState stores each named state in its own column
-    // family, which only the RocksDB provider supports — the HDFS
-    // provider throws STATE_STORE_MULTIPLE_COLUMN_FAMILIES. RocksDB is
-    // the production state backend anyway; setting it session-wide is
-    // safe for the other stateful operators (it is a general provider).
-    events.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // Batch transformWithState still loads a real state store, whose
-    // executors look up the driver's StateStoreCoordinator endpoint.
-    // That endpoint is created by the StreamingQueryManager CONSTRUCTOR,
-    // which a batch-only session never builds — touch `streams` so the
-    // lookup can't hit RpcEndpointNotFound in pure-batch runs.
-    events.sparkSession.streams
+    twsReady(events.sparkSession)
     events.select(col("user_id"), col("event_type"), col("value"))
       .as[(Long, String, Double)]
       .groupByKey(_._1)

@@ -205,6 +205,19 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(got.toSeq === expectedKept.toSeq)
   }
 
+  test("tripletMine: sparse id space is fenced — hash % n would " +
+       "fabricate negatives with no vector behind them (r9 verdict ask 5)") {
+    val pairs = Seq((0L, 20L, 0.9)).toDF("d1", "d2", "cosine")
+    val sparse = Seq(0L, 5L, 20L).toDF("vec_id") // 3 ids, max 20 ≠ n-1
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.tripletMine(pairs, sparse, "vec_id")
+    }
+    assert(ex.getMessage.contains("dense 0..n-1"))
+    // and the dense equivalent passes the fence
+    val dense = (0L to 20L).toDF("vec_id")
+    assert(Sampling.tripletMine(pairs, dense, "vec_id").count() > 0)
+  }
+
   // ------------------------------------------------------------ x78/x79
 
   test("profile: nulls counted, NDV exact, min/max typed (9 < 10 numeric " +

@@ -34,6 +34,21 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("KMV excludes NULLs from the sketch — count(DISTINCT) semantics, " +
+       "not hash(NULL)=seed phantom value (r9 ADVICE)") {
+    val df = Seq[java.lang.Long](1L, 2L, 2L, null, null, null).toDF("id")
+      .withColumn("g", lit("all"))
+    val kmv = df.groupBy("g").agg(Sketches.kmvDistinct(col("id")).as("est"))
+      .collect()(0).getLong(1)
+    assert(kmv === 2L, "3 NULL rows must not register as a distinct value")
+    // all-NULL input: sketch stays empty (0 distinct), no crash
+    val allNull = Seq[java.lang.Long](null, null).toDF("id")
+      .withColumn("g", lit("all"))
+    val kmv0 = allNull.groupBy("g")
+      .agg(Sketches.kmvDistinct(col("id")).as("est")).collect()(0).getLong(1)
+    assert(kmv0 === 0L)
+  }
+
   test("count-min estimates dominate exact counts and collisions stay within the grid bound") {
     // 40 tokens with zipf-ish counts into w=16 buckets per row forces
     // collisions; min-over-d must keep every estimate >= exact and

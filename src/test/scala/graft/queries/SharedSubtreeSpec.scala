@@ -40,4 +40,31 @@ class SharedSubtreeSpec extends SparkTestBase {
     assert(!(a eq c), "release must drop the memo so the next call rebuilds")
     Extensions.releaseBandedPairs(spark)
   }
+
+  test("repeatEdges memoizes per (session, dir) and persists — a60/a61 " +
+       "share one edge build (r9 verdict ask 3)") {
+    Analytics.releaseRepeatEdges(spark)
+    val a = Analytics.repeatEdges(spark, sf)
+    val b = Analytics.repeatEdges(spark, sf)
+    assert(a eq b, "second call must return the memoized frame")
+    assert(a.storageLevel != StorageLevel.NONE, "edge frame must be persisted")
+    assert(a.columns.toSeq === Seq("p1", "p2", "n_ab"))
+    // both consumers stay mutually consistent on the one frame: a61's
+    // node universe is exactly the distinct endpoints of the edges a60
+    // counts triangles over
+    val nodes = a.select("p1").union(a.select("p2")).distinct().count()
+    val a61 = Analytics.queries("a61_degree_profile")(spark, sf).collect()
+    assert(a61.map(_.getLong(1)).sum === nodes)
+    val a60 = Analytics.queries("a60_basket_triangles")(spark, sf)
+    assert(a60.count() <= nodes)
+  }
+
+  test("releaseRepeatEdges unpersists and drops the memo") {
+    val a = Analytics.repeatEdges(spark, sf)
+    Analytics.releaseRepeatEdges(spark)
+    assert(a.storageLevel === StorageLevel.NONE, "release must unpersist")
+    val c = Analytics.repeatEdges(spark, sf)
+    assert(!(a eq c), "release must drop the memo so the next call rebuilds")
+    Analytics.releaseRepeatEdges(spark)
+  }
 }

@@ -741,4 +741,35 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out(0).getTimestamp(2) ===
       Timestamp.valueOf("2024-01-01 00:00:00.000100"))
   }
+
+  test("st13 funnel breaks exact-timestamp ties on event_id (the " +
+       "statefulEwma/st18 discipline, oracle ORDER BY ts, event_id)") {
+    // Different event types at IDENTICAL timestamps, fed in scrambled id
+    // order: the (ms, nanos, event_id) sort must bind stages in the
+    // oracle's order. Same-ts events can never chain (strictly-after
+    // conditions), so the click twinned with the signup and the purchase
+    // twinned with the click must both be skipped regardless of
+    // intra-batch arrival order.
+    val evs = Seq(
+      EvJ(13L, Timestamp.valueOf("2024-01-01 00:00:00.000200"), 1L, "purchase"),
+      EvJ(10L, Timestamp.valueOf("2024-01-01 00:00:00.000100"), 1L, "signup"),
+      EvJ(14L, Timestamp.valueOf("2024-01-01 00:00:00.000300"), 1L, "purchase"),
+      EvJ(11L, Timestamp.valueOf("2024-01-01 00:00:00.000100"), 1L, "click"),
+      EvJ(12L, Timestamp.valueOf("2024-01-01 00:00:00.000200"), 1L, "click"))
+    val out = EventStreams.statefulFunnel(evs.toDF()).toDF().collect()
+    assert(out.length === 1)
+    assert(out(0).getInt(1) === 3)
+    assert(out(0).getTimestamp(2) ===
+      Timestamp.valueOf("2024-01-01 00:00:00.000100"))
+    assert(out(0).getTimestamp(3) ===
+      Timestamp.valueOf("2024-01-01 00:00:00.000200"))
+    assert(out(0).getTimestamp(4) ===
+      Timestamp.valueOf("2024-01-01 00:00:00.000300"))
+    // equality with the a55 batch window formulation (ORDER BY ts, id)
+    val wf = graft.queries.Analytics.funnelTimes(
+        evs.toDF(), "signup", "click", "purchase").collect()
+    assert(out(0).getTimestamp(2) === wf(0).getTimestamp(1))
+    assert(out(0).getTimestamp(3) === wf(0).getTimestamp(2))
+    assert(out(0).getTimestamp(4) === wf(0).getTimestamp(3))
+  }
 }
