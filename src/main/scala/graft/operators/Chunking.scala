@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions.{col, expr, posexplode}
+
+/** Content-defined chunking (CDC) — the storage-layer dedup primitive
+  * (LBFS/FastCDC family): chunk boundaries are chosen where a rolling
+  * hash of the LAST `Window` characters hits a mask condition, so an
+  * insertion or deletion only reshapes the chunks it touches — unlike
+  * fixed-size blocks, where one shifted byte re-chunks the whole tail.
+  * Cross-document identical passages then dedupe at the CHUNK level
+  * even when the containing documents differ — the blob/shard dedup
+  * companion to the token-level passage dedup (x38).
+  *
+  * Determinism (cross-engine replayable, no seeded fingerprint tables):
+  * the boundary hash at position p is the direct polynomial
+  * `Σ_{j=0..7} code(char p−j)·31^j` over the fixed 8-char window —
+  * each position evaluates the closed form (8 integer multiply-adds)
+  * instead of a stateful rolling recurrence, so the expression is a
+  * pure per-position function both engines compute identically (max
+  * magnitude 8·0xFFFF·31⁷ ≈ 1.4·10¹⁶ — long-safe). A position is a
+  * boundary when the hash ≡ 0 (mod [[Chunking.AvgChunk]]) → expected
+  * chunk length ≈ AvgChunk. Chunk identity is md5 of the chunk text
+  * (the x10 fingerprint).
+  *
+  * 100 TB: chunking is a pure scan-side higher-order-function pass
+  * (one filter + one zip_with per document, no UDF, no shuffle); only
+  * (doc_id, idx, len, 32-hex hash) rows leave the scan — document text
+  * never crosses an exchange. Downstream chunk-level dedup is an
+  * ordinary hash-keyed aggregation.
+  */
+object Chunking {
+
+  /** Rolling window width in characters. */
+  val Window = 8
+
+  /** Expected chunk length: boundary when hash ≡ 0 (mod AvgChunk). */
+  val AvgChunk = 64
+
+  private val pows: String =
+    (0 until Window).map(j => s"${math.pow(31.0, j).toLong}L")
+      .mkString("array(", ", ", ")")
+
+  /** One row per chunk: (doc_id, [passthrough...], chunk_idx,
+    * chunk_len, chunk_hash). Boundary positions are 1-based
+    * end-of-window indices; the final chunk always ends at the document
+    * end. `passthrough` columns (e.g. source) ride the scan so
+    * downstream rollups need no join back to the corpus.
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
+    docs
+      .select(col(idCol).as("doc_id") +: col(textCol).as("t") +: keep: _*)
+      .withColumn("bnds", expr(
+        s"""filter(sequence(1, length(t)), p -> p >= $Window AND
+              aggregate(sequence(0, ${Window - 1}), 0L,
+                (acc, j) -> acc + ascii(substring(t, p - j, 1))
+                              * element_at($pows, j + 1))
+              % $AvgChunk = 0)"""))
+      // chunk END positions: boundaries plus the document end (distinct
+      // keeps ascending order — bnds is ascending and ≤ length)
+      .withColumn("ends",
+        expr("array_distinct(concat(bnds, array(length(t))))"))
+      .withColumn("starts",
+        expr("concat(array(0), slice(ends, 1, size(ends) - 1))"))
+      .select(col("doc_id") +: keep :+
+        posexplode(expr(
+          """zip_with(starts, ends, (s, e) ->
+               struct(e - s AS chunk_len,
+                      md5(substring(t, s + 1, e - s)) AS chunk_hash))"""))
+          .as(Seq("chunk_idx", "c")): _*)
+      .select(col("doc_id") +: keep :+ col("chunk_idx") :+
+        col("c.chunk_len").as("chunk_len") :+
+        col("c.chunk_hash").as("chunk_hash"): _*)
+  }
+
+  /** Per-source chunk-level dedup report over [[cdcChunks]]: total
+    * chunks, distinct chunk hashes, duplicated chunks, and the
+    * 2^-20-grid dup rate — "how much of this source's byte volume is
+    * redundant at chunk granularity", the signal that sizes a
+    * dedup-store. The source label rides the scan as a passthrough
+    * column (no join back to the corpus); one (source, hash)
+    * partial-agg + a source rollup.
+    */
+  def cdcDupReport(docs: DataFrame, textCol: String, idCol: String,
+                   sourceCol: String): DataFrame = {
+    val grid = 1048576L // 2^20
+    cdcChunks(docs, textCol, idCol, Seq(sourceCol))
+      .withColumnRenamed(sourceCol, "source")
+      .groupBy("source", "chunk_hash").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("source")
+      .agg(F.sum(col("c")).as("n_chunks"),
+        F.count(F.lit(1)).as("n_distinct"),
+        F.max(col("c")).as("max_cluster"))
+      .withColumn("dup_chunks", col("n_chunks") - col("n_distinct"))
+      .withColumn("dup_rate_q",
+        F.floor(col("dup_chunks").cast("double")
+          / col("n_chunks").cast("double") * grid + F.lit(0.5)).cast("long"))
+      .select("source", "n_chunks", "n_distinct", "dup_chunks",
+        "max_cluster", "dup_rate_q")
+  }
+}

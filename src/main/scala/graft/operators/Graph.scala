@@ -132,4 +132,50 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous min-label propagation for `rounds` rounds: every node
+    * starts labeled with its own id and each round takes
+    * `lbl'(v) = min(lbl(v), min_{u~v} lbl(u))` over the undirected
+    * neighbor set. After k rounds two nodes share a label iff a path of
+    * ≤ k hops connects them to the same minimum — the bounded-round
+    * community view (label = the component minimum once k reaches the
+    * component diameter).
+    *
+    * This is the fully-distributed companion to the driver union-find
+    * in [[Dedup]] (which is fenced at 1 M edges): label propagation
+    * never materializes edges on the driver, so it is the path past the
+    * fence — at the cost of Θ(diameter) rounds instead of one pass
+    * (star-contraction, also in Dedup, closes the gap to O(log n)
+    * rounds; the FIXED round count here is what makes the unrolled
+    * cross-engine oracle replay finite, the pageRank discipline).
+    *
+    * Deterministic by construction: integer min over a set — no
+    * quantization, no tie concerns. 100 TB: each round is one equi-join
+    * of the node-sized label table against the edge table plus one
+    * partial-aggregatable min keyed on the node — the pageRank shape
+    * with min instead of sum; hot nodes are ordinary skewed agg keys.
+    */
+  def minLabelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                          rounds: Int = 3,
+                          checkpointEvery: Int = 8): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // both directions once: neighbor lookups are one equi-join per round
+    val und = graft.Caches.persistOnce(
+      edges.select(col(aCol).as("v"), col(bCol).as("u"))
+        .union(edges.select(col(bCol).as("v"), col(aCol).as("u")))
+        .filter(col("v") =!= col("u") && col("v").isNotNull).distinct())
+    val nodes = graft.Caches.persistOnce(
+      und.select(col("v")).distinct())
+    var lbl = nodes.select(col("v"), col("v").as("lbl"))
+    for (r <- 1 to rounds) {
+      val nbrMin = und
+        .join(lbl.select(col("v").as("u"), col("lbl").as("ulbl")), "u")
+        .groupBy("v").agg(min(col("ulbl")).as("nlbl"))
+      lbl = lbl.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      if (r % checkpointEvery == 0 && r < rounds)
+        lbl = lbl.localCheckpoint()
+    }
+    lbl
+  }
 }

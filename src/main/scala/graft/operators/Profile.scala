@@ -101,6 +101,37 @@ object Profile {
         "(col_name, n_rows, n_null, n_distinct_kmv, min_s, max_s)")
   }
 
+  /** Per-source exact-duplication profile — the corpus ANALYZE a
+    * curation pipeline runs BEFORE choosing its dedup strategy (the
+    * measured-dup-rate routing discipline in [[graft.operators.Dedup]],
+    * promoted to a first-class report): per source, document count,
+    * distinct content-hash count, duplicated-doc count, the largest
+    * single duplicate cluster, and the 2^-20-grid dup rate.
+    *
+    * Contents dedupe on md5 of the raw text (the x10 cross-engine
+    * fingerprint), so the shuffle carries (source, 32-hex-char hash) —
+    * never document text. 100 TB: one partial-aggregatable
+    * (source, hash) count, then a source-cardinality rollup; max
+    * cluster is an ordinary max over the hash-count table.
+    */
+  def dupProfile(docs: DataFrame, textCol: String,
+                 sourceCol: String): DataFrame = {
+    val grid = 1048576L // 2^20
+    docs
+      .select(col(sourceCol).as("source"), md5(col(textCol)).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_cluster"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_rate_q",
+        floor(col("dup_docs").cast("double") / col("n_docs").cast("double")
+          * grid + lit(0.5)).cast("long"))
+      .select("source", "n_docs", "n_distinct", "dup_docs", "max_cluster",
+        "dup_rate_q")
+  }
+
   /** Key-skew diagnosis: per-key counts, each key's integer log2 bucket
     * (`length(bin(cnt))` — exact, no libm), its 2^-20-grid-quantized
     * share of the table, and the salting factor that would bound the

@@ -928,4 +928,92 @@ object TextAnalysis {
       .withColumn("avg_q", expr("sum_q div n_bg"))
       .select("doc_id", "n_bg", "sum_q", "avg_q")
   }
+
+  /** Per-source EXACT length quantiles (p25/p50/p75/p90/p99 of the
+    * whitespace token count) without a global sort: token counts live
+    * on a small integer domain, so the order statistic runs over the
+    * COMPRESSED domain — one partial-aggregatable (source, len) count,
+    * then a window over the per-source distinct lengths (thousands of
+    * rows, not corpus rows), then one rollup. The quantile cut is
+    * integer cross-multiplication (`cum·100 ≥ n·p` ⟺ cum ≥ ⌈n·p/100⌉)
+    * — exact, no libm, no interpolation (lower-bound "disc" quantile,
+    * DuckDB-replayable).
+    *
+    * 100 TB: the corpus streams once into (source, len) partial
+    * counts; everything after operates on |sources|·|distinct lens|
+    * rows. This is the exact companion to approx_percentile — same
+    * plan shape as the x41/st07 bucket quantiles but with no bucketing
+    * error, valid whenever the value domain is bounded (lengths,
+    * ratings, prices in cents).
+    */
+  def lengthQuantiles(docs: DataFrame, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("len")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    def cut(p: Int): Column =
+      min(when(col("cum") * 100 >= col("n") * p, col("len"))).as(s"p$p")
+    docs
+      .select(col(sourceCol).as("source"),
+        size(split(lower(col(textCol)), "\\s+")).cast("bigint").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"), cut(25), cut(50), cut(75),
+        cut(90), cut(99))
+  }
+
+  /** Corpus collocations: bigram LIFT (observed/expected co-occurrence
+    * ratio) over whitespace tokens — the PMI-family association signal
+    * without the log (a monotone transform, so the RANKING is PMI's;
+    * ratios are one exact-operand IEEE division, replayable — the
+    * a56/lift discipline applied to text).
+    *
+    * Over the bigram sample space: `lift(w1,w2) = c_bi · N /
+    * (c_head(w1) · c_tail(w2))` with N the total bigram count and
+    * c_head/c_tail the contingency-table marginals (bigrams starting
+    * with w1 / ending with w2) — the exact observed/expected ratio.
+    * Pairs below `minCount` are cut before the join (the classic
+    * support prune — vocabulary² never materializes, only OBSERVED
+    * bigrams, and of those only the ≥ minCount survivors join the
+    * marginal tables). Top `k` by (lift, pair) via TakeOrdered.
+    *
+    * 100 TB: bigram generation is the x76 scan-side zip_with (no text
+    * shuffle — pairs of tokens only); both count tables are
+    * partial-aggregatable; the two unigram joins key on a
+    * vocabulary-sized table (shuffled equi-joins — a vocabulary is NOT
+    * a broadcastable dimension, the a56 lesson). Products stay in
+    * LONG range for any corpus where c_bi·N < 2⁶³ (~10¹⁸; route
+    * DECIMAL beyond).
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+                   k: Int = 25): DataFrame = {
+    val grid = 1048576
+    def q(c: Column): Column = floor(c * grid + lit(0.5)) / grid
+    val ws = split(lower(col(textCol)), "\\s+")
+    val base = docs.select(ws.as("ws")).filter(size(col("ws")) >= 2)
+    // the flat bigram table feeds FOUR consumers (pair counts, both
+    // marginals, N) — persist it once instead of re-tokenizing 4×
+    val bi = base.select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biP = graft.Caches.persistOnce(bi)
+    val cb = biP.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+      .filter(col("c_bi") >= minCount)
+    val ch = biP.groupBy("w1").agg(count(lit(1)).as("c_head"))
+    val ct = biP.groupBy("w2").agg(count(lit(1)).as("c_tail"))
+    val n = biP.agg(count(lit(1)).as("n_bi"))
+    cb.join(ch, "w1")
+      .join(ct, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        q((col("c_bi") * col("n_bi")).cast("double") /
+          (col("c_head") * col("c_tail")).cast("double")))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "c_bi", "c_head", "c_tail", "lift")
+  }
 }

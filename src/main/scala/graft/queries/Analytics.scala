@@ -943,6 +943,56 @@ object Analytics {
         .orderBy("log2_bucket")
     }),
 
+    // Item-item similarity ("customers also bought"): per part, the
+    // top-3 most similar parts by co-order JACCARD over the repeat
+    // graph — n_ab / (n_a + n_b − n_ab), the set-overlap normalization
+    // pair support and lift both miss (a hub part co-occurs with
+    // everything; Jaccard discounts it by its own basket count). One
+    // exact-operand IEEE division — integers in, one correctly-rounded
+    // op out, bit-identical cross-engine with no grid needed. Edges are
+    // the session-memoized [[repeatEdges]] frame (third consumer);
+    // per-part top-3 is the row_number window the TopKPerKey rewrite
+    // lowers to the bounded-heap exec — no full per-part sort.
+    // 100 TB: two part-keyed equi-joins against the basket-count table
+    // (a vocabulary-sized side — shuffled, never broadcast: the a56
+    // lesson) + the top-k exchange on the part key.
+    "a62_item_similarity" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sup = li.groupBy("pk").agg(count(lit(1)).as("n_p"))
+      val e = repeatEdges(s, dir)
+      val dir2 = e.select(col("p1").as("part"), col("p2").as("sim_part"), col("n_ab"))
+        .union(e.select(col("p2").as("part"), col("p1").as("sim_part"), col("n_ab")))
+      val w = Window.partitionBy("part")
+        .orderBy(col("jaccard").desc, col("sim_part"))
+      dir2
+        .join(sup.select(col("pk").as("part"), col("n_p").as("n_a")), "part")
+        .join(sup.select(col("pk").as("sim_part"), col("n_p").as("n_b")), "sim_part")
+        .withColumn("jaccard", col("n_ab").cast("double") /
+          (col("n_a") + col("n_b") - col("n_ab")).cast("double"))
+        .withColumn("sim_rank", row_number().over(w))
+        .filter(col("sim_rank") <= 3)
+        .select("part", "sim_part", "n_ab", "n_a", "n_b", "jaccard", "sim_rank")
+        .orderBy("part", "sim_rank")
+    }),
+
+    // Bounded-round community view of the repeat co-order graph:
+    // 3 rounds of synchronous min-label propagation
+    // ([[graft.operators.Graph.minLabelPropagation]] — the
+    // fully-distributed companion to the 1 M-edge-fenced driver
+    // union-find), reported as the community-size histogram. Fixed
+    // rounds keep the unrolled DuckDB replay finite (the pageRank/x91
+    // discipline); labels after k rounds = per-node minimum id within
+    // k hops, deterministic integer math throughout.
+    "a63_part_communities" -> ((s, dir) =>
+      graft.operators.Graph
+        .minLabelPropagation(repeatEdges(s, dir), "p1", "p2", rounds = 3)
+        .groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("community_size"))
+        .agg(count(lit(1)).as("n_communities"))
+        .orderBy("community_size")),
+
     "a57_retention_cohorts" -> ((s, dir) => {
       val weeks = graft.Caches.persistOnce(
         T.events(s, dir)
@@ -1569,6 +1619,56 @@ object Analytics {
          FROM (SELECT u AS v FROM t UNION ALL SELECT a FROM t
                UNION ALL SELECT b FROM t)
          GROUP BY 1 ORDER BY 1""",
+
+    // a62: same repeat-edge CTE, directed both ways, Jaccard as the one
+    // exact-operand division, rank/filter as the window the Spark side
+    // lowers to TopKPerKey.
+    "a62_item_similarity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+               FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY 1),
+         d2 AS (SELECT a AS part, b AS sim_part, n_ab FROM e
+                UNION ALL SELECT b, a, n_ab FROM e),
+         j AS (SELECT d2.part, d2.sim_part, d2.n_ab,
+                 sa.n_p AS n_a, sb.n_p AS n_b,
+                 CAST(d2.n_ab AS DOUBLE)
+                   / CAST(sa.n_p + sb.n_p - d2.n_ab AS DOUBLE) AS jaccard
+               FROM d2 JOIN sup sa ON sa.pk = d2.part
+                       JOIN sup sb ON sb.pk = d2.sim_part)
+         SELECT part, sim_part, n_ab, n_a, n_b, jaccard,
+           CAST(rk AS INTEGER) AS sim_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY part
+                 ORDER BY jaccard DESC, sim_part) AS rk FROM j)
+         WHERE rk <= 3 ORDER BY part, sim_rank""",
+
+    // a63: the 3 label-propagation rounds unrolled (the x91/pageRank
+    // recipe) over the same repeat-edge CTE; pure integer min/least.
+    "a63_part_communities" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e AS (SELECT a.pk AS a, b.pk AS b
+               FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT a AS v, b AS u FROM e UNION SELECT b, a FROM e),
+         l0 AS (SELECT DISTINCT v, v AS lbl FROM und),
+         r1 AS (SELECT und.v, min(l0.lbl) AS nlbl
+                FROM und JOIN l0 ON l0.v = und.u GROUP BY 1),
+         l1 AS (SELECT l0.v, least(l0.lbl, coalesce(r1.nlbl, l0.lbl)) AS lbl
+                FROM l0 LEFT JOIN r1 ON r1.v = l0.v),
+         r2 AS (SELECT und.v, min(l1.lbl) AS nlbl
+                FROM und JOIN l1 ON l1.v = und.u GROUP BY 1),
+         l2 AS (SELECT l1.v, least(l1.lbl, coalesce(r2.nlbl, l1.lbl)) AS lbl
+                FROM l1 LEFT JOIN r2 ON r2.v = l1.v),
+         r3 AS (SELECT und.v, min(l2.lbl) AS nlbl
+                FROM und JOIN l2 ON l2.v = und.u GROUP BY 1),
+         l3 AS (SELECT l2.v, least(l2.lbl, coalesce(r3.nlbl, l2.lbl)) AS lbl
+                FROM l2 LEFT JOIN r3 ON r3.v = l2.v),
+         c AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz FROM l3 GROUP BY 1)
+         SELECT sz AS community_size, CAST(count(*) AS BIGINT) AS n_communities
+         FROM c GROUP BY 1 ORDER BY 1""",
 
     "a57_retention_cohorts" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

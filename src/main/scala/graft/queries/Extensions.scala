@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Bloom, Dedup, Graph, Linkage, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
+import graft.operators.{Bloom, Chunking, Dedup, Graph, Linkage, Multimodal, Packing, Profile, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
 import graft.tables.{Tables => T}
 
 /** LLM-training-data pipeline operators as driver queries: dedup family,
@@ -344,6 +344,36 @@ object Extensions {
       Similarity.removeTopComponent(T.embeddings(s, dir), "embedding",
           "vec_id", iters = 3)
         .orderBy("vec_id")),
+
+    // Per-source EXACT length quantiles over the compressed value
+    // domain (no global sort, no approx_percentile error) — see
+    // TextAnalysis.lengthQuantiles; the quantile cut is integer
+    // cross-multiplication, libm-free.
+    "x93_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(T.documents(s, dir), "text", "source")
+        .orderBy("source")),
+
+    // Corpus collocations: bigram lift (observed/expected over the
+    // bigram contingency marginals — PMI's ranking without the log),
+    // support-pruned before the vocabulary-keyed joins; top-25 via
+    // TakeOrdered. See TextAnalysis.collocations.
+    "x94_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(T.documents(s, dir), "text",
+        minCount = 5L, k = 25)),
+
+    // Per-source exact-duplication profile (the ANALYZE that routes
+    // the dedup strategy): md5-keyed shuffle, never text; doc counts,
+    // distinct contents, largest dup cluster, grid dup rate.
+    "x95_dup_profile" -> ((s, dir) =>
+      Profile.dupProfile(T.documents(s, dir), "text", "source")
+        .orderBy("source")),
+
+    // Content-defined chunking (FastCDC-family storage dedup): rolling-
+    // hash boundaries via a scan-side HOF pass, chunk md5s, per-source
+    // chunk-level dup report. See operators/Chunking.scala.
+    "x96_cdc_chunks" -> ((s, dir) =>
+      Chunking.cdcDupReport(T.documents(s, dir), "text", "doc_id", "source")
+        .orderBy("source")),
 
     // ANN recall report: x17's IVF probe measured against x05's exact
     // brute-force truth, per query — the index-quality gate a pipeline
@@ -3301,6 +3331,88 @@ object Extensions {
     "x89_ann_recall" -> annRecallSql,
     "x91_pca_power" -> pcaPowerSql,
     "x92_remove_top_pc" -> removeTopPcSql,
+
+    // x93: compressed-domain exact quantiles — cum·100 ≥ n·p integer
+    // cross-multiplication, the Spark window replayed verbatim.
+    "x93_length_quantiles" ->
+      """WITH t AS (SELECT source,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)
+               AS len FROM documents),
+         c AS (SELECT source, len, count(*) AS c FROM t GROUP BY 1, 2),
+         w AS (SELECT source, len, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY len) AS cum,
+                 sum(c) OVER (PARTITION BY source) AS n FROM c)
+         SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           min(CASE WHEN cum*100 >= n*25 THEN len END) AS p25,
+           min(CASE WHEN cum*100 >= n*50 THEN len END) AS p50,
+           min(CASE WHEN cum*100 >= n*75 THEN len END) AS p75,
+           min(CASE WHEN cum*100 >= n*90 THEN len END) AS p90,
+           min(CASE WHEN cum*100 >= n*99 THEN len END) AS p99
+         FROM w GROUP BY 1 ORDER BY 1""",
+
+    // x94: bigram lift over contingency marginals — the one
+    // grid-quantized division; bigrams via per-row index unnest.
+    "x94_collocations" ->
+      """WITH d AS (SELECT regexp_split_to_array(lower(text), '\s+') AS ws
+                    FROM documents),
+         b AS (SELECT ws[x] AS w1, ws[x + 1] AS w2
+               FROM (SELECT ws, unnest(range(1, len(ws))) AS x
+                     FROM d WHERE len(ws) >= 2)),
+         cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bi
+                FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+         ch AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_head
+                FROM b GROUP BY 1),
+         ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS c_tail
+                FROM b GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM b)
+         SELECT w1, w2, c_bi, c_head, c_tail,
+           floor(CAST(c_bi * n_bi AS DOUBLE)
+               / CAST(c_head * c_tail AS DOUBLE) * 1048576 + 0.5)
+             / 1048576 AS lift
+         FROM cb JOIN ch USING (w1) JOIN ct USING (w2), n
+         ORDER BY lift DESC, w1, w2 LIMIT 25""",
+
+    // x95: md5-keyed exact-dup profile per source.
+    "x95_dup_profile" ->
+      """WITH h AS (SELECT source, md5(text) AS h, count(*) AS c
+                    FROM documents GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c) - count(*) AS BIGINT) AS dup_docs,
+           CAST(max(c) AS BIGINT) AS max_cluster,
+           CAST(floor(CAST(sum(c) - count(*) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
+             AS dup_rate_q
+         FROM h GROUP BY 1 ORDER BY 1""",
+
+    // x96: the CDC rolling-hash boundaries (8-char window, base-31
+    // polynomial, mod-64 mask) and chunk md5s replayed with list HOFs,
+    // then the same per-source dup rollup as x95.
+    "x96_cdc_chunks" ->
+      """WITH b AS (SELECT source, text,
+             list_filter(range(8, length(text) + 1), p ->
+               list_sum(list_transform(range(0, 8), j ->
+                 unicode(text[p - j]) *
+                 [1, 31, 961, 29791, 923521, 28629151,
+                  887503681, 27512614111][j + 1])) % 64 = 0) AS bnds
+           FROM documents),
+         e AS (SELECT source, text,
+             list_sort(list_distinct(list_append(bnds, length(text)))) AS ends
+           FROM b),
+         ch AS (SELECT source,
+             unnest(list_transform(range(1, len(ends) + 1), i ->
+               md5(text[(CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END) + 1
+                        : ends[i]]))) AS h
+           FROM e),
+         g AS (SELECT source, h, count(*) AS c FROM ch GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c) - count(*) AS BIGINT) AS dup_chunks,
+           CAST(max(c) AS BIGINT) AS max_cluster,
+           CAST(floor(CAST(sum(c) - count(*) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
+             AS dup_rate_q
+         FROM g GROUP BY 1 ORDER BY 1""",
     // x90: same grid-quantized per-row products, exact grid-addend sums.
     "x90_gram_matrix" ->
       """WITH p AS (

@@ -30,7 +30,8 @@ object StreamingQ {
       EventStreams.firstEvents(T.events(s, dir))
         .orderBy("user_id", "event_type")),
 
-    // Custom keyed state (flatMapGroupsWithState); in batch ≡ plain agg.
+    // Custom keyed state (transformWithState ValueState); in batch ≡
+    // plain agg.
     "st05_stateful_stats" -> ((s, dir) =>
       EventStreams.statefulUserStats(T.events(s, dir))
         .toDF()
@@ -44,9 +45,10 @@ object StreamingQ {
       EventStreams.windowQuantiles(T.events(s, dir), "1 hour", grid = 5.0)
         .orderBy("w_start", "event_type")),
 
-    // Custom keyed-state sessionization (flatMapGroupsWithState): gap
-    // rule + per-session sequence numbers — state logic session_window
-    // can't express. Batch ≡ the a39 window formulation, certified here.
+    // Custom keyed-state sessionization (transformWithState ValueState):
+    // gap rule + per-session sequence numbers — state logic
+    // session_window can't express. Batch ≡ the a39 window formulation,
+    // certified here.
     "st08_stateful_sessions" -> ((s, dir) =>
       EventStreams.statefulSessionize(T.events(s, dir), gapMinutes = 30)
         .toDF()
@@ -154,10 +156,31 @@ object StreamingQ {
     "st18_stream_throttle" -> ((s, dir) =>
       EventStreams.statefulThrottle(T.events(s, dir))
         .toDF()
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Streaming per-window leaderboard: top-3 users by event count per
+    // tumbling hour on transformWithState (MapState per window; total
+    // order count desc, user asc). Batch ≡ the SQL rank, certified
+    // here; unbounded key domains route to the CMS sketch instead.
+    "st19_window_topk" -> ((s, dir) =>
+      EventStreams.statefulWindowTopk(T.events(s, dir), k = 3)
+        .toDF()
+        .orderBy("w_start", "rank"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st19: exact per-window rank over grouped counts; the processor's
+    // (count desc, user asc) total order is the window's ORDER BY.
+    "st19_window_topk" ->
+      """WITH c AS (SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                      AS TIMESTAMP) AS w_start, user_id,
+                    CAST(count(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY w_start
+                 ORDER BY n_events DESC, user_id) AS rk FROM c)
+         SELECT w_start, CAST(rk AS INTEGER) AS rank, user_id, n_events
+         FROM r WHERE rk <= 3 ORDER BY 1, 2""",
+
     // st17: the KMV replay — distinct murmur3 user hashes per type
     // (staged hashLong CTEs), kth-smallest via row_number, the exact
     // KmvDistinctAgg.finish arithmetic ((k-1)*2^32 = 1095216660480).

@@ -765,6 +765,67 @@ object EventStreams {
     }
   }
 
+  /** Streaming per-window LEADERBOARD: top `k` users by event count in
+    * each tumbling hour, maintained as keyed state on
+    * `transformWithState` — the live "who is most active right now"
+    * dashboard (Update mode: a window's top-k refreshes as its events
+    * arrive; readers take the latest rows per window).
+    *
+    * State per WINDOW key: a `MapState[user, count]` — per-user
+    * granularity inside the window's state row, the st09 composite
+    * pattern. Each micro-batch folds its rows into the map and re-emits
+    * the current top-k (count desc, user_id asc — total order, no
+    * engine-dependent ties). In batch each window is processed once, so
+    * the emission IS the exact leaderboard the SQL oracle ranks.
+    *
+    * 100 TB/streaming: state is keyed on the window start (horizontal
+    * state-store partitioning); per-window map size is bounded by the
+    * window's ACTIVE user count, and only windows present in a batch
+    * are touched. Unbounded key domains (global top-k, no window reset)
+    * route to the CMS heavy-hitters sketch ([[graft.operators.Sketches
+    * .cmsHeavyHitters]]) instead — bounded state at ε-approximation.
+    */
+  final case class WindowTopk(w_start: Timestamp, rank: Int,
+                              user_id: Long, n_events: Long)
+
+  private class WindowTopkProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Timestamp, (Timestamp, Long), WindowTopk] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var counts: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("counts",
+        E.scalaLong, E.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(w: Timestamp,
+                                 rows: Iterator[(Timestamp, Long)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[WindowTopk] = {
+      rows.foreach { case (_, u) =>
+        val n = if (counts.containsKey(u)) counts.getValue(u) else 0L
+        counts.updateValue(u, n + 1L)
+      }
+      counts.iterator().map { case (u, n) => (u, n) }.toSeq
+        .sortBy { case (u, n) => (-n, u) }
+        .take(k).zipWithIndex.iterator
+        .map { case ((u, n), i) => WindowTopk(w, i + 1, u, n) }
+    }
+  }
+
+  def statefulWindowTopk(events: DataFrame, k: Int = 3): Dataset[WindowTopk] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    require(k >= 1, s"k must be >= 1, got $k")
+    twsReady(events.sparkSession)
+    events.select(date_trunc("hour", col("ts")).as("w_start"), col("user_id"))
+      .as[(Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new WindowTopkProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def statefulTypeStats(events: DataFrame): Dataset[TypeStats] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode

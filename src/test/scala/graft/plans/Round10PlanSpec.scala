@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan pins for the round-10 query surface (the Round9PlanSpec
+  * discipline): the shuffle/broadcast/lowering structure each scaladoc
+  * claims, asserted on the real sf fixture.
+  */
+class Round10PlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("a62 item similarity: the per-part top-3 lowers to the " +
+       "bounded-heap TopKPerKeyExec and no cartesian appears") {
+    GraftExtensions.install(spark)
+    val s = planString(
+      graft.queries.Analytics.queries("a62_item_similarity")(spark, sf))
+    assert(s.contains("TopKPerKey"), s"rank window must lower:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in a62 plan:\n$s")
+  }
+
+  test("a62/a60/a61 ride ONE memoized repeat-edge frame (object identity " +
+       "extended to the third consumer)") {
+    graft.queries.Analytics.releaseRepeatEdges(spark)
+    val e = graft.queries.Analytics.repeatEdges(spark, sf)
+    // building a62 must not rebuild or re-persist another edge frame
+    val e2 = graft.queries.Analytics.repeatEdges(spark, sf)
+    assert(e eq e2)
+    graft.queries.Analytics.queries("a62_item_similarity")(spark, sf).collect()
+    assert(graft.queries.Analytics.repeatEdges(spark, sf) eq e)
+  }
+
+  test("x94 collocations: no exchange carries raw document text — the " +
+       "bigram table shuffles token pairs only") {
+    val s = planString(
+      graft.queries.Extensions.queries("x94_collocations")(spark, sf))
+    val exLines = s.split('\n').filter(_.contains("Exchange hashpartitioning"))
+    assert(exLines.nonEmpty)
+    exLines.foreach { l =>
+      assert(!l.contains("text#"), s"text crossed an exchange: $l")
+    }
+  }
+
+  test("x96 cdc chunks: chunking is scan-side — the only exchanges carry " +
+       "(source, chunk hash) aggregates, never the document text") {
+    val s = planString(
+      graft.queries.Extensions.queries("x96_cdc_chunks")(spark, sf))
+    val exLines = s.split('\n').filter(_.contains("Exchange"))
+    exLines.foreach { l =>
+      assert(!l.contains("text#") && !l.contains(" t#"),
+        s"document text crossed an exchange: $l")
+    }
+    assert(!s.contains("CartesianProduct"))
+    // the passthrough design means NO join back to the corpus
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      s"cdc report must not join back to the corpus:\n$s")
+  }
+
+  test("x93 length quantiles: one corpus aggregation then windows over " +
+       "the compressed (source, len) domain — no row-level global sort") {
+    val s = planString(
+      graft.queries.Extensions.queries("x93_length_quantiles")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    // partial agg exchange on (source, len) + window exchange on source
+    // + final source rollup — the windows never see corpus rows
+    assert(s.contains("Window"), s"expected window operators:\n$s")
+    assert(hashEx <= 3, s"expected <=3 hash exchanges:\n$s")
+  }
+
+  test("st19 window top-k runs on TransformWithState keyed by the window") {
+    val ds = graft.streaming.EventStreams.statefulWindowTopk(
+      graft.tables.Tables.events(spark, sf), k = 3)
+    val s = planString(ds.toDF())
+    assert(s.contains("TransformWithState"), s"expected tws operator:\n$s")
+  }
+
+  test("st05/st08 migrated operators run on TransformWithState (the r9 " +
+       "verdict ask 4 — promise and code agree)") {
+    val ev = graft.tables.Tables.events(spark, sf)
+    val s5 = planString(graft.streaming.EventStreams.statefulUserStats(ev).toDF())
+    val s8 = planString(graft.streaming.EventStreams.statefulSessionize(ev).toDF())
+    assert(s5.contains("TransformWithState"), s5)
+    assert(s8.contains("TransformWithState"), s8)
+  }
+}

@@ -742,6 +742,45 @@ class EventStreamsSpec extends SparkTestBase {
       Timestamp.valueOf("2024-01-01 00:00:00.000100"))
   }
 
+  test("st19 window top-k: MapState accumulates per window across " +
+       "micro-batches; final leaderboard equals the batch rank") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val evs = Seq(
+      Ev(t("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      Ev(t("2024-01-01 00:10:00"), 1L, "click", 1.0),
+      Ev(t("2024-01-01 00:20:00"), 2L, "view", 1.0),
+      Ev(t("2024-01-01 00:25:00"), 3L, "view", 1.0),
+      Ev(t("2024-01-01 00:40:00"), 2L, "click", 1.0),
+      Ev(t("2024-01-01 00:50:00"), 2L, "view", 1.0),
+      Ev(t("2024-01-01 01:10:00"), 3L, "click", 1.0))
+    val q = EventStreams.statefulWindowTopk(input.toDF(), k = 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(4))
+      q.processAllAvailable()
+      input.addData(evs.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode re-emits a window's leaderboard as it changes; the
+    // LAST emission per (window, rank) is the final board. user 2 ends
+    // at 3 events (> user 1's 2) only after batch 2 — state must carry.
+    val finalRows = spark.table("topk_out")
+      .groupBy("w_start", "rank")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct($"user_id", $"n_events"),
+        $"n_events").as("s"))
+      .select($"w_start", $"rank", $"s.user_id", $"s.n_events")
+      .orderBy("w_start", "rank").collect().toSeq
+    val batch = EventStreams.statefulWindowTopk(evs.toDF(), k = 2)
+      .toDF().orderBy("w_start", "rank").collect().toSeq
+    assert(finalRows === batch)
+    assert(batch.map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).take(2) ===
+      Seq((1, 2L, 3L), (2, 1L, 2L)), s"hour-0 board wrong: $batch")
+  }
+
   test("st13 funnel breaks exact-timestamp ties on event_id (the " +
        "statefulEwma/st18 discipline, oracle ORDER BY ts, event_id)") {
     // Different event types at IDENTICAL timestamps, fed in scrambled id

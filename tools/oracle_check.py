@@ -11,6 +11,7 @@ hash-based compare.
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -45,15 +46,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    # --only-present: check only the oracle entries whose spark dump
+    # exists in <out> (for restricted graft.Verify runs, e.g. the sf1
+    # banding-family sweep) instead of failing the absent ones.
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only_present = "--only-present" in sys.argv
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "/tmp/verify_out"
     con = duckdb.connect()
     for p in glob.glob(f"{sf}/*.parquet"):
         name = p.split("/")[-1].replace(".parquet", "")
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # Spark writes a table as a DIRECTORY of part files (the sf1
+        # fixture); point DuckDB at the part glob in that case.
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_fail = 0
     for name in sorted(oracle):
+        if only_present and not os.path.exists(f"{out}/{name}"):
+            continue
         try:
             spark_df = pd.read_parquet(f"{out}/{name}")
         except Exception as e:
