@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.functions.{col, expr, posexplode}
+import org.apache.spark.sql.functions.{col, explode, expr, posexplode}
 
 /** Content-defined chunking (CDC) — the storage-layer dedup primitive
   * (LBFS/FastCDC family): chunk boundaries are chosen where a rolling
@@ -73,6 +73,57 @@ object Chunking {
       .select(col("doc_id") +: keep :+ col("chunk_idx") :+
         col("c.chunk_len").as("chunk_len") :+
         col("c.chunk_hash").as("chunk_hash"): _*)
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS copy-detection algorithm): over the same
+    * per-position rolling-hash stream as [[cdcChunks]], slide a window
+    * of `winnowW` consecutive hashes and keep each window's MINIMUM —
+    * the guarantee is that any shared substring of length ≥
+    * `Window + winnowW - 1` contributes at least one IDENTICAL selected
+    * fingerprint to both documents, while storage is ~2/(winnowW+1) of
+    * the k-gram count. The copy-detection companion to md5/simhash:
+    * local (per-passage) where simhash is global.
+    *
+    * Two scale fences, both standard winnowing practice:
+    *  - fingerprints whose document frequency exceeds `maxDf` are
+    *    dropped as boilerplate BEFORE pair mining (they would otherwise
+    *    be quadratic hot buckets — the x19/x20 banding-family shape);
+    *  - pair evidence counts shared fingerprints, never positions.
+    *
+    * 100 TB: fingerprinting is scan-side HOFs (no UDF); what shuffles
+    * is (fingerprint, doc) longs; the df prune is one
+    * partial-aggregatable count; pair mining is the standard
+    * bucket-join on the fingerprint key. Returns (d1 < d2, n_shared)
+    * pairs — callers threshold/rank.
+    */
+  def winnowingPairs(docs: DataFrame, textCol: String, idCol: String,
+                     winnowW: Int = 4, maxDf: Int = 64): DataFrame = {
+    require(winnowW >= 1, s"winnowW must be >= 1, got $winnowW")
+    require(maxDf >= 2, s"maxDf < 2 can never form a pair, got $maxDf")
+    val fps = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .withColumn("kh", expr(
+        s"""transform(filter(sequence(1, length(t)), p -> p >= $Window),
+              p -> aggregate(sequence(0, ${Window - 1}), 0L,
+                (acc, j) -> acc + ascii(substring(t, p - j, 1))
+                              * element_at($pows, j + 1)))"""))
+      .withColumn("fp", explode(expr(
+        s"""CASE WHEN size(kh) >= $winnowW THEN
+              array_distinct(transform(sequence(1, size(kh) - ${winnowW - 1}),
+                i -> array_min(slice(kh, i, $winnowW))))
+            ELSE array() END""")))
+      .select("doc_id", "fp")
+    val kept = graft.Caches.persistOnce(
+      fps.withColumn("df",
+          F.count(F.lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("df") <= maxDf)
+        .select("doc_id", "fp"))
+    kept.select(col("fp"), col("doc_id").as("d1"))
+      .join(kept.select(col("fp"), col("doc_id").as("d2")), "fp")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(F.count(F.lit(1)).as("n_shared"))
   }
 
   /** Per-source chunk-level dedup report over [[cdcChunks]]: total

@@ -705,6 +705,56 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Candidate-quality report for the SimHash banding pipeline — the
+    * x89 ANN-recall discipline applied to near-dup mining: for every
+    * [[simhashCandidates]] pair, compute the EXACT shingle Jaccard and
+    * roll up precision per Hamming-distance bucket. This is the tuning
+    * gate a pipeline runs before trusting a banding configuration: "at
+    * hamming ≤ h, what fraction of candidates are true near-dups at
+    * Jaccard ≥ thrNum/thrDen?" — it prices the verification pass and
+    * locates the hamming cutoff.
+    *
+    * Determinism: the true-positive test is integer cross-multiplication
+    * (`inter·thrDen ≥ union·thrNum`, empty-vs-empty union counts true —
+    * identical-as-sets); only the final precision is a grid-quantized
+    * division. 100 TB: exact Jaccard runs over CANDIDATE pairs only
+    * (banding-bounded, never all-pairs); the intersection join keys on
+    * the shared [[shingleFlat]] cache; pairs with zero overlap re-enter
+    * via the left join so the bucket denominator stays honest.
+    */
+  def simhashCandidatePrecision(docs: DataFrame, textCol: String,
+                                idCol: String, n: Int = 3,
+                                thrNum: Int = 1, thrDen: Int = 5): DataFrame = {
+    require(thrDen > 0 && thrNum >= 0, s"bad threshold $thrNum/$thrDen")
+    val grid = 1048576L // 2^20
+    val cand = graft.Caches.persistOnce(
+      simhashCandidates(docs, textCol, idCol)
+        .select(col("d1"), col("d2"), col("hamming")))
+    val sh = shingleFlat(docs, textCol, idCol, n)
+    val szt = sh.select(col("doc_id"), col("sz")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(szt.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"), "left")
+      .join(szt.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"), "left")
+      .withColumn("i", coalesce(col("inter"), lit(0L)))
+      .withColumn("u",
+        coalesce(col("sz1"), lit(0L)) + coalesce(col("sz2"), lit(0L)) - col("i"))
+      .withColumn("tp",
+        when(col("u") === 0 ||
+             col("i") * lit(thrDen.toLong) >= col("u") * lit(thrNum.toLong),
+          1L).otherwise(0L))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("tp")).as("n_true"))
+      .withColumn("precision_q",
+        floor(col("n_true").cast("double") / col("n_pairs").cast("double")
+          * grid + lit(0.5)).cast("long"))
+      .select("hamming", "n_pairs", "n_true", "precision_q")
+  }
+
   /** Banded Hamming candidates over an ARBITRARY 64-bit fingerprint
     * column — the [[simhashCandidates]] self-join machinery made
     * fingerprint-agnostic (SimHash, perceptual dHash, any 64-bit

@@ -964,6 +964,39 @@ object TextAnalysis {
         cut(90), cut(99))
   }
 
+  /** Per-source vocabulary coverage: the share of a source's token
+    * INSTANCES covered by the global top-`vocabSize` frequency
+    * vocabulary — the tokenizer-planning / domain-shift signal ("how
+    * well does a fixed vocab serve each source"; a source with low
+    * coverage is out-of-domain for the tokenizer trained on the mix).
+    *
+    * 100 TB: token counts are one partial-aggregatable groupBy; the
+    * vocabulary is top-k via TakeOrdered (k rows on the driver — a
+    * BOUNDED broadcast dimension by construction, unlike a full vocab:
+    * the codebook-guard shape with k as the literal fence); the
+    * coverage pass is one scan + broadcast semi-join + source rollup.
+    * Coverage is one grid-quantized division.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, sourceCol: String,
+                    vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val grid = 1048576L // 2^20
+    val toks = graft.Caches.persistOnce(
+      docs.select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), "\\s+")).as("token")))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNotNull, 1L).otherwise(0L)).as("n_in_vocab"))
+      .withColumn("coverage_q",
+        floor(col("n_in_vocab").cast("double") / col("n_tokens").cast("double")
+          * grid + lit(0.5)).cast("long"))
+      .select("source", "n_tokens", "n_in_vocab", "coverage_q")
+  }
+
   /** Corpus collocations: bigram LIFT (observed/expected co-occurrence
     * ratio) over whitespace tokens — the PMI-family association signal
     * without the log (a monotone transform, so the RANKING is PMI's;

@@ -375,6 +375,29 @@ object Extensions {
       Chunking.cdcDupReport(T.documents(s, dir), "text", "doc_id", "source")
         .orderBy("source")),
 
+    // Winnowing copy detection (MOSS, SIGMOD'03): min-hash-per-window
+    // fingerprint selection over the CDC rolling-hash stream, df-pruned
+    // boilerplate, shared-fingerprint pair evidence; top-20 pairs.
+    "x97_winnowing" -> ((s, dir) =>
+      Chunking.winnowingPairs(T.documents(s, dir), "text", "doc_id")
+        .orderBy(col("n_shared").desc, col("d1"), col("d2"))
+        .limit(20)),
+
+    // Per-source coverage of the global top-1000 frequency vocabulary —
+    // the tokenizer-planning / domain-shift signal.
+    "x98_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(T.documents(s, dir), "text", "source",
+          vocabSize = 1000)
+        .orderBy("source")),
+
+    // Candidate-quality report for the simhash banding pipeline (the
+    // x89 recall discipline applied to near-dup): exact Jaccard over
+    // candidates only, precision per hamming bucket.
+    "x99_neardup_eval" -> ((s, dir) =>
+      Dedup.simhashCandidatePrecision(T.documents(s, dir), "text", "doc_id",
+          n = 3, thrNum = 1, thrDen = 5)
+        .orderBy("hamming")),
+
     // ANN recall report: x17's IVF probe measured against x05's exact
     // brute-force truth, per query — the index-quality gate a pipeline
     // runs before trusting an approximate index (the RecallSpec floor,
@@ -3385,6 +3408,49 @@ object Extensions {
              AS dup_rate_q
          FROM h GROUP BY 1 ORDER BY 1""",
 
+    // x97: the winnowing selection replayed — same k-gram polynomial as
+    // x96, per-window minima, df prune, shared-fingerprint pair join.
+    "x97_winnowing" ->
+      """WITH kh AS (SELECT doc_id,
+             list_transform(range(8, length(text) + 1), p ->
+               list_sum(list_transform(range(0, 8), j ->
+                 unicode(text[p - j]) *
+                 [1, 31, 961, 29791, 923521, 28629151,
+                  887503681, 27512614111][j + 1]))) AS kh
+           FROM documents),
+         fp AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(kh) - 2),
+               i -> list_min(kh[i:i+3])))) AS fp
+           FROM kh WHERE len(kh) >= 4),
+         dfc AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+         kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN dfc USING (fp)
+                  WHERE df <= 64),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     CAST(count(*) AS BIGINT) AS n_shared
+                   FROM kept a JOIN kept b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, n_shared FROM pairs
+         ORDER BY n_shared DESC, d1, d2 LIMIT 20""",
+
+    // x98: top-1000 frequency vocab (count desc, token asc), left join,
+    // one grid division.
+    "x98_vocab_coverage" ->
+      """WITH t AS (SELECT source,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+         v AS (SELECT token FROM (
+                 SELECT token, count(*) AS cnt FROM t GROUP BY 1)
+               ORDER BY cnt DESC, token LIMIT 1000),
+         m AS (SELECT t.source, t.token,
+                 CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS in_v
+               FROM t LEFT JOIN v ON v.token = t.token)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(in_v) AS BIGINT) AS n_in_vocab,
+           CAST(floor(CAST(sum(in_v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               * 1048576 + 0.5) AS BIGINT) AS coverage_q
+         FROM m GROUP BY 1 ORDER BY 1""",
+
     // x96: the CDC rolling-hash boundaries (8-char window, base-31
     // polynomial, mod-64 mask) and chunk md5s replayed with list HOFs,
     // then the same per-source dup rollup as x95.
@@ -3456,6 +3522,48 @@ object Extensions {
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
          FROM cand ORDER BY d1, d2""",
+
+    // x99: the x19 candidate chain + the x02 exact-Jaccard chain,
+    // joined per candidate pair; integer cross-multiplied TP test
+    // (i·5 ≥ u·1 ⇔ jaccard ≥ 0.2), one grid division for precision.
+    "x99_neardup_eval" ->
+      s"""WITH $simhashUnsignedSql,
+         banded AS (
+           SELECT doc_id, hu, bb.b AS band,
+             (hu >> CAST(16 * bb.b AS INTEGER)) % 65536 AS key
+           FROM fpu, (SELECT unnest(range(0, 4)) AS b) bb),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.hu AS h1, b.hu AS h2
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         chh AS (SELECT d1, d2,
+             CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming FROM cand),
+         w AS (SELECT doc_id,
+             regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.d1, c.d2, count(*) AS i
+           FROM chh c JOIN sh a ON a.doc_id = c.d1
+                      JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+           GROUP BY 1, 2),
+         sc AS (SELECT chh.d1, chh.d2, chh.hamming,
+             coalesce(i.i, 0) AS i,
+             coalesce(s1.sz, 0) + coalesce(s2.sz, 0) - coalesce(i.i, 0) AS u
+           FROM chh LEFT JOIN inter i USING (d1, d2)
+             LEFT JOIN sizes s1 ON s1.doc_id = chh.d1
+             LEFT JOIN sizes s2 ON s2.doc_id = chh.d2),
+         tp AS (SELECT hamming,
+             CASE WHEN u = 0 OR i * 5 >= u * 1 THEN 1 ELSE 0 END AS tp
+           FROM sc)
+         SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(tp) AS BIGINT) AS n_true,
+           CAST(floor(CAST(sum(tp) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               * 1048576 + 0.5) AS BIGINT) AS precision_q
+         FROM tp GROUP BY 1 ORDER BY 1""",
     "x11_fingerprint_rolling" ->
       """SELECT doc_id,
            CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)

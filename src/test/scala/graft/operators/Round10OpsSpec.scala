@@ -77,6 +77,77 @@ class Round10OpsSpec extends SparkTestBase {
     assert(s2.getAs[Long]("dup_chunks") === 0L)
   }
 
+  // ---------------------------------------------------------------- x97
+
+  test("winnowingPairs: documents sharing a long passage share a " +
+       "selected fingerprint (the winnowing guarantee) and pair up") {
+    val passage = "this exact shared passage is long enough that the " +
+      "winnowing window must select at least one common fingerprint from it"
+    val docs = Seq(
+      (1L, "first document header " + passage),
+      (2L, passage + " trailing content of the second document"),
+      (3L, "entirely unrelated text with no overlap whatsoever here"))
+      .toDF("doc_id", "text")
+    val pairs = Chunking.winnowingPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"copy pair (1,2) missing from $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("winnowingPairs: boilerplate fingerprints above maxDf are pruned " +
+       "before pair mining (the quadratic-hot-bucket fence)") {
+    // the same passage in 6 docs with maxDf=4: every fingerprint from it
+    // has df 6 > 4 → no pairs at all
+    val passage = "common boilerplate footer text appearing everywhere " +
+      "in this synthetic corpus of documents"
+    val docs = (1L to 6L).map(i => (i, s"doc $i " + passage)).toDF("doc_id", "text")
+    val pruned = Chunking.winnowingPairs(docs, "text", "doc_id", maxDf = 4)
+    assert(pruned.count() === 0L, "df-pruned fingerprints must not pair")
+    // and with the fence above the df the pairs appear
+    val kept = Chunking.winnowingPairs(docs, "text", "doc_id", maxDf = 6)
+    assert(kept.count() > 0L)
+  }
+
+  // ---------------------------------------------------------------- x98
+
+  test("vocabCoverage: coverage is the exact in-vocab token share on a " +
+       "hand-checked corpus") {
+    val docs = Seq(
+      ("a a b c", "s1"),   // 4 tokens; vocab(2)={a(3+?),...}
+      ("a b b d", "s2"))   // counts: a=3, b=3, c=1, d=1 → vocab2 = {a, b}
+      .toDF("text", "source")
+    val out = TextAnalysis.vocabCoverage(docs, "text", "source", vocabSize = 2)
+      .orderBy("source").collect()
+    assert(out(0).getAs[Long]("n_tokens") === 4L)
+    assert(out(0).getAs[Long]("n_in_vocab") === 3L) // a a b
+    assert(out(0).getAs[Long]("coverage_q") === 786432L) // 0.75 · 2^20
+    assert(out(1).getAs[Long]("n_in_vocab") === 3L) // a b b
+  }
+
+  // ---------------------------------------------------------------- x99
+
+  test("simhashCandidatePrecision: bucket denominators cover EVERY " +
+       "candidate pair and exact dups land true at hamming 0") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val cand = Dedup.simhashCandidates(docs, "text", "doc_id").count()
+    val rep = Dedup.simhashCandidatePrecision(docs, "text", "doc_id")
+      .collect()
+    assert(rep.map(_.getAs[Long]("n_pairs")).sum === cand,
+      "every candidate must appear in exactly one hamming bucket")
+    val h0 = rep.find(_.getAs[Int]("hamming") == 0)
+    h0.foreach { r =>
+      // hamming-0 pairs on this corpus are exact dups → all true
+      assert(r.getAs[Long]("n_true") === r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("precision_q") === 1048576L)
+    }
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_pairs"))
+    }
+  }
+
   // ---------------------------------------------------------------- x93
 
   test("lengthQuantiles: exact disc quantiles on a known distribution") {

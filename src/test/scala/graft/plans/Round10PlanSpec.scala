@@ -70,6 +70,27 @@ class Round10PlanSpec extends SparkTestBase {
     assert(hashEx <= 3, s"expected <=3 hash exchanges:\n$s")
   }
 
+  test("x97 winnowing: fingerprints shuffle as longs — no exchange " +
+       "carries the document text") {
+    val s = planString(
+      graft.queries.Extensions.queries("x97_winnowing")(spark, sf))
+    val exLines = s.split('\n').filter(_.contains("Exchange"))
+    exLines.foreach { l =>
+      assert(!l.contains("text#") && !l.contains(" t#"),
+        s"text crossed an exchange: $l")
+    }
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("x98 vocab coverage: the top-k vocabulary joins as a BROADCAST " +
+       "(a bounded dimension by construction) — the corpus never " +
+       "shuffles for the coverage pass") {
+    val s = planString(
+      graft.queries.Extensions.queries("x98_vocab_coverage")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$s")
+    assert(s.contains("TakeOrdered"), s"vocab cut must be TakeOrdered:\n$s")
+  }
+
   test("st19 window top-k runs on TransformWithState keyed by the window") {
     val ds = graft.streaming.EventStreams.statefulWindowTopk(
       graft.tables.Tables.events(spark, sf), k = 3)
