@@ -280,6 +280,79 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The per-position rolling-window hash stream behind CDC chunking and
+  * winnowing fingerprints ([[graft.operators.Chunking]]): for every
+  * 1-based position p in [8, len], `h(p) = Σ_{j=0..7} byte(p−j)·31^j` —
+  * returned as `array<long>` (element i ↔ position i+7).
+  *
+  * Codegen'd with the INCREMENTAL recurrence
+  * `h(p+1) = (h(p) − byte(p−7)·31^7)·31 + byte(p+1)` — one
+  * multiply-add per byte instead of the higher-order-function form's
+  * 8-term closed-form polynomial per position with an interpreted
+  * lambda dispatch per element (the HOF path cannot enter
+  * whole-stage codegen). Bit-identical to the HOF form on
+  * single-byte-per-char text (the corpus family; same ASCII caveat as
+  * [[SimHash64]]'s oracle — DuckDB replays code points).
+  * Max magnitude 8·255·31^7 ≈ 5.6·10¹³ — long-exact, no wrap.
+  */
+case class RollingWindowHashes(child: Expression) extends UnaryExpression {
+  private val Pow7 = 27512614111L // 31^7
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cdc_hashes expects string, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val n = b.length
+    val m = if (n >= 8) n - 7 else 0
+    val out = new Array[Long](m)
+    if (m > 0) {
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = h * 31L + (b(i) & 0xffL); i += 1 }
+      out(0) = h
+      var p = 8
+      while (p < n) {
+        h = (h - (b(p - 8) & 0xffL) * Pow7) * 31L + (b(p) & 0xffL)
+        out(p - 7) = h
+        p += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("b"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m"); val out = ctx.freshName("out")
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      s"""
+         |byte[] $b = $s.getBytes();
+         |int $n = $b.length;
+         |int $m = $n >= 8 ? $n - 7 : 0;
+         |long[] $out = new long[$m];
+         |if ($m > 0) {
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < 8; $i++) $h = $h * 31L + ($b[$i] & 0xffL);
+         |  $out[0] = $h;
+         |  for (int $p = 8; $p < $n; $p++) {
+         |    $h = ($h - ($b[$p - 8] & 0xffL) * ${Pow7}L) * 31L + ($b[$p] & 0xffL);
+         |    $out[$p - 7] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over a token array: FNV-1a hash per token, per-bit
   * majority vote. Near-duplicate documents land within a small Hamming
   * distance; band the result (e.g. four 16-bit bands) for bucketed
@@ -382,6 +455,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       (es: Seq[Expression]) => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cdc_hashes",
+      (es: Seq[Expression]) => RollingWindowHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize",
       (es: Seq[Expression]) => L2Normalize(es.head), "built-in")
     // Spark's codegen'd Murmur3 with a CALLER-CHOSEN seed (the built-in
@@ -403,6 +478,7 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
+  def cdcHashes(c: Column): Column = call_function("cdc_hashes", c)
   def l2Normalize(c: Column): Column = call_function("l2_normalize", c)
   def murmur3Seeded(c: Column, seed: Int): Column =
     call_function("murmur3_seeded", c, org.apache.spark.sql.functions.lit(seed))

@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions.{col, explode, expr, posexplode}
   * companion to the token-level passage dedup (x38).
   *
   * Determinism (cross-engine replayable, no seeded fingerprint tables):
-  * the boundary hash at position p is the direct polynomial
-  * `Σ_{j=0..7} code(char p−j)·31^j` over the fixed 8-char window —
-  * each position evaluates the closed form (8 integer multiply-adds)
-  * instead of a stateful rolling recurrence, so the expression is a
-  * pure per-position function both engines compute identically (max
-  * magnitude 8·0xFFFF·31⁷ ≈ 1.4·10¹⁶ — long-safe). A position is a
+  * the boundary hash at position p is the window polynomial
+  * `Σ_{j=0..7} code(char p−j)·31^j` — a pure per-position function of
+  * the window CONTENT, which both engines compute identically (max
+  * magnitude 8·255·31⁷ ≈ 5.6·10¹³ — long-exact, no wrap). The SPARK
+  * side evaluates it with the codegen'd incremental recurrence
+  * ([[graft.functions.RollingWindowHashes]] — one multiply-add per
+  * byte inside whole-stage codegen); the DuckDB ORACLE evaluates the
+  * closed form per position with list HOFs — algebraically equal exact
+  * integers, so the hash streams match bit-for-bit. A position is a
   * boundary when the hash ≡ 0 (mod [[Chunking.AvgChunk]]) → expected
   * chunk length ≈ AvgChunk. Chunk identity is md5 of the chunk text
   * (the x10 fingerprint).
@@ -37,10 +40,6 @@ object Chunking {
   /** Expected chunk length: boundary when hash ≡ 0 (mod AvgChunk). */
   val AvgChunk = 64
 
-  private val pows: String =
-    (0 until Window).map(j => s"${math.pow(31.0, j).toLong}L")
-      .mkString("array(", ", ", ")")
-
   /** One row per chunk: (doc_id, [passthrough...], chunk_idx,
     * chunk_len, chunk_hash). Boundary positions are 1-based
     * end-of-window indices; the final chunk always ends at the document
@@ -49,15 +48,21 @@ object Chunking {
     */
   def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
                 passthrough: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val keep = passthrough.map(col)
     docs
       .select(col(idCol).as("doc_id") +: col(textCol).as("t") +: keep: _*)
+      // the hash stream is the codegen'd incremental expression
+      // (RollingWindowHashes — one multiply-add per byte inside
+      // whole-stage codegen); boundary selection over the long array is
+      // a cheap HOF. kh element i ↔ position i + Window − 1.
+      .withColumn("kh",
+        graft.functions.GraftFunctions.cdcHashes(col("t")))
       .withColumn("bnds", expr(
-        s"""filter(sequence(1, length(t)), p -> p >= $Window AND
-              aggregate(sequence(0, ${Window - 1}), 0L,
-                (acc, j) -> acc + ascii(substring(t, p - j, 1))
-                              * element_at($pows, j + 1))
-              % $AvgChunk = 0)"""))
+        s"""CASE WHEN size(kh) = 0 THEN array()
+            ELSE transform(filter(sequence(1, size(kh)),
+                   i -> element_at(kh, i) % $AvgChunk = 0),
+                 i -> i + ${Window - 1}) END"""))
       // chunk END positions: boundaries plus the document end (distinct
       // keeps ascending order — bnds is ascending and ≤ length)
       .withColumn("ends",
@@ -101,13 +106,13 @@ object Chunking {
                      winnowW: Int = 4, maxDf: Int = 64): DataFrame = {
     require(winnowW >= 1, s"winnowW must be >= 1, got $winnowW")
     require(maxDf >= 2, s"maxDf < 2 can never form a pair, got $maxDf")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val fps = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("t"))
-      .withColumn("kh", expr(
-        s"""transform(filter(sequence(1, length(t)), p -> p >= $Window),
-              p -> aggregate(sequence(0, ${Window - 1}), 0L,
-                (acc, j) -> acc + ascii(substring(t, p - j, 1))
-                              * element_at($pows, j + 1)))"""))
+      // same codegen'd stream as cdcChunks — the k-gram hashing is the
+      // scan-dominant cost and now rides whole-stage codegen
+      .withColumn("kh",
+        graft.functions.GraftFunctions.cdcHashes(col("t")))
       .withColumn("fp", explode(expr(
         s"""CASE WHEN size(kh) >= $winnowW THEN
               array_distinct(transform(sequence(1, size(kh) - ${winnowW - 1}),

@@ -159,7 +159,14 @@ object Graph {
                           rounds: Int = 3,
                           checkpointEvery: Int = 8): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // both directions once: neighbor lookups are one equi-join per round
+    // Both directions once. A pre-partitioned persist (repartition(u)
+    // before cache) was MEASURED and rejected: the per-round joins
+    // rebuild attribute ids, so the cached layout does not satisfy the
+    // join distribution and the exchange stays (A/B at sf0.1: 4.99 s
+    // min both ways, +1 build shuffle) — at cluster scale the per-round
+    // edge exchange is inherent to synchronous label propagation here;
+    // bucketed TABLES (SourcesSpec's co-located-join path) are the
+    // exchange-free variant when edges live in storage.
     val und = graft.Caches.persistOnce(
       edges.select(col(aCol).as("v"), col(bCol).as("u"))
         .union(edges.select(col(bCol).as("v"), col(aCol).as("u")))

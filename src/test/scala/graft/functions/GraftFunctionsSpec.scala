@@ -153,4 +153,35 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(ham(hashes(0), hashes(2)) < ham(hashes(0), hashes(3)))
     assert(ham(hashes(0), hashes(2)) <= 16)
   }
+
+  test("cdc_hashes: the incremental codegen stream equals the " +
+       "closed-form window polynomial, position for position") {
+    val text = "the quick brown fox jumps over the lazy dog 0123456789"
+    def closedForm(s: String): Seq[Long] =
+      (8 to s.length).map { p =>
+        (0 until 8).map(j => s.charAt(p - j - 1).toLong *
+          math.pow(31.0, j).toLong).sum
+      }
+    val got = Seq(text).toDF("t")
+      .select(GraftFunctions.cdcHashes(col("t")).as("kh"))
+      .head().getSeq[Long](0)
+    assert(got === closedForm(text))
+    // interpreted eval path agrees with the codegen plan path
+    val interp = RollingWindowHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp === got)
+  }
+
+  test("cdc_hashes: sub-window and empty strings yield an empty stream; " +
+       "null propagates") {
+    val rows = Seq(Some("1234567"), Some(""), None).toDF("t")
+      .select(GraftFunctions.cdcHashes(col("t")).as("kh")).collect()
+    assert(rows(0).getSeq[Long](0).isEmpty)
+    assert(rows(1).getSeq[Long](0).isEmpty)
+    assert(rows(2).isNullAt(0))
+  }
 }
