@@ -80,6 +80,41 @@ object Chunking {
         col("c.chunk_hash").as("chunk_hash"): _*)
   }
 
+  /** Incremental chunk-level dedup against a HISTORY corpus — the
+    * x27/x31 ingest pattern at CDC-chunk granularity: per new document,
+    * how many of its chunks (and how many of its BYTES) already exist
+    * in the store. This is the number a dedup store actually saves on
+    * ingest — byte-level reuse across documents that are nowhere near
+    * duplicates at document granularity (a changed file shares its
+    * unedited chunks with yesterday's version).
+    *
+    * 100 TB: the history index is the distinct chunk-hash table
+    * (hash-keyed, partial-agg built, incrementally maintainable); the
+    * probe is one equi-join on the 32-hex hash — O(batch chunks +
+    * colliding history), never a text comparison. reuse_rate_q is
+    * byte-weighted (chunk lengths ride the scan), 2^-20-grid.
+    */
+  def cdcIncremental(batch: DataFrame, history: DataFrame,
+                     textCol: String, idCol: String): DataFrame = {
+    val grid = 1048576L // 2^20
+    val hist = cdcChunks(history, textCol, idCol)
+      .select(col("chunk_hash")).distinct()
+      .withColumn("seen", F.lit(1))
+    cdcChunks(batch, textCol, idCol)
+      .join(hist, Seq("chunk_hash"), "left")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_chunks"),
+        F.sum(F.when(col("seen").isNull, 1L).otherwise(0L)).as("n_new_chunks"),
+        F.sum(col("chunk_len")).as("total_bytes"),
+        F.sum(F.when(col("seen").isNull, col("chunk_len")).otherwise(F.lit(0)))
+          .cast("bigint").as("new_bytes"))
+      .withColumn("reuse_rate_q",
+        F.floor((col("total_bytes") - col("new_bytes")).cast("double")
+          / col("total_bytes").cast("double") * grid + F.lit(0.5)).cast("long"))
+      .select("doc_id", "n_chunks", "n_new_chunks", "total_bytes",
+        "new_bytes", "reuse_rate_q")
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS copy-detection algorithm): over the same
     * per-position rolling-hash stream as [[cdcChunks]], slide a window

@@ -398,6 +398,18 @@ object Extensions {
           n = 3, thrNum = 1, thrDen = 5)
         .orderBy("hamming")),
 
+    // Incremental chunk-level dedup against a history corpus (the
+    // x27/x31 ingest pattern at CDC granularity): per new doc, chunks
+    // and BYTES already in the store — the dedup-store ingest saving.
+    "x100_cdc_incremental" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      Chunking.cdcIncremental(
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ANN recall report: x17's IVF probe measured against x05's exact
     // brute-force truth, per query — the index-quality gate a pipeline
     // runs before trusting an approximate index (the RecallSpec floor,
@@ -3450,6 +3462,42 @@ object Extensions {
            CAST(floor(CAST(sum(in_v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                * 1048576 + 0.5) AS BIGINT) AS coverage_q
          FROM m GROUP BY 1 ORDER BY 1""",
+
+    // x100: the x96 chunk CTE with per-chunk (len, md5) structs, split
+    // into history/batch arms on doc_id % 5, probed via left join.
+    "x100_cdc_incremental" ->
+      """WITH b AS (SELECT doc_id, text,
+             list_filter(range(8, length(text) + 1), p ->
+               list_sum(list_transform(range(0, 8), j ->
+                 unicode(text[p - j]) *
+                 [1, 31, 961, 29791, 923521, 28629151,
+                  887503681, 27512614111][j + 1])) % 64 = 0) AS bnds
+           FROM documents),
+         e AS (SELECT doc_id, text,
+             list_sort(list_distinct(list_append(bnds, length(text)))) AS ends
+           FROM b),
+         ch AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ends) + 1), i ->
+               {'clen': ends[i] - (CASE WHEN i = 1 THEN 0
+                                        ELSE ends[i - 1] END),
+                'h': md5(text[(CASE WHEN i = 1 THEN 0
+                               ELSE ends[i - 1] END) + 1 : ends[i]])}),
+               recursive := true)
+           FROM e),
+         hist AS (SELECT DISTINCT h FROM ch WHERE doc_id % 5 <> 0),
+         bat AS (SELECT * FROM ch WHERE doc_id % 5 = 0)
+         SELECT bat.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new_chunks,
+           CAST(sum(clen) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN hist.h IS NULL THEN clen ELSE 0 END) AS BIGINT)
+             AS new_bytes,
+           CAST(floor(CAST(sum(CASE WHEN hist.h IS NOT NULL THEN clen
+                                    ELSE 0 END) AS DOUBLE)
+               / CAST(sum(clen) AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
+             AS reuse_rate_q
+         FROM bat LEFT JOIN hist ON hist.h = bat.h
+         GROUP BY 1 ORDER BY 1""",
 
     // x96: the CDC rolling-hash boundaries (8-char window, base-31
     // polynomial, mod-64 mask) and chunk md5s replayed with list HOFs,

@@ -77,6 +77,29 @@ class Round10OpsSpec extends SparkTestBase {
     assert(s2.getAs[Long]("dup_chunks") === 0L)
   }
 
+  // --------------------------------------------------------------- x100
+
+  test("cdcIncremental: chunks shared with history count as reused " +
+       "bytes; novel docs report zero reuse") {
+    val tail = ("the shared tail that already lives in the store and " +
+      "is long enough to contain several chunk boundaries inside it ") * 8
+    val history = Seq((1L, "old version prefix " + tail)).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "brand new prefix of the edited file " + tail),
+      (101L, "an entirely novel document with none of its content in " +
+        "the store at all, not a single shared chunk anywhere"))
+      .toDF("doc_id", "text")
+    val out = Chunking.cdcIncremental(batch, history, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val edited = out(0)
+    assert(edited.getAs[Long]("new_bytes") < edited.getAs[Long]("total_bytes"),
+      "the shared tail must dedupe at chunk level")
+    assert(edited.getAs[Long]("reuse_rate_q") > 0L)
+    val novel = out(1)
+    assert(novel.getAs[Long]("n_new_chunks") === novel.getAs[Long]("n_chunks"))
+    assert(novel.getAs[Long]("reuse_rate_q") === 0L)
+  }
+
   // ---------------------------------------------------------------- x97
 
   test("winnowingPairs: documents sharing a long passage share a " +
