@@ -150,7 +150,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","passes":${passes.size},"timing":"min","value_cold":${fmt(coldTotal)},"value_warm":${fmt(warmTotal)},"queries_cold":${jsonMap(cold.sortBy(_._1))},"queries_warm":${jsonMap(warm.sortBy(_._1))},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_gate":$loadGate,"load_wait_sec":${waitedStart + waitedMid},"load_gate_exceeded":$gateExceeded,$passJson}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_DETAIL.json")
-    try java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    try {
+      // experimental runs point SPARK_GRAFT_REPO at a scratch dir that
+      // may not exist yet — create it instead of silently losing the
+      // capture's full per-pass map
+      java.nio.file.Files.createDirectories(detailPath.getParent)
+      java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    }
     catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
     // Compact contract line: total over ALL queries, per-query timings for
     // the most expensive subset (cost-ranked, so hot spots are visible),
