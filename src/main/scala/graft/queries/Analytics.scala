@@ -977,6 +977,54 @@ object Analytics {
         .orderBy("part", "sim_rank")
     }),
 
+    // Snapshot diff — the table-regression tool every data platform
+    // ships ("what changed between yesterday's build and today's"):
+    // two overlapping order snapshots full-outer-joined on the key,
+    // rows classified added / removed / changed / unchanged, plus
+    // per-column change counts for the both-present rows. The B
+    // snapshot applies a deterministic +1.00 price update to open
+    // orders so 'changed' is exercised (addition is exact in double
+    // far below 2^53 — no libm, no rounding).
+    // 100 TB: ONE key-keyed full outer join (snapshots co-partition on
+    // the key; bucketed tables make it exchange-free); classification
+    // and per-column flags are scan-side; counts partial-aggregate.
+    "a64_snapshot_diff" -> ((s, dir) => {
+      val o = T.orders(s, dir)
+      def snap(from: String, to: String) = o
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+                col("o_orderdate") < lit(to).cast("timestamp"))
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
+      val a = snap("1995-01-01", "1997-07-01")
+      val b = snap("1996-01-01", "1998-07-01")
+        .withColumn("price",
+          when(col("status") === "O", col("price") + lit(1.0))
+            .otherwise(col("price")))
+      val j = a.select(col("k"), col("status").as("s_a"),
+          col("price").as("p_a"), col("prio").as("r_a"))
+        .join(b.select(col("k"), col("status").as("s_b"),
+          col("price").as("p_b"), col("prio").as("r_b")), Seq("k"), "full_outer")
+      // status/price/prio are non-null in the data, so side-absence is
+      // one column's nullness
+      val classified = j.withColumn("change_type",
+        when(col("s_a").isNull, lit("added"))
+          .when(col("s_b").isNull, lit("removed"))
+          .when(col("s_a") =!= col("s_b") || col("p_a") =!= col("p_b") ||
+                col("r_a") =!= col("r_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      val summary = classified.groupBy("change_type")
+        .agg(count(lit(1)).as("n"))
+      val perCol = classified
+        .filter(col("change_type") === "changed")
+        .select(explode(array(
+          when(col("s_a") =!= col("s_b"), lit("col:status")),
+          when(col("p_a") =!= col("p_b"), lit("col:price")),
+          when(col("r_a") =!= col("r_b"), lit("col:prio")))).as("change_type"))
+        .filter(col("change_type").isNotNull)
+        .groupBy("change_type").agg(count(lit(1)).as("n"))
+      summary.unionByName(perCol).orderBy("change_type")
+    }),
+
     // Bounded-round community view of the repeat co-order graph:
     // 3 rounds of synchronous min-label propagation
     // ([[graft.operators.Graph.minLabelPropagation]] — the
@@ -1643,6 +1691,41 @@ object Analytics {
          FROM (SELECT *, row_number() OVER (PARTITION BY part
                  ORDER BY jaccard DESC, sim_part) AS rk FROM j)
          WHERE rk <= 3 ORDER BY part, sim_rank""",
+
+    // a64: the same two snapshot windows, full outer join on the key,
+    // identical classification; per-column rows unioned in.
+    "a64_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k, o_orderstatus AS s_a,
+             o_totalprice AS p_a, o_orderpriority AS r_a
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate < TIMESTAMP '1997-07-01'),
+         b AS (SELECT o_orderkey AS k, o_orderstatus AS s_b,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS p_b,
+             o_orderpriority AS r_b
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-07-01'),
+         j AS (SELECT * FROM a FULL OUTER JOIN b USING (k)),
+         c AS (SELECT *,
+             CASE WHEN s_a IS NULL THEN 'added'
+                  WHEN s_b IS NULL THEN 'removed'
+                  WHEN s_a <> s_b OR p_a <> p_b OR r_a <> r_b THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+           FROM j),
+         summary AS (SELECT change_type, CAST(count(*) AS BIGINT) AS n
+                     FROM c GROUP BY 1),
+         percol AS (SELECT change_type, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT unnest(list_filter([
+               CASE WHEN s_a <> s_b THEN 'col:status' END,
+               CASE WHEN p_a <> p_b THEN 'col:price' END,
+               CASE WHEN r_a <> r_b THEN 'col:prio' END],
+               x -> x IS NOT NULL)) AS change_type
+             FROM c WHERE change_type = 'changed')
+           GROUP BY 1)
+         SELECT * FROM summary UNION ALL SELECT * FROM percol
+         ORDER BY change_type""",
 
     // a63: the 3 label-propagation rounds unrolled (the x91/pageRank
     // recipe) over the same repeat-edge CTE; pure integer min/least.

@@ -91,6 +91,18 @@ class Round10PlanSpec extends SparkTestBase {
     assert(s.contains("TakeOrdered"), s"vocab cut must be TakeOrdered:\n$s")
   }
 
+  test("a64 snapshot diff: ONE full-outer join on the key (both arms " +
+       "prune to the diffed columns), no cartesian") {
+    val s = planString(
+      graft.queries.Analytics.queries("a64_snapshot_diff")(spark, sf))
+    val outerJoins = "FullOuter".r.findAllIn(s).size
+    assert(outerJoins >= 1, s"expected a full outer join:\n$s")
+    assert(!s.contains("CartesianProduct"))
+    // the scan must prune to the key + 3 diffed columns + the date
+    assert(s.contains("ReadSchema"), s)
+    assert(!s.contains("o_custkey"), s"undiffed column crossed the scan:\n$s")
+  }
+
   test("st19 window top-k runs on TransformWithState keyed by the window") {
     val ds = graft.streaming.EventStreams.statefulWindowTopk(
       graft.tables.Tables.events(spark, sf), k = 3)

@@ -49,6 +49,31 @@ class SourcesSpec extends SparkTestBase {
         org.apache.spark.sql.functions.length(col("text")))).head().getLong(0))
   }
 
+  test("binaryFile source: blob files load as (path, content) rows and " +
+       "feed the multimodal pipeline (the image/audio ingestion path)") {
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = Seq("doc-one payload bytes", "doc-two other payload")
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      Files.write(dir.resolve(s"blob_$i.bin"), p.getBytes("UTF-8"))
+    }
+    val bin = spark.read.format("binaryFile").load(dir.toString)
+    assert(bin.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val rows = bin.orderBy("path").collect()
+    assert(rows.length === 2)
+    assert(new String(rows(0).getAs[Array[Byte]]("content"), "UTF-8") ===
+      payloads(0))
+    assert(rows(0).getAs[Long]("length") === payloads(0).length.toLong)
+    // the multimodal feature extractor consumes exactly this shape:
+    // opaque binary column + typed metadata
+    val media = bin.select(
+      regexp_extract(col("path"), "blob_(\\d+)", 1).cast("long").as("doc_id"),
+      col("content").as("media"), col("length"))
+    val feats = media.select(col("doc_id"),
+      length(col("media")).as("byte_len")).orderBy("doc_id").collect()
+    assert(feats.map(_.getInt(1)).toSeq === payloads.map(_.length))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
