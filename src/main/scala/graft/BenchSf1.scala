@@ -45,7 +45,14 @@ object BenchSf1 {
       // the shared bandedPairs build, so its cold run prices the x20
       // chain here) + the Expand-free approx profiler A/B partner
       "x84_source_overlap", "x85_ngram_novelty", "a56_basket_affinity",
-      "x78_profile", "x78b_profile_kmv")
+      "x78_profile", "x78b_profile_kmv",
+      // round-10 heavies: the repeat-edge family rides one memoized
+      // build (a62 cold prices it here, a60/a61/a63 the consumers), the
+      // winnowing pair miner is the new candidate-volume-sensitive
+      // shape (dup-heavy fixture ⇒ shared fingerprints), and the CDC
+      // reports stress the codegen'd rolling-hash scan
+      "a62_item_similarity", "a63_part_communities", "x97_winnowing",
+      "x96_cdc_chunks", "x100_cdc_incremental", "x99_neardup_eval")
 
     // warmup: touch every table once (JVM/codegen/classloading)
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
