@@ -165,10 +165,54 @@ object StreamingQ {
     "st19_window_topk" -> ((s, dir) =>
       EventStreams.statefulWindowTopk(T.events(s, dir), k = 3)
         .toDF()
-        .orderBy("w_start", "rank"))
+        .orderBy("w_start", "rank")),
+
+    // Streaming CDC chunk-level first-seen: x100's dedup-store probe as
+    // live keyed ingest state (the state IS the chunk index); per-doc
+    // byte-weighted reuse combined outside the stream. Batch ≡ the
+    // min-doc-per-hash SQL, certified here.
+    "st20_stream_cdc" -> ((s, dir) =>
+      DocStreams.cdcFirstSeenReport(T.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st20: the x100 chunk CTE; a chunk instance is NEW iff its hash's
+    // earliest carrier is this document (min-doc == doc ⟺ no strictly
+    // earlier doc has it).
+    "st20_stream_cdc" ->
+      """WITH b AS (SELECT doc_id, text,
+             list_filter(range(8, length(text) + 1), p ->
+               list_sum(list_transform(range(0, 8), j ->
+                 unicode(text[p - j]) *
+                 [1, 31, 961, 29791, 923521, 28629151,
+                  887503681, 27512614111][j + 1])) % 64 = 0) AS bnds
+           FROM documents),
+         e AS (SELECT doc_id, text,
+             list_sort(list_distinct(list_append(bnds, length(text)))) AS ends
+           FROM b),
+         ch AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ends) + 1), i ->
+               {'clen': ends[i] - (CASE WHEN i = 1 THEN 0
+                                        ELSE ends[i - 1] END),
+                'h': md5(text[(CASE WHEN i = 1 THEN 0
+                               ELSE ends[i - 1] END) + 1 : ends[i]])}),
+               recursive := true)
+           FROM e),
+         f AS (SELECT h, min(doc_id) AS first_id FROM ch GROUP BY 1)
+         SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.first_id = ch.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new_chunks,
+           CAST(sum(clen) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN f.first_id = ch.doc_id THEN clen ELSE 0 END)
+             AS BIGINT) AS new_bytes,
+           CAST(floor(CAST(sum(CASE WHEN f.first_id < ch.doc_id THEN clen
+                                    ELSE 0 END) AS DOUBLE)
+               / CAST(sum(clen) AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
+             AS reuse_rate_q
+         FROM ch JOIN f USING (h)
+         GROUP BY 1 ORDER BY 1""",
+
     // st19: exact per-window rank over grouped counts; the processor's
     // (count desc, user asc) total order is the window's ORDER BY.
     "st19_window_topk" ->

@@ -133,6 +133,76 @@ object DocStreams {
           .as("is_dup"))
   }
 
+  /** Streaming CDC chunk-level first-seen — x100's incremental
+    * dedup-store probe as LIVE ingest state: every chunk of every
+    * arriving document probes a keyed store of "which doc first
+    * contributed this chunk hash". A chunk is NEW iff no STRICTLY
+    * earlier document carries its hash; per-doc byte-weighted reuse
+    * then combines OUTSIDE the stream ([[cdcFirstSeenReport]] — the
+    * st16 combine hand-off).
+    *
+    * State framing (deliberately different from st16's bounded Bloom):
+    * the keyed state IS the dedup store's chunk index — one long per
+    * DISTINCT chunk, which is exactly the store's post-dedup size, the
+    * thing a chunk store persists anyway (not a leak; the Bloom
+    * front-gate remains the bounded-memory prefilter for "have I seen
+    * this" without a store). In batch each hash group processes once
+    * with ids ascending, so "earlier" = smaller id; in a stream it is
+    * arrival order, equal whenever docs arrive in id order (the
+    * DocStreamsSpec certification discipline).
+    *
+    * 100 TB/streaming: chunking is the codegen'd scan-side pass
+    * ([[graft.operators.Chunking.cdcChunks]]); the shuffle carries
+    * (hash, doc, len) — never text; state partitions horizontally on
+    * the hash key.
+    */
+  def cdcFirstSeenProbes(docs: DataFrame, textCol: String, idCol: String)
+      : Dataset[ChunkProbe] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Chunking.cdcChunks(docs, textCol, idCol)
+      .select(col("doc_id").cast("long"), col("chunk_len").cast("int"),
+        col("chunk_hash"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[ChunkState, ChunkProbe](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(Long, Int, String)],
+         state: org.apache.spark.sql.streaming.GroupState[ChunkState]) =>
+          val sorted = rows.toSeq.sortBy(r => r._1)
+          var first = state.getOption.map(_.firstId)
+          val out = sorted.map { case (id, len, _) =>
+            val hit = first.exists(_ < id)
+            if (!first.exists(_ <= id)) first = Some(id)
+            ChunkProbe(id, len, hit)
+          }
+          state.update(ChunkState(first.get))
+          out.iterator
+      }
+  }
+
+  /** Per-doc combine of [[cdcFirstSeenProbes]] — x100's report shape
+    * (chunks, new chunks, byte totals, 2^-20-grid reuse rate) with
+    * history = every strictly-earlier document. Batch composition over
+    * the probe sink.
+    */
+  def cdcFirstSeenReport(docs: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
+    val grid = 1048576L // 2^20
+    cdcFirstSeenProbes(docs, textCol, idCol).toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(!col("hit"), 1L).otherwise(0L)).as("n_new_chunks"),
+        sum(col("chunk_len")).as("total_bytes"),
+        sum(when(!col("hit"), col("chunk_len")).otherwise(lit(0)))
+          .cast("bigint").as("new_bytes"))
+      .withColumn("reuse_rate_q",
+        floor((col("total_bytes") - col("new_bytes")).cast("double")
+          / col("total_bytes").cast("double") * grid + lit(0.5)).cast("long"))
+      .select("doc_id", "n_chunks", "n_new_chunks", "total_bytes",
+        "new_bytes", "reuse_rate_q")
+  }
+
   /** Cross-band combine of [[nearDupBandFlags]]: one row per doc with
     * the earliest dup partner over any band (`dup_of`, null if unique)
     * and the 0/1 flag. Batch composition; in a streaming deployment
@@ -161,3 +231,7 @@ final case class BandBucketState(fps: Vector[(Long, Long)])
 final case class BloomProbe(doc_id: Long, hit: Boolean)
 
 final case class PosState(firstId: Long)
+
+final case class ChunkProbe(doc_id: Long, chunk_len: Int, hit: Boolean)
+
+final case class ChunkState(firstId: Long)

@@ -110,6 +110,20 @@ class Round10PlanSpec extends SparkTestBase {
     assert(s.contains("TransformWithState"), s"expected tws operator:\n$s")
   }
 
+  test("st20 cdc first-seen: the keyed state shuffle carries " +
+       "(hash, doc, len) — document text never crosses an exchange") {
+    val ds = graft.streaming.DocStreams.cdcFirstSeenProbes(
+      graft.tables.Tables.documents(spark, sf), "text", "doc_id")
+    val s = planString(ds.toDF())
+    assert(s.contains("MapGroups") || s.contains("FlatMapGroupsWithState"),
+      s"expected keyed state op:\n$s")
+    val exLines = s.split('\n').filter(_.contains("Exchange hashpartitioning"))
+    exLines.foreach { l =>
+      assert(!l.contains("text#") && !l.contains(" t#"),
+        s"text crossed the state shuffle: $l")
+    }
+  }
+
   test("st05/st08 migrated operators run on TransformWithState (the r9 " +
        "verdict ask 4 — promise and code agree)") {
     val ev = graft.tables.Tables.events(spark, sf)

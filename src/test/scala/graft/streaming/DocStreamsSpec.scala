@@ -114,4 +114,40 @@ class DocStreamsSpec extends SparkTestBase {
       assert(maybe >= dup, s"doc $id: bloom false negative")
     }
   }
+
+  test("st20 cdc first-seen: exact dup reuses 100% of its bytes; stream " +
+       "across micro-batches equals the batch report") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocStreams.cdcFirstSeenProbes(input.toDF(), "text", "doc_id")
+      .toDF()
+      .writeStream.format("memory").queryName("st20_probes")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(docs.take(3))
+      q.processAllAvailable()
+      input.addData(docs.drop(3)) // doc 4 near-dups 1 across the batch gap
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val streamed = spark.table("st20_probes")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(!col("hit"), 1L).otherwise(0L)).as("n_new_chunks"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = DocStreams.cdcFirstSeenReport(docs.toDF(), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(batch.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap === streamed,
+      "streamed chunk state must reproduce the batch report")
+    val byId = batch.map(r => r.getLong(0) -> r).toMap
+    // doc 2 is an exact copy of doc 1: every chunk already in the store
+    assert(byId(2L).getAs[Long]("n_new_chunks") === 0L)
+    assert(byId(2L).getAs[Long]("new_bytes") === 0L)
+    assert(byId(2L).getAs[Long]("reuse_rate_q") === 1048576L)
+    // doc 1 seeds the store: all chunks new, zero reuse
+    assert(byId(1L).getAs[Long]("n_new_chunks") === byId(1L).getAs[Long]("n_chunks"))
+    assert(byId(1L).getAs[Long]("reuse_rate_q") === 0L)
+  }
 }
