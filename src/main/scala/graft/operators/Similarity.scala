@@ -268,6 +268,49 @@ object Similarity {
       .select("query_id", "rank", "cand_id", "cosine")
   }
 
+  /** Margin-based top-1 candidate mining (the bitext/parallel-pair
+    * mining score of Artetxe & Schwenk, forward-margin variant): for
+    * each query vector, its best candidate by cosine plus
+    * `margin = cos₁ / mean(top-km cosines)` — absolute cosine
+    * thresholds are miscalibrated across query neighborhoods (a hubby
+    * query has MANY high cosines), so mining ranks by the ratio to the
+    * local neighborhood density instead.
+    *
+    * Determinism discipline: cosines quantize on the 2^-20 grid BEFORE
+    * ranking and summation (grid values are dyadic ⇒ the ≤ km-addend
+    * sum is exact and order-free — the gramMatrix rule), the mean is
+    * `cos₁·n / Σ` with one double division, and the margin re-quantizes
+    * on the same grid; ties break on cand_id. sqrt inside the cosine is
+    * IEEE-exact, so both engines agree bit-for-bit.
+    *
+    * 100 TB: the query side is the bounded mining SEED SET (broadcast —
+    * callers must fence it like x05's probe set); candidates stream
+    * scan-side, so cost is linear in the candidate corpus. The
+    * unbounded-both-sides variant is this scoring composed over
+    * [[ivfTopK]] candidates instead of the exact cross product.
+    */
+  def marginTop1(candidates: DataFrame, queries: DataFrame,
+                 vecCol: String, idCol: String, km: Int = 4): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    val grid = 1048576
+    def q(c: Column): Column = floor(c * grid + lit(0.5)) / grid
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(qs))
+      .withColumn("cosine", q(GraftFunctions.cosineSim(col("qv"), col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= km)
+      .groupBy("query_id")
+      .agg(
+        max(when(col("r") === 1, col("cand_id"))).as("cand_id"),
+        max(col("cosine")).as("cos_top"),
+        count(lit(1)).as("n_in"),
+        sum(col("cosine")).as("sum_c"))
+      .withColumn("margin", q(col("cos_top") * col("n_in") / col("sum_c")))
+      .select("query_id", "cand_id", "cos_top", "margin")
+  }
+
   /** Approximate top-k via random-hyperplane-style LSH (deterministic via
     * seed). Vectors are L2-normalized, hashed with euclidean LSH, and only
     * bucket-colliding pairs are scored; cosine recovered as 1 - d²/2.

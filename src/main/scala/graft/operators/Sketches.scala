@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sketch operators.
@@ -56,6 +57,61 @@ object Sketches {
       hash(value).cast("bigint").bitwiseAND(lit(4294967295L)))
       .otherwise(lit(-1L)))
   }
+
+  /** MATERIALIZED bottom-k sketch per key group — the mergeable STATE
+    * behind [[kmvDistinct]], exposed as a column so incremental rollups
+    * can store it and fold new batches in without rescanning history
+    * (see x101): one row per key with the sorted array of the k
+    * smallest distinct unsigned-32-bit `hash(value)` values. Built from
+    * codegen'd builtins only (hash → distinct → per-key row_number ≤ k
+    * → bounded collect_list), so the DuckDB oracle replays it through
+    * the murmur3 CTEs exactly like the [[kmvDistinct]] aggregate.
+    *
+    * NULLs use the same out-of-domain sentinel discipline as
+    * [[kmvDistinct]] (filtered before the sketch — both engines
+    * exclude them identically).
+    *
+    * 100 TB: the distinct is a partial-aggregatable (key, hash)
+    * exchange; the rank filter bounds per-key state to k rows BEFORE
+    * the collect, so the sketch column is ≤ k longs per key — never a
+    * collect_set over the raw domain.
+    */
+  def kmvSketch(df: DataFrame, keyCols: Seq[String], value: Column,
+                k: Int = KmvK): DataFrame = {
+    require(k >= 2, s"k=$k too small")
+    val kc = keyCols.map(col)
+    val h = when(value.isNotNull,
+      hash(value).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .otherwise(lit(-1L))
+    val dh = df.select(kc :+ h.as("h"): _*).filter(col("h") >= 0L).distinct()
+    val w = Window.partitionBy(kc: _*).orderBy(col("h"))
+    dh.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .groupBy(kc: _*).agg(sort_array(collect_list(col("h"))).as("sketch"))
+  }
+
+  /** Merge an array-of-sketches column (each from [[kmvSketch]] with
+    * the same k) into one sketch: bottom-k of the distinct union. The
+    * bottom-k set is a semilattice — `bottomK(bottomK(A) ∪ bottomK(B))
+    * = bottomK(A ∪ B)` — so a merged sketch is INDISTINGUISHABLE from
+    * one built over the concatenated inputs; x101's oracle exploits
+    * exactly that by recomputing from scratch. Order-insensitive
+    * (distinct + sort), so feeding it from collect_list is safe.
+    */
+  def kmvMergeSketches(sketches: Column, k: Int = KmvK): Column =
+    slice(array_sort(array_distinct(flatten(sketches))), 1, k)
+
+  /** The [[kmvDistinct]] estimator over a materialized sketch column:
+    * exact size below k, else `(k-1)·2³² div h_k` — one integer
+    * division, the same pure-integer estimate
+    * [[graft.functions.TypedAggregators.KmvDistinctAgg]] finishes
+    * with (no libm anywhere). `element_at` only evaluates in the
+    * full-sketch branch, so ANSI out-of-bounds can never fire.
+    */
+  def kmvEstimate(sketch: Column, k: Int = KmvK): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .when(element_at(sketch, k) === 0L, lit(k.toLong))
+      .otherwise(call_function("div",
+        lit((k - 1).toLong * 4294967296L), element_at(sketch, k)))
 
   /** alpha_m — the harmonic-mean bias constant from Flajolet et al. */
   def hllAlpha(p: Int): Double = {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -100,6 +100,18 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) super.requiredChildDistribution
     else ClusteredDistribution(keys) :: Nil
+
+  /** Dropping rows never moves a key across partitions — advertise the
+    * child's partitioning so a downstream aggregation or join keyed on
+    * (a superset of) the same keys reuses the exchange the planner
+    * already inserted below us. Without this, SparkPlan's
+    * UnknownPartitioning default forced a REDUNDANT re-shuffle of the
+    * bounded top-k output (caught by the x101 plan pin; also removes an
+    * exchange under a62's groupBy-after-rank shape). Ordering is NOT
+    * advertised: output is grouped per key in heap insertion order, not
+    * key-sorted.
+    */
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

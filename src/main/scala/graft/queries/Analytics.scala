@@ -1053,6 +1053,60 @@ object Analytics {
         .groupBy("cohort_wk", "week_offset")
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort_wk", "week_offset")
+    }),
+
+    // SCD2 interval build — the lakehouse dimension-history op: collapse
+    // a per-entity observation stream (customer's order priority over
+    // order dates, tiebreak on the unique order key) into
+    // slowly-changing-dimension rows with [valid_from, valid_to)
+    // validity and an open-ended current row. Change detection is
+    // lag-vs-current per entity, run ids are a running sum of change
+    // flags, intervals close with lead over the run starts.
+    // 100 TB: ONE hash exchange on the entity key — the change window,
+    // the run aggregate (grouping on a superset of the partition key),
+    // and the interval-closing window all reuse the same partitioning,
+    // so Catalyst plans exactly one Exchange (Round10PlanSpec pins it).
+    "a65_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy("ck").orderBy(col("ts"), col("seq"))
+      val obs = T.orders(s, dir).select(
+        col("o_custkey").as("ck"), col("o_orderdate").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderpriority").as("attr"))
+      val runs = obs
+        .withColumn("chg",
+          when(lag(col("attr"), 1).over(w).isNull ||
+               lag(col("attr"), 1).over(w) =!= col("attr"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(w))
+      val iv = runs.groupBy(col("ck"), col("version"))
+        .agg(min(col("attr")).as("attr"), min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_obs"))
+      val w2 = Window.partitionBy("ck").orderBy("version")
+      iv.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("ck", "version", "attr", "valid_from", "valid_to",
+          "n_obs", "is_current")
+        .orderBy("ck", "version")
+    }),
+
+    // Event transition matrix (the product-analytics Markov/"sankey"
+    // view): consecutive event-type pairs per user in (ts, event_id)
+    // order, counted and normalized to per-source transition
+    // probabilities. p is one IEEE division of two exact longs — the
+    // a62 no-grid discipline.
+    // 100 TB: one user_id exchange for the lead window, then the pair
+    // domain collapses to |types|² rows — the probability window runs
+    // over that compressed domain, never corpus rows.
+    "a66_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = T.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      tr.withColumn("p",
+          col("n") / sum(col("n")).over(Window.partitionBy("from_type")))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -1776,6 +1830,44 @@ object Analytics {
          SELECT p1, p2, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
            CAST(n_ab AS DOUBLE) * n.n_orders / (sa.n_p * sb.n_p) AS lift
          FROM pairs JOIN sup sa ON sa.pk = p1 JOIN sup sb ON sb.pk = p2, n
-         ORDER BY p1, p2"""
+         ORDER BY p1, p2""",
+
+    // a65: identical lag-change / running-sum-run-id / lead-close
+    // windows; IS DISTINCT FROM == the Spark isNull-or-different pair
+    // (attr is non-null in the data).
+    "a65_scd2_intervals" ->
+      """WITH obs AS (SELECT o_custkey AS ck, o_orderdate AS ts,
+             o_orderkey AS seq, o_orderpriority AS attr FROM orders),
+         chg AS (SELECT ck, ts, seq, attr,
+             CASE WHEN lag(attr) OVER (PARTITION BY ck ORDER BY ts, seq)
+                    IS DISTINCT FROM attr THEN 1 ELSE 0 END AS c
+           FROM obs),
+         runs AS (SELECT ck, ts, attr,
+             CAST(sum(c) OVER (PARTITION BY ck ORDER BY ts, seq)
+               AS BIGINT) AS version
+           FROM chg),
+         iv AS (SELECT ck, version, min(attr) AS attr,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_obs
+           FROM runs GROUP BY ck, version),
+         closed AS (SELECT ck, version, attr, valid_from,
+             lead(valid_from) OVER (PARTITION BY ck ORDER BY version)
+               AS valid_to, n_obs
+           FROM iv)
+         SELECT ck, version, attr, valid_from, valid_to, n_obs,
+           (valid_to IS NULL) AS is_current
+         FROM closed ORDER BY ck, version""",
+
+    // a66: same lead window; the division is forced to double so both
+    // engines run one IEEE divide of exact integers.
+    "a66_event_transitions" ->
+      """WITH tr AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+         FROM c ORDER BY from_type, to_type"""
   )
 }

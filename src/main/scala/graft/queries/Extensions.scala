@@ -1276,6 +1276,57 @@ object Extensions {
           pmod(col("doc_id") * col("doc_id") + lit(7L), lit(20L)).cast("string")).as("dst"))
       Graph.pageRank(edges, "src", "dst", iterations = 5, damping = 0.85)
         .orderBy("node")
+    }),
+
+    // Incremental aggregate maintenance — the stored-rollup ingest op:
+    // per-segment partial aggregate STATES (count, exact-decimal sum,
+    // min/max, materialized KMV bottom-k sketch) built independently
+    // for a "history" and a "delta" date slice, then MERGED — and the
+    // oracle recomputes every column DIRECTLY from the full table,
+    // proving merge(partial(A), partial(B)) == full(A ∪ B) for all
+    // five state kinds (the bottom-k semilattice carries the NDV case;
+    // decimal sums are exact hence associative).
+    // 100 TB: this is why a stored rollup never rescans history — each
+    // batch folds in at O(batch + groups·k). The collect_list the merge
+    // folds holds ≤ segments (2) sketches of ≤ k longs per group.
+    "x101_agg_state_merge" -> ((s, dir) => {
+      import graft.tables.Exact
+      val k = Sketches.KmvK
+      val cut = lit("1996-07-01").cast("timestamp")
+      val o = T.orders(s, dir).select(
+        col("o_orderpriority").as("prio"), col("o_totalprice").as("price"),
+        col("o_custkey").as("ck"), (col("o_orderdate") < cut).as("seg"))
+      val stats = o.groupBy("seg", "prio").agg(
+        count(lit(1)).as("n"), sum(Exact.dec(col("price"))).as("sum_p"),
+        min(col("price")).as("min_p"), max(col("price")).as("max_p"))
+      val sk = Sketches.kmvSketch(o, Seq("seg", "prio"), col("ck"), k)
+      stats.join(sk, Seq("seg", "prio"))
+        .groupBy("prio").agg(
+          sum(col("n")).as("n_rows"),
+          sum(col("sum_p")).cast("double").as("sum_price"),
+          min(col("min_p")).as("min_price"),
+          max(col("max_p")).as("max_price"),
+          Sketches.kmvEstimate(
+            Sketches.kmvMergeSketches(collect_list(col("sketch")), k), k)
+            .as("ndv_cust"))
+        .orderBy("prio")
+    }),
+
+    // Margin-based bitext/pair mining over the vector store: a bounded
+    // probe set (even ids < 200) scored against the odd-id candidate
+    // pool, ranked by cosine-to-neighborhood-density ratio instead of
+    // raw cosine (Artetxe & Schwenk's margin criterion — the standard
+    // parallel-corpus mining score). Exact baseline here; the
+    // unbounded-both-sides scale path composes the same scoring over
+    // IVF candidates (Similarity.ivfTopK).
+    "x102_bitext_margin" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      Similarity.marginTop1(
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 1L),
+          emb.filter(pmod(col("vec_id"), lit(2L)) === 0L &&
+            col("vec_id") < 200L),
+          "embedding", "vec_id", km = 4)
+        .orderBy("query_id")
     })
   )
 
@@ -3002,6 +3053,38 @@ object Extensions {
       pieces.map(_._2).mkString("", "\n UNION ALL\n", "\n ORDER BY col_name")
   }
 
+  /** x101's oracle: every merged column recomputed DIRECTLY from the
+    * full table (that equality is the query's whole claim) — counts,
+    * decimal-exact sum, min/max straight off `orders`; the KMV NDV via
+    * the murmur3 replay CTEs + rank-256 bottom-k, the [[profileKmvSql]]
+    * recipe with the group key carried through.
+    */
+  private lazy val aggStateMergeSql: String = {
+    val k = graft.operators.Sketches.KmvK
+    val kmvNum = (k - 1).toLong * 4294967296L
+    val (ctes, hc) = Murmur3Sql.hashLongCtes("hsrc", Seq("prio"), "kh")
+    s"""WITH src AS (SELECT o_orderpriority AS prio, o_custkey AS v,
+             o_totalprice AS price FROM orders),
+       hsrc AS (SELECT DISTINCT prio, v FROM src WHERE v IS NOT NULL),
+       $ctes
+       dh AS (SELECT DISTINCT prio, hu FROM $hc),
+       rn AS (SELECT prio, hu,
+           row_number() OVER (PARTITION BY prio ORDER BY hu) AS rn
+         FROM dh),
+       sk AS (SELECT prio, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(CASE WHEN rn = $k THEN hu END) AS BIGINT) AS kth
+         FROM rn GROUP BY prio),
+       st AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           min(price) AS min_price, max(price) AS max_price
+         FROM src GROUP BY prio)
+       SELECT st.prio, st.n_rows, st.sum_price, st.min_price, st.max_price,
+         CASE WHEN sk.cnt < $k THEN sk.cnt
+              WHEN sk.kth = 0 THEN CAST($k AS BIGINT)
+              ELSE $kmvNum // sk.kth END AS ndv_cust
+       FROM st JOIN sk USING (prio) ORDER BY st.prio"""
+  }
+
   /** x79's oracle: key counts + integer log2 (`length(bin(cnt))`),
     * quantized share, ceil-division salting factor.
     */
@@ -3978,6 +4061,42 @@ object Extensions {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
            CAST(sum(freq) AS BIGINT) AS sum_freq,
            CAST(sum(freq) AS DOUBLE) / count(*) AS avg_tri_freq
-         FROM t JOIN f USING (tri) GROUP BY doc_id ORDER BY doc_id"""
+         FROM t JOIN f USING (tri) GROUP BY doc_id ORDER BY doc_id""",
+
+    "x101_agg_state_merge" -> aggStateMergeSql,
+
+    // x102: the x05 cosine recipe on the 2^-20 grid, probe × pool cross
+    // product, rank ≤ 4 window, margin = cos₁·n / Σ re-quantized.
+    "x102_bitext_margin" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 200),
+         c AS (SELECT vec_id AS cand_id, embedding AS cv
+           FROM embeddings WHERE vec_id % 2 = 1),
+         scored AS (
+           SELECT query_id, cand_id,
+             floor(
+               list_sum(list_transform(range(1, len(qv)+1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+               * 1048576 + 0.5) / 1048576 AS cosine
+           FROM q, c),
+         ranked AS (
+           SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS r
+           FROM scored),
+         top AS (
+           SELECT query_id,
+             max(CASE WHEN r = 1 THEN cand_id END) AS cand_id,
+             max(cosine) AS cos_top,
+             CAST(count(*) AS BIGINT) AS n_in,
+             sum(cosine) AS sum_c
+           FROM ranked WHERE r <= 4 GROUP BY query_id)
+         SELECT query_id, cand_id, cos_top,
+           floor(cos_top * n_in / sum_c * 1048576 + 0.5) / 1048576 AS margin
+         FROM top ORDER BY query_id"""
   )
 }

@@ -173,7 +173,16 @@ object StreamingQ {
     // min-doc-per-hash SQL, certified here.
     "st20_stream_cdc" -> ((s, dir) =>
       DocStreams.cdcFirstSeenReport(T.documents(s, dir), "text", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Streaming SCD2 run-close: the a65 interval build as live keyed
+    // state — one ValueState open-run row per user; a run emits exactly
+    // once, when the attribute changes. Open runs never emit (batch
+    // equivalent = a65's windows WHERE valid_to IS NOT NULL).
+    "st21_stream_scd" -> ((s, dir) =>
+      EventStreams.statefulScdRuns(T.events(s, dir))
+        .toDF()
+        .orderBy("user_id", "version"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -461,7 +470,34 @@ object StreamingQ {
            min(CASE WHEN cum >= ceil(n * 0.5) THEN bucket END) AS p50_bucket,
            min(CASE WHEN cum >= ceil(n * 0.9) THEN bucket END) AS p90_bucket
          FROM cum GROUP BY 1, 2 ORDER BY w_start, event_type""",
-    "st10_window_distinct" -> windowDistinctSql
+    "st10_window_distinct" -> windowDistinctSql,
+
+    // st21: the a65 window build over events, CLOSED intervals only —
+    // a streaming run emits exactly when its successor's first row
+    // arrives, so valid_to = lead(valid_from) and open runs are absent.
+    "st21_stream_scd" ->
+      """WITH obs AS (SELECT user_id, ts, event_id,
+             event_type AS attr FROM events),
+         chg AS (SELECT user_id, ts, attr,
+             CASE WHEN lag(attr) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)
+                  IS DISTINCT FROM attr THEN 1 ELSE 0 END AS c,
+             event_id
+           FROM obs),
+         runs AS (SELECT user_id, ts, attr,
+             CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS BIGINT) AS version
+           FROM chg),
+         iv AS (SELECT user_id, version, min(attr) AS attr,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_obs
+           FROM runs GROUP BY user_id, version),
+         closed AS (SELECT user_id, version, attr, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to, n_obs
+           FROM iv)
+         SELECT user_id, version, attr, valid_from, valid_to, n_obs
+         FROM closed WHERE valid_to IS NOT NULL
+         ORDER BY user_id, version"""
   )
 
   /** st10's oracle: the a23 HLL arithmetic (murmur3 hashLong CTEs,

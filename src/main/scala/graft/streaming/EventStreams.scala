@@ -836,4 +836,69 @@ object EventStreams {
       .transformWithState(new UserTypeStatsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** One CLOSED SCD2 interval per per-user attribute run — the
+    * streaming dual of the batch a65 build: keyed state holds the one
+    * OPEN run (version, attr, first ts, row count); an arriving row
+    * with a different attribute CLOSES the run (valid_to = the change
+    * row's ts — exactly the next run's valid_from, a65's lead
+    * semantics) and opens the next. Open runs are never emitted: in a
+    * stream you only know an interval once it closes, so the certified
+    * batch equivalent is the a65 window build WHERE valid_to IS NOT
+    * NULL.
+    *
+    * Ordering discipline: intra-batch sort on (micros, event_id) — the
+    * st14/st18 exact-microsecond + id tiebreak, matching the oracle's
+    * ORDER BY ts, event_id. State per user is ONE ValueState row
+    * regardless of history length.
+    */
+  final case class ScdRun(user_id: Long, version: Long, attr: String,
+                          valid_from: Timestamp, valid_to: Timestamp,
+                          n_obs: Long)
+
+  /** The open run carried across micro-batches. */
+  final case class ScdOpen(version: Long, attr: String,
+                           from: Timestamp, n: Long)
+
+  private class ScdRunProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp, Long, String), ScdRun] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var open: ValueState[ScdOpen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[ScdOpen]("open",
+        E.product[ScdOpen], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Timestamp, Long, String)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ScdRun] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+      var st = if (open.exists()) open.get() else null
+      val out = Seq.newBuilder[ScdRun]
+      sorted.foreach { case (_, t, _, a) =>
+        if (st == null) st = ScdOpen(1L, a, t, 1L)
+        else if (st.attr == a) st = st.copy(n = st.n + 1L)
+        else {
+          out += ScdRun(user, st.version, st.attr, st.from, t, st.n)
+          st = ScdOpen(st.version + 1L, a, t, 1L)
+        }
+      }
+      if (st != null) open.update(st)
+      out.result().iterator
+    }
+  }
+
+  def statefulScdRuns(events: DataFrame): Dataset[ScdRun] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new ScdRunProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

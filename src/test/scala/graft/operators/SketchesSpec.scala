@@ -86,6 +86,40 @@ class SketchesSpec extends SparkTestBase {
     assert(kept == Set("hot", "warm"))
   }
 
+  test("materialized KMV sketch: merge(partial sketches) == direct sketch " +
+       "bit-for-bit, and the estimate matches the KmvDistinctAgg aggregate") {
+    val k = Sketches.KmvK
+    val df = (0 until 3000)
+      .map(i => (if (i % 2 == 0) "hist" else "delta", i.toLong * 2654435761L))
+      .toDF("seg", "id").withColumn("g", lit("all"))
+    val parts = Sketches.kmvSketch(df, Seq("g", "seg"), col("id"), k)
+    val mergedRow = parts.groupBy("g")
+      .agg(Sketches.kmvMergeSketches(collect_list(col("sketch")), k).as("sk"))
+      .select(col("sk"), Sketches.kmvEstimate(col("sk"), k).as("est"))
+      .collect()(0)
+    val direct = Sketches.kmvSketch(df, Seq("g"), col("id"), k)
+      .select(col("sketch"), Sketches.kmvEstimate(col("sketch"), k).as("est"))
+      .collect()(0)
+    // the semilattice claim: merged STATE equals direct state, not just
+    // the estimate — an incremental rollup is indistinguishable from a
+    // full recompute
+    assert(mergedRow.getSeq[Long](0) == direct.getSeq[Long](0))
+    assert(mergedRow.getLong(1) == direct.getLong(1))
+    val agg = df.groupBy("g")
+      .agg(Sketches.kmvDistinct(col("id"), k).as("est")).collect()(0).getLong(1)
+    assert(mergedRow.getLong(1) == agg,
+      "materialized-sketch estimate must equal the typed aggregate's")
+  }
+
+  test("materialized KMV sketch excludes NULLs (same sentinel discipline " +
+       "as the aggregate)") {
+    val df = Seq[java.lang.Long](1L, 2L, 2L, null, null).toDF("id")
+      .withColumn("g", lit("all"))
+    val sk = Sketches.kmvSketch(df, Seq("g"), col("id"))
+      .collect()(0).getSeq[Long](1)
+    assert(sk.length == 2, s"NULLs must not enter the sketch: $sk")
+  }
+
   test("sketches are merge-consistent: estimate of a union never below either part") {
     val a = (0 until 5000).map(i => i.toLong).toDF("id").withColumn("g", lit("all"))
     val b = (2500 until 7500).map(i => i.toLong).toDF("id").withColumn("g", lit("all"))

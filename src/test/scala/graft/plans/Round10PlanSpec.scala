@@ -124,6 +124,57 @@ class Round10PlanSpec extends SparkTestBase {
     }
   }
 
+  test("a65 scd2: ONE hash exchange on the entity key — the change " +
+       "window, the run aggregate, and the interval-closing window all " +
+       "reuse the ck partitioning") {
+    val s = planString(
+      graft.queries.Analytics.queries("a65_scd2_intervals")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$s")
+    assert(s.contains("Window"), s)
+  }
+
+  test("x101 agg-state merge: partial states collapse before every " +
+       "exchange — no cartesian, no broadcast of the fact side, bounded " +
+       "exchange count") {
+    val s = planString(
+      graft.queries.Extensions.queries("x101_agg_state_merge")(spark, sf))
+    assert(!s.contains("CartesianProduct"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    // (seg,prio,hash) distinct + window repartition + stats agg + final
+    // prio merge — the sketch collect only ever sees ≤ k ranked rows/key
+    assert(hashEx <= 4, s"expected <=4 hash exchanges:\n$s")
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("x102 bitext margin: the bounded probe set broadcasts (nested-loop " +
+       "against the streamed candidate pool) — the pool itself never " +
+       "shuffles before scoring") {
+    val s = planString(
+      graft.queries.Extensions.queries("x102_bitext_margin")(spark, sf))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"probe side must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("a66 event transitions: one user_id exchange for the lead window, " +
+       "then windows run over the compressed |types|² pair domain") {
+    val s = planString(
+      graft.queries.Analytics.queries("a66_event_transitions")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    // user_id window + (from,to) pair agg + from_type probability window
+    assert(hashEx <= 3, s"expected <=3 hash exchanges:\n$s")
+    assert(s.contains("Window"), s)
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("st21 scd run-close runs on TransformWithState keyed by the user") {
+    val ds = graft.streaming.EventStreams.statefulScdRuns(
+      graft.tables.Tables.events(spark, sf))
+    val s = planString(ds.toDF())
+    assert(s.contains("TransformWithState"), s"expected tws operator:\n$s")
+  }
+
   test("st05/st08 migrated operators run on TransformWithState (the r9 " +
        "verdict ask 4 — promise and code agree)") {
     val ev = graft.tables.Tables.events(spark, sf)

@@ -811,4 +811,57 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out(0).getTimestamp(3) === wf(0).getTimestamp(2))
     assert(out(0).getTimestamp(4) === wf(0).getTimestamp(3))
   }
+
+  test("st21 SCD run-close: a run spanning micro-batches closes once " +
+       "with cross-batch from/count; stream equals batch; open runs " +
+       "never emit") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "A"),
+      EvJ(2L, t("2024-01-01 00:05:00"), 1L, "A"),
+      EvJ(3L, t("2024-01-01 00:10:00"), 1L, "B"),
+      EvJ(4L, t("2024-01-01 00:15:00"), 1L, "B"),
+      EvJ(5L, t("2024-01-01 00:20:00"), 1L, "C"),
+      EvJ(6L, t("2024-01-01 00:01:00"), 2L, "X"),
+      EvJ(7L, t("2024-01-01 00:30:00"), 2L, "X"))
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulScdRuns(input.toDF())
+      .writeStream.format("memory").queryName("scd_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(3)) // run A closes; run B OPEN across batches
+      q.processAllAvailable()
+      input.addData(evs.drop(3)) // B's count must include the batch-1 row
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("scd_out")
+      .orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSeq
+    assert(streamed === Seq(
+      (1L, 1L, "A", t("2024-01-01 00:00:00"), t("2024-01-01 00:10:00"), 2L),
+      (1L, 2L, "B", t("2024-01-01 00:10:00"), t("2024-01-01 00:20:00"), 2L)))
+    // user 1's open C run and user 2's only run never emit
+    val batch = EventStreams.statefulScdRuns(evs.toDF())
+      .toDF().orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getLong(5))).toSeq
+    assert(batch === streamed)
+  }
+
+  test("st21 same-timestamp tie binds in event_id order (the st14/st18 " +
+       "discipline, matching ORDER BY ts, event_id)") {
+    // id 11 (type P) and id 12 (type Q) share the exact timestamp: the
+    // fold must see P first, so the closed run is P with valid_to at
+    // the tie instant — not Q-first
+    val evs = Seq(
+      EvJ(12L, t("2024-01-01 00:00:00"), 1L, "Q"),
+      EvJ(11L, t("2024-01-01 00:00:00"), 1L, "P"),
+      EvJ(13L, t("2024-01-01 00:05:00"), 1L, "R"))
+    val out = EventStreams.statefulScdRuns(evs.toDF())
+      .toDF().orderBy("version")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(out === Seq((1L, "P"), (2L, "Q")))
+  }
 }
