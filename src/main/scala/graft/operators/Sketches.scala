@@ -113,6 +113,42 @@ object Sketches {
       .otherwise(call_function("div",
         lit((k - 1).toLong * 4294967296L), element_at(sketch, k)))
 
+  /** Pairwise set-overlap ESTIMATES from per-key KMV sketches (Beyer et
+    * al., SIGMOD'07): for every key pair, merge the two bottom-k
+    * sketches (= the union's bottom-k, the [[kmvMergeSketches]]
+    * semilattice), count merged members present in BOTH input sketches,
+    * and scale — `jaccard ≈ n_common / |K|`,
+    * `inter_est = n_common · union_est div |K|`. Exact whenever the
+    * union is smaller than k (the merged sketch then IS the union).
+    *
+    * This is x84's overlap-matrix question at SKETCH cost: with S keys
+    * the pairwise-exact answer joins the full per-key domains (S² ·
+    * corpus-sized work); here the corpus is read ONCE into S sketches
+    * of k longs and every pair costs O(k) — the x78→x78b pattern
+    * applied to overlap. The pair join is S² rows of two k-long arrays
+    * — bounded by the source-catalog size, a dimension, never the
+    * corpus. All arithmetic is integer except the one exact-operand
+    * IEEE division producing `jaccard`.
+    */
+  def kmvOverlapMatrix(df: DataFrame, keyCol: String, value: Column,
+                       k: Int = KmvK): DataFrame = {
+    val sk = kmvSketch(df, Seq(keyCol), value, k)
+    val a = sk.select(col(keyCol).as("src_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col(keyCol).as("src_b"), col("sketch").as("sk_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("m", kmvMergeSketches(array(col("sk_a"), col("sk_b")), k))
+      .withColumn("m_sz", size(col("m")).cast("long"))
+      .withColumn("n_common",
+        size(array_intersect(array_intersect(col("m"), col("sk_a")),
+          col("sk_b"))).cast("long"))
+      .withColumn("union_est", kmvEstimate(col("m"), k))
+      .withColumn("jaccard", col("n_common") / col("m_sz"))
+      .withColumn("inter_est",
+        call_function("div", col("n_common") * col("union_est"), col("m_sz")))
+      .select("src_a", "src_b", "m_sz", "n_common", "union_est",
+        "jaccard", "inter_est")
+  }
+
   /** alpha_m — the harmonic-mean bias constant from Flajolet et al. */
   def hllAlpha(p: Int): Double = {
     val m = (1L << p).toDouble

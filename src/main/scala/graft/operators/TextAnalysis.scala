@@ -406,6 +406,22 @@ object TextAnalysis {
     * shingle builder with Dedup (duplicates preserved here); one
     * partial-aggregatable two-level groupBy keyed on doc_id.
     */
+  /** Per-source shingle content ids — the feed for the sketch-cost
+    * overlap matrix ([[Sketches.kmvOverlapMatrix]], x103): each word
+    * n-gram maps to a 60-bit id (first 15 hex chars of its sha256 —
+    * the Bloom/CMS hex-slice scheme, so the DuckDB oracle replays it
+    * verbatim). Scan-side only; the sketch layer does the distinct.
+    */
+  def sourceShingleIds(docs: DataFrame, textCol: String, srcCol: String,
+                       n: Int = 3): DataFrame =
+    docs
+      .filter(size(split(lower(col(textCol)), "\\s+")) >= n)
+      .select(col(srcCol).as("source"),
+        explode(Dedup.shingleArray(col(textCol), n)).as("s"))
+      .select(col("source"),
+        conv(substring(sha2(col("s"), 256), 1, 15), 16, 10)
+          .cast("long").as("cid"))
+
   def repetition(docs: DataFrame, textCol: String, idCol: String,
                  n: Int = 3): DataFrame = {
     val w = split(lower(col(textCol)), "\\s+")

@@ -1312,6 +1312,19 @@ object Extensions {
         .orderBy("prio")
     }),
 
+    // Source-overlap matrix at SKETCH cost (the x78→x78b pattern
+    // applied to x84's question): per-source KMV sketches of the
+    // trigram-shingle domain, every pair scored from two k-long arrays
+    // — corpus read ONCE, pair cost O(k) instead of a pairwise
+    // corpus-domain join. Estimates are exact whenever a pair's union
+    // is under k; SketchesSpec pins the estimator's error against
+    // exact truth on synthetic sets.
+    "x103_overlap_sketch" -> ((s, dir) =>
+      Sketches.kmvOverlapMatrix(
+          TextAnalysis.sourceShingleIds(T.documents(s, dir), "text", "source"),
+          "source", col("cid"))
+        .orderBy("src_a", "src_b")),
+
     // Margin-based bitext/pair mining over the vector store: a bounded
     // probe set (even ids < 200) scored against the odd-id candidate
     // pool, ranked by cosine-to-neighborhood-density ratio instead of
@@ -3085,6 +3098,57 @@ object Extensions {
        FROM st JOIN sk USING (prio) ORDER BY st.prio"""
   }
 
+  /** x103's oracle: the per-source bottom-k sketches rebuilt from
+    * scratch (x26's shingle replay → sha-slice 60-bit ids → murmur3
+    * CTEs → per-source rank ≤ k), then the pair merge as a windowed
+    * rank over each pair's sketch union — bottom-k of two bottom-k
+    * sets IS the union's bottom-k, so this equals the Spark merge
+    * bit-for-bit.
+    */
+  private lazy val overlapSketchSql: String = {
+    val k = graft.operators.Sketches.KmvK
+    val kmvNum = (k - 1).toLong * 4294967296L
+    val (ctes, hc) = Murmur3Sql.hashLongCtes("hsrc", Seq("source"), "kh")
+    s"""WITH w AS (SELECT source,
+             regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       shd AS (SELECT source, unnest(list_transform(range(1, len(ws)-1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM w WHERE len(ws) >= 3),
+       hsrc AS (SELECT DISTINCT source,
+             CAST(concat('0x', substr(sha256(s), 1, 15)) AS BIGINT) AS v
+           FROM shd),
+       $ctes
+       dh AS (SELECT DISTINCT source, hu FROM $hc),
+       rn AS (SELECT source, hu,
+           row_number() OVER (PARTITION BY source ORDER BY hu) AS rn
+         FROM dh),
+       sk AS (SELECT source, hu FROM rn WHERE rn <= $k),
+       srcs AS (SELECT DISTINCT source FROM sk),
+       pr AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+       mem AS (SELECT pr.src_a, pr.src_b, sk.hu,
+           max(CASE WHEN sk.source = pr.src_a THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN sk.source = pr.src_b THEN 1 ELSE 0 END) AS in_b
+         FROM pr JOIN sk ON sk.source IN (pr.src_a, pr.src_b)
+         GROUP BY 1, 2, 3),
+       mr AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+             ORDER BY hu) AS r
+         FROM mem),
+       m AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS m_sz,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+           CAST(max(CASE WHEN r = $k THEN hu END) AS BIGINT) AS kth
+         FROM mr WHERE r <= $k GROUP BY 1, 2),
+       e AS (SELECT src_a, src_b, m_sz, n_common,
+           CASE WHEN m_sz < $k THEN m_sz
+                WHEN kth = 0 THEN CAST($k AS BIGINT)
+                ELSE $kmvNum // kth END AS union_est
+         FROM m)
+       SELECT src_a, src_b, m_sz, n_common, union_est,
+         CAST(n_common AS DOUBLE) / m_sz AS jaccard,
+         (n_common * union_est) // m_sz AS inter_est
+       FROM e ORDER BY src_a, src_b"""
+  }
+
   /** x79's oracle: key counts + integer log2 (`length(bin(cnt))`),
     * quantized share, ceil-division salting factor.
     */
@@ -4064,6 +4128,8 @@ object Extensions {
          FROM t JOIN f USING (tri) GROUP BY doc_id ORDER BY doc_id""",
 
     "x101_agg_state_merge" -> aggStateMergeSql,
+
+    "x103_overlap_sketch" -> overlapSketchSql,
 
     // x102: the x05 cosine recipe on the 2^-20 grid, probe × pool cross
     // product, rank ≤ 4 window, margin = cos₁·n / Σ re-quantized.

@@ -56,14 +56,17 @@ private[graft] object Murmur3Sql {
     * as `hashCol`. Staging one mix per CTE keeps the expression tree
     * linear (fmix alone would otherwise 32x its input text).
     *
-    * `v` must be a non-negative BIGINT (the only case our tables need);
+    * `v` must be a non-negative integer (promoted to HUGEINT at entry,
+    * so the full 63-bit id range is safe — the x103 60-bit sha-slice
+    * ids overflowed the INT64 `lo · c1` product before the promotion);
     * negative longs would need the two's-complement split first.
     */
   def hashLongCtes(srcCte: String, keep: Seq[String], prefix: String,
                    seed: Long = 42L): (String, String) = {
     val ks = keep.mkString(", ")
     val kc = if (keep.isEmpty) "" else s"$ks, "
-    (s"""${prefix}0 AS (SELECT $kc v % $M AS lo, v // $M AS hi FROM $srcCte),
+    (s"""${prefix}0 AS (SELECT $kc CAST(v AS HUGEINT) % $M AS lo,
+           CAST(v AS HUGEINT) // $M AS hi FROM $srcCte),
        ${prefix}1 AS (SELECT $kc hi, ${mixK1("lo")} AS kl FROM ${prefix}0),
        ${prefix}2 AS (SELECT $kc hi, ${mixH1(seed.toString, "kl")} AS h1 FROM ${prefix}1),
        ${prefix}3 AS (SELECT $kc h1, ${mixK1("hi")} AS kh FROM ${prefix}2),

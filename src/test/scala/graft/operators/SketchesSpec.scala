@@ -120,6 +120,34 @@ class SketchesSpec extends SparkTestBase {
     assert(sk.length == 2, s"NULLs must not enter the sketch: $sk")
   }
 
+  test("KMV overlap matrix is EXACT below k and within estimator error " +
+       "above it (Beyer et al. set-operation estimator vs known truth)") {
+    val k = Sketches.KmvK
+    // exact regime: |A|=100, |B|=100, overlap 50 → union 150 < k
+    val small = ((0 until 100).map(i => ("a", i.toLong)) ++
+      (50 until 150).map(i => ("b", i.toLong)))
+      .toDF("src", "id")
+    val ex = Sketches.kmvOverlapMatrix(small, "src", col("id"), k)
+      .collect()(0)
+    assert(ex.getAs[Long]("m_sz") == 150L)
+    assert(ex.getAs[Long]("n_common") == 50L)
+    assert(ex.getAs[Long]("union_est") == 150L)
+    assert(ex.getAs[Double]("jaccard") == 50.0 / 150.0)
+    assert(ex.getAs[Long]("inter_est") == 50L)
+    // estimation regime: |A|=|B|=10000, overlap 5000 → union 15000,
+    // true J=1/3. Jaccard rsd ≈ sqrt(J(1-J)/k): 3σ ≈ 0.09 absolute.
+    val big = ((0 until 10000).map(i => ("a", i.toLong * 2654435761L)) ++
+      (5000 until 15000).map(i => ("b", i.toLong * 2654435761L)))
+      .toDF("src", "id")
+    val est = Sketches.kmvOverlapMatrix(big, "src", col("id"), k)
+      .collect()(0)
+    val j = est.getAs[Double]("jaccard")
+    val inter = est.getAs[Long]("inter_est")
+    info(f"jaccard=$j%.4f (true 0.3333)  inter=$inter (true 5000)")
+    assert(math.abs(j - 1.0 / 3.0) <= 0.09, s"jaccard off: $j")
+    assert(math.abs(inter - 5000.0) / 5000.0 <= 0.35, s"intersection off: $inter")
+  }
+
   test("sketches are merge-consistent: estimate of a union never below either part") {
     val a = (0 until 5000).map(i => i.toLong).toDF("id").withColumn("g", lit("all"))
     val b = (2500 until 7500).map(i => i.toLong).toDF("id").withColumn("g", lit("all"))

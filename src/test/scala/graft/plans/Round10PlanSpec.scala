@@ -175,6 +175,20 @@ class Round10PlanSpec extends SparkTestBase {
     assert(s.contains("TransformWithState"), s"expected tws operator:\n$s")
   }
 
+  test("x103 overlap sketch: the two sketch arms share ONE build " +
+       "(ReusedExchange) and the bounded pair join broadcasts — pair " +
+       "cost is O(k), never a corpus-domain join") {
+    val df =
+      graft.queries.Extensions.queries("x103_overlap_sketch")(spark, sf)
+    df.collect() // AQE finalizes reuse decisions
+    val s = planString(df)
+    assert(s.contains("ReusedExchange"),
+      s"sketch build must be shared between the join arms:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"the S-row sketch pair join must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("st05/st08 migrated operators run on TransformWithState (the r9 " +
        "verdict ask 4 — promise and code agree)") {
     val ev = graft.tables.Tables.events(spark, sf)
