@@ -52,7 +52,11 @@ object BenchSf1 {
       // shape (dup-heavy fixture ⇒ shared fingerprints), and the CDC
       // reports stress the codegen'd rolling-hash scan
       "a62_item_similarity", "a63_part_communities", "x97_winnowing",
-      "x96_cdc_chunks", "x100_cdc_incremental", "x99_neardup_eval")
+      "x96_cdc_chunks", "x100_cdc_incremental", "x99_neardup_eval",
+      // round-10 wave 3-5: the corpus-shingle sketch build (x103's cold
+      // run prices the one shared scan; pairs are O(k)), the 1.2 M-row
+      // SCD2 window build, and the sketch-merge rollup
+      "x103_overlap_sketch", "a65_scd2_intervals", "x101_agg_state_merge")
 
     // warmup: touch every table once (JVM/codegen/classloading)
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

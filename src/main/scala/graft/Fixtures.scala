@@ -71,7 +71,7 @@ object Fixtures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     val offsets: Map[String, Long] = families.map { case (fam, (tbl, c)) =>
-      fam -> (src(tbl).agg(max(col(c))).head.getLong(0) + 1L)
+      fam -> (src(tbl).agg(max(col(c))).head().getLong(0) + 1L)
     }
 
     shifted.foreach { case (table, keys) =>

@@ -236,7 +236,7 @@ object Similarity {
     val (u, _) = pcaPowerFit(emb, vecCol, iters)
     val grid = 1048576
     def q(c: Column): Column = floor(c * grid + lit(0.5)) / grid
-    val uLit = array(u.map(lit(_)): _*)
+    val uLit = array(u.toIndexedSeq.map(lit(_)): _*)
     emb
       .withColumn("coef",
         aggregate(
