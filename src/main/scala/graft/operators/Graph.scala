@@ -155,6 +155,68 @@ object Graph {
     * partial-aggregatable min keyed on the node — the pageRank shape
     * with min instead of sum; hot nodes are ordinary skewed agg keys.
     */
+  /** Bounded-round k-core peeling: starting from the undirected
+    * self-loop-free edge set, each round removes every node whose
+    * current degree is < k together with its incident edges, for
+    * `rounds` rounds — the standard iterative k-core decomposition
+    * step (Seidman 1983; the distributed formulation of Montresor et
+    * al.). After enough rounds the survivor set IS the k-core; a FIXED
+    * round count keeps the unrolled cross-engine oracle replay finite
+    * (the pageRank/minLabelPropagation discipline) and each round's
+    * survivor sizes are themselves the analytics deliverable — how
+    * fast the periphery peels is the graph's core-structure profile
+    * (spam/bot rings peel instantly; dense communities survive).
+    *
+    * Returns one row per round 0..rounds: (round, n_nodes, n_edges),
+    * round 0 being the input graph. Deterministic by construction —
+    * integer degrees and set semantics, no quantization.
+    *
+    * 100 TB: each round is one partial-aggregatable degree count keyed
+    * on the node plus two left-semi joins of the edge table against the
+    * (node-sized) survivor set — the label-propagation shape with semi
+    * joins instead of min; the edge frame halves-or-better per round on
+    * real graphs, so later rounds are cheap. Counts per round are
+    * single-row aggregates (no driver state beyond 2(rounds+1) longs).
+    */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
+                k: Int = 3, rounds: Int = 3,
+                checkpointEvery: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64] (bounded unrolled replay), got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = graft.Caches.persistOnce(
+      edges.select(least(col(aCol), col(bCol)).as("a"),
+                   greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b") && col("a").isNotNull).distinct())
+    // node set = endpoints of surviving edges (a node isolated by its
+    // neighbors' removal has degree 0 < k and is gone next round anyway
+    // — counting it as already peeled keeps every round one edge scan)
+    def counts(ed: DataFrame): (Long, Long) = {
+      val ne = ed.count()
+      val nn = ed.select(col("a").as("v")).union(ed.select(col("b").as("v")))
+        .distinct().count()
+      (nn, ne)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    val c0 = counts(e)
+    out += ((0, c0._1, c0._2))
+    for (r <- 1 to rounds) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("v")
+      e = graft.Caches.persistOnce(
+        e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select("a", "b"))
+      if (r % checkpointEvery == 0 && r < rounds) e = e.localCheckpoint()
+      val c = counts(e)
+      out += ((r, c._1, c._2))
+    }
+    out.toSeq.toDF("round", "n_nodes", "n_edges")
+  }
+
   def minLabelPropagation(edges: DataFrame, aCol: String, bCol: String,
                           rounds: Int = 3,
                           checkpointEvery: Int = 8): DataFrame = {

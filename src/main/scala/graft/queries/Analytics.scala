@@ -1107,7 +1107,112 @@ object Analytics {
       tr.withColumn("p",
           col("n") / sum(col("n")).over(Window.partitionBy("from_type")))
         .orderBy("from_type", "to_type")
-    })
+    }),
+
+    // Changelog compaction — the third leg of the lakehouse-maintenance
+    // trio (a64 diffs two snapshots, a65 keeps history, THIS materializes
+    // current state from a change stream with delete semantics): the
+    // event stream read as a keyed changelog (user_id = key; 'error'
+    // events are tombstones/deletes, everything else upserts), compacted
+    // to one row per surviving key — last-writer-wins in (ts, event_id)
+    // order, keys whose final op is a tombstone absent from the output.
+    // This is Kafka log compaction / Debezium-to-table materialization /
+    // the MERGE INTO apply step, as one relational pass.
+    // 100 TB: ONE hash exchange on the key — the last-op window and the
+    // per-key op count share the same partitioning (Round10bPlanSpec
+    // pins the single Exchange); output is key-cardinality.
+    "a67_changelog_compact" -> ((s, dir) => {
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wAll = Window.partitionBy("user_id")
+      T.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("value"))
+        .withColumn("rn", row_number().over(wDesc))
+        .withColumn("n_ops", count(lit(1)).over(wAll))
+        .filter(col("rn") === 1 && col("op") === "U")
+        .select(col("user_id"), col("value").as("last_value"),
+          col("ts").as("last_ts"), col("n_ops"))
+        .orderBy("user_id")
+    }),
+
+    // Attribution-model comparison (the report marketers actually read —
+    // how much the attribution CHOICE swings each channel): per channel,
+    // purchases + exact DECIMAL revenue under first-touch, last-touch,
+    // and any-touch (participation) credit over the same 7-day lookback.
+    // No fractional credit division anywhere — three count/sum reports,
+    // bit-exact cross-engine (a59 generalized from one model to the
+    // model-comparison matrix). Window membership is purely range-based
+    // ([pts−7d, pts) on microsecond timestamps) so no ordering tiebreak
+    // can affect WHICH touches qualify; first/last INSIDE the window
+    // break exact-timestamp ties on event_id (the st14 discipline).
+    // 100 TB: purchases and touches co-shuffle once on user_id (the
+    // interval join), per-purchase windows ride one event_id exchange,
+    // and the three reports are channel-cardinality partial aggs.
+    // Expansion is touches-per-user-week — the natural product-analytics
+    // bound (same shape as a58's bounded 7× explode).
+    "a68_attribution_compare" -> ((s, dir) => {
+      val ev = T.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("pid"), col("value"))
+      val touches = ev
+        .filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("ts").as("tts"),
+          col("event_id").as("tid"), col("event_type").as("ch"))
+      val pj = purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("tts") < col("pts") &&
+          col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"),
+        "left")
+        .select(col("pid"), col("value"), col("tts"), col("tid"), col("ch"))
+      val wAsc = Window.partitionBy("pid").orderBy(col("tts").asc_nulls_last,
+        col("tid").asc_nulls_last)
+      val wDesc = Window.partitionBy("pid").orderBy(col("tts").desc_nulls_last,
+        col("tid").desc_nulls_last)
+      val ranked = pj
+        .withColumn("rn_f", row_number().over(wAsc))
+        .withColumn("rn_l", row_number().over(wDesc))
+      def rep(flag: Column, nName: String, revName: String) = ranked
+        .filter(flag)
+        .groupBy(coalesce(col("ch"), lit("(none)")).as("channel"))
+        .agg(count(lit(1)).as(nName), Exact.dsum(col("value")).as(revName))
+      val firstRep = rep(col("rn_f") === 1, "n_first", "rev_first")
+      val lastRep = rep(col("rn_l") === 1, "n_last", "rev_last")
+      val touchedRep = ranked
+        .select(col("pid"), col("value"),
+          coalesce(col("ch"), lit("(none)")).as("channel"))
+        .distinct()
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touched"),
+          Exact.dsum(col("value")).as("rev_touched"))
+      firstRep
+        .join(lastRep, Seq("channel"), "full_outer")
+        .join(touchedRep, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("rev_first"), lit(0.0)).as("rev_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("rev_last"), lit(0.0)).as("rev_last"),
+          coalesce(col("n_touched"), lit(0L)).as("n_touched"),
+          coalesce(col("rev_touched"), lit(0.0)).as("rev_touched"))
+        .orderBy("channel")
+    }),
+
+    // Bounded-round k-core peeling of the repeat co-order graph
+    // ([[graft.operators.Graph.kCorePeel]]): per round, nodes with
+    // degree < 3 drop with their incident edges; the per-round survivor
+    // curve (n_nodes, n_edges) is the graph's core-structure profile —
+    // the companion to a61's degree histogram (how DENSE the center is,
+    // not just how skewed the tails are). Fourth consumer of the
+    // session-memoized [[repeatEdges]] frame; fixed rounds keep the
+    // unrolled DuckDB replay finite (the a63 discipline).
+    "a69_kcore_peel" -> ((s, dir) =>
+      graft.operators.Graph
+        .kCorePeel(repeatEdges(s, dir), "p1", "p2", k = 3, rounds = 3)
+        .orderBy("round"))
   )
 
   /** Per-user ordered funnel stage times over an event frame with
@@ -1687,7 +1792,7 @@ object Analytics {
     // a61: same repeat-edge CTE as a60, degree per node, len(bin())
     // log2 buckets (both engines' bin drops leading zeros).
     "a61_degree_profile" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),
          e AS (SELECT a.pk AS a, b.pk AS b
                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
@@ -1703,7 +1808,7 @@ object Analytics {
     // a60: same orientation rule ((degree, id) row-value compare), same
     // wedge + closing joins, same 3-corner credit.
     "a60_basket_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),
          e AS (SELECT a.pk AS a, b.pk AS b
                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
@@ -1726,7 +1831,7 @@ object Analytics {
     // exact-operand division, rank/filter as the window the Spark side
     // lowers to TopKPerKey.
     "a62_item_similarity" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),
          e AS (SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
@@ -1784,7 +1889,7 @@ object Analytics {
     // a63: the 3 label-propagation rounds unrolled (the x91/pageRank
     // recipe) over the same repeat-edge CTE; pure integer min/least.
     "a63_part_communities" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),
          e AS (SELECT a.pk AS a, b.pk AS b
                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
@@ -1819,7 +1924,7 @@ object Analytics {
          FROM w JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "a56_basket_affinity" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                      FROM lineitem),
          n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
          sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY 1),
@@ -1868,6 +1973,118 @@ object Analytics {
            FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
          SELECT from_type, to_type, n,
            CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
-         FROM c ORDER BY from_type, to_type"""
+         FROM c ORDER BY from_type, to_type""",
+
+    // a67: same last-writer-wins window (row_number desc over ts,
+    // event_id) + per-key count; tombstoned keys filtered identically.
+    "a67_changelog_compact" ->
+      """WITH cl AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+           FROM events),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+           FROM cl)
+         SELECT user_id, value AS last_value, ts AS last_ts, n_ops
+         FROM r WHERE rn = 1 AND op = 'U'
+         ORDER BY user_id""",
+
+    // a68: identical interval join + asc/desc row_numbers + three
+    // channel reports full-outer-joined; revenue through DECIMAL(12,2)
+    // like a59, zeros filled on both sides the same way.
+    "a68_attribution_compare" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type, value FROM events),
+         p AS (SELECT user_id, ts AS pts, event_id AS pid, value
+               FROM e WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, ts AS tts, event_id AS tid,
+                 event_type AS ch
+               FROM e WHERE event_type IN ('click','view','signup')),
+         pj AS (SELECT p.pid, p.value, t.tts, t.tid, t.ch
+                FROM p LEFT JOIN t
+                  ON t.user_id = p.user_id
+                 AND t.tts < p.pts
+                 AND t.tts >= p.pts - INTERVAL 7 DAY),
+         ranked AS (SELECT *,
+             row_number() OVER (PARTITION BY pid
+               ORDER BY tts ASC NULLS LAST, tid ASC NULLS LAST) AS rn_f,
+             row_number() OVER (PARTITION BY pid
+               ORDER BY tts DESC NULLS LAST, tid DESC NULLS LAST) AS rn_l
+           FROM pj),
+         fr AS (SELECT coalesce(ch, '(none)') AS channel,
+                  CAST(count(*) AS BIGINT) AS n_first,
+                  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                    AS rev_first
+                FROM ranked WHERE rn_f = 1 GROUP BY 1),
+         lr AS (SELECT coalesce(ch, '(none)') AS channel,
+                  CAST(count(*) AS BIGINT) AS n_last,
+                  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                    AS rev_last
+                FROM ranked WHERE rn_l = 1 GROUP BY 1),
+         tr AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touched,
+                  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                    AS rev_touched
+                FROM (SELECT DISTINCT pid, value,
+                        coalesce(ch, '(none)') AS channel FROM ranked)
+                GROUP BY 1)
+         SELECT channel,
+           coalesce(n_first, 0) AS n_first,
+           coalesce(rev_first, 0.0) AS rev_first,
+           coalesce(n_last, 0) AS n_last,
+           coalesce(rev_last, 0.0) AS rev_last,
+           coalesce(n_touched, 0) AS n_touched,
+           coalesce(rev_touched, 0.0) AS rev_touched
+         FROM fr
+         FULL OUTER JOIN lr USING (channel)
+         FULL OUTER JOIN tr USING (channel)
+         ORDER BY channel""",
+
+    // a69: the 3 peel rounds unrolled (the a63 recipe) over the same
+    // repeat-edge CTE; node set = endpoints of surviving edges, pure
+    // integer degrees and counts.
+    "a69_kcore_peel" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         e0 AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         d1 AS (SELECT v, count(*) AS d FROM
+                  (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+                GROUP BY 1),
+         k1 AS MATERIALIZED (SELECT v FROM d1 WHERE d >= 3),
+         e1 AS MATERIALIZED (SELECT a, b FROM e0
+                WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)),
+         d2 AS (SELECT v, count(*) AS d FROM
+                  (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+                GROUP BY 1),
+         k2 AS MATERIALIZED (SELECT v FROM d2 WHERE d >= 3),
+         e2 AS MATERIALIZED (SELECT a, b FROM e1
+                WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)),
+         d3 AS (SELECT v, count(*) AS d FROM
+                  (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+                GROUP BY 1),
+         k3 AS MATERIALIZED (SELECT v FROM d3 WHERE d >= 3),
+         e3 AS MATERIALIZED (SELECT a, b FROM e2
+                WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3))
+         SELECT * FROM (
+           SELECT 0 AS round,
+             (SELECT count(DISTINCT v) FROM
+               (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)) AS n_nodes,
+             (SELECT count(*) FROM e0) AS n_edges
+           UNION ALL SELECT 1,
+             (SELECT count(DISTINCT v) FROM
+               (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)),
+             (SELECT count(*) FROM e1)
+           UNION ALL SELECT 2,
+             (SELECT count(DISTINCT v) FROM
+               (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)),
+             (SELECT count(*) FROM e2)
+           UNION ALL SELECT 3,
+             (SELECT count(DISTINCT v) FROM
+               (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)),
+             (SELECT count(*) FROM e3))
+         ORDER BY round"""
   )
 }

@@ -431,6 +431,62 @@ object Extensions {
         .orderBy("query_id")
     }),
 
+    // Filtered (attribute-constrained) vector search — the pre- vs
+    // post-filter decision every production vector store faces: truth =
+    // exact top-10 over the label-filtered corpus (pre-filtering — the
+    // index is built on the predicate's survivors); candidate arm = the
+    // x17 IVF probe over the FULL index with a 4× over-fetch (40 raw),
+    // label filter applied AFTER, re-ranked to 10 (post-filtering).
+    // Per query: truth size, post-filter survivor count, hits, recall —
+    // the report that prices how much recall a selective predicate
+    // costs an unfiltered index (and hence when to flip to pre-filter /
+    // partitioned indexes). Both arms are existing oracle-exact
+    // machinery; n_flt counts the over-fetch's survivors, the
+    // over-fetch-sizing signal.
+    // 100 TB: the truth arm exists only because the gate needs exact
+    // truth (x89's discipline); the production path is the IVF arm —
+    // scan-side codebook argmax, probe join touches nProbe/cells of the
+    // index, and the label filter is a scan-side predicate on the
+    // probed cells.
+    "x104_filtered_ann" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(
+          emb.filter(col("label") === 3), q, "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("cand_id"))
+      val raw = Similarity.ivfTopKSampled(emb, q, "embedding", "vec_id",
+        k = 40, cells = 16, nProbe = 4)
+      val fltCand = raw.join(
+          broadcast(emb.select(col("vec_id").as("cand_id"), col("label"))),
+          "cand_id")
+        .filter(col("label") === 3)
+      val wPost = Window.partitionBy("query_id").orderBy("rank")
+      val post = fltCand
+        .withColumn("rk", row_number().over(wPost))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+      val nf = fltCand.groupBy("query_id")
+        .agg(count(lit(1)).cast("int").as("n_flt"))
+      truth.join(post, Seq("query_id", "cand_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).cast("int").as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hits"))
+        .join(nf, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_truth"),
+          coalesce(col("n_flt"), lit(0)).as("n_flt"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+        .orderBy("query_id")
+    }),
+
+    // Signed feature hashing (Weinberger et al. ICML'09) — the
+    // vocabulary-free text featurizer + its collision audit. See
+    // TextAnalysis.featureHash.
+    "x105_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(T.documents(s, dir), "text", "doc_id",
+          dim = 256)
+        .orderBy("doc_id")),
+
     // SimHash banded near-dup candidates with Hamming distances. Oracle:
     // fingerprints + 16-bit band self-join replayed in DuckDB SQL.
     "x19_simhash_candidates" -> ((s, dir) =>
@@ -2573,6 +2629,120 @@ object Extensions {
        GROUP BY 1 ORDER BY 1"""
   }
 
+  /** x104: both arms replayed — the truth arm is the x05 brute-force
+    * chain restricted to the label's survivors (pre-filter), the
+    * candidate arm the x17 IVF chain over the FULL index at rank ≤ 40,
+    * label-joined, re-ranked by the preserved IVF rank (post-filter) —
+    * then the per-query overlap, survivor count, and recall.
+    */
+  private lazy val filteredAnnSql: String = {
+    val (hashCtes, huCte) =
+      Murmur3Sql.hashLongCtes("cb0", Seq("cell", "centroid"), "fh")
+    s"""WITH cb0 AS (SELECT vec_id AS cell, embedding AS centroid, vec_id AS v FROM embeddings),
+       $hashCtes
+       cb AS (SELECT cell, centroid FROM (
+                SELECT cell, centroid, row_number() OVER (ORDER BY hu, cell) AS rn
+                FROM $huCte)
+              WHERE rn <= 16),
+       asg AS (SELECT cell, cand_id, cvec FROM (
+                SELECT cb.cell, c.vec_id AS cand_id, c.embedding AS cvec,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY ${cosineRounded("c.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings c, cb)
+              WHERE rk = 1),
+       prb AS (SELECT query_id, qv, cell FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, cb.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cosineRounded("q.embedding", "cb.centroid")} DESC, cb.cell) AS rk
+                FROM embeddings q, cb WHERE q.vec_id < 5)
+              WHERE rk <= 4),
+       iscored AS (SELECT p.query_id, a.cand_id,
+                    ${cosineRounded("p.qv", "a.cvec")} AS cosine
+                   FROM prb p JOIN asg a USING (cell)
+                   WHERE p.query_id <> a.cand_id),
+       ivfk AS (SELECT query_id, cand_id, rank FROM (
+                 SELECT query_id, cand_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+                 FROM iscored) WHERE rank <= 40),
+       fltc AS (SELECT i.query_id, i.cand_id, i.rank
+                FROM ivfk i JOIN embeddings l ON l.vec_id = i.cand_id
+                WHERE l.label = 3),
+       nf AS (SELECT query_id, CAST(count(*) AS INTEGER) AS n_flt
+              FROM fltc GROUP BY 1),
+       post AS (SELECT query_id, cand_id FROM (
+                 SELECT query_id, cand_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY rank) AS rk
+                 FROM fltc) WHERE rk <= 10),
+       bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                    ${cosineRounded("q.embedding", "c.embedding")} AS cosine
+                   FROM embeddings q, embeddings c
+                   WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+                     AND c.label = 3),
+       bfk AS (SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+                FROM bscored) WHERE rank <= 10),
+       agg AS (SELECT b.query_id, CAST(count(*) AS INTEGER) AS n_truth,
+                 CAST(count(p.cand_id) AS INTEGER) AS n_hits
+               FROM bfk b LEFT JOIN post p
+                 ON p.query_id = b.query_id AND p.cand_id = b.cand_id
+               GROUP BY 1)
+       SELECT agg.query_id, n_truth, coalesce(nf.n_flt, 0) AS n_flt, n_hits,
+         CAST(n_hits AS DOUBLE) / n_truth AS recall
+       FROM agg LEFT JOIN nf ON nf.query_id = agg.query_id
+       ORDER BY 1"""
+  }
+
+  /** x105: per-(doc, token) counts join the distinct-token VOCABULARY
+    * hashed once through the x86 string-murmur3 staging (unsigned
+    * 32-bit end state); bucket/sign/weights are nonnegative-integer
+    * arithmetic identical to the Spark side's per-instance form.
+    */
+  private lazy val featureHashSql: String = {
+    import Murmur3Sql._
+    val wordMix = mixH1("h", mixK1("w"))
+    val byteMix = mixH1("h", mixK1("b"))
+    s"""WITH w AS (
+         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+       tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+              FROM tok WHERE t <> '' GROUP BY 1, 2),
+       dt AS (SELECT DISTINCT t AS s FROM tc),
+       dc AS (SELECT s, length(s) AS sl,
+                list_transform(range(1, length(s)+1),
+                  i -> CAST(unicode(s[i]) AS HUGEINT)) AS cps
+              FROM dt),
+       dw AS (SELECT s, sl,
+                list_transform(range(0, sl // 4),
+                  j -> cps[4*j+1] + cps[4*j+2]*256 + cps[4*j+3]*65536 + cps[4*j+4]*16777216) AS words,
+                list_transform(range(sl // 4 * 4 + 1, sl + 1), i -> cps[i]) AS tail
+              FROM dc),
+       dmw AS (SELECT s, sl, tail,
+                list_reduce(list_prepend(CAST(42 AS HUGEINT), words), (h, w) ->
+                  $wordMix) AS hw
+               FROM dw),
+       dm2 AS (SELECT s, sl,
+                list_reduce(list_prepend(hw, tail), (h, b) ->
+                  $byteMix) AS h
+               FROM dmw),
+       q1 AS (SELECT s, xor(h, CAST(sl AS HUGEINT)) AS h FROM dm2),
+       q2 AS (SELECT s, xor(h, h // 65536) AS h FROM q1),
+       q3 AS (SELECT s, (h * 2246822507) % 4294967296 AS h FROM q2),
+       q4 AS (SELECT s, xor(h, h // 8192) AS h FROM q3),
+       q5 AS (SELECT s, (h * 3266489909) % 4294967296 AS h FROM q4),
+       dh AS (SELECT s, xor(h, h // 65536) AS hu FROM q5),
+       hb AS (SELECT s AS t, CAST(hu % 256 AS INTEGER) AS bucket,
+                CASE WHEN (hu // 256) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+              FROM dh),
+       bw AS (SELECT doc_id, bucket, CAST(sum(sgn * cnt) AS BIGINT) AS wgt,
+                CAST(sum(cnt) AS BIGINT) AS n
+              FROM tc JOIN hb USING (t) GROUP BY 1, 2)
+       SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok,
+         CAST(sum(CASE WHEN wgt <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+         CAST(sum(wgt * wgt) AS BIGINT) AS norm_sq
+       FROM bw GROUP BY 1 ORDER BY 1"""
+  }
+
   /** x91: the power iteration unrolled as generated CTE rounds (the
     * x71/x67b recipe) over the x90 gram CTE mirrored to the full
     * symmetric matrix — every matvec addend and squared term quantized
@@ -3511,6 +3681,8 @@ object Extensions {
          FROM embeddings ORDER BY vec_id""",
     "x88_token_budget_mix" -> tokenBudgetMixSql,
     "x89_ann_recall" -> annRecallSql,
+    "x104_filtered_ann" -> filteredAnnSql,
+    "x105_feature_hash" -> featureHashSql,
     "x91_pca_power" -> pcaPowerSql,
     "x92_remove_top_pc" -> removeTopPcSql,
 

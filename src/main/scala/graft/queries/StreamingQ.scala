@@ -182,7 +182,23 @@ object StreamingQ {
     "st21_stream_scd" -> ((s, dir) =>
       EventStreams.statefulScdRuns(T.events(s, dir))
         .toDF()
-        .orderBy("user_id", "version"))
+        .orderBy("user_id", "version")),
+
+    // Stream-stream LEFT OUTER interval join (clicks that converted AND
+    // clicks that didn't, in one result): the streaming variant buffers
+    // each click until the watermark proves no purchase can still
+    // arrive, then emits the null-padded row — the outer result is
+    // produced BY state eviction, the lifecycle st06's inner join never
+    // exercises. Batch ≡ plain left join with the range condition;
+    // stream ≡ batch certified in EventStreamsSpec.
+    "st22_stream_outer_join" -> ((s, dir) => {
+      val ev = T.events(s, dir)
+      EventStreams.intervalJoinOuter(
+          ev.filter(org.apache.spark.sql.functions.col("event_type") === "click"),
+          ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"),
+          within = "30 minutes")
+        .orderBy("src_id", "dst_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -410,6 +426,17 @@ object StreamingQ {
          FROM events a JOIN events b ON a.user_id = b.user_id
          WHERE a.event_type = 'click' AND b.event_type = 'purchase'
            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         ORDER BY src_id, dst_id""",
+    // st22: the same interval condition as a LEFT join — unmatched
+    // clicks keep null dst/lag, exactly the rows the streaming variant
+    // emits on watermark eviction.
+    "st22_stream_outer_join" ->
+      """SELECT a.user_id, a.event_id AS src_id, b.event_id AS dst_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS lag_seconds
+         FROM (SELECT * FROM events WHERE event_type = 'click') a
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id
+          AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
          ORDER BY src_id, dst_id""",
     "st01_tumbling_window" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start,

@@ -143,6 +143,40 @@ object EventStreams {
         (col("dst_ts").cast("long") - col("src_ts").cast("long")).as("lag_seconds"))
   }
 
+  /** LEFT OUTER interval join: [[intervalJoin]] plus the unmatched left
+    * rows (dst columns null) — "which clicks converted, and which
+    * didn't" in one result. Batch: a plain left join with the range
+    * condition. Streaming ([[intervalJoinOuterStream]]): the watermarked
+    * outer stream-stream join — Spark buffers each left row until the
+    * watermark proves no matching right row can still arrive, THEN emits
+    * the null-padded row; the time-bound condition is what makes that
+    * proof (and the state eviction) possible at all. This is the state-
+    * LIFECYCLE story the inner join (st06) can't show: an outer result
+    * row is produced BY eviction, not by a match.
+    *
+    * Same shuffle shape as the inner join: both sides key on user_id
+    * only, the time bound evaluates within the key group.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        within: String = "30 minutes"): DataFrame = {
+    val a = left.select(col("user_id"), col("event_id").as("src_id"), col("ts").as("src_ts"))
+    val b = right.select(col("user_id").as("r_user_id"),
+      col("event_id").as("dst_id"), col("ts").as("dst_ts"))
+    a.join(b,
+        col("user_id") === col("r_user_id") &&
+          col("dst_ts") > col("src_ts") &&
+          col("dst_ts") <= col("src_ts") + expr(s"INTERVAL $within"),
+        "left_outer")
+      .select(col("user_id"), col("src_id"), col("dst_id"),
+        (col("dst_ts").cast("long") - col("src_ts").cast("long")).as("lag_seconds"))
+  }
+
+  def intervalJoinOuterStream(left: DataFrame, right: DataFrame,
+                              within: String = "30 minutes",
+                              watermark: String = "1 hour"): DataFrame =
+    intervalJoinOuter(left.withWatermark("ts", watermark),
+      right.withWatermark("ts", watermark), within)
+
   /** Streaming wrappers: identical transforms with a watermark bound. */
   def tumblingCountsStream(events: DataFrame, width: String = "1 hour",
                            watermark: String = "2 hours"): DataFrame =

@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan pins for the round-10 late additions (a67-a69, x104,
+  * x105, st22): the shuffle/broadcast structure each scaladoc claims,
+  * asserted on the real sf fixture.
+  */
+class Round10bPlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("a67 changelog compact: ONE hash exchange on the key — the " +
+       "last-op window and the per-key op count share the user_id " +
+       "partitioning") {
+    val s = planString(
+      graft.queries.Analytics.queries("a67_changelog_compact")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 1, s"expected exactly 1 hash exchange:\n$s")
+    assert(s.contains("Window"), s)
+  }
+
+  test("a68 attribution compare: no cartesian — the interval join keys " +
+       "on user_id and the three report arms aggregate over the ranked " +
+       "pid domain") {
+    val s = planString(
+      graft.queries.Analytics.queries("a68_attribution_compare")(spark, sf))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay keyed on user_id:\n$s")
+    assert(s.contains("Window"), s)
+  }
+
+  test("a69 k-core peel rides the session-memoized repeat-edge frame " +
+       "(fourth consumer — object identity holds across the build)") {
+    graft.queries.Analytics.releaseRepeatEdges(spark)
+    val e = graft.queries.Analytics.repeatEdges(spark, sf)
+    graft.queries.Analytics.queries("a69_kcore_peel")(spark, sf).collect()
+    assert(graft.queries.Analytics.repeatEdges(spark, sf) eq e)
+  }
+
+  test("x104 filtered ann: the label side joins as a BROADCAST onto the " +
+       "probed candidates — the index is never re-shuffled for the " +
+       "post-filter") {
+    val s = planString(
+      graft.queries.Extensions.queries("x104_filtered_ann")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"),
+      s"label filter must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x105 feature hash: hashing is scan-side — no exchange carries " +
+       "the document text, and the rollup runs over the compressed " +
+       "(doc, bucket) domain") {
+    val s = planString(
+      graft.queries.Extensions.queries("x105_feature_hash")(spark, sf))
+    val exLines = s.split('\n').filter(_.contains("Exchange"))
+    exLines.foreach { l =>
+      assert(!l.contains("text#") && !l.contains(" t#"),
+        s"document text crossed an exchange: $l")
+    }
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    // (doc_id, bucket) partial agg + doc_id rollup
+    assert(hashEx <= 2, s"expected <=2 hash exchanges:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("st22 outer interval join (batch form): a LEFT OUTER join keyed " +
+       "on user_id with the range condition — no cartesian, no " +
+       "broadcast nested loop") {
+    val s = planString(
+      graft.queries.StreamingQ.queries("st22_stream_outer_join")(spark, sf))
+    assert(s.contains("LeftOuter"), s"expected left outer join:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+}

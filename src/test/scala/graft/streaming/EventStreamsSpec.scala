@@ -273,6 +273,51 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batch.map(r => (r.getLong(1), r.getLong(2))) === Seq((1L, 10L), (2L, 11L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: watermark eviction emits the " +
+       "null-padded rows and the result equals the batch left join") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[EvJ]
+    val buys = MemoryStream[EvJ]
+    val clickEvents = Seq(
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),   // converts (b10)
+      EvJ(3L, t("2024-01-01 00:05:00"), 2L, "click"))   // never converts
+    val buyEvents = Seq(
+      EvJ(10L, t("2024-01-01 00:10:00"), 1L, "purchase"),  // within 30m
+      EvJ(12L, t("2024-01-01 02:00:00"), 2L, "purchase"))  // outside 30m
+    clicks.addData(clickEvents)
+    buys.addData(buyEvents)
+    val q = EventStreams.intervalJoinOuterStream(clicks.toDF(), buys.toDF(),
+        within = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("ssoj_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      // the unmatched click emits ONLY once the watermark proves no
+      // purchase can still arrive: push event time far past
+      // src_ts + 30m + 1h on both sources, then run the extra batch
+      // that applies the advanced watermark to the buffered state
+      clicks.addData(EvJ(99L, t("2024-01-02 00:00:00"), 9L, "click"))
+      buys.addData(EvJ(98L, t("2024-01-02 00:00:00"), 9L, "purchase"))
+      q.processAllAvailable()
+      clicks.addData(EvJ(97L, t("2024-01-02 06:00:00"), 9L, "click"))
+      buys.addData(EvJ(96L, t("2024-01-02 06:00:00"), 9L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val origIds = clickEvents.map(_.event_id).toSet
+    val streamed = spark.table("ssoj_out")
+      .filter(org.apache.spark.sql.functions.col("src_id")
+        .isin(origIds.toSeq: _*))
+      .orderBy("src_id", "dst_id").collect().toSeq
+    val batch = EventStreams.intervalJoinOuter(
+        clickEvents.toDF(), buyEvents.toDF(), "30 minutes")
+      .orderBy("src_id", "dst_id").collect().toSeq
+    assert(streamed === batch)
+    // and the batch result really contains the null-padded row
+    assert(batch.map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))) ===
+      Seq((1L, 10L), (3L, -1L)))
+  }
+
   test("stateful sessionize: custom session state carries across micro-batches, batch ≡ stream") {
     implicit val ctx = spark.sqlContext
     val evs = Seq(
