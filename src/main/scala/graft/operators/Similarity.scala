@@ -311,6 +311,106 @@ object Similarity {
       .select("query_id", "cand_id", "cos_top", "margin")
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` results from each query's top-`pool`
+    * relevance candidates, each pick maximizing
+    * `0.5·rel(d) − 0.5·max_{s∈selected} sim(d, s)` — the diversity-
+    * aware final stage a RAG stack runs AFTER retrieval (x77 fuses
+    * rankings; MMR trades relevance against redundancy among the
+    * survivors, which rank fusion cannot see).
+    *
+    * Everything past the candidate stage is bounded by `pool`: the
+    * intra-pool similarity frame is `|queries|·pool²` rows and each of
+    * the `k−1` unrolled greedy rounds is a join + 1-row-per-query rank
+    * over those frames — corpus size never re-enters. The pool + sim
+    * frames persist once (every round references both), rounds are
+    * require-fenced, and selection ties break on cand_id (the house
+    * window discipline). Relevance and pairwise sims share
+    * [[bruteForceTopK]]'s round6-quantized cosine, so the DuckDB oracle
+    * replays the greedy bit-exactly as MATERIALIZED round CTEs.
+    *
+    * 100 TB: the candidate stage is the scale decision — swap
+    * [[bruteForceTopK]] for [[ivfTopK]] when the corpus outgrows the
+    * broadcast-query scan; the greedy's cost is unchanged either way.
+    */
+  /** The distributed stage of [[mmrRerank]]: each query's top-`pool`
+    * relevance candidates with their vectors attached. The pool is
+    * |queries|·pool rows — it broadcasts onto the vector scan (the
+    * x104 label-side discipline) instead of shuffling the corpus-sized
+    * vector frame on cand_id; plan pinned in Round10cPlanSpec.
+    */
+  private[graft] def mmrPool(candidates: DataFrame, queries: DataFrame,
+                             vecCol: String, idCol: String,
+                             pool: Int): DataFrame = {
+    val vecs = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("v"))
+    vecs
+      .join(broadcast(bruteForceTopK(candidates, queries, vecCol, idCol,
+        pool)), "cand_id")
+      .select(col("query_id"), col("cand_id"), col("rank"), col("cosine"),
+        col("v"))
+  }
+
+  def mmrRerank(candidates: DataFrame, queries: DataFrame, vecCol: String,
+                idCol: String, pool: Int = 20, k: Int = 5): DataFrame = {
+    require(pool >= 2, s"pool must be >= 2, got $pool")
+    require(k >= 1 && k <= pool, s"k must be in [1, pool=$pool], got $k")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // Bounded driver state: |queries|·pool (id, rel, vec) rows — the
+    // k-means-codebook precedent, fenced BEFORE anything is collected
+    // (the query side is the probe set and must be bounded anyway, the
+    // x05 rule). A first formulation ran the greedy as unrolled
+    // joins/windows in-plan; the frames past the candidate stage are
+    // query-set-sized, so that bought ~12 scheduler-bound micro-jobs
+    // for zero distribution benefit (measured 6.0 s at sf0.01 vs
+    // 1 s-class here, same results bit-for-bit).
+    val nq = queries.count()
+    require(nq * pool <= MaxCodebookEntries,
+      s"mmrRerank pool rows (queries·pool = ${nq}x$pool) exceeds " +
+        s"MaxCodebookEntries=$MaxCodebookEntries: the pool is collected " +
+        "for the driver-side greedy and must stay codebook-sized")
+    val rows = mmrPool(candidates, queries, vecCol, idCol, pool).collect()
+    // Driver cosine mirrors CosineSimilarity + Exact.round6 exactly:
+    // float→double upcasts, index-order accumulation, sqrt·sqrt
+    // denominator, floor(x·1e6+0.5)/1e6 — all IEEE-identical to the
+    // in-plan expression and the oracle's list_transform replay.
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      math.floor(c * 1000000 + 0.5) / 1000000
+    }
+    case class Cand(id: Long, rank: Int, rel: Double, v: Array[Double])
+    val byQuery = rows.map { r =>
+      (r.getLong(0), Cand(r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getSeq[Float](4).iterator.map(_.toDouble).toArray))
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    val out = byQuery.flatMap { case (qid, members) =>
+      val cands = members.map(_._2).sortBy(_.rank)
+      val first = cands.head
+      var selected = Vector(first)
+      var remaining = cands.tail.toVector
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (qid, 1, first.id, first.rel))
+      for (r <- 2 to math.min(k, cands.length)) {
+        val scored = remaining.map { d =>
+          val maxSim = selected.iterator.map(s => cos6(d.v, s.v)).max
+          (d, 0.5 * d.rel - 0.5 * maxSim)
+        }
+        val (pick, mmr) = scored.minBy { case (d, m) => (-m, d.id) }
+        picks += ((qid, r, pick.id, mmr))
+        selected :+= pick
+        remaining = remaining.filterNot(_.id == pick.id)
+      }
+      picks
+    }
+    out.toDF("query_id", "sel_rank", "cand_id", "mmr")
+  }
+
   /** Approximate top-k via random-hyperplane-style LSH (deterministic via
     * seed). Vectors are L2-normalized, hashed with euclidean LSH, and only
     * bucket-colliding pairs are scored; cosine recovered as 1 - d²/2.

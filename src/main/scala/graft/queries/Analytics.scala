@@ -1212,8 +1212,90 @@ object Analytics {
     "a69_kcore_peel" -> ((s, dir) =>
       graft.operators.Graph
         .kCorePeel(repeatEdges(s, dir), "p1", "p2", k = 3, rounds = 3)
-        .orderBy("round"))
+        .orderBy("round")),
+
+    // Rolling 7-day actives via KMV sketch union — a58's 100 TB
+    // answer (the x78→x78b move applied to sliding DISTINCT): the
+    // exact form ships one row per (user, day, offset) into the
+    // countDistinct shuffle — 7× the distinct-activity volume — while
+    // this reduces each day to a ≤k-long bottom-k sketch FIRST (one
+    // partial-aggregatable (day, hash) distinct at daily volume), then
+    // merges the ≤7 trailing sketches per report day: the merge
+    // explode is CALENDAR-sized (days × 7 sketches of ≤k longs),
+    // independent of user volume. Bottom-k is a semilattice — the
+    // merge of daily bottom-ks IS the 7-day union's bottom-k — so the
+    // oracle recomputes each window's sketch from scratch and matches
+    // bit-for-bit. Exact below k=256 distinct actives; ≈6 % rsd above
+    // (QueryBoundsSpec-class error, pinned in Round10cOpsSpec).
+    "a70_rolling_active_kmv" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ud = T.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val daily = Sketches.kmvSketch(ud, Seq("d"), col("user_id"))
+      val days = daily.select(col("d").as("day"))
+      val contrib = daily
+        .select(col("sketch"), explode(sequence(lit(0), lit(6))).as("o"),
+          col("d"))
+        .select(expr("date_add(d, o)").as("day"), col("sketch"))
+      contrib.join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(Sketches.kmvMergeSketches(collect_list(col("sketch"))).as("sk"))
+        .select(col("day"), Sketches.kmvEstimate(col("sk")).as("active_7d_kmv"))
+        .orderBy("day")
+    }),
+
+    // Two-proportion experiment readout (the product-analytics A/B
+    // test): users deterministically hash-split into two arms (murmur3
+    // low bit — x24's split discipline: reproducible from the data,
+    // join-stable), conversion = purchased within 1 day of the user's
+    // FIRST event (any-purchase-ever saturates to rate 1.0 on long
+    // event histories — zero pooled variance), and the z² statistic
+    // `(p_a−p_b)² / (p̂(1−p̂)(1/n_a+1/n_b))` on the pooled rate. z²
+    // ranks identically to |z| so the readout is sqrt-free (no libm);
+    // every input is an exact long count and the divide/multiply tree
+    // is one fixed IEEE shape the oracle repeats verbatim (the a66
+    // forced-double discipline); a degenerate pooled rate (0 or 1)
+    // reports z²=0 via a CASE guard instead of an ANSI
+    // divide-by-zero.
+    // 100 TB: ONE user_id exchange shared by the first-event window
+    // and the per-user rollup (identical partitioning), then a 2-row
+    // arm rollup collapsed to a single stats row — nothing else
+    // shuffles, nothing is user-cardinality on the driver.
+    "a71_ab_test" -> ((s, dir) => abTest(T.events(s, dir)))
   )
+
+  /** a71's body, exposed for invariant tests (degenerate-rate guard,
+    * split determinism) on synthetic event frames.
+    */
+  private[graft] def abTest(ev: DataFrame): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val users = ev
+      .withColumn("first_ts", min(col("ts")).over(wu))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("ts") <= col("first_ts") + expr("INTERVAL 1 DAY"), 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        hash(col("user_id")).cast("bigint")
+          .bitwiseAND(lit(4294967295L)).bitwiseAND(lit(1L)))
+    val g = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val one = g.agg(
+      max(when(col("arm") === 0L, col("n"))).as("n_a"),
+      max(when(col("arm") === 0L, col("c"))).as("c_a"),
+      max(when(col("arm") === 1L, col("n"))).as("n_b"),
+      max(when(col("arm") === 1L, col("c"))).as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a")
+    val pb = col("c_b").cast("double") / col("n_b")
+    val pp = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se2 = (pp * (lit(1.0) - pp)) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    one.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      pa.as("rate_a"), pb.as("rate_b"),
+      when(se2 === lit(0.0), lit(0.0))
+        .otherwise(((pa - pb) * (pa - pb)) / se2).as("z2"))
+  }
 
   /** Per-user ordered funnel stage times over an event frame with
     * (user_id, event_type, ts): t1 = first `s1`, t2 = first `s2`
@@ -2085,6 +2167,72 @@ object Analytics {
              (SELECT count(DISTINCT v) FROM
                (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)),
              (SELECT count(*) FROM e3))
-         ORDER BY round"""
+         ORDER BY round""",
+
+    // a70: the window's sketch recomputed from scratch — murmur3 user
+    // hashes (shared CTE arithmetic), trailing-7-day union, bottom-k
+    // rank, the identical integer estimator. Equality with the Spark
+    // side's merge-of-daily-sketches is the bottom-k semilattice.
+    "a70_rolling_active_kmv" -> {
+      val k = graft.operators.Sketches.KmvK
+      val kmvNum = (k - 1).toLong * 4294967296L
+      val (ctes, hc) = Murmur3Sql.hashLongCtes("ud", Seq("d"), "ah")
+      s"""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS v
+                      FROM events),
+         $ctes
+         dh AS (SELECT DISTINCT d, hu FROM $hc),
+         ds AS (SELECT DISTINCT d AS day FROM dh),
+         c AS (SELECT DISTINCT d + CAST(o.o AS INTEGER) AS day, hu
+               FROM dh, (SELECT unnest(range(0, 7)) AS o) o),
+         u AS (SELECT day, hu FROM c JOIN ds USING (day)),
+         rn AS (SELECT day, hu,
+                  row_number() OVER (PARTITION BY day ORDER BY hu) AS rn
+                FROM u),
+         sk AS (SELECT day, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(max(CASE WHEN rn = $k THEN hu END) AS BIGINT) AS kth
+                FROM rn GROUP BY day)
+         SELECT day, CASE WHEN cnt < $k THEN cnt
+                          WHEN kth = 0 THEN CAST($k AS BIGINT)
+                          ELSE $kmvNum // kth END AS active_7d_kmv
+         FROM sk ORDER BY day"""
+    },
+
+    // a71: the same murmur3 low-bit arm split, exists-purchase bit,
+    // and the z² divide/multiply tree written in the identical IEEE
+    // shape (each subexpression parenthesized as on the Spark side).
+    "a71_ab_test" -> {
+      val (ctes, hc) = Murmur3Sql.hashLongCtes("uu", Seq("conv"), "bh")
+      s"""WITH uc AS (SELECT user_id AS v,
+               max(CASE WHEN event_type = 'purchase'
+                         AND ts <= first_ts + INTERVAL 1 DAY
+                        THEN 1 ELSE 0 END) AS conv
+             FROM (SELECT *, min(ts) OVER (PARTITION BY user_id) AS first_ts
+                   FROM events)
+             GROUP BY 1),
+         uu AS (SELECT conv, v FROM uc),
+         $ctes
+         arms AS (SELECT CAST(hu % 2 AS BIGINT) AS arm, conv FROM $hc),
+         g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(conv) AS BIGINT) AS c
+               FROM arms GROUP BY 1),
+         one AS (SELECT
+             max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             max(CASE WHEN arm = 0 THEN c END) AS c_a,
+             max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             max(CASE WHEN arm = 1 THEN c END) AS c_b
+           FROM g)
+         SELECT n_a, c_a, n_b, c_b,
+           CAST(c_a AS DOUBLE) / n_a AS rate_a,
+           CAST(c_b AS DOUBLE) / n_b AS rate_b,
+           CASE WHEN (((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))
+                      * (1.0 / n_a + 1.0 / n_b)) = 0.0 THEN 0.0
+             ELSE ((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b))
+               / (((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))
+                  * (1.0 / n_a + 1.0 / n_b)) END AS z2
+         FROM one"""
+    }
   )
 }

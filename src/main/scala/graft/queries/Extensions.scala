@@ -487,6 +487,17 @@ object Extensions {
           dim = 256)
         .orderBy("doc_id")),
 
+    // Maximal-marginal-relevance diversity re-rank (Carbonell &
+    // Goldstein SIGIR'98) — the post-retrieval stage x77's rank
+    // fusion can't express (redundancy among survivors). Greedy over
+    // each query's bounded top-20 pool; see Similarity.mmrRerank.
+    "x106_mmr_rerank" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", pool = 20, k = 5)
+        .orderBy("query_id", "sel_rank")
+    }),
+
     // SimHash banded near-dup candidates with Hamming distances. Oracle:
     // fingerprints + 16-bit band self-join replayed in DuckDB SQL.
     "x19_simhash_candidates" -> ((s, dir) =>
@@ -2635,6 +2646,68 @@ object Extensions {
     * label-joined, re-ranked by the preserved IVF rank (post-filter) —
     * then the per-query overlap, survivor count, and recall.
     */
+  /** x106's oracle: the MMR greedy unrolled — bounded top-20 pool via
+    * the x05 rounded-cosine rank, intra-pool pairwise sims, then one
+    * CTE pair (max-sim → rank-1 pick) per selection round. Round CTEs
+    * are MATERIALIZED (the a69 lesson: each selected set is referenced
+    * by every later round, and DuckDB 1.0 inlines multi-referenced
+    * CTEs combinatorially).
+    */
+  private lazy val mmrRerankSql: String = {
+    val rounds = (2 to 5).map { r =>
+      val ps = if (r == 2) "s1" else s"sel${r - 1}"
+      val rs = s"r${r - 1}"
+      s"""m$r AS (SELECT s.query_id, s.a_id AS cand_id, max(s.sim) AS max_sim
+               FROM sims s JOIN $ps ON $ps.query_id = s.query_id
+                                   AND $ps.sel_id = s.b_id
+               GROUP BY 1, 2),
+         p$r AS MATERIALIZED (
+           SELECT query_id, cand_id AS sel_id, $r AS sel_rank, mmr FROM (
+             SELECT query_id, cand_id, mmr,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY mmr DESC, cand_id) AS rn
+             FROM (SELECT r.query_id, r.cand_id,
+                     0.5 * r.rel - 0.5 * m.max_sim AS mmr
+                   FROM $rs r JOIN m$r m ON m.query_id = r.query_id
+                                        AND m.cand_id = r.cand_id))
+           WHERE rn = 1),
+         sel$r AS MATERIALIZED (
+           SELECT * FROM $ps UNION ALL SELECT * FROM p$r),
+         r$r AS (SELECT r.* FROM $rs r
+                 WHERE NOT EXISTS (SELECT 1 FROM p$r
+                   WHERE p$r.query_id = r.query_id
+                     AND p$r.sel_id = r.cand_id))"""
+    }.mkString(",\n         ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+       pool AS MATERIALIZED (
+         SELECT query_id, cand_id, cosine, rank FROM (
+           SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, cand_id) AS rank
+           FROM (SELECT query_id, cand_id,
+                   ${cosineRounded("qv", "cv")} AS cosine
+                 FROM q, c WHERE query_id <> cand_id))
+         WHERE rank <= 20),
+       pv AS MATERIALIZED (
+         SELECT p.query_id, p.cand_id, p.cosine, p.rank, e.embedding AS v
+         FROM pool p JOIN embeddings e ON e.vec_id = p.cand_id),
+       sims AS MATERIALIZED (
+         SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+           ${cosineRounded("a.v", "b.v")} AS sim
+         FROM pv a JOIN pv b ON a.query_id = b.query_id
+                            AND a.cand_id <> b.cand_id),
+       s1 AS MATERIALIZED (
+         SELECT query_id, cand_id AS sel_id, 1 AS sel_rank, cosine AS mmr
+         FROM pool WHERE rank = 1),
+       r1 AS (SELECT query_id, cand_id, cosine AS rel
+              FROM pool WHERE rank > 1),
+       $rounds
+       SELECT query_id, sel_rank, sel_id AS cand_id, mmr FROM sel5
+       ORDER BY query_id, sel_rank"""
+  }
+
   private lazy val filteredAnnSql: String = {
     val (hashCtes, huCte) =
       Murmur3Sql.hashLongCtes("cb0", Seq("cell", "centroid"), "fh")
@@ -3683,6 +3756,7 @@ object Extensions {
     "x89_ann_recall" -> annRecallSql,
     "x104_filtered_ann" -> filteredAnnSql,
     "x105_feature_hash" -> featureHashSql,
+    "x106_mmr_rerank" -> mmrRerankSql,
     "x91_pca_power" -> pcaPowerSql,
     "x92_remove_top_pc" -> removeTopPcSql,
 

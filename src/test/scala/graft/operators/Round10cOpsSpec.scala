@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Round-10 final additions: KMV rolling actives (a70), the A/B z²
+  * readout (a71), and MMR diversity re-ranking (x106). Invariant-level
+  * tests on known inputs — the oracle gate certifies the full fixture
+  * replay.
+  */
+class Round10cOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------- KMV sketch algebra
+
+  test("kmvMergeSketches is the bottom-k semilattice: merging per-part " +
+       "sketches equals the one-shot sketch of the union") {
+    val a = (1L to 400L).map(v => ("p1", v * 7919L))
+    val b = (250L to 700L).map(v => ("p2", v * 7919L))
+    val df = (a ++ b).toDF("part", "v")
+    val union = Sketches.kmvSketch(
+      df.select(lit("all").as("g"), col("v")), Seq("g"), col("v"))
+      .select("sketch").as[Seq[Long]].head()
+    val merged = Sketches.kmvSketch(df, Seq("part"), col("v"))
+      .agg(Sketches.kmvMergeSketches(collect_list(col("sketch")))
+        .as("sk"))
+      .select("sk").as[Seq[Long]].head()
+    assert(merged === union)
+  }
+
+  test("kmvEstimate is exact below k and inside the error band above") {
+    val small = Sketches.kmvSketch(
+      (1L to 100L).map(v => ("g", v)).toDF("g", "v"), Seq("g"), col("v"))
+      .select(Sketches.kmvEstimate(col("sketch"))).as[Long].head()
+    assert(small === 100L)
+    val big = Sketches.kmvSketch(
+      (1L to 5000L).map(v => ("g", v * 104729L)).toDF("g", "v"),
+      Seq("g"), col("v"))
+      .select(Sketches.kmvEstimate(col("sketch"))).as[Long].head()
+    // rsd ≈ 1/sqrt(k-2) ≈ 6 % at k=256; 3σ band
+    assert(math.abs(big - 5000L) <= 1000L, s"estimate $big vs 5000")
+  }
+
+  // --------------------------------------------------------- abTest (a71)
+
+  private def ev(rows: Seq[(Long, String, String)]) =
+    rows.map { case (u, t, ts) => (u, t, Timestamp.valueOf(ts)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("abTest: a degenerate pooled rate (everyone converts) reports " +
+       "z2=0 instead of an ANSI divide-by-zero") {
+    val frame = ev((1L to 20L).flatMap(u => Seq(
+      (u, "click", "2024-01-01 10:00:00"),
+      (u, "purchase", "2024-01-01 12:00:00"))))
+    val r = graft.queries.Analytics.abTest(frame).collect().head
+    assert(r.getAs[Double]("rate_a") === 1.0)
+    assert(r.getAs[Double]("rate_b") === 1.0)
+    assert(r.getAs[Double]("z2") === 0.0)
+  }
+
+  test("abTest: conversion is purchase-within-1-day-of-first-event, " +
+       "counts split by the deterministic murmur3 arm, z² matches the " +
+       "two-proportion formula recomputed from the reported counts") {
+    // users 1..40: odd users purchase 2 h after their first click,
+    // even users purchase 3 days later (no conversion)
+    val frame = ev((1L to 40L).flatMap { u =>
+      val p = if (u % 2 == 1) "2024-01-01 12:00:00"
+              else "2024-01-04 10:00:00"
+      Seq((u, "click", "2024-01-01 10:00:00"), (u, "purchase", p))
+    })
+    val r = graft.queries.Analytics.abTest(frame).collect().head
+    val (na, ca) = (r.getAs[Long]("n_a"), r.getAs[Long]("c_a"))
+    val (nb, cb) = (r.getAs[Long]("n_b"), r.getAs[Long]("c_b"))
+    assert(na + nb === 40L)
+    assert(ca + cb === 20L)
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val se2 = (pp * (1.0 - pp)) * (1.0 / na + 1.0 / nb)
+    val z2 = if (se2 == 0.0) 0.0 else ((pa - pb) * (pa - pb)) / se2
+    assert(r.getAs[Double]("z2") === z2)
+    // deterministic: the same frame reproduces the same split
+    val r2 = graft.queries.Analytics.abTest(frame).collect().head
+    assert(r2.getAs[Long]("n_a") === na && r2.getAs[Long]("c_a") === ca)
+  }
+
+  // ------------------------------------------------------ mmrRerank (x106)
+
+  private def emb(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("mmrRerank: rank 1 is the pure-relevance winner; rank 2 prefers " +
+       "a diverse candidate over a higher-relevance near-duplicate of " +
+       "the first pick") {
+    val vecs = emb(Seq(
+      0L -> Seq(1.0f, 0.0f),            // query
+      1L -> Seq(0.95f, 0.31f),          // top relevance
+      2L -> Seq(0.95f, 0.32f),          // near-dup of 1, rel rank 2
+      3L -> Seq(0.6f, -0.7f)))          // diverse, rel rank 3
+    val out = Similarity.mmrRerank(vecs, vecs.filter(col("vec_id") === 0L),
+        "embedding", "vec_id", pool = 3, k = 3)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getAs[Int]("sel_rank"), r.getAs[Long]("cand_id")))
+    assert(out.toSeq === Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("mmrRerank: emits min(k, pool-size) rows per query with distinct " +
+       "ranks, and rank-1 mmr equals the top relevance cosine") {
+    val vecs = emb((0L to 30L).map(i =>
+      i -> Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        (0.1f * (i % 5)))))
+    val out = Similarity.mmrRerank(vecs,
+      vecs.filter(col("vec_id") < 2L), "embedding", "vec_id",
+      pool = 10, k = 4).collect()
+    assert(out.length === 8)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("sel_rank")).sorted.toSeq === Seq(1, 2, 3, 4))
+    }
+  }
+
+  test("mmrRerank: fences an unbounded pool collect (queries·pool over " +
+       "the codebook bound)") {
+    val vecs = emb((0L until 300L).map(i =>
+      i -> Seq((i % 7).toFloat + 1f, (i % 11).toFloat)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(vecs, vecs, "embedding", "vec_id",
+        pool = 299, k = 2).collect()
+    }
+    assert(e.getMessage.contains("MaxCodebookEntries"))
+  }
+}
