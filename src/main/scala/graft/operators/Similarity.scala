@@ -584,6 +584,31 @@ object Similarity {
     * rk=1-window form shuffled cells× exploded corpus rows); the probe
     * join touches nProbe/cells of the index.
     */
+  /** Deterministic sampled-codebook cell assignment — the clustering
+    * primitive [[ivfTopKSampled]] and [[semDedup]] share, exposed for
+    * composites that need (cell, id) labels without the ANN probe
+    * (x107's cluster topic terms): hash-min sample of `cells` vectors
+    * as centers (one broadcast row via [[cbArray]]), rounded-cosine
+    * argmax assignment scan-side, ties to the smaller cell id.
+    * 100 TB: no shuffle at all — the codebook broadcasts, assignment
+    * is a narrow map over the vector scan.
+    */
+  def sampledCellAssignments(candidates: DataFrame, vecCol: String,
+                             idCol: String, cells: Int = 16): DataFrame = {
+    requireCodebookSized(cells, "cells")
+    GraftFunctions.register(candidates.sparkSession)
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val codebook = c
+      .withColumn("hu",
+        hash(col("cand_id")).cast("bigint").bitwiseAND(lit(4294967295L)))
+      .orderBy(col("hu"), col("cand_id"))
+      .limit(cells)
+      .select(col("cand_id").as("cell"), col("cvec").as("centroid"))
+    c.crossJoin(cbArray(codebook))
+      .withColumn("cell", array_min(cellRanking(col("cvec"))).getField("cell"))
+      .select(col("cell"), col("cand_id").as(idCol))
+  }
+
   def ivfTopKSampled(candidates: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int,
                      cells: Int = 16, nProbe: Int = 4): DataFrame = {

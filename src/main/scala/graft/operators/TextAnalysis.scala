@@ -472,6 +472,52 @@ object TextAnalysis {
       .select("doc_id", "rank", "token", "tf", "df", "score")
   }
 
+  /** Per-cluster distinctive terms (the BERTopic c-TF-IDF direction,
+    * rational form): given a (cell, id) cluster assignment (e.g.
+    * [[Similarity.sampledCellAssignments]] over the doc embeddings),
+    * rank each cluster's terms by class-based lift
+    * `(n_tc · N) / (tok_c · cnt_t)` — how over-represented the term is
+    * in the cluster vs the corpus. Lift is PMI's ranking without the
+    * log ([[tfIdf]]'s no-transcendental rationale: ln differs in the
+    * last ulp across engines and flips ranking ties); both products
+    * cast to double BEFORE multiplying, so nothing overflows at any
+    * corpus size and both engines round identically. A `minCount`
+    * floor drops one-off terms whose lift is all variance; ties break
+    * on the term.
+    *
+    * 100 TB: the corpus is read once into the compressed (cell, term)
+    * count domain (one partial-aggregatable exchange after the doc↔
+    * cell co-shuffle); cluster totals, corpus term totals, and the
+    * grand total are all rollups OF that persisted frame — no second
+    * corpus scan. The term-total join is vocabulary-sized, so it
+    * stays shuffle_hash (the [[tfIdf]] rule); the per-cluster top-k
+    * lowers to the bounded-heap TopKPerKeyExec.
+    */
+  def clusterTopTerms(docs: DataFrame, assignments: DataFrame,
+                      textCol: String, idCol: String, k: Int = 5,
+                      minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.join(assignments, idCol)
+      .select(col("cell"), explode(tokens(col(textCol))).as("term"))
+    val tc = graft.Caches.persistOnce(
+      toks.groupBy("cell", "term").agg(count(lit(1)).as("n_tc")))
+    val cellTot = tc.groupBy("cell").agg(sum(col("n_tc")).as("tok_c"))
+    val termTot = tc.groupBy("term").agg(sum(col("n_tc")).as("cnt_t"))
+    val nTotal = tc.agg(sum(col("n_tc")).as("n_total"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("lift").desc, col("term"))
+    tc.filter(col("n_tc") >= minCount)
+      .join(cellTot, "cell")
+      .join(termTot.hint("shuffle_hash"), "term")
+      .crossJoin(nTotal)
+      .withColumn("lift",
+        (col("n_tc").cast("double") * col("n_total").cast("double")) /
+          (col("tok_c").cast("double") * col("cnt_t").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select("cell", "rk", "term", "n_tc", "lift")
+  }
+
   /** Textbook TF-IDF weights (tf · ln((N+1)/(df+1)) + smoothing) —
     * JVM-side only; rankings agree with [[tfIdf]] wherever ln ordering
     * and rational ordering coincide (PipelinePrepSpec pins both the

@@ -487,6 +487,21 @@ object Extensions {
           dim = 256)
         .orderBy("doc_id")),
 
+    // Per-cluster distinctive terms (BERTopic's c-TF-IDF direction,
+    // rational lift form): deterministic sampled-codebook clustering
+    // of the doc embeddings (vec_id ≡ doc_id in the driver fixture),
+    // then each cluster's top-5 over-represented terms — the topic
+    // labels that make an unlabeled-corpus clustering legible. See
+    // TextAnalysis.clusterTopTerms.
+    "x107_cluster_terms" -> ((s, dir) => {
+      val asg = Similarity.sampledCellAssignments(
+          T.embeddings(s, dir), "embedding", "vec_id", cells = 16)
+        .withColumnRenamed("vec_id", "doc_id")
+      TextAnalysis.clusterTopTerms(T.documents(s, dir), asg, "text",
+          "doc_id", k = 5, minCount = 5L)
+        .orderBy("cell", "rk")
+    }),
+
     // Maximal-marginal-relevance diversity re-rank (Carbonell &
     // Goldstein SIGIR'98) — the post-retrieval stage x77's rank
     // fusion can't express (redundancy among survivors). Greedy over
@@ -2646,6 +2661,53 @@ object Extensions {
     * label-joined, re-ranked by the preserved IVF rank (post-filter) —
     * then the per-query overlap, survivor count, and recall.
     */
+  /** x107's oracle: the x17 sampled-codebook CTEs (hash-min centers,
+    * rounded-cosine argmax assignment), doc↔cell join on vec_id ≡
+    * doc_id, (cell, term) counts, and the rational lift with both
+    * products cast to double BEFORE multiplying — the Spark tree
+    * verbatim.
+    */
+  private lazy val clusterTermsSql: String = {
+    val (hashCtes, huCte) =
+      Murmur3Sql.hashLongCtes("cb0", Seq("cell", "centroid"), "th")
+    s"""WITH cb0 AS (SELECT vec_id AS cell, embedding AS centroid, vec_id AS v
+               FROM embeddings),
+       $hashCtes
+       cb AS (SELECT cell, centroid FROM (
+                SELECT cell, centroid,
+                  row_number() OVER (ORDER BY hu, cell) AS rn
+                FROM $huCte)
+              WHERE rn <= 16),
+       asg AS (SELECT cell, doc_id FROM (
+                SELECT cb.cell, c.vec_id AS doc_id,
+                  row_number() OVER (PARTITION BY c.vec_id
+                    ORDER BY ${cosineRounded("c.embedding", "cb.centroid")}
+                      DESC, cb.cell) AS rk
+                FROM embeddings c, cb)
+              WHERE rk = 1),
+       toks AS (SELECT a.cell,
+                  unnest(regexp_split_to_array(lower(d.text), '\\s+')) AS term
+                FROM documents d JOIN asg a ON a.doc_id = d.doc_id),
+       tc AS (SELECT cell, term, CAST(count(*) AS BIGINT) AS n_tc
+              FROM toks GROUP BY 1, 2),
+       ct AS (SELECT cell, CAST(sum(n_tc) AS BIGINT) AS tok_c
+              FROM tc GROUP BY 1),
+       tmt AS (SELECT term, CAST(sum(n_tc) AS BIGINT) AS cnt_t
+               FROM tc GROUP BY 1),
+       nt AS (SELECT CAST(sum(n_tc) AS BIGINT) AS n_total FROM tc),
+       scored AS (SELECT tc.cell, tc.term, tc.n_tc,
+           (CAST(tc.n_tc AS DOUBLE) * CAST(nt.n_total AS DOUBLE))
+             / (CAST(ct.tok_c AS DOUBLE) * CAST(tmt.cnt_t AS DOUBLE)) AS lift
+         FROM tc JOIN ct USING (cell) JOIN tmt USING (term), nt
+         WHERE tc.n_tc >= 5)
+       SELECT cell, rk, term, n_tc, lift FROM (
+         SELECT cell, term, n_tc, lift,
+           CAST(row_number() OVER (PARTITION BY cell
+             ORDER BY lift DESC, term) AS INTEGER) AS rk
+         FROM scored)
+       WHERE rk <= 5 ORDER BY cell, rk"""
+  }
+
   /** x106's oracle: the MMR greedy unrolled — bounded top-20 pool via
     * the x05 rounded-cosine rank, intra-pool pairwise sims, then one
     * CTE pair (max-sim → rank-1 pick) per selection round. Round CTEs
@@ -3757,6 +3819,7 @@ object Extensions {
     "x104_filtered_ann" -> filteredAnnSql,
     "x105_feature_hash" -> featureHashSql,
     "x106_mmr_rerank" -> mmrRerankSql,
+    "x107_cluster_terms" -> clusterTermsSql,
     "x91_pca_power" -> pcaPowerSql,
     "x92_remove_top_pc" -> removeTopPcSql,
 

@@ -121,6 +121,48 @@ class Round10cOpsSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------- clusterTopTerms (x107)
+
+  test("clusterTopTerms: each cluster's top term is its distinctive " +
+       "vocabulary, shared filler ranks at lift≈1 below it, and the " +
+       "minCount floor drops one-off terms") {
+    val docs = (
+      (1L to 10L).map(i => (i, "alpha filler common words here")) ++
+      (11L to 20L).map(i => (i, "beta filler common words here")) ++
+      Seq((21L, "gamma filler common words here"))  // 'gamma' once: floored
+    ).toDF("doc_id", "text")
+    val asg = (
+      (1L to 10L).map(i => (100L, i)) ++
+      (11L to 21L).map(i => (200L, i))
+    ).toDF("cell", "doc_id")
+    val out = TextAnalysis.clusterTopTerms(docs, asg, "text", "doc_id",
+      k = 2, minCount = 5L).collect()
+    val top = out.filter(_.getAs[Int]("rk") == 1)
+      .map(r => (r.getAs[Long]("cell"), r.getAs[String]("term"))).toMap
+    assert(top === Map(100L -> "alpha", 200L -> "beta"))
+    assert(!out.exists(_.getAs[String]("term") == "gamma"))
+    // distinctive terms over-represent (lift > 1); the cluster-split
+    // filler sits at lift ≈ cluster-share-normalized 1
+    val alphaLift = out.find(r => r.getAs[String]("term") == "alpha").get
+      .getAs[Double]("lift")
+    assert(alphaLift > 1.5, s"alpha lift $alphaLift")
+  }
+
+  test("clusterTopTerms: lift is exactly (n_tc·N)/(tok_c·cnt_t) with " +
+       "double casts before the products") {
+    val docs = Seq((1L, "a a b"), (2L, "b c c")).toDF("doc_id", "text")
+    val asg = Seq((10L, 1L), (20L, 2L)).toDF("cell", "doc_id")
+    val out = TextAnalysis.clusterTopTerms(docs, asg, "text", "doc_id",
+      k = 3, minCount = 1L).collect()
+    // corpus: N=6; cell 10 = {a:2, b:1} tok=3; cell 20 = {b:1, c:2} tok=3
+    val aRow = out.find(r =>
+      r.getAs[Long]("cell") == 10L && r.getAs[String]("term") == "a").get
+    assert(aRow.getAs[Double]("lift") === (2.0 * 6.0) / (3.0 * 2.0))
+    val bRow = out.find(r =>
+      r.getAs[Long]("cell") == 10L && r.getAs[String]("term") == "b").get
+    assert(bRow.getAs[Double]("lift") === (1.0 * 6.0) / (3.0 * 2.0))
+  }
+
   test("mmrRerank: fences an unbounded pool collect (queries·pool over " +
        "the codebook bound)") {
     val vecs = emb((0L until 300L).map(i =>

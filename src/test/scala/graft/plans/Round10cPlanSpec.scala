@@ -35,6 +35,24 @@ class Round10cPlanSpec extends SparkTestBase {
     assert(s.contains("Window"), s)
   }
 
+  test("x107 cell assignment is exchange-free (codebook broadcasts, " +
+       "argmax is a narrow map over the vector scan) and the term-total " +
+       "join stays shuffle_hash — a web-scale vocabulary must never " +
+       "broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val asgPlan = planString(graft.operators.Similarity
+      .sampledCellAssignments(emb, "embedding", "vec_id", 16))
+    assert(!asgPlan.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle:\n$asgPlan")
+    val s = planString(
+      graft.queries.Extensions.queries("x107_cluster_terms")(spark, sf))
+    assert(s.contains("ShuffledHashJoin"),
+      s"term-total join must be shuffle_hash:\n$s")
+    assert(s.contains("InMemoryTableScan"),
+      s"the (cell,term) count frame must persist — rollups may not " +
+        s"re-scan the corpus:\n$s")
+  }
+
   test("x106 mmr pool: the bounded pool broadcasts onto the vector scan " +
        "— the corpus-sized vector frame is never shuffled on cand_id") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
