@@ -280,6 +280,84 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Hilbert-curve index of a 2-D point on the 2^bits × 2^bits grid —
+  * the write-layout clustering key with STRICTLY better locality than
+  * the Morton interleave ([[graft.operators.Layout.mortonInterleave]]):
+  * consecutive Hilbert indices are always Manhattan-adjacent cells
+  * (unit steps, no Z-order jumps), so a file covering a tight index
+  * range covers a tight spatial rectangle with no diagonal seams —
+  * the reason Delta's liquid clustering moved from Z-order to Hilbert.
+  *
+  * The classic top-bit-down walk (Hilbert 1891; the compact iterative
+  * x,y→d form): per level, quadrant digit `(3·rx) XOR ry` weighted by
+  * s², then reflect+swap the frame when ry=0. A plain register loop —
+  * codegen'd into the scan (the [[RollingWindowHashes]] lesson: HOF
+  * formulations interpret a lambda per step), and replayed bit-exactly
+  * by the oracle as staged per-level CTEs
+  * ([[graft.queries.HilbertSql]], the Murmur3Sql pattern). Inputs are
+  * floor-mod-wrapped into the grid like mortonInterleave's pmod.
+  * Result < 4^bits — long-exact through bits=31.
+  */
+case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits=$bits out of range [1,31]")
+
+  private val m = 1L << bits
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert2d expects (bigint, bigint), got ($l, $r)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    var x = java.lang.Math.floorMod(l.asInstanceOf[Long], m)
+    var y = java.lang.Math.floorMod(r.asInstanceOf[Long], m)
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    java.lang.Long.valueOf(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |long $x = java.lang.Math.floorMod($l, ${m}L);
+         |long $y = java.lang.Math.floorMod($r, ${m}L);
+         |long $d = 0L;
+         |for (long $s = ${1L << (bits - 1)}L; $s > 0L; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0L) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0L) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $s - 1L - $x; $y = $s - 1L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** The per-position rolling-window hash stream behind CDC chunking and
   * winnowing fingerprints ([[graft.operators.Chunking]]): for every
   * 1-based position p in [8, len], `h(p) = Σ_{j=0..7} byte(p−j)·31^j` —
@@ -459,6 +537,15 @@ object GraftFunctions {
       (es: Seq[Expression]) => RollingWindowHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize",
       (es: Seq[Expression]) => L2Normalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hilbert2d",
+      (es: Seq[Expression]) => {
+        val bits = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hilbert2d expects a literal int bits, got $other")
+        }
+        HilbertIndex2D(es(0), es(1), bits)
+      }, "built-in")
     // Spark's codegen'd Murmur3 with a CALLER-CHOSEN seed (the built-in
     // hash() pins seed 42): k independent hash functions for MinHash are
     // murmur3 under k seeds — the textbook construction; affine maps of
@@ -480,6 +567,9 @@ object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def cdcHashes(c: Column): Column = call_function("cdc_hashes", c)
   def l2Normalize(c: Column): Column = call_function("l2_normalize", c)
+  def hilbert2d(x: Column, y: Column, bits: Int): Column =
+    call_function("hilbert2d", x, y,
+      org.apache.spark.sql.functions.lit(bits))
   def murmur3Seeded(c: Column, seed: Int): Column =
     call_function("murmur3_seeded", c, org.apache.spark.sql.functions.lit(seed))
 }

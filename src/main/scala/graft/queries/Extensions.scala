@@ -710,6 +710,26 @@ object Extensions {
         .orderBy("event_id")
     }),
 
+    // Hilbert write-layout clustering — x75's companion with the
+    // strictly-better-locality key (consecutive indices are adjacent
+    // cells; Delta liquid clustering's move). Same (user_id,
+    // epoch-day) domain and shard harness; the index is the codegen'd
+    // HilbertIndex2D expression, replayed by the oracle as staged
+    // per-level CTEs (HilbertSql). Locality vs Z-order measured in
+    // LayoutSpec (per-shard bounding boxes).
+    "x108_hilbert" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = T.events(s, dir)
+      ev.withColumn("epoch_day",
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+        .withColumn("hval", graft.functions.GraftFunctions.hilbert2d(
+          col("user_id").cast("long"), col("epoch_day").cast("long"),
+          bits = 16))
+        .withColumn("h_shard", shiftright(col("hval"), 24).cast("int"))
+        .select("event_id", "hval", "h_shard")
+        .orderBy("event_id")
+    }),
+
     // Stupid-backoff bigram LM corpus scoring (Brants et al. 2007):
     // top-1024/1024 pruned count tables, grid-quantized conditionals,
     // integer per-doc sum/mean — the trained-on-itself in-distribution
@@ -3218,6 +3238,22 @@ object Extensions {
        FROM z ORDER BY event_id"""
   }
 
+  /** x108's oracle: the Hilbert walk unrolled as staged per-level CTEs
+    * ([[HilbertSql]], the Murmur3Sql pattern) over the same
+    * (user_id, epoch-day) domain as x75.
+    */
+  private lazy val hilbertSql: String = {
+    val (ctes, hc) = HilbertSql.curveCtes("hsrc", Seq("event_id"), "hl", 16)
+    s"""WITH hsrc AS (SELECT event_id, CAST(user_id AS BIGINT) AS hx,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS hy
+         FROM events),
+       $ctes
+       hout AS (SELECT event_id, d AS hval,
+           CAST(d >> 24 AS INTEGER) AS h_shard
+         FROM $hc)
+       SELECT event_id, hval, h_shard FROM hout ORDER BY event_id"""
+  }
+
   /** x76's oracle: the stupid-backoff bigram LM replayed — identical
     * pruned top-1024 tables (count desc, term asc), identical staged
     * double arithmetic in the quantized conditionals and backoffs.
@@ -3609,6 +3645,7 @@ object Extensions {
     "x73_dsir" -> dsirSql,
     "x74_linear_quality" -> linearQualitySql,
     "x75_zorder" -> zorderSql,
+    "x108_hilbert" -> hilbertSql,
     "x76_bigram_lm" -> bigramLmSql,
     // parse_url components replayed as anchored regexes — equivalent on
     // these single-host, single-query-param URLs.

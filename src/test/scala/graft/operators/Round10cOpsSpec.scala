@@ -121,6 +121,93 @@ class Round10cOpsSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------- HilbertIndex2D (x108)
+
+  private def hilbertGrid(bits: Int) = {
+    graft.functions.GraftFunctions.register(spark)
+    val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    cells.toDF("x", "y")
+      .withColumn("h",
+        graft.functions.GraftFunctions.hilbert2d(col("x"), col("y"), bits))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+  }
+
+  test("hilbert2d: bijection onto 0..4^bits-1 and the DEFINING curve " +
+       "invariant — consecutive indices are Manhattan-adjacent cells " +
+       "(unit steps, no Z-order jumps)") {
+    val walk = hilbertGrid(4)
+    assert(walk.map(_._1).toSeq === (0L until 256L))
+    walk.sliding(2).foreach { case Array((_, (x1, y1)), (d2, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"jump at index $d2: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbert2d beats mortonInterleave on shard locality: the total " +
+       "bounding-box surface over consecutive-index shards (the min/max " +
+       "pruning cost a file layout pays) is strictly smaller, aligned " +
+       "or not") {
+    // semiperimeter sum over consecutive-index shards = how much (x,y)
+    // area file-level min/max stats claim; smaller = tighter pruning.
+    // Shard size 20 deliberately misaligns with the quadrant structure
+    // — exactly where Z-order's diagonal seams (e.g. (7,7)->(8,0))
+    // inflate boxes and Hilbert's unit-step walk cannot.
+    def boxSum(walk: Seq[(Long, (Long, Long))], shard: Int): Long =
+      walk.grouped(shard).map { s =>
+        val xs = s.map(_._2._1); val ys = s.map(_._2._2)
+        (xs.max - xs.min) + (ys.max - ys.min)
+      }.sum
+    val hWalk = hilbertGrid(4).toSeq
+    val n = 1 << 4
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    val zWalk = cells.toDF("x", "y")
+      .withColumn("z", Layout.mortonInterleave(col("x"), col("y"), bits = 4))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1).toSeq
+    // Quadrant-ALIGNED power-of-two shards tie exactly — both curves
+    // decompose into the same aligned blocks there; real compaction
+    // targets a byte size, not an aligned cell count, and at every
+    // misaligned size Hilbert is strictly tighter.
+    assert(boxSum(hWalk, 16) === boxSum(zWalk, 16))
+    for (shard <- Seq(20, 24, 40)) {
+      val h = boxSum(hWalk, shard); val z = boxSum(zWalk, shard)
+      assert(h < z, s"shard=$shard: hilbert box sum $h vs morton $z")
+    }
+  }
+
+  test("hilbert2d: matches a reference driver walk on corners and " +
+       "mixed cases at bits=16, and floor-mod-wraps out-of-grid inputs") {
+    graft.functions.GraftFunctions.register(spark)
+    def ref(x0: Long, y0: Long, bits: Int): Long = {
+      val m = 1L << bits
+      var x = java.lang.Math.floorMod(x0, m)
+      var y = java.lang.Math.floorMod(y0, m)
+      var d = 0L; var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val cases = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (12345L, 54321L), (65536L, 2L), (-3L, 7L))
+    val got = cases.toDF("x", "y")
+      .withColumn("h",
+        graft.functions.GraftFunctions.hilbert2d(col("x"), col("y"), 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(x, y, 16), s"hilbert($x, $y)")
+    }
+  }
+
   // ------------------------------------------- clusterTopTerms (x107)
 
   test("clusterTopTerms: each cluster's top term is its distinctive " +
