@@ -101,8 +101,23 @@ object Analytics {
           Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
           sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount"))))
             .cast("double").as("sum_disc_price"),
-          sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount")))
-            * (lit(1) + Exact.dec(col("l_tax")))).cast("double").as("sum_charge"),
+          // The naive (12,2)x(13,2)x(13,2) chain needs precision 39 —
+          // one past Spark's DECIMAL cap, so Spark silently rounds the
+          // product scale while DuckDB (which lands exactly at 38)
+          // stays exact; invisible at the gate SFs, caught by the sf1
+          // full-surface oracle sweep. Squeezing the first product to
+          // (18,4) (values are ≤ 7 integer digits — lossless) keeps
+          // the triple product at (23,6): exact in BOTH engines, so
+          // the sum is order-free. The exact sum then rounds to CENTS
+          // before the double cast: a scale-6 sf1 total is ~2.8e16 in
+          // integer form — past 2^53, where DuckDB's int128→double→÷10⁶
+          // cast double-rounds while Spark's BigDecimal single-rounds
+          // (a 1-ulp mismatch); at scale 2 the integer form fits a
+          // double exactly and both engines agree bit-for-bit.
+          sum((Exact.dec(col("l_extendedprice"))
+              * (lit(1) - Exact.dec(col("l_discount")))).cast("decimal(18,4)")
+            * (lit(1) + Exact.dec(col("l_tax"))).cast("decimal(4,2)"))
+            .cast("decimal(24,2)").cast("double").as("sum_charge"),
           (Exact.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           (Exact.dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -1385,7 +1400,7 @@ object Analytics {
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * CAST(1 + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(4,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS sum_charge,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
            CAST(count(*) AS BIGINT) AS count_order

@@ -3546,11 +3546,16 @@ object Extensions {
     * arithmetic with the k-means cell as the stratum key; acceptance
     * replays the murmur3 bucket of vec_id.
     */
+  // asgf/g/rates are MATERIALIZED (the a69 lesson): asgf embeds the
+  // whole k-means fit chain and is reachable from the final join
+  // through ~6 reference paths — DuckDB 1.0 inlines each one, and the
+  // multiplied fit OOMed the sf1 replay (100 GB limit) until the
+  // round-10 full-surface sweep caught it.
   private lazy val clusterMixtureSql: String = {
     val (ctes, cbf) = kMeansCbCtes(k = 8, iters = 2)
     val (hashCtes, hu) = Murmur3Sql.hashLongCtes("cm0", Seq("vec_id", "cell"), "cmh")
     s"""WITH $ctes,
-       asgf AS (SELECT vec_id, cell FROM (
+       asgf AS MATERIALIZED (SELECT vec_id, cell FROM (
                 SELECT e.vec_id, cb.cell,
                   row_number() OVER (PARTITION BY e.vec_id
                     ORDER BY ${cosineRounded("e.embedding", "cb.centroid")} DESC, cb.cell) AS rk
@@ -3560,11 +3565,11 @@ object Extensions {
        $hashCtes
        b AS (SELECT vec_id, cell, hu % 10000 AS bucket FROM $hu),
        counts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_in FROM asgf GROUP BY 1),
-       g AS (SELECT cell, n_in,
+       g AS MATERIALIZED (SELECT cell, n_in,
                floor(sqrt(CAST(n_in AS DOUBLE)) * 1048576 + 0.5) / 1048576 AS gq
              FROM counts),
        tot AS (SELECT CAST(sum(n_in) AS BIGINT) AS total, sum(gq) AS denom FROM g),
-       rates AS (SELECT cell, n_in,
+       rates AS MATERIALIZED (SELECT cell, n_in,
            CAST(floor(least(gq / denom * floor(CAST(total AS DOUBLE) / 2) / n_in,
              1.0) * 10000 + 0.5) AS BIGINT) AS mix_thr
          FROM g, tot),

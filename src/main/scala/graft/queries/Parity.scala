@@ -151,11 +151,18 @@ object Parity {
         sum(when(col("source").isNull, 1).otherwise(0)).as("source_nulls"))),
 
     // S5 — bounded display slice (show(10) analog), deterministic via sort
+    // Sort on ALL output columns: (okey, lnum) is the TPC-H key but the
+    // GENERATED sf1 fixture duplicates it with differing quantities, so
+    // a 2-column sort under LIMIT picks engine-dependent tie rows
+    // (caught by the sf1 full-surface oracle sweep). The 3-column sort
+    // is a total order on the projection — any remaining ties are
+    // identical rows, so the bounded display is deterministic on any
+    // fixture.
     "p14_limit" -> ((s, dir) =>
       T.lineitem(s, dir)
         .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
                 col("l_quantity").as("qty"))
-        .orderBy("okey", "lnum")
+        .orderBy("okey", "lnum", "qty")
         .limit(10)),
 
     // Full reference transform chain re-expressed over lineitem:
@@ -260,7 +267,7 @@ object Parity {
          CAST(count(*) - count(source) AS BIGINT) AS source_nulls FROM documents""",
     "p14_limit" ->
       """SELECT l_orderkey AS okey, l_linenumber AS lnum, l_quantity AS qty
-         FROM lineitem ORDER BY okey, lnum LIMIT 10""",
+         FROM lineitem ORDER BY okey, lnum, qty LIMIT 10""",
     "p15_pipeline_composite" ->
       """WITH dated AS (
            SELECT DISTINCT * FROM lineitem
