@@ -386,8 +386,11 @@ object Similarity {
     }
     case class Cand(id: Long, rank: Int, rel: Double, v: Array[Double])
     val byQuery = rows.map { r =>
+      // Number, not Float: a double-typed embedding store must not
+      // ClassCastException here (float→double widening is exact, the
+      // same upcast the in-plan expression performs).
       (r.getLong(0), Cand(r.getLong(1), r.getInt(2), r.getDouble(3),
-        r.getSeq[Float](4).iterator.map(_.toDouble).toArray))
+        r.getSeq[Number](4).iterator.map(_.doubleValue).toArray))
     }.groupBy(_._1).toSeq.sortBy(_._1)
     val out = byQuery.flatMap { case (qid, members) =>
       val cands = members.map(_._2).sortBy(_.rank)

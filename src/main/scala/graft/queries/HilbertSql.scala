@@ -19,6 +19,10 @@ object HilbertSql {
   def curveCtes(srcCte: String, keep: Seq[String], prefix: String,
                 bits: Int): (String, String) = {
     require(bits >= 1 && bits <= 31, s"bits=$bits out of range [1,31]")
+    val reserved = Set("x", "y", "d", "rx", "ry", "hx", "hy")
+    require(keep.forall(k => !reserved.contains(k)),
+      s"keep columns $keep collide with the walk's internal names " +
+        s"($reserved)")
     val m = 1L << bits
     val ks = keep.mkString(", ")
     val kc = if (keep.isEmpty) "" else s"$ks, "

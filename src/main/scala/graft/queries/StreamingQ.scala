@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import graft.streaming.{DocStreams, EventStreams}
 import graft.tables.{Tables => T}
 
@@ -198,6 +198,21 @@ object StreamingQ {
           ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"),
           within = "30 minutes")
         .orderBy("src_id", "dst_id")
+    }),
+
+    // Live event transition matrix (a66's streaming dual): keyed state
+    // = the user's last event type; the stream emits one (from, to)
+    // pair per consecutive event, the count/probability rollup runs
+    // over the emitted pairs outside the stream (the st16/st20
+    // hand-off). Stream ≡ batch certified in EventStreamsSpec.
+    "st23_stream_transitions" -> ((s, dir) => {
+      val tr = EventStreams.statefulTransitions(T.events(s, dir)).toDF()
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      tr.withColumn("p",
+          col("n") / sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -427,6 +442,21 @@ object StreamingQ {
          WHERE a.event_type = 'click' AND b.event_type = 'purchase'
            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
          ORDER BY src_id, dst_id""",
+    // st23: a66's lead-window pair derivation — the keyed-state fold
+    // emits exactly the consecutive pairs the window sees, in the same
+    // (ts, event_id) order; probability via the identical forced-double
+    // division.
+    "st23_stream_transitions" ->
+      """WITH tr AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+         FROM c ORDER BY from_type, to_type""",
+
     // st22: the same interval condition as a LEFT join — unmatched
     // clicks keep null dst/lag, exactly the rows the streaming variant
     // emits on watermark eviction.

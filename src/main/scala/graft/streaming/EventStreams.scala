@@ -935,4 +935,57 @@ object EventStreams {
       .transformWithState(new ScdRunProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** One consecutive-event transition per user (a66's lead-window pair
+    * stream as live state — the Markov/"sankey" matrix maintained at
+    * ingest).
+    */
+  final case class TransitionHit(user_id: Long, from_type: String,
+                                 to_type: String)
+
+  /** Keyed state = the user's LAST event type (one string per user,
+    * regardless of history length); each micro-batch folds its rows in
+    * the st14/st18 (exact-microsecond, event_id) order and emits one
+    * [[TransitionHit]] per consecutive pair, chaining across batches
+    * through the stored last type. The count/probability rollup runs
+    * OUTSIDE the stream over the emitted pairs — the st16/st20
+    * hand-off: a per-from probability needs a non-time window, which
+    * streaming aggregation cannot (and should not) express.
+    */
+  private class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp, Long, String), TransitionHit] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var last: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[String]("last", E.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Timestamp, Long, String)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TransitionHit] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+      var prev = if (last.exists()) last.get() else null
+      val out = Seq.newBuilder[TransitionHit]
+      sorted.foreach { case (_, _, _, tpe) =>
+        if (prev != null) out += TransitionHit(user, prev, tpe)
+        prev = tpe
+      }
+      if (prev != null) last.update(prev)
+      out.result().iterator
+    }
+  }
+
+  def statefulTransitions(events: DataFrame): Dataset[TransitionHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -909,4 +909,44 @@ class EventStreamsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
     assert(out === Seq((1L, "P"), (2L, "Q")))
   }
+
+  test("st23 stateful transitions: the last-type state chains a " +
+       "transition ACROSS micro-batches, stream ≡ batch, and " +
+       "same-timestamp ties bind in event_id order") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      // user 1, batch 1: click → view (intra-batch); ids 2,1 share the
+      // timestamp so the pair order must follow event_id (A first)
+      EvJ(2L, t("2024-01-01 00:00:00"), 7L, "B"),
+      EvJ(1L, t("2024-01-01 00:00:00"), 7L, "A"),
+      EvJ(3L, t("2024-01-01 00:05:00"), 1L, "click"),
+      EvJ(4L, t("2024-01-01 00:10:00"), 1L, "view"),
+      // batch 2: user 1's first event here must pair with the STORED
+      // batch-1 last type (view → purchase), not start fresh
+      EvJ(5L, t("2024-01-01 00:20:00"), 1L, "purchase"),
+      EvJ(6L, t("2024-01-01 00:25:00"), 7L, "C"))
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulTransitions(input.toDF())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(4))
+      q.processAllAvailable()
+      input.addData(evs.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans_out")
+      .orderBy("user_id", "from_type", "to_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(streamed === Seq(
+      (1L, "click", "view"), (1L, "view", "purchase"),
+      (7L, "A", "B"), (7L, "B", "C")))
+    val batch = EventStreams.statefulTransitions(evs.toDF())
+      .toDF().orderBy("user_id", "from_type", "to_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(batch === streamed)
+  }
 }
