@@ -1276,8 +1276,120 @@ object Analytics {
     // and the per-user rollup (identical partitioning), then a 2-row
     // arm rollup collapsed to a single stats row — nothing else
     // shuffles, nothing is user-cardinality on the driver.
-    "a71_ab_test" -> ((s, dir) => abTest(T.events(s, dir)))
+    "a71_ab_test" -> ((s, dir) => abTest(T.events(s, dir))),
+
+    // Markov removal-effect attribution over the full event-type
+    // domain: purchase absorbing, 6-step horizon. See
+    // [[markovRemovalEffect]] for the model and determinism contract.
+    "a72_markov_attribution" -> ((s, dir) =>
+      markovRemovalEffect(T.events(s, dir), MarkovStates, "purchase",
+        horizon = 6))
   )
+
+  /** a72's state domain (the fixture's event types) — shared by the
+    * query and the oracle generator so both engines fold the walk's
+    * sums in the identical column order.
+    */
+  private[graft] val MarkovStates =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Data-driven (Markov chain) attribution — the removal effect
+    * (Anderl et al. 2016's first-order model): how much of the overall
+    * conversion probability disappears when a channel is deleted from
+    * the journey graph. Completes the attribution trio: a59 applies a
+    * RULE (last touch), a68 compares rules, THIS derives credit from
+    * the observed transition structure itself.
+    *
+    * Model (documented choices, mirrored exactly by the oracle):
+    * first-order chain over `states`, `conv` absorbing (no outgoing
+    * edges), transition probabilities = observed consecutive-pair
+    * shares in (ts, event_id) order (a66's counts), start distribution
+    * = each user's FIRST event type. Conversion probability = mass
+    * absorbed by `conv` within `horizon` synchronous steps. Channel
+    * removal DELETES the state — mass that would flow into it dies (no
+    * renormalization, the "lost traffic" variant). Removal effect =
+    * (base − removed) / base.
+    *
+    * Determinism: the walk runs on the 2^-20 grid — every product
+    * quantizes (`q(v_i·p_ij)`), sums fold left in `states` order, and
+    * the per-round state is |states| doubles — so the DuckDB replay
+    * (the same rounds unrolled as one-row CTEs with explicit per-state
+    * columns, MATERIALIZED per the a69 discipline) is bit-identical.
+    * No libm anywhere.
+    *
+    * 100 TB: the data-sized work is ONE user_id exchange (the lead
+    * window and the first-event window share it); the collected
+    * transition matrix is |states|² longs and the walk is
+    * horizon·|states|² driver flops — both require-fenced.
+    */
+  private[graft] def markovRemovalEffect(ev: DataFrame, states: Seq[String],
+                                         conv: String,
+                                         horizon: Int = 6): DataFrame = {
+    require(states.size >= 2 && states.size <= 16,
+      s"states must be 2..16 (the walk collects a |states|^2 matrix " +
+        s"driver-side), got ${states.size}")
+    require(states.distinct.size == states.size, "states must be distinct")
+    require(states.contains(conv), s"conv=$conv must be one of $states")
+    require(horizon >= 1 && horizon <= 32,
+      s"horizon must be in [1, 32] (bounded unrolled replay), got $horizon")
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val grid = 1048576.0
+    def q(x: Double): Double = math.floor(x * grid + 0.5) / grid
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // persistOnce: the frame feeds two driver actions (transition
+    // counts and first-event counts) — one scan instead of two
+    val base = graft.Caches.persistOnce(
+      ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+        .filter(col("event_type").isin(states: _*)))
+    val trRows = base
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull && col("event_type") =!= conv)
+      .groupBy(col("event_type").as("f"), col("to_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val firstRows = base
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("event_type").as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val nUsers = firstRows.values.sum
+    require(nUsers > 0, "markovRemovalEffect needs at least one user")
+    val outFrom = states.filterNot(_ == conv)
+      .map(f => f -> states.map(t => trRows.getOrElse((f, t), 0L)).sum).toMap
+    // p(f, t) and s(f) on the grid — one IEEE division of exact longs
+    // each, then q (the a66/pca discipline)
+    def p(f: String, t: String): Double = {
+      val nf = outFrom.getOrElse(f, 0L)
+      if (nf == 0L) 0.0 else q(trRows.getOrElse((f, t), 0L).toDouble / nf)
+    }
+    def s(f: String): Double = q(firstRows.getOrElse(f, 0L).toDouble / nUsers)
+    val transient = states.filterNot(_ == conv)
+    // synchronous walk; `removed` deletes a state: its start mass and
+    // every inbound term vanish (terms fold left in `states` order)
+    def walk(removed: Option[String]): Double = {
+      def alive(x: String) = !removed.contains(x)
+      var v = transient.map(f => if (alive(f)) s(f) else 0.0).toArray
+      var cv = s(conv)
+      for (_ <- 1 to horizon) {
+        val terms = transient.zipWithIndex
+        cv += terms.map { case (f, i) => q(v(i) * p(f, conv)) }.sum
+        v = transient.map { t =>
+          if (!alive(t)) 0.0
+          else terms.map { case (f, i) => q(v(i) * p(f, t)) }.sum
+        }.toArray
+      }
+      cv
+    }
+    val baseConv = walk(None)
+    val out = transient.map { ch =>
+      val rem = walk(Some(ch))
+      val re = if (baseConv == 0.0) 0.0 else (baseConv - rem) / baseConv
+      (ch, baseConv, rem, re)
+    }.sortBy(_._1)
+    out.toDF("channel", "base_conv", "removed_conv", "removal_effect")
+  }
 
   /** a71's body, exposed for invariant tests (degenerate-rate guard,
     * split determinism) on synthetic event frames.
@@ -1394,7 +1506,84 @@ object Analytics {
        ORDER BY rflag"""
   }
 
+  /** a72's oracle: the same transition/start shares (grid-quantized
+    * single divisions of exact longs), then the synchronous walk
+    * unrolled — one ONE-ROW CTE per (chain, round) with explicit
+    * per-state columns, every product q-quantized and every sum folded
+    * in [[MarkovStates]] order, exactly the driver walk's float ops.
+    * Round CTEs are MATERIALIZED (the a69 reachability discipline);
+    * references to the v_ and conv names inside a round bind to the PREVIOUS CTE's
+    * real columns (DuckDB prefers table columns over lateral aliases),
+    * keeping the update synchronous like the driver's.
+    */
+  private lazy val markovAttributionSql: String = {
+    val states = MarkovStates
+    val conv = "purchase"
+    val horizon = 6
+    val transient = states.filterNot(_ == conv)
+    def qs(x: String) = s"floor(($x) * 1048576 + 0.5) / 1048576"
+    val inList = states.map(s => s"'$s'").mkString(", ")
+    val pCols = transient.flatMap(f => states.map(t =>
+      s"coalesce(max(CASE WHEN f = '$f' AND t = '$t' THEN p END), 0.0) " +
+        s"AS p_${f}_$t")).mkString(",\n           ")
+    val sCols = states.map(f =>
+      s"coalesce(max(CASE WHEN f = '$f' THEN sh END), 0.0) AS s_$f")
+      .mkString(",\n           ")
+    def termSum(target: String): String =
+      transient.map(f => qs(s"v_$f * p_${f}_$target")).mkString(" + ")
+    def chain(tag: String, removed: Option[String]): String = {
+      def alive(x: String) = !removed.contains(x)
+      val r0cols = transient.map(t =>
+        (if (alive(t)) s"s_$t" else "0.0") + s" AS v_$t").mkString(", ")
+      val r0 = s"${tag}0 AS (SELECT $r0cols, s_$conv AS conv FROM sd)"
+      val rounds = (1 to horizon).map { k =>
+        val vCols = transient.map { t =>
+          val e = if (alive(t)) s"(${termSum(t)})" else "0.0"
+          s"$e AS v_$t"
+        }.mkString(", ")
+        s"$tag$k AS MATERIALIZED (SELECT $vCols, " +
+          s"conv + (${termSum(conv)}) AS conv FROM $tag${k - 1}, pm)"
+      }
+      (r0 +: rounds).mkString(",\n       ")
+    }
+    val chains = (chain("base", None) +: transient.map(ch =>
+      chain(s"rm_$ch", Some(ch)))).mkString(",\n       ")
+    val arms = transient.map { ch =>
+      s"""SELECT '$ch' AS channel, base$horizon.conv AS base_conv,
+           rm_$ch$horizon.conv AS removed_conv,
+           CASE WHEN base$horizon.conv = 0.0 THEN 0.0
+                ELSE (base$horizon.conv - rm_$ch$horizon.conv)
+                     / base$horizon.conv END AS removal_effect
+         FROM base$horizon, rm_$ch$horizon"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE event_type IN ($inList)),
+       tr AS (SELECT event_type AS f,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS t
+         FROM ev),
+       c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM tr
+             WHERE t IS NOT NULL AND f <> '$conv' GROUP BY 1, 2),
+       tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS nf FROM c GROUP BY 1),
+       pq AS (SELECT c.f, c.t, ${qs("CAST(c.n AS DOUBLE) / tot.nf")} AS p
+              FROM c JOIN tot USING (f)),
+       pm AS MATERIALIZED (SELECT $pCols FROM pq),
+       fe AS (SELECT f FROM (SELECT event_type AS f,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+             FROM ev) WHERE rn = 1),
+       fc AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM fe GROUP BY 1),
+       nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_users FROM fc),
+       sq AS (SELECT f, ${qs("CAST(n AS DOUBLE) / n_users")} AS sh
+              FROM fc, nu),
+       sd AS MATERIALIZED (SELECT $sCols FROM sq),
+       $chains
+       SELECT channel, base_conv, removed_conv, removal_effect FROM (
+         $arms) ORDER BY channel"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "a72_markov_attribution" -> markovAttributionSql,
     "a01_agg_pricing" ->
       """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -85,6 +85,49 @@ class Round10cOpsSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_a") === na && r2.getAs[Long]("c_a") === ca)
   }
 
+  // ------------------------------------ markovRemovalEffect (a72)
+
+  test("markovRemovalEffect: hand-computed chain — removing the relay " +
+       "channel halves conversion, removing the entry channel kills it") {
+    // u1: A -> B -> purchase; u2: A -> purchase
+    // p(A,B)=p(A,purchase)=0.5, p(B,purchase)=1, everyone starts at A.
+    // base conv = 1.0; without B only the direct path survives (0.5);
+    // without A no mass ever enters the chain (0.0).
+    val frame = ev(Seq(
+      (1L, "A", "2024-01-01 10:00:00"),
+      (1L, "B", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      (2L, "A", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 11:00:00")))
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = graft.queries.Analytics.markovRemovalEffect(
+        frame, Seq("A", "B", "purchase"), "purchase", horizon = 3)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(out === Seq(
+      ("A", 1.0, 0.0, 1.0),
+      ("B", 1.0, 0.5, 0.5)))
+  }
+
+  test("markovRemovalEffect: fences the state count, horizon, and conv " +
+       "membership") {
+    val frame = ev(Seq((1L, "A", "2024-01-01 10:00:00")))
+      .withColumn("event_id", lit(1L))
+    intercept[IllegalArgumentException] {
+      graft.queries.Analytics.markovRemovalEffect(frame,
+        (1 to 17).map("s" + _), "s1")
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.Analytics.markovRemovalEffect(frame,
+        Seq("A", "B"), "C")
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.Analytics.markovRemovalEffect(frame,
+        Seq("A", "B"), "A", horizon = 33)
+    }
+  }
+
   // ------------------------------------------------------ mmrRerank (x106)
 
   private def emb(rows: Seq[(Long, Seq[Float])]) =
