@@ -525,10 +525,19 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("murmur3_seeded"))) {
       return
     }
+    def arity2(name: String)(es: Seq[Expression]): (Expression, Expression) = {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments, got ${es.length}")
+      (es(0), es(1))
+    }
     reg.createOrReplaceTempFunction("cosine_sim",
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)), "built-in")
+      (es: Seq[Expression]) => {
+        val (a, b) = arity2("cosine_sim")(es); CosineSimilarity(a, b)
+      }, "built-in")
     reg.createOrReplaceTempFunction("dot_product",
-      (es: Seq[Expression]) => DotProduct(es(0), es(1)), "built-in")
+      (es: Seq[Expression]) => {
+        val (a, b) = arity2("dot_product")(es); DotProduct(a, b)
+      }, "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",
       (es: Seq[Expression]) => RollingHash(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
@@ -539,6 +548,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => L2Normalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("hilbert2d",
       (es: Seq[Expression]) => {
+        if (es.length != 3) throw new IllegalArgumentException(
+          s"hilbert2d expects exactly (x, y, bits) — 3 arguments, got ${es.length}")
         val bits = es(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
@@ -552,6 +563,8 @@ object GraftFunctions {
     // ONE hash are perfectly correlated (see Dedup.minhashSignatures).
     reg.createOrReplaceTempFunction("murmur3_seeded",
       (es: Seq[Expression]) => {
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"murmur3_seeded expects exactly (value, seed) — 2 arguments, got ${es.length}")
         val seed = es(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

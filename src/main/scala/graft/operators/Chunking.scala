@@ -52,6 +52,19 @@ object Chunking {
     val keep = passthrough.map(col)
     docs
       .select(col(idCol).as("doc_id") +: col(textCol).as("t") +: keep: _*)
+      // ASCII fence: boundary positions come from the UTF-8 BYTE-indexed
+      // hash stream but are applied via CHARACTER-indexed substring —
+      // on multi-byte text a boundary could exceed length(t) and emit
+      // corrupt chunks SILENTLY. Fail loudly instead (octet_length =
+      // length ⟺ every char is single-byte); callers with non-ASCII
+      // corpora must transliterate/filter upstream.
+      .withColumn("t", expr(
+        """CASE WHEN t IS NULL OR octet_length(t) = length(t) THEN t
+            ELSE raise_error(concat(
+              'cdcChunks: non-ASCII text in doc ', CAST(doc_id AS STRING),
+              ' (octet_length <> length); CDC boundaries are byte-indexed',
+              ' but chunk slicing is character-indexed'))
+           END"""))
       // the hash stream is the codegen'd incremental expression
       // (RollingWindowHashes — one multiply-add per byte inside
       // whole-stage codegen); boundary selection over the long array is
@@ -108,9 +121,15 @@ object Chunking {
         F.sum(col("chunk_len")).as("total_bytes"),
         F.sum(F.when(col("seen").isNull, col("chunk_len")).otherwise(F.lit(0)))
           .cast("bigint").as("new_bytes"))
+      // an empty document is one zero-length chunk → total_bytes = 0;
+      // 0/0 would be NaN here but a DuckDB CAST(floor(NaN)) ERROR on the
+      // oracle side — define the reuse rate of zero bytes as 0 on BOTH
+      // engines (the oracle carries the matching CASE guard)
       .withColumn("reuse_rate_q",
-        F.floor((col("total_bytes") - col("new_bytes")).cast("double")
-          / col("total_bytes").cast("double") * grid + F.lit(0.5)).cast("long"))
+        F.when(col("total_bytes") === 0, 0L).otherwise(
+          F.floor((col("total_bytes") - col("new_bytes")).cast("double")
+            / col("total_bytes").cast("double") * grid + F.lit(0.5))
+            .cast("long")))
       .select("doc_id", "n_chunks", "n_new_chunks", "total_bytes",
         "new_bytes", "reuse_rate_q")
   }
@@ -154,12 +173,17 @@ object Chunking {
                 i -> array_min(slice(kh, i, $winnowW))))
             ELSE array() END""")))
       .select("doc_id", "fp")
-    val kept = graft.Caches.persistOnce(
-      fps.withColumn("df",
-          F.count(F.lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-        .filter(col("df") <= maxDf)
-        .select("doc_id", "fp"))
+    // df prune as a partial-aggregatable count + semi-join — NOT a
+    // count().over(partitionBy(fp)) window, which would full-sort every
+    // fp partition of the corpus-sized (doc, fp) frame just to attach a
+    // count. fps is persisted once (the text hashing is the scan-
+    // dominant cost); the rare-fp set and both self-join arms read the
+    // cache.
+    val fpsCached = graft.Caches.persistOnce(fps)
+    val rareFp = fpsCached.groupBy("fp")
+      .agg(F.count(F.lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val kept = fpsCached.join(rareFp, Seq("fp"), "left_semi")
     kept.select(col("fp"), col("doc_id").as("d1"))
       .join(kept.select(col("fp"), col("doc_id").as("d2")), "fp")
       .filter(col("d1") < col("d2"))

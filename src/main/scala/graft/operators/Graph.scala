@@ -10,30 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Power-iteration PageRank with a fixed iteration count.
-    *
-    * Semantics: simplified (non-dangling-redistributing) PageRank —
-    * `r'(v) = (1-d)/N + d · Σ_{u→v} r(u)/outdeg(u)` for `iterations`
-    * rounds from the uniform start `1/N`, over the distinct self-loop-
-    * free edge set. Rank mass reaching a node with no out-edges leaks
-    * (total < 1); that variant keeps every step plain relational
-    * algebra, which is what makes the cross-engine oracle possible.
-    *
-    * Determinism across engines: per-edge contributions `r/outdeg` are
-    * quantized to the 2^-20 binary grid BEFORE the per-node sum (grid
-    * addends sum exactly in double, so aggregation order cannot matter)
-    * and the rank update is re-quantized each round; `d` and `1-d` are
-    * threaded into the oracle SQL via round-trip `Double.toString`, so
-    * both engines evaluate the identical IEEE chain. Fixed iteration
-    * count (not a convergence test) keeps the replay finite.
-    *
-    * 100 TB: each round is one equi-join of the edge table against the
-    * node-sized rank table plus one partial-aggregatable sum keyed on
-    * dst — the standard distributed PageRank shape; the edge table is
-    * computed once and cached, rank lineage grows linearly in the
-    * (fixed, small) round count. Hot dst nodes salt like any skewed
-    * aggregation key.
-    */
   /** Per-node exact triangle counts via degree orientation — the
     * MapReduce node-iterator of Suri & Vassilvitskii (WWW'11, "Counting
     * triangles and the curse of the last reducer").
@@ -99,6 +75,30 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Power-iteration PageRank with a fixed iteration count.
+    *
+    * Semantics: simplified (non-dangling-redistributing) PageRank —
+    * `r'(v) = (1-d)/N + d · Σ_{u→v} r(u)/outdeg(u)` for `iterations`
+    * rounds from the uniform start `1/N`, over the distinct self-loop-
+    * free edge set. Rank mass reaching a node with no out-edges leaks
+    * (total < 1); that variant keeps every step plain relational
+    * algebra, which is what makes the cross-engine oracle possible.
+    *
+    * Determinism across engines: per-edge contributions `r/outdeg` are
+    * quantized to the 2^-20 binary grid BEFORE the per-node sum (grid
+    * addends sum exactly in double, so aggregation order cannot matter)
+    * and the rank update is re-quantized each round; `d` and `1-d` are
+    * threaded into the oracle SQL via round-trip `Double.toString`, so
+    * both engines evaluate the identical IEEE chain. Fixed iteration
+    * count (not a convergence test) keeps the replay finite.
+    *
+    * 100 TB: each round is one equi-join of the edge table against the
+    * node-sized rank table plus one partial-aggregatable sum keyed on
+    * dst — the standard distributed PageRank shape; the edge table is
+    * computed once and cached, rank lineage grows linearly in the
+    * (fixed, small) round count. Hot dst nodes salt like any skewed
+    * aggregation key.
+    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, damping: Double = 0.85,
                checkpointEvery: Int = 8): DataFrame = {
@@ -133,6 +133,72 @@ object Graph {
     ranks
   }
 
+  /** Bounded-round k-core peeling: starting from the undirected
+    * self-loop-free edge set, each round removes every node whose
+    * current degree is < k together with its incident edges, for
+    * `rounds` rounds — the standard iterative k-core decomposition
+    * step (Seidman 1983; the distributed formulation of Montresor et
+    * al.). After enough rounds the survivor set IS the k-core; a FIXED
+    * round count keeps the unrolled cross-engine oracle replay finite
+    * (the pageRank/minLabelPropagation discipline) and each round's
+    * survivor sizes are themselves the analytics deliverable — how
+    * fast the periphery peels is the graph's core-structure profile
+    * (spam/bot rings peel instantly; dense communities survive).
+    *
+    * Returns one row per round 0..rounds: (round, n_nodes, n_edges),
+    * round 0 being the input graph. Deterministic by construction —
+    * integer degrees and set semantics, no quantization.
+    *
+    * 100 TB: each round is one partial-aggregatable degree count keyed
+    * on the node plus two left-semi joins of the edge table against the
+    * (node-sized) survivor set — the label-propagation shape with semi
+    * joins instead of min; the edge frame halves-or-better per round on
+    * real graphs, so later rounds are cheap. The per-round (n_nodes,
+    * n_edges) stats are LAZY single-row aggregates unioned into the
+    * result frame — the whole peel is ONE Spark action at the caller's
+    * first action, not 2·(rounds+1) eager driver round-trips (each
+    * round's edge frame is persisted, so every union branch reads its
+    * round's cache, and the degree rollup doubles as the node count:
+    * n_nodes = count of degree groups, n_edges = Σdeg/2 — no second
+    * pass, no Expand).
+    */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
+                k: Int = 3, rounds: Int = 3,
+                checkpointEvery: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64] (bounded unrolled replay), got $rounds")
+    var e = graft.Caches.persistOnce(
+      edges.select(least(col(aCol), col(bCol)).as("a"),
+                   greatest(col(aCol), col(bCol)).as("b"))
+        .filter(col("a") =!= col("b") && col("a").isNotNull).distinct())
+    // node set = endpoints of surviving edges (a node isolated by its
+    // neighbors' removal has degree 0 < k and is gone next round anyway
+    // — counting it as already peeled keeps every round one edge scan).
+    // LAZY one-row stats per round: the degree rollup is the node count
+    // (one group per endpoint) and Σdeg = 2·|E| — one partial agg + one
+    // single-row rollup, no driver action here.
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+    def stats(ed: DataFrame, r: Int): DataFrame =
+      degrees(ed).agg(
+          count(lit(1)).as("n_nodes"),
+          (coalesce(sum(col("d")), lit(0L)) / 2).cast("long").as("n_edges"))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    var out = stats(e, 0)
+    for (r <- 1 to rounds) {
+      val keep = degrees(e).filter(col("d") >= k).select("v")
+      e = graft.Caches.persistOnce(
+        e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select("a", "b"))
+      if (r % checkpointEvery == 0 && r < rounds) e = e.localCheckpoint()
+      out = out.unionByName(stats(e, r))
+    }
+    out
+  }
+
   /** Synchronous min-label propagation for `rounds` rounds: every node
     * starts labeled with its own id and each round takes
     * `lbl'(v) = min(lbl(v), min_{u~v} lbl(u))` over the undirected
@@ -155,68 +221,6 @@ object Graph {
     * partial-aggregatable min keyed on the node — the pageRank shape
     * with min instead of sum; hot nodes are ordinary skewed agg keys.
     */
-  /** Bounded-round k-core peeling: starting from the undirected
-    * self-loop-free edge set, each round removes every node whose
-    * current degree is < k together with its incident edges, for
-    * `rounds` rounds — the standard iterative k-core decomposition
-    * step (Seidman 1983; the distributed formulation of Montresor et
-    * al.). After enough rounds the survivor set IS the k-core; a FIXED
-    * round count keeps the unrolled cross-engine oracle replay finite
-    * (the pageRank/minLabelPropagation discipline) and each round's
-    * survivor sizes are themselves the analytics deliverable — how
-    * fast the periphery peels is the graph's core-structure profile
-    * (spam/bot rings peel instantly; dense communities survive).
-    *
-    * Returns one row per round 0..rounds: (round, n_nodes, n_edges),
-    * round 0 being the input graph. Deterministic by construction —
-    * integer degrees and set semantics, no quantization.
-    *
-    * 100 TB: each round is one partial-aggregatable degree count keyed
-    * on the node plus two left-semi joins of the edge table against the
-    * (node-sized) survivor set — the label-propagation shape with semi
-    * joins instead of min; the edge frame halves-or-better per round on
-    * real graphs, so later rounds are cheap. Counts per round are
-    * single-row aggregates (no driver state beyond 2(rounds+1) longs).
-    */
-  def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
-                k: Int = 3, rounds: Int = 3,
-                checkpointEvery: Int = 8): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(rounds >= 1 && rounds <= 64,
-      s"rounds must be in [1, 64] (bounded unrolled replay), got $rounds")
-    val spark = edges.sparkSession
-    import spark.implicits._
-    var e = graft.Caches.persistOnce(
-      edges.select(least(col(aCol), col(bCol)).as("a"),
-                   greatest(col(aCol), col(bCol)).as("b"))
-        .filter(col("a") =!= col("b") && col("a").isNotNull).distinct())
-    // node set = endpoints of surviving edges (a node isolated by its
-    // neighbors' removal has degree 0 < k and is gone next round anyway
-    // — counting it as already peeled keeps every round one edge scan)
-    def counts(ed: DataFrame): (Long, Long) = {
-      val ne = ed.count()
-      val nn = ed.select(col("a").as("v")).union(ed.select(col("b").as("v")))
-        .distinct().count()
-      (nn, ne)
-    }
-    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    val c0 = counts(e)
-    out += ((0, c0._1, c0._2))
-    for (r <- 1 to rounds) {
-      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("v")
-      e = graft.Caches.persistOnce(
-        e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-          .select("a", "b"))
-      if (r % checkpointEvery == 0 && r < rounds) e = e.localCheckpoint()
-      val c = counts(e)
-      out += ((r, c._1, c._2))
-    }
-    out.toSeq.toDF("round", "n_nodes", "n_edges")
-  }
-
   def minLabelPropagation(edges: DataFrame, aCol: String, bCol: String,
                           rounds: Int = 3,
                           checkpointEvery: Int = 8): DataFrame = {

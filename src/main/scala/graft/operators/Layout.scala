@@ -66,4 +66,61 @@ object Layout {
       .repartitionByRange(partitions, col("hval"))
       .sortWithinPartitions(col("hval"))
   }
+
+  /** Block-level min-max DATA-SKIPPING effectiveness report — what a
+    * layout actually BUYS: rows are assigned to `nBins` equal-frequency
+    * file bins in the layout's sort order (ntile over the total order —
+    * deterministic, and the same equal-size assignment
+    * `repartitionByRange` + a row-group split produces at write time),
+    * each bin gets per-dimension min/max "footer stats", and each
+    * predicate (a conjunction of closed ranges over the dimensions) is
+    * tested against every bin the way a reader's pruning does: the bin
+    * is SKIPPED iff some conjunct's range misses the bin's [min, max]
+    * entirely. One report row per predicate: (layout, predicate,
+    * n_bins, n_skipped, 2^-20-grid skip rate).
+    *
+    * This closes the x75/x108 loop — the layouts stop being "here is a
+    * curve value" and become a measured pruning claim (linear layouts
+    * skip ~nothing for the non-prefix dimension; space-filling curves
+    * buy partial pruning on BOTH dimensions).
+    *
+    * Determinism: `orderCols` must end in a row-unique tie-break so the
+    * ntile assignment is a total order both engines replay; mins/maxes
+    * and counts are exact integers, the rate is the house grid.
+    *
+    * 100 TB: the per-bin stats are ONE partial-aggregatable groupBy
+    * over (bin, dims) — the footer-stats pass a writer does for free;
+    * the report aggregates over n_bins rows (file-count sized, never
+    * corpus). The ntile window is the simulation stand-in for the
+    * write path's range exchange: at cluster scale the bin id IS the
+    * file id the layout writer already assigns, so the report runs as
+    * a metadata-only query over footer stats.
+    */
+  def skippingReport(src: DataFrame, layout: String, orderCols: Seq[String],
+                     nBins: Int, dims: Seq[String],
+                     preds: Seq[(String, Seq[(String, Column, Column)])])
+      : DataFrame = {
+    require(nBins >= 2 && nBins <= 65536, s"nBins=$nBins out of range")
+    require(dims.nonEmpty && preds.nonEmpty, "dims and preds required")
+    val grid = 1048576L // 2^20
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    val aggs = dims.flatMap(n =>
+      Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n")))
+    val stats = graft.Caches.persistOnce(
+      src.withColumn("bin", ntile(nBins).over(w))
+        .groupBy("bin").agg(aggs.head, aggs.tail: _*))
+    preds.map { case (label, conjuncts) =>
+      val skipped = conjuncts.map { case (n, lo, hi) =>
+        (col(s"max_$n") < lo) || (col(s"min_$n") > hi)
+      }.reduce(_ || _)
+      stats.agg(count(lit(1)).as("n_bins"),
+          sum(when(skipped, 1L).otherwise(0L)).as("n_skipped"))
+        .select(lit(layout).as("layout"), lit(label).as("predicate"),
+          col("n_bins"), col("n_skipped"))
+    }.reduce(_ unionByName _)
+      .withColumn("skip_rate_q",
+        floor(col("n_skipped").cast("double") / col("n_bins").cast("double")
+          * grid + lit(0.5)).cast("long"))
+  }
 }

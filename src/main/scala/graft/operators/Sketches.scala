@@ -149,6 +149,90 @@ object Sketches {
         "jaccard", "inter_est")
   }
 
+  /** Default quantile-sketch sample size (per-group sample rows). */
+  val QsK = 256
+
+  /** MERGEABLE quantile sketch per key group — the missing fourth leg
+    * of the sketch family (Bloom/CMS/HLL/KMV all have mergeable state;
+    * quantiles now do too): a bottom-k HASH-RANK row sample, the KMV
+    * membership discipline applied to sampling rows instead of counting
+    * distincts. Per key, keep the k rows whose unsigned 32-bit murmur3
+    * `hash(id)` ranks smallest under the total order (h, id, v); each
+    * kept element carries its VALUE, so exact quantiles over the sample
+    * estimate the group's quantiles (Bernoulli-sample theory: rank
+    * error O(1/√k) rsd — pinned against x93's exact quantiles in
+    * QueryBoundsSpec). EXACT below k rows per group (the sample is the
+    * whole group).
+    *
+    * Why hash-rank instead of a random sample: membership is a pure
+    * function of the DATA — deterministic, cross-engine replayable
+    * (the DuckDB oracle recomputes the same bottom-k via the murmur3
+    * CTEs), and a SEMILATTICE: bottom-k by a global total order merges
+    * associatively/commutatively/idempotently, so
+    * [[quantileMergeSketches]] over shard/day sketches is INDISTINGUISHABLE
+    * from the sketch built over the concatenated input — the
+    * kmvSketch/kmvMergeSketches incremental-rollup story (x101),
+    * now for quantiles.
+    *
+    * `id` must be row-unique within the group (doc_id, event_id — the
+    * tripletMine dense-id discipline); ties on (h, id) fall back to v so
+    * even a violated precondition stays deterministic. NULL values are
+    * excluded before sampling (SQL aggregate semantics — both engines
+    * drop them identically).
+    *
+    * 100 TB: one hash-partitioned rank window bounds per-key state to k
+    * rows BEFORE the collect (never a collect over the raw group), the
+    * kmvSketch shape exactly; sketch rows are ≤ k structs of three
+    * longs per key.
+    */
+  def quantileSketch(df: DataFrame, keyCols: Seq[String], value: Column,
+                     id: Column, k: Int = QsK): DataFrame = {
+    require(k >= 2, s"k=$k too small")
+    val kc = keyCols.map(col)
+    val hu = hash(id).cast("bigint").bitwiseAND(lit(4294967295L))
+    val base = df
+      .select(kc ++ Seq(hu.as("h"), id.cast("bigint").as("sid"),
+        value.cast("bigint").as("v")): _*)
+      .filter(col("v").isNotNull)
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(col("h"), col("sid"), col("v"))
+    base.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .groupBy(kc: _*)
+      .agg(sort_array(collect_list(
+        struct(col("h"), col("sid"), col("v")))).as("qsketch"))
+  }
+
+  /** Merge an array-of-quantile-sketches column (each from
+    * [[quantileSketch]] with the same k): bottom-k of the distinct
+    * union under the same (h, sid, v) total order — the semilattice
+    * merge (struct arrays sort lexicographically by field, the order
+    * the sketches were ranked under). `array_distinct` makes the merge
+    * idempotent when inputs overlap (re-merged state, x101's
+    * history+batch fold).
+    */
+  def quantileMergeSketches(sketches: Column, k: Int = QsK): Column =
+    slice(array_sort(array_distinct(flatten(sketches))), 1, k)
+
+  /** The `pct`-th percentile (1..100, integer) from a materialized
+    * quantile sketch: value at rank ⌈n·pct/100⌉ of the sample's sorted
+    * values — the x93 lower-quantile cut, all integer arithmetic
+    * (⌈a/b⌉ = (a + b − 1) div b, no libm), null on an empty sketch.
+    */
+  def quantileEstimate(sketch: Column, pct: Int): Column = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val vs = array_sort(transform(sketch, x => x.getField("v")))
+    val n = size(sketch).cast("bigint")
+    when(size(sketch) === 0, lit(null).cast("bigint"))
+      .otherwise(element_at(vs,
+        call_function("div", n * pct + lit(99L), lit(100L)).cast("int")))
+  }
+
+  /** Sample size and exact row count alongside the estimate — callers
+    * report `n_rows` (exact, summed) and `sample_n` so the
+    * exact-below-k property is observable in query output.
+    */
+  def quantileSampleSize(sketch: Column): Column = size(sketch).cast("long")
+
   /** alpha_m — the harmonic-mean bias constant from Flajolet et al. */
   def hllAlpha(p: Int): Double = {
     val m = (1L << p).toDouble

@@ -1246,7 +1246,12 @@ object Analytics {
       import graft.operators.Sketches
       val ud = T.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
-      val daily = Sketches.kmvSketch(ud, Seq("d"), col("user_id"))
+      // daily feeds BOTH the day spine and the ×7 contribution explode,
+      // which meet in the semi-join below — persist so the sketch build
+      // (corpus distinct + per-day bottom-k) materializes once instead
+      // of riding two plan branches (the a57 persistOnce discipline)
+      val daily = graft.Caches.persistOnce(
+        Sketches.kmvSketch(ud, Seq("d"), col("user_id")))
       val days = daily.select(col("d").as("day"))
       val contrib = daily
         .select(col("sketch"), explode(sequence(lit(0), lit(6))).as("o"),

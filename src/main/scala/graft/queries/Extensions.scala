@@ -730,6 +730,85 @@ object Extensions {
         .orderBy("event_id")
     }),
 
+    // Data-skipping effectiveness report (Layout.skippingReport): what
+    // x75/x108's layouts actually BUY. Events quantize onto a 16×16
+    // (user, day) grid; rows bin into 64 equal-frequency "files" under
+    // three sort orders — linear (day, user), Z-order, Hilbert — each
+    // bin gets min/max footer stats, and three predicates (a user
+    // slice, a 3-day window, their conjunction) are tested the way a
+    // reader's min/max pruning does. Linear prunes the prefix
+    // dimension only; the curves buy pruning on BOTH — now a measured,
+    // oracle-checked claim instead of a scaladoc assertion. The three
+    // quantization scalars are one bounded driver action (the
+    // triangleCounts measured-decision discipline); the oracle derives
+    // them via the same scalar subqueries.
+    "x110_skipping_report" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.operators.Layout
+      val ev = T.events(s, dir).select(
+        col("event_id"),
+        col("user_id").cast("long").as("u"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      val pr = ev.agg(max("u"), min("d"), max("d")).head()
+      val uspan = pr.getLong(0) + 1
+      val dmin = pr.getLong(1)
+      val dspan = pr.getLong(2) - dmin + 1
+      val q = ev
+        .withColumn("qu", expr(s"(u * 16) div $uspan"))
+        .withColumn("qd", expr(s"((d - $dmin) * 16) div $dspan"))
+      val zq = q.withColumn("zval",
+        Layout.mortonInterleave(col("qu"), col("qd"), 4))
+      val hq = q.withColumn("hval", graft.functions.GraftFunctions
+        .hilbert2d(col("qu"), col("qd"), 4))
+      val uhi = uspan / 8 - 1
+      val preds = Seq(
+        ("p_user", Seq(("u", lit(0L), lit(uhi)))),
+        ("p_day", Seq(("d", lit(dmin + 10), lit(dmin + 12)))),
+        ("p_both", Seq(("u", lit(0L), lit(uhi)),
+          ("d", lit(dmin + 10), lit(dmin + 12)))))
+      val dims = Seq("u", "d")
+      Layout.skippingReport(q, "linear", Seq("d", "u", "event_id"),
+          64, dims, preds)
+        .unionByName(Layout.skippingReport(zq, "zorder",
+          Seq("zval", "event_id"), 64, dims, preds))
+        .unionByName(Layout.skippingReport(hq, "hilbert",
+          Seq("hval", "event_id"), 64, dims, preds))
+        .orderBy("layout", "predicate")
+    }),
+
+    // Mergeable quantile sketch (Sketches.quantileSketch — bottom-k
+    // hash-rank row sampling, the KMV membership discipline applied to
+    // quantiles): per-source doc-length percentiles estimated from
+    // 4 SHARD sketches merged per source. The merge is a semilattice,
+    // so the oracle replays the DIRECT bottom-k over the whole corpus
+    // and the hash-match PROVES merged ≡ from-scratch cross-engine —
+    // the x101 incremental-rollup story, now for quantiles. Exact
+    // below k=256 rows/source; O(1/√k) rank rsd above (pinned vs
+    // x93's exact quantiles in QueryBoundsSpec).
+    "x109_quantile_sketch" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val t = T.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast("bigint").as("len"),
+          pmod(col("doc_id"), lit(4)).as("shard"))
+      val shardSk = Sketches.quantileSketch(t, Seq("source", "shard"),
+        col("len"), col("doc_id"))
+      val merged = shardSk.groupBy("source")
+        .agg(Sketches.quantileMergeSketches(
+          collect_list(col("qsketch"))).as("sk"))
+      val counts = t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      merged.join(counts, "source")
+        .select(col("source"), col("n_docs"),
+          Sketches.quantileSampleSize(col("sk")).as("sample_n"),
+          Sketches.quantileEstimate(col("sk"), 25).as("p25_est"),
+          Sketches.quantileEstimate(col("sk"), 50).as("p50_est"),
+          Sketches.quantileEstimate(col("sk"), 90).as("p90_est"),
+          Sketches.quantileEstimate(col("sk"), 99).as("p99_est"))
+        .orderBy("source")
+    }),
+
     // Stupid-backoff bigram LM corpus scoring (Brants et al. 2007):
     // top-1024/1024 pruned count tables, grid-quantized conditionals,
     // integer per-doc sum/mean — the trained-on-itself in-distribution
@@ -3883,6 +3962,98 @@ object Extensions {
            min(CASE WHEN cum*100 >= n*99 THEN len END) AS p99
          FROM w GROUP BY 1 ORDER BY 1""",
 
+    // x110: the three layouts' bin assignments replayed — the same
+    // 16×16 quantization (scalar subqueries for the spans), the same
+    // Morton terms (bits=4), the Hilbert walk via the staged CTEs, and
+    // ntile(64) over each total order; skip tests are the identical
+    // min/max range-miss conditions.
+    "x110_skipping_report" -> {
+      val mt = (0 until 4).flatMap(i => Seq(
+        s"(((qu >> $i) & 1) * ${1L << (2 * i)})",
+        s"(((qd >> $i) & 1) * ${1L << (2 * i + 1)})")).mkString(" + ")
+      val (hctes, hcte) =
+        HilbertSql.curveCtes("hsq", Seq("event_id", "uu", "dy"), "xs", 4)
+      val arms = for {
+        (lname, scte) <- Seq(("linear", "sL"), ("zorder", "sZ"),
+          ("hilbert", "sH"))
+        (pname, cond) <- Seq(
+          ("p_user", "(max_u < 0 OR min_u > uhi)"),
+          ("p_day", "(max_d < dlo OR min_d > dhi)"),
+          ("p_both",
+            "((max_u < 0 OR min_u > uhi) OR (max_d < dlo OR min_d > dhi))"))
+      } yield
+        s"""SELECT '$lname' AS layout, '$pname' AS predicate,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped
+           FROM $scte, pp"""
+      s"""WITH ebase AS (SELECT event_id, CAST(user_id AS BIGINT) AS uu,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dy
+           FROM events),
+         prm AS (SELECT max(uu) + 1 AS uspan, min(dy) AS dmin,
+                   max(dy) - min(dy) + 1 AS dspan FROM ebase),
+         q AS (SELECT event_id, uu, dy,
+                 (uu * 16) // uspan AS qu,
+                 ((dy - dmin) * 16) // dspan AS qd
+               FROM ebase, prm),
+         zq AS (SELECT event_id, uu, dy, CAST($mt AS BIGINT) AS zval
+                FROM q),
+         hsq AS (SELECT event_id, uu, dy, qu AS hx, qd AS hy FROM q),
+         $hctes
+         hv AS (SELECT event_id, uu, dy, d AS hval FROM $hcte),
+         binL AS (SELECT uu, dy,
+             ntile(64) OVER (ORDER BY dy, uu, event_id) AS bin FROM q),
+         binZ AS (SELECT uu, dy,
+             ntile(64) OVER (ORDER BY zval, event_id) AS bin FROM zq),
+         binH AS (SELECT uu, dy,
+             ntile(64) OVER (ORDER BY hval, event_id) AS bin FROM hv),
+         sL AS (SELECT bin, min(uu) AS min_u, max(uu) AS max_u,
+                  min(dy) AS min_d, max(dy) AS max_d FROM binL GROUP BY 1),
+         sZ AS (SELECT bin, min(uu) AS min_u, max(uu) AS max_u,
+                  min(dy) AS min_d, max(dy) AS max_d FROM binZ GROUP BY 1),
+         sH AS (SELECT bin, min(uu) AS min_u, max(uu) AS max_u,
+                  min(dy) AS min_d, max(dy) AS max_d FROM binH GROUP BY 1),
+         pp AS (SELECT (uspan // 8) - 1 AS uhi, dmin + 10 AS dlo,
+                  dmin + 12 AS dhi FROM prm),
+         rep AS (${arms.mkString("\n           UNION ALL\n           ")})
+         SELECT layout, predicate, n_bins, n_skipped,
+           CAST(floor(CAST(n_skipped AS DOUBLE) / CAST(n_bins AS DOUBLE)
+             * 1048576 + 0.5) AS BIGINT) AS skip_rate_q
+         FROM rep ORDER BY layout, predicate"""
+    },
+
+    // x109: the quantile sketch replayed as the DIRECT bottom-k over
+    // the whole corpus (murmur3 CTEs on doc_id, rank by (hu, doc_id,
+    // len)) — equality with the Spark side's merge-of-shard-sketches
+    // IS the bottom-k semilattice, the a70/x101 proof shape applied to
+    // quantiles. Percentile cut = ⌈n·pct/100⌉-th order statistic of
+    // the sample, pure integer arithmetic.
+    "x109_quantile_sketch" -> {
+      val k = graft.operators.Sketches.QsK
+      val (ctes, hc) =
+        Murmur3Sql.hashLongCtes("qt", Seq("source", "len", "doc_id"), "qh")
+      s"""WITH qt AS (SELECT source,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+               AS BIGINT) AS len,
+             doc_id, doc_id AS v FROM documents),
+         $ctes
+         r AS (SELECT source, len,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY hu, doc_id, len) AS rk
+               FROM $hc),
+         s AS (SELECT source, list(len ORDER BY len) AS vs,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM r WHERE rk <= $k GROUP BY source),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM qt GROUP BY 1)
+         SELECT s.source, c.n_docs, s.n AS sample_n,
+           vs[(n*25+99)//100] AS p25_est,
+           vs[(n*50+99)//100] AS p50_est,
+           vs[(n*90+99)//100] AS p90_est,
+           vs[(n*99+99)//100] AS p99_est
+         FROM s JOIN c USING (source) ORDER BY source"""
+    },
+
     // x94: bigram lift over contingency marginals — the one
     // grid-quantized division; bigrams via per-row index unnest.
     "x94_collocations" ->
@@ -3990,10 +4161,11 @@ object Extensions {
            CAST(sum(clen) AS BIGINT) AS total_bytes,
            CAST(sum(CASE WHEN hist.h IS NULL THEN clen ELSE 0 END) AS BIGINT)
              AS new_bytes,
-           CAST(floor(CAST(sum(CASE WHEN hist.h IS NOT NULL THEN clen
-                                    ELSE 0 END) AS DOUBLE)
-               / CAST(sum(clen) AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
-             AS reuse_rate_q
+           CASE WHEN sum(clen) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(sum(CASE WHEN hist.h IS NOT NULL
+                                          THEN clen ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(clen) AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
+           END AS reuse_rate_q
          FROM bat LEFT JOIN hist ON hist.h = bat.h
          GROUP BY 1 ORDER BY 1""",
 

@@ -200,6 +200,17 @@ object StreamingQ {
         .orderBy("src_id", "dst_id")
     }),
 
+    // Live per-source length quantiles (x109's streaming dual): keyed
+    // state = the bottom-k hash-rank quantile-sketch sample — a
+    // semilattice, so stream state after any arrival order equals the
+    // batch sketch and the integer percentile readout replays in the
+    // x109-shaped oracle. State ≤ k triples + a counter per source.
+    "st24_stream_quantile" -> ((s, dir) =>
+      DocStreams.statefulQuantiles(T.documents(s, dir), "text", "source",
+          "doc_id")
+        .toDF()
+        .orderBy("source")),
+
     // Live event transition matrix (a66's streaming dual): keyed state
     // = the user's last event type; the stream emits one (from, to)
     // pair per consecutive event, the count/probability rollup runs
@@ -217,6 +228,35 @@ object StreamingQ {
   )
 
   val oracle: Map[String, String] = Map(
+    // st24: the stream's per-source sketch state recomputed as the
+    // direct bottom-k over the whole table (murmur3 CTEs on doc_id) —
+    // equality IS the sample semilattice; percentile cut =
+    // ⌈n·pct/100⌉-th order statistic, integer arithmetic only.
+    "st24_stream_quantile" -> {
+      val k = graft.operators.Sketches.QsK
+      val (ctes, hc) =
+        Murmur3Sql.hashLongCtes("qt", Seq("source", "len", "doc_id"), "sqh")
+      s"""WITH qt AS (SELECT source,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+               AS BIGINT) AS len,
+             doc_id, doc_id AS v FROM documents),
+         $ctes
+         r AS (SELECT source, len,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY hu, doc_id, len) AS rk
+               FROM $hc),
+         s AS (SELECT source, list(len ORDER BY len) AS vs,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM r WHERE rk <= $k GROUP BY source),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+               FROM qt GROUP BY 1)
+         SELECT s.source, c.n_rows, s.n AS sample_n,
+           vs[(n*50+99)//100] AS p50,
+           vs[(n*90+99)//100] AS p90,
+           vs[(n*99+99)//100] AS p99
+         FROM s JOIN c USING (source) ORDER BY source"""
+    },
+
     // st20: the x100 chunk CTE; a chunk instance is NEW iff its hash's
     // earliest carrier is this document (min-doc == doc ⟺ no strictly
     // earlier doc has it).
@@ -246,10 +286,11 @@ object StreamingQ {
            CAST(sum(clen) AS BIGINT) AS total_bytes,
            CAST(sum(CASE WHEN f.first_id = ch.doc_id THEN clen ELSE 0 END)
              AS BIGINT) AS new_bytes,
-           CAST(floor(CAST(sum(CASE WHEN f.first_id < ch.doc_id THEN clen
-                                    ELSE 0 END) AS DOUBLE)
-               / CAST(sum(clen) AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
-             AS reuse_rate_q
+           CASE WHEN sum(clen) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(sum(CASE WHEN f.first_id < ch.doc_id
+                                          THEN clen ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(clen) AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
+           END AS reuse_rate_q
          FROM ch JOIN f USING (h)
          GROUP BY 1 ORDER BY 1""",
 

@@ -196,11 +196,98 @@ object DocStreams {
         sum(col("chunk_len")).as("total_bytes"),
         sum(when(!col("hit"), col("chunk_len")).otherwise(lit(0)))
           .cast("bigint").as("new_bytes"))
+      // empty doc → one zero-length chunk → total_bytes = 0: define the
+      // rate as 0 rather than NaN (matches Chunking.cdcIncremental and
+      // the oracle's CASE guard)
       .withColumn("reuse_rate_q",
-        floor((col("total_bytes") - col("new_bytes")).cast("double")
-          / col("total_bytes").cast("double") * grid + lit(0.5)).cast("long"))
+        when(col("total_bytes") === 0, 0L).otherwise(
+          floor((col("total_bytes") - col("new_bytes")).cast("double")
+            / col("total_bytes").cast("double") * grid + lit(0.5))
+            .cast("long")))
       .select("doc_id", "n_chunks", "n_new_chunks", "total_bytes",
         "new_bytes", "reuse_rate_q")
+  }
+
+  /** Live per-source length quantiles via a MERGEABLE quantile-sketch
+    * state — [[graft.operators.Sketches.quantileSketch]]'s bottom-k
+    * hash-rank sample maintained as keyed stream state on Spark 4's
+    * `transformWithState` (the st19–st23 modern-API discipline): per
+    * source, the running row count plus the k sample rows whose
+    * unsigned murmur3 `hash(doc_id)` ranks smallest under the total
+    * order (h, doc_id, len), each carrying its length value. The
+    * bottom-k sample is a SEMILATTICE — fold order cannot matter — so
+    * stream state after any arrival order equals the batch sketch, and
+    * the percentile readout (⌈n·pct/100⌉-th order statistic of the
+    * sample, pure integer) replays bit-exactly in the x109-shaped
+    * oracle. Exact below k rows per source.
+    *
+    * 100 TB/streaming: state is ≤ k value triples + one counter per
+    * source — bounded regardless of ingest volume; hashing and
+    * tokenize-count run codegen'd in the select BEFORE the keyed
+    * shuffle, so the stateful operator only ever sees (source, h, id,
+    * len) rows, never text.
+    */
+  def statefulQuantiles(docs: DataFrame, textCol: String, sourceCol: String,
+                        idCol: String, k: Int = graft.operators.Sketches.QsK)
+      : Dataset[QuantileRow] = {
+    require(k >= 2, s"k=$k too small")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    EventStreams.twsReady(spark)
+    docs.select(col(sourceCol).cast("string").as("source"),
+        hash(col(idCol)).cast("bigint")
+          .bitwiseAND(lit(4294967295L)).as("h"),
+        col(idCol).cast("long").as("sid"),
+        size(split(lower(col(textCol)), "\\s+")).cast("long").as("len"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new QuantileSketchProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  private class QuantileSketchProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, Long), QuantileRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var sk: ValueState[QSketchState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[QSketchState]("qsketch",
+        E.product[QSketchState], TTLConfig.NONE)
+
+    override def handleInputRows(source: String,
+                                 rows: Iterator[(String, Long, Long, Long)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QuantileRow] = {
+      val ord = Ordering.Tuple3[Long, Long, Long]
+      var st = if (sk.exists()) sk.get() else QSketchState(0L, Vector.empty)
+      var n = st.n
+      var smp = st.sample // sorted ascending by (h, sid, v)
+      rows.foreach { case (_, h, sid, v) =>
+        n += 1
+        val e = (h, sid, v)
+        if (smp.size < k || ord.lt(e, smp.last)) {
+          // lower-bound insert keeps the vector sorted; duplicates of an
+          // identical (h, sid, v) row stay (a row is a sample unit —
+          // the batch window's row_number keeps them too)
+          var lo = 0; var hi = smp.size
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ord.lt(smp(mid), e)) lo = mid + 1 else hi = mid
+          }
+          smp = (smp.take(lo) :+ e) ++ smp.drop(lo)
+          if (smp.size > k) smp = smp.take(k)
+        }
+      }
+      sk.update(QSketchState(n, smp))
+      val vs = smp.map(_._3).sorted
+      def pctOf(pct: Int): Long = vs(((vs.size.toLong * pct + 99L) / 100L).toInt - 1)
+      if (vs.isEmpty) Iterator.empty
+      else Iterator.single(
+        QuantileRow(source, n, vs.size.toLong, pctOf(50), pctOf(90), pctOf(99)))
+    }
   }
 
   /** Cross-band combine of [[nearDupBandFlags]]: one row per doc with
@@ -233,5 +320,10 @@ final case class BloomProbe(doc_id: Long, hit: Boolean)
 final case class PosState(firstId: Long)
 
 final case class ChunkProbe(doc_id: Long, chunk_len: Int, hit: Boolean)
+
+final case class QSketchState(n: Long, sample: Vector[(Long, Long, Long)])
+
+final case class QuantileRow(source: String, n_rows: Long, sample_n: Long,
+                             p50: Long, p90: Long, p99: Long)
 
 final case class ChunkState(firstId: Long)

@@ -42,6 +42,34 @@ class Round10bPlanSpec extends SparkTestBase {
     assert(graft.queries.Analytics.repeatEdges(spark, sf) eq e)
   }
 
+  test("a69 k-core peel: CONSTRUCTION runs zero Spark jobs — the " +
+       "per-round stats are lazy single-row aggregates unioned into " +
+       "the result frame (one action at the caller, not 2·(rounds+1) " +
+       "eager driver round-trips)") {
+    val sc = spark.sparkContext
+    // pre-materialize the session-memoized edge frame outside the window
+    graft.queries.Analytics.repeatEdges(spark, sf).count()
+    sc.setJobGroup("a69lazy", "a69 lazy-construction pin")
+    val df = try {
+      val d = graft.queries.Analytics.queries("a69_kcore_peel")(spark, sf)
+      // sentinel job: listener events arrive in order, so once this one
+      // is visible any construction-time job would be visible too
+      // (RDD count — exactly ONE job; a Dataset count is 2 under AQE)
+      sc.parallelize(Seq(1)).count()
+      d
+    } finally sc.clearJobGroup()
+    var ids = Array.empty[Int]
+    val deadline = System.currentTimeMillis + 15000
+    while (ids.length < 1 && System.currentTimeMillis < deadline) {
+      Thread.sleep(50)
+      ids = sc.statusTracker.getJobIdsForGroup("a69lazy")
+    }
+    assert(ids.length == 1,
+      s"kCorePeel construction ran ${ids.length - 1} eager job(s); " +
+      "expected none (only the sentinel)")
+    assert(df.collect().length == 4) // rounds 0..3 still evaluate
+  }
+
   test("x104 filtered ann: the label side joins as a BROADCAST onto the " +
        "probed candidates — the index is never re-shuffled for the " +
        "post-filter") {

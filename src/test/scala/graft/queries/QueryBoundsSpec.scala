@@ -81,6 +81,30 @@ class QueryBoundsSpec extends SparkTestBase {
     }
   }
 
+  test("x109 quantile sketch vs x93 exact quantiles: EQUAL per source " +
+       "in the exact regime (sf0.1: 250 docs/source < k=256), the " +
+       "error-band companion to a23's exact-below-k") {
+    val sf = "/root/testdata/sf0.1"
+    val est = graft.queries.Extensions
+      .queries("x109_quantile_sketch")(spark, sf)
+      .collect().map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    val exact = graft.queries.Extensions
+      .queries("x93_length_quantiles")(spark, sf)
+      .collect().map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (src, e) =>
+      val x = exact(src)
+      // below k the sample IS the group, so the sketch percentile is
+      // the same order statistic x93 computes exactly
+      assert(e.getLong(e.fieldIndex("sample_n")) ==
+        e.getLong(e.fieldIndex("n_docs")), s"$src should be exact regime")
+      Seq("p25", "p50", "p90", "p99").foreach { p =>
+        assert(e.getLong(e.fieldIndex(s"${p}_est")) ==
+          x.getLong(x.fieldIndex(p)), s"$src $p")
+      }
+    }
+  }
+
   test("a23 graft sketches agree with Spark's native HLL++ within combined error") {
     // Cross-check against approx_count_distinct (rsd 0.05 default):
     // native and graft estimates must bracket the same ground truth.
