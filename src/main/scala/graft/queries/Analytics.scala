@@ -99,8 +99,13 @@ object Analytics {
         .agg(
           Exact.dsum(col("l_quantity")).as("sum_qty"),
           Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+          // exact sum rounded to CENTS before the double cast — the
+          // sum_charge discipline below, made uniform in r11 (the
+          // GuardrailsSpec money lint): a scale-4 total's integer form
+          // would cross 2^53 around sf10 and double-round differently
+          // in DuckDB; a cents total fits a double exactly at any SF
           sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+            .cast("decimal(24,2)").cast("double").as("sum_disc_price"),
           // The naive (12,2)x(13,2)x(13,2) chain needs precision 39 —
           // one past Spark's DECIMAL cap, so Spark silently rounds the
           // product scale while DuckDB (which lands exactly at 38)
@@ -145,8 +150,9 @@ object Analytics {
         .join(broadcast(T.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
+          // cents before double — the a01 money discipline
           sum(Exact.dec(col("l_extendedprice")) * (lit(1) - Exact.dec(col("l_discount"))))
-            .cast("double").as("revenue"),
+            .cast("decimal(24,2)").cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
@@ -1593,7 +1599,7 @@ object Analytics {
       """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS sum_disc_price,
            CAST(CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * CAST(1 + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(4,2))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS sum_charge,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
@@ -1608,7 +1614,7 @@ object Analytics {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "a03_join_star" ->
       """SELECT r_name, n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DECIMAL(24,2)) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey

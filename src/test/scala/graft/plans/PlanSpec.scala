@@ -123,7 +123,12 @@ class PlanSpec extends SparkTestBase {
     val df = graft.operators.Dedup.bandedJaccardMinhash(
       T.documents(spark, sf), "text", "doc_id",
       n = 3, threshold = 0.2, numHashes = 16, bands = 8)
-    val joins = df.queryExecution.optimizedPlan.collect {
+    // the ANALYZED plan: cache substitution (withCachedData) would
+    // collapse the build chain to an InMemoryRelation whenever an
+    // earlier suite already persisted the shared shingle/pair frames
+    // (suite-order coupling); the authored joins are what's audited,
+    // and the optimizer never introduces joins
+    val joins = df.queryExecution.analyzed.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         j.condition.map(_.references.map(_.name).toSet).getOrElse(Set.empty)
     }
