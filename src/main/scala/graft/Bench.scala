@@ -44,12 +44,22 @@ object Bench {
     // "load_gate_exceeded":true so the artifact self-reports as
     // polluted instead of masquerading as a clean number.
     val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.5").toDouble
+    // The committed-capture standard is TIGHTER than the gate (r10
+    // verdict: the artifact should START quiet, not merely gate-
+    // passing): within the same bounded wait, hold out for ambient
+    // load ≤ the quiet target (default 1.0) and only fall back to the
+    // 2.5 contract gate if the host never gets there —
+    // "load_gate_exceeded" still reports against the CONTRACT gate, so
+    // a capture that starts between 1.0 and 2.5 is disclosed by
+    // "load_avg_start" rather than flagged.
+    val quietTarget = math.min(loadGate,
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_QUIET", "1.0").toDouble)
     val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX_WAIT_SEC", "1200").toInt
     def awaitQuiet(phase: String, cap: Int): (Int, Boolean) = {
       var waited = 0
-      while (loadAvgNow() > loadGate && waited < cap) {
+      while (loadAvgNow() > quietTarget && waited < cap) {
         System.err.println(
-          f"[bench] $phase: load ${loadAvgNow()}%.2f > gate $loadGate%.1f — waiting (${waited}s)")
+          f"[bench] $phase: load ${loadAvgNow()}%.2f > quiet target $quietTarget%.1f — waiting (${waited}s)")
         Thread.sleep(30000)
         waited += 30
       }

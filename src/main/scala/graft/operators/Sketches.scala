@@ -294,6 +294,68 @@ object Sketches {
       .select(col("tok"), col("est"), col("exact"))
   }
 
+  /** Count-min-sketch JOIN-SIZE estimate — the CMS inner-product
+    * estimator (Cormode & Muthukrishnan, J. Algorithms 55(1) 2005 §4.2,
+    * the AMS F₂ idea carried into CMS): for two relations joined on a
+    * key, fold each side's key stream into its own d×w counter grid,
+    * then `est_r = Σ_c A_r[c]·B_r[c]` per row and `est = min_r est_r`.
+    * Collisions only ADD cross terms, so `est ≥ |A ⋈ B| =
+    * Σ_k n_A(k)·n_B(k)` always, within `ε·N_A·N_B` (ε = e/w) with
+    * probability 1−e^(−d). The exact join size is computed alongside so
+    * the overestimate is observable (the x32 est-vs-exact discipline);
+    * at production scale only the sketch arm runs — that is the point:
+    * it prices a join WITHOUT executing it, from two single-pass
+    * O(d·w)-state scans (the query-optimizer cardinality question asked
+    * of 100 TB inputs).
+    *
+    * Both sides arrive in ONE frame tagged by `sideCol` (0 = build, 1 =
+    * probe), so the grid pass is a single partial-aggregatable groupBy
+    * over (side, r, pos) — bounded at 2·d·w rows regardless of input
+    * size — and the exact arm is one conditional-count groupBy on the
+    * key. Row hashes are disjoint 48-bit hex slices of
+    * sha256(key-as-string) — the [[cmsHeavyHitters]]/Bloom replayable
+    * scheme, no seed tables, so the DuckDB oracle rebuilds both grids
+    * bit-exactly.
+    *
+    * 100 TB: the grid join is 2·d·w rows (broadcast), the inner product
+    * d·w products summed per row — sketch-side cost is independent of
+    * data volume past the two scans. The exact arm shuffles per-key
+    * counts once on the join key (partial-aggregatable); it exists for
+    * verification and is the piece a production run would drop.
+    */
+  def cmsJoinSize(df: DataFrame, keyCol: String, sideCol: String,
+                  d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 5, s"d=$d rows need 12d hex chars; sha256 has 64")
+    require(w >= 2 && (w & (w - 1)) == 0 && w <= (1 << 20),
+      s"w=$w must be a power of two <= 2^20")
+    val hh = sha2(col(keyCol).cast("string"), 256)
+    val slices = array((0 until d).map { r =>
+      conv(substring(hh, 1 + 12 * r, 12), 16, 10).cast("long") % w
+    }: _*)
+    val grids = df
+      .select(col(sideCol).cast("long").as("side"),
+        posexplode(slices).as(Seq("r", "pos")))
+      .groupBy("side", "r", "pos").agg(count(lit(1)).as("c"))
+    val ga = grids.filter(col("side") === 0L).drop("side")
+      .withColumnRenamed("c", "ca")
+    val gb = grids.filter(col("side") === 1L).drop("side")
+      .withColumnRenamed("c", "cb")
+    // the grids are ≤ d·w rows each but sit above an aggregate, where
+    // Catalyst's size estimate is blind — pin the broadcast
+    val est = ga.join(broadcast(gb), Seq("r", "pos"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("est_r"))
+      .agg(min(col("est_r")).as("est"))
+    val exact = df
+      .groupBy(col(keyCol))
+      .agg(sum(when(col(sideCol) === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col(sideCol) === 1, 1L).otherwise(0L)).as("nb"))
+      .agg(sum(col("na") * col("nb")).as("exact"))
+    est.crossJoin(exact)
+      .select(lit(d).as("d"), lit(w).as("w"), col("est"), col("exact"),
+        call_function("div", (col("est") - col("exact")) * 10000L,
+          greatest(col("exact"), lit(1L))).as("err_bp"))
+  }
+
   /** HLL distinct-count of `value` per `groupCols`, as `outCol` (long).
     *
     * Register index = top p bits of the unsigned 32-bit murmur3

@@ -1163,4 +1163,65 @@ object TextAnalysis {
         sum(col("wgt") * col("wgt")).as("norm_sq"))
       .select("doc_id", "n_tok", "nnz", "norm_sq")
   }
+
+  /** Token length cap for [[typoPairs]]' deletion-variant fanout: each
+    * vocabulary entry emits at most `len+1` variant rows, so capping
+    * length bounds the variant domain at (cap+1)·|vocab|.
+    */
+  val MaxTypoTokenLen = 20
+
+  /** Typo→correction pair mining via the SymSpell deletion-neighborhood
+    * join (Garbe 2012; the candidate trick behind Norvig-style spell
+    * correction at corpus scale): two tokens are within Damerau-free
+    * edit distance 1 only if they share a member of their
+    * {self} ∪ {all 1-character deletions} variant sets — a deletion
+    * covers `b = del(a)`, an insertion covers `a = del(b)`, and a
+    * substitution shares the deletion at the edited position. So
+    * candidates come from ONE equi-join on variant strings over the
+    * VOCABULARY (never the corpus), and each candidate is verified with
+    * an exact `levenshtein = 1` check (the shared-deletion filter also
+    * admits some distance-2 transpositions — verification removes
+    * them). A pair is reported as (typo → correction) when the
+    * correction is ≥ `ratio`× more frequent and itself above
+    * `minCorrCnt` — the frequency-asymmetry heuristic that separates
+    * typos from legitimate rare words.
+    *
+    * Tokens are restricted to `^[a-z]{4,MaxTypoTokenLen}$`: ASCII-only
+    * sidesteps byte-vs-char indexing across engines (the cdcChunks
+    * lesson), ≥4 keeps edit-distance-1 from being noise on short words,
+    * and the length cap fences the variant fanout.
+    *
+    * 100 TB: the corpus collapses to its token vocabulary FIRST (one
+    * partial-aggregatable count groupBy — the x28/x86 vocabulary
+    * assumption: |vocab| grows sublinearly in corpus size); everything
+    * after is vocabulary-sized — the variant explode is ≤ (len+1) rows
+    * per vocab entry, the candidate join is hash-partitioned on the
+    * variant string, and verification runs on candidate pairs only.
+    * No all-pairs stage anywhere (the Dedup banding discipline).
+    */
+  def typoPairs(docs: DataFrame, textCol: String, ratio: Long = 10L,
+                minCorrCnt: Long = 5L): DataFrame = {
+    // the variant self-join consumes the vocabulary from BOTH sides —
+    // persist it so the corpus tokenize-count scan runs once, not twice
+    val vocab = graft.Caches.persistOnce(docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").rlike(s"^[a-z]{4,$MaxTypoTokenLen}$$"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt")))
+    val variants = vocab.select(col("tok"), col("cnt"),
+      explode(concat(array(col("tok")),
+        transform(sequence(lit(1), length(col("tok"))), i =>
+          concat(col("tok").substr(lit(1), i - lit(1)),
+            col("tok").substr(i + lit(1),
+              length(col("tok")) - i))))).as("v"))
+    val a = variants.select(col("tok").as("typo"), col("cnt").as("typo_cnt"),
+      col("v"))
+    val b = variants.select(col("tok").as("corr"), col("cnt").as("corr_cnt"),
+      col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("typo") =!= col("corr"))
+      .select("typo", "typo_cnt", "corr", "corr_cnt").distinct()
+      .filter(levenshtein(col("typo"), col("corr")) === 1 &&
+        col("corr_cnt") >= col("typo_cnt") * ratio &&
+        col("corr_cnt") >= minCorrCnt)
+  }
 }

@@ -1294,7 +1294,24 @@ object Analytics {
     // [[markovRemovalEffect]] for the model and determinism contract.
     "a72_markov_attribution" -> ((s, dir) =>
       markovRemovalEffect(T.events(s, dir), MarkovStates, "purchase",
-        horizon = 6))
+        horizon = 6)),
+
+    // Rolling z-score anomaly detection: each event scored against its
+    // user's trailing-8 window, grid-exact cross-multiplied z² > 3²
+    // test (no division, no sqrt, DECIMAL past 2⁶³). See
+    // [[rollingAnomaly]].
+    "a73_anomaly_zscore" -> ((s, dir) => rollingAnomaly(T.events(s, dir))),
+
+    // Distribution-drift readout: per-type Pearson chi-square terms
+    // between the two halves of the time range — exact integer
+    // midpoint split, DECIMAL/HUGEINT contingency products, one IEEE
+    // division. See [[distDrift]].
+    "a74_dist_drift" -> ((s, dir) => distDrift(T.events(s, dir))),
+
+    // Top user journeys: first-5-event path strings + per-path
+    // conversion — the beyond-first-order companion to a66/a72. See
+    // [[topPaths]].
+    "a75_top_paths" -> ((s, dir) => topPaths(T.events(s, dir)))
   )
 
   /** a72's state domain (the fixture's event types) — shared by the
@@ -1433,6 +1450,145 @@ object Analytics {
       pa.as("rate_a"), pb.as("rate_b"),
       when(se2 === lit(0.0), lit(0.0))
         .otherwise(((pa - pb) * (pa - pb)) / se2).as("z2"))
+  }
+
+  /** a73: rolling z-score anomaly detection per user — each event is
+    * scored against the trailing window of its user's previous `win`
+    * values (full windows only: a score needs all `win` predecessors).
+    * Every step is exact integer/decimal arithmetic so the readout is
+    * deterministic cross-engine: values land on the house 2⁻²⁰ grid
+    * (`floor(v·2²⁰ + 0.5)` — the ·2²⁰ scale is a pure exponent shift,
+    * so the only rounding is the identical IEEE add of 0.5), the
+    * trailing sum/sum-of-squares are exact longs, and the flag is the
+    * cross-multiplied z² > T² test with no division or sqrt anywhere:
+    *
+    *   z² = (x−μ)²/s² = (n·x − S)²·(n−1) / (n·(n·S2 − S²))
+    *   flag ⇔ (n·x−S)²·(n−1) > T²·n·(n·S2−S²)
+    *
+    * computed in DECIMAL(38,0) (HUGEINT on the oracle side) because the
+    * squared terms pass 2⁶³ at grid scale. A constant window (s²=0)
+    * degenerates correctly: any deviation flags, zero deviation does
+    * not — no epsilon, no guard. The one IEEE step in the output is the
+    * per-type anomaly rate, a single division of exact longs.
+    *
+    * 100 TB: ONE user_id exchange feeds the ordered window (ts,
+    * event_id — the st14 total-order tiebreak); the rollup to
+    * event_type is partial-aggregatable. Nothing is user-cardinality
+    * on the driver.
+    */
+  private[graft] def rollingAnomaly(ev: DataFrame, win: Int = 8,
+                                    t: Int = 3): DataFrame = {
+    require(win >= 2 && win <= 64, s"win=$win out of [2,64]")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-win, -1)
+    val dec = "decimal(38,0)"
+    val scored = ev
+      .withColumn("vg", floor(col("value") * lit(1048576.0) + lit(0.5))
+        .cast("long"))
+      .withColumn("s1", sum(col("vg")).over(w))
+      .withColumn("s2", sum(col("vg") * col("vg")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === win)
+    val diff = (col("vg") * win - col("s1")).cast(dec)
+    val num = diff * diff * lit(win - 1).cast(dec)
+    val den = lit(t.toLong * t * win).cast(dec) *
+      (col("s2").cast(dec) * lit(win).cast(dec) -
+        col("s1").cast(dec) * col("s1").cast(dec))
+    scored
+      .withColumn("anom", when(num > den, 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"), sum(col("anom")).as("n_anom"))
+      .withColumn("anom_rate",
+        col("n_anom").cast("double") / col("n_scored"))
+      .orderBy("event_type")
+  }
+
+  /** a74: distribution-drift readout (the train/serve skew monitor) —
+    * Pearson chi-square contributions of each event type between the
+    * first and second half of the observed time range. The split point
+    * is the exact integer midpoint of the epoch-microsecond span; per
+    * type, the contribution to X² for the 2×|types| contingency table
+    * is
+    *
+    *   (n₁·N₂ − n₂·N₁)² / ((n₁+n₂)·N₁·N₂)
+    *
+    * — numerator and denominator are exact DECIMAL(38,0)/HUGEINT
+    * products (the numerator squares past 2⁶³ at sf1), emitted through
+    * one single-rounded cast each and ONE IEEE division, so both
+    * engines produce identical doubles. Chi-square (not KL) because it
+    * is rational in the counts — no libm anywhere (the house a66/a71
+    * discipline). Per-type rows rather than the summed statistic: a
+    * cross-engine sum of doubles would be addition-order-dependent,
+    * and the per-type terms are the actionable readout anyway (WHICH
+    * type drifted).
+    *
+    * 100 TB: the bounds pass and the count pass are both
+    * partial-aggregatable scans; the per-type frame the windows run
+    * over is |types|-sized. Nothing shuffles at event cardinality.
+    */
+  private[graft] def distDrift(ev: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("us_min"),
+      max(unix_micros(col("ts"))).as("us_max"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("early",
+        when(unix_micros(col("ts")) <= call_function("div",
+          col("us_min") + col("us_max"), lit(2L)), 1L).otherwise(0L))
+    val byType = tagged.groupBy("event_type")
+      .agg(sum(col("early")).as("n_early"),
+        sum(lit(1L) - col("early")).as("n_late"))
+    val wAll = Window.partitionBy()
+    val withTot = byType
+      .withColumn("tot_early", sum(col("n_early")).over(wAll))
+      .withColumn("tot_late", sum(col("n_late")).over(wAll))
+    val num = {
+      val c = (col("n_early").cast(dec) * col("tot_late").cast(dec) -
+        col("n_late").cast(dec) * col("tot_early").cast(dec))
+      c * c
+    }
+    val den = (col("n_early") + col("n_late")).cast(dec) *
+      col("tot_early").cast(dec) * col("tot_late").cast(dec)
+    withTot
+      .withColumn("chi2_term",
+        when(den === lit(0L).cast(dec), lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double")))
+      .select("event_type", "n_early", "n_late", "chi2_term")
+      .orderBy("event_type")
+  }
+
+  /** a75: top user paths — the product-analytics "what journeys do
+    * users take" readout that a66's first-order transition matrix
+    * cannot answer (it forgets everything before the previous step).
+    * Each user's first `k` events (by the (ts, event_id) total order)
+    * become an ordered path string; paths are counted and each path
+    * reports how many of its users EVER purchased — conversion by
+    * journey prefix. Deterministic: the path is a pure function of the
+    * total-ordered event sequence, and `array_sort` on (rank, type)
+    * structs reassembles it identically on both engines.
+    *
+    * 100 TB: ONE user_id exchange for the rank window; the per-user
+    * agg reuses that partitioning (no second shuffle), and the path
+    * rollup is partial-aggregatable over a domain fenced at
+    * |types|^k + … (≤ 3 905 paths for 5 types, k=5) — the output is
+    * catalog-sized regardless of input volume. No collect, no limit.
+    */
+  private[graft] def topPaths(ev: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 8, s"k=$k out of [1,8]")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val perUser = ev
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") <= k,
+            struct(col("rn"), col("event_type").as("et"))))),
+          s => s.getField("et")), ">").as("path"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    perUser.groupBy("path")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .orderBy(col("n_users").desc, col("path"))
   }
 
   /** Per-user ordered funnel stage times over an event frame with
@@ -1595,6 +1751,75 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "a72_markov_attribution" -> markovAttributionSql,
+    // a73: identical trailing window (ts, event_id total order), the
+    // same 2⁻²⁰ grid quantization, and the cross-multiplied z²>9 test
+    // in HUGEINT (Spark's DECIMAL(38,0)) — flag and rollup are pure
+    // integers; the rate is the one IEEE division of exact longs.
+    "a73_anomaly_zscore" ->
+      """WITH g AS (SELECT event_type, user_id, ts, event_id,
+             CAST(floor(value * 1048576.0 + 0.5) AS BIGINT) AS vg
+           FROM events),
+         w AS (SELECT event_type, vg,
+             sum(vg) OVER win AS s1,
+             sum(vg * vg) OVER win AS s2,
+             count(*) OVER win AS nw
+           FROM g
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+         s AS (SELECT event_type,
+             CASE WHEN CAST(vg * 8 - s1 AS HUGEINT)
+                        * CAST(vg * 8 - s1 AS HUGEINT) * 7
+                      > CAST(72 AS HUGEINT)
+                        * (CAST(s2 AS HUGEINT) * 8
+                           - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+                  THEN 1 ELSE 0 END AS anom
+           FROM w WHERE nw = 8)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(anom) AS BIGINT) AS n_anom,
+           CAST(sum(anom) AS DOUBLE) / count(*) AS anom_rate
+         FROM s GROUP BY 1 ORDER BY 1""",
+    // a74: same exact integer midpoint split (// == Spark's div on
+    // non-negative micros), HUGEINT contingency products, one
+    // single-rounded cast each side of ONE IEEE division.
+    "a74_dist_drift" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS us_min,
+             max(epoch_us(ts)) AS us_max FROM events),
+         t AS (SELECT event_type,
+             CASE WHEN epoch_us(ts) <= (us_min + us_max) // 2
+               THEN 1 ELSE 0 END AS early
+           FROM events, b),
+         c AS (SELECT event_type, CAST(sum(early) AS BIGINT) AS n_early,
+             CAST(sum(1 - early) AS BIGINT) AS n_late
+           FROM t GROUP BY 1),
+         w AS (SELECT *, CAST(sum(n_early) OVER () AS BIGINT) AS te,
+             CAST(sum(n_late) OVER () AS BIGINT) AS tl
+           FROM c)
+         SELECT event_type, n_early, n_late,
+           CASE WHEN CAST(n_early + n_late AS HUGEINT) * te * tl = 0
+             THEN 0.0
+             ELSE CAST((CAST(n_early AS HUGEINT) * tl
+                        - CAST(n_late AS HUGEINT) * te)
+                     * (CAST(n_early AS HUGEINT) * tl
+                        - CAST(n_late AS HUGEINT) * te) AS DOUBLE)
+               / CAST(CAST(n_early + n_late AS HUGEINT) * te * tl
+                   AS DOUBLE) END AS chi2_term
+         FROM w ORDER BY event_type""",
+    // a75: the same rank window + ordered string_agg path assembly
+    // (NULLs beyond rank k drop out of the aggregate on both engines).
+    "a75_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         u AS (SELECT user_id,
+             string_agg(CASE WHEN rn <= 5 THEN event_type END,
+               '>' ORDER BY rn) AS path,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM r GROUP BY 1)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(conv) AS BIGINT) AS n_conv
+         FROM u GROUP BY 1 ORDER BY n_users DESC, path""",
     "a01_agg_pricing" ->
       """SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -777,6 +777,69 @@ object Extensions {
         .orderBy("layout", "predicate")
     }),
 
+    // CMS join-size estimation (Sketches.cmsJoinSize — the AMS/CMS
+    // inner-product estimator): price |early ⋈ late on user_id|
+    // WITHOUT executing the join, from two d×w counter grids built in
+    // one tagged scan. est ≥ exact always (collisions only add); both
+    // arms ride ONE persisted compact (user, side) projection. The
+    // query-optimizer cardinality question, answered at sketch cost.
+    "x111_join_size_cms" -> ((s, dir) => {
+      val ev = T.events(s, dir)
+      val bounds = ev.agg(
+        min(unix_micros(col("ts"))).as("us_min"),
+        max(unix_micros(col("ts"))).as("us_max"))
+      val tagged = graft.Caches.persistOnce(
+        ev.crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            when(unix_micros(col("ts")) <= call_function("div",
+              col("us_min") + col("us_max"), lit(2L)), 0L)
+              .otherwise(1L).as("side")))
+      Sketches.cmsJoinSize(tagged, "user_id", "side")
+    }),
+
+    // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
+    // typo→correction pairs via the deletion-neighborhood equi-join
+    // over the VOCABULARY — never an all-pairs or corpus-sized string
+    // join — verified with exact levenshtein and the 10× frequency
+    // asymmetry. The corpus carries no organic typos (synthetic word
+    // list), so every 7th doc first gets one deterministic 1-deletion
+    // corruption of its first ≥5-letter token appended (a pure function
+    // of text, replayed verbatim by the oracle — the x33 injection
+    // discipline).
+    "x112_typo_dedup" -> ((s, dir) => {
+      val w0 = regexp_extract(col("text"), "[a-z]{5,}", 0)
+      val injected = T.documents(s, dir).select(
+        when(pmod(col("doc_id"), lit(7)) === 0 && length(w0) >= 5,
+          concat(col("text"), lit(" "), w0.substr(lit(1), lit(2)),
+            w0.substr(lit(4), length(w0) - 3)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.typoPairs(injected, "text").orderBy("typo", "corr")
+    }),
+
+    // Robust outlier fences from the x109 quantile sketch: per source,
+    // Tukey's q75 + 1.5·IQR upper fence in pure integer arithmetic
+    // (3·IQR div 2), then one broadcast join flags the outliers — the
+    // length-outlier curation filter priced at sketch cost (the corpus
+    // is scanned once for the sketch, once for the flag; no per-group
+    // sort of raw values anywhere).
+    "x113_outlier_fences" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val sk = Sketches.quantileSketch(d, Seq("source"), col("n_chars"),
+        col("doc_id"))
+      val fences = sk.select(col("source"),
+          Sketches.quantileEstimate(col("qsketch"), 25).as("q25"),
+          Sketches.quantileEstimate(col("qsketch"), 75).as("q75"))
+        .withColumn("fence_hi", col("q75") + call_function("div",
+          (col("q75") - col("q25")) * 3L, lit(2L)))
+      d.join(broadcast(fences), "source")
+        .groupBy("source", "q25", "q75", "fence_hi")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") > col("fence_hi"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("source")
+    }),
+
     // Mergeable quantile sketch (Sketches.quantileSketch — bottom-k
     // hash-rank row sampling, the KMV membership discipline applied to
     // quantiles): per-source doc-length percentiles estimated from
@@ -4052,6 +4115,97 @@ object Extensions {
            vs[(n*90+99)//100] AS p90_est,
            vs[(n*99+99)//100] AS p99_est
          FROM s JOIN c USING (source) ORDER BY source"""
+    },
+
+    // x111: both counter grids rebuilt from the same sha256 48-bit hex
+    // slices (the x32/Bloom replay scheme), inner product per row, min
+    // over rows; the exact arm is the per-key conditional-count join
+    // size. All integer.
+    "x111_join_size_cms" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS us_min,
+             max(epoch_us(ts)) AS us_max FROM events),
+         t AS (SELECT user_id,
+             CASE WHEN epoch_us(ts) <= (us_min + us_max) // 2
+               THEN 0 ELSE 1 END AS side
+           FROM events, b),
+         rp AS (SELECT side, r,
+             CAST(concat('0x', substr(sha256(CAST(user_id AS VARCHAR)),
+               1 + 12*r, 12)) AS BIGINT) % 256 AS pos
+           FROM t, range(4) s(r)),
+         g AS (SELECT side, r, pos, CAST(count(*) AS BIGINT) AS c
+               FROM rp GROUP BY 1, 2, 3),
+         ip AS (SELECT ga.r, sum(ga.c * gb.c) AS est_r
+                FROM g ga JOIN g gb
+                  ON ga.r = gb.r AND ga.pos = gb.pos
+                 AND ga.side = 0 AND gb.side = 1
+                GROUP BY 1),
+         e AS (SELECT CAST(min(est_r) AS BIGINT) AS est FROM ip),
+         k AS (SELECT user_id,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+           FROM t GROUP BY 1),
+         x AS (SELECT CAST(sum(na * nb) AS BIGINT) AS exact FROM k)
+         SELECT CAST(4 AS INTEGER) AS d, CAST(256 AS INTEGER) AS w,
+           est, exact,
+           CAST((est - exact) * 10000 // greatest(exact, 1) AS BIGINT)
+             AS err_bp
+         FROM e, x""",
+
+    // x112: identical injection (pure function of text/doc_id), the
+    // same {self} ∪ 1-deletions variant domain over the vocabulary,
+    // and the same levenshtein + frequency-asymmetry verify.
+    "x112_typo_dedup" ->
+      """WITH inj AS (SELECT CASE WHEN doc_id % 7 = 0
+               AND len(regexp_extract(text, '[a-z]{5,}')) >= 5
+             THEN text || ' '
+               || substr(regexp_extract(text, '[a-z]{5,}'), 1, 2)
+               || substr(regexp_extract(text, '[a-z]{5,}'), 4)
+             ELSE text END AS text FROM documents),
+         vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                   AS tok FROM inj)
+           WHERE regexp_matches(tok, '^[a-z]{4,20}$') GROUP BY 1),
+         vars AS (SELECT tok, cnt,
+             unnest(list_append(list_transform(range(1, len(tok) + 1),
+               i -> substr(tok, 1, i - 1)
+                 || substr(tok, i + 1, len(tok) - i)), tok)) AS v
+           FROM vocab),
+         cand AS (SELECT DISTINCT va.tok AS typo, va.cnt AS typo_cnt,
+             vb.tok AS corr, vb.cnt AS corr_cnt
+           FROM vars va JOIN vars vb USING (v)
+           WHERE va.tok <> vb.tok)
+         SELECT typo, typo_cnt, corr, corr_cnt FROM cand
+         WHERE levenshtein(typo, corr) = 1
+           AND corr_cnt >= typo_cnt * 10 AND corr_cnt >= 5
+         ORDER BY typo, corr""",
+
+    // x113: the x109 sketch replay (murmur3 CTEs on doc_id, rank by
+    // (hu, doc_id, n_chars)) + the integer Tukey fence + the flag join.
+    "x113_outlier_fences" -> {
+      val k = graft.operators.Sketches.QsK
+      val (ctes, hc) =
+        Murmur3Sql.hashLongCtes("qt", Seq("source", "nc", "doc_id"), "fh")
+      s"""WITH qt AS (SELECT source, n_chars AS nc, doc_id, doc_id AS v
+             FROM documents),
+         $ctes
+         r AS (SELECT source, nc,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY hu, doc_id, nc) AS rk
+               FROM $hc),
+         s AS (SELECT source, list(nc ORDER BY nc) AS vs,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM r WHERE rk <= $k GROUP BY source),
+         f AS (SELECT source,
+                 vs[(n*25+99)//100] AS q25, vs[(n*75+99)//100] AS q75
+               FROM s),
+         f2 AS (SELECT source, q25, q75,
+                 q75 + (q75 - q25) * 3 // 2 AS fence_hi FROM f)
+         SELECT d.source, q25, q75, fence_hi,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.n_chars > fence_hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM documents d JOIN f2 ON d.source = f2.source
+         GROUP BY 1, 2, 3, 4 ORDER BY 1"""
     },
 
     // x94: bigram lift over contingency marginals — the one

@@ -224,10 +224,33 @@ object StreamingQ {
           col("n") / sum(col("n")).over(
             org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
         .orderBy("from_type", "to_type")
-    })
+    }),
+
+    // Live rolling anomaly detection (a73's streaming dual): keyed
+    // state = the user's trailing-8 grid-value ring; each full-window
+    // arrival is scored by the identical cross-multiplied integer
+    // z² > 3² test (BigInt ≡ DECIMAL(38,0) ≡ HUGEINT), flags chain
+    // across micro-batches through the stored ring. The per-type
+    // rollup runs over the emitted hits outside the stream (the
+    // st16/st20 hand-off); the oracle is a73's SQL verbatim — stream ≡
+    // batch certified in EventStreamsSpec.
+    "st25_stream_anomaly" -> ((s, dir) =>
+      EventStreams.statefulAnomaly(T.events(s, dir)).toDF()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(col("anom")).as("n_anom"))
+        .withColumn("anom_rate",
+          col("n_anom").cast("double") / col("n_scored"))
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
+    // st25: a73's oracle VERBATIM — the stream's trailing-8 ring state
+    // replayed as the batch window is exactly the stream ≡ batch claim,
+    // and sharing the SQL string keeps the two surfaces in lockstep by
+    // construction.
+    "st25_stream_anomaly" ->
+      graft.queries.Analytics.oracle("a73_anomaly_zscore"),
     // st24: the stream's per-source sketch state recomputed as the
     // direct bottom-k over the whole table (murmur3 CTEs on doc_id) —
     // equality IS the sample semilattice; percentile cut =

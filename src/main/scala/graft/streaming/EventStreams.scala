@@ -1034,4 +1034,88 @@ object EventStreams {
       .transformWithState(new TransitionProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** One scored event from [[statefulAnomaly]]: `anom` = 1 when the
+    * event's grid value fails the cross-multiplied z² > 3² test against
+    * its user's trailing-8 window (a73's exact arithmetic).
+    */
+  final case class AnomalyHit(user_id: Long, event_id: Long,
+                              event_type: String, anom: Long)
+
+  /** The trailing ring of the user's last ≤ 8 grid values, oldest
+    * first — the ONLY state [[AnomalyProcessor]] keeps per key.
+    */
+  final case class AnomRing(vals: Seq[Long])
+
+  /** a73's rolling z-score anomaly detector as live keyed state: per
+    * user, the trailing 8 grid-quantized values ride a ValueState ring;
+    * each arriving event with a FULL window is scored by the identical
+    * cross-multiplied integer test (BigInt here ≡ DECIMAL(38,0) in the
+    * batch plan ≡ HUGEINT in the oracle — the squared terms pass 2⁶³),
+    * then pushed into the ring. Scoring chains across micro-batches
+    * through the stored ring, so the stream's flags equal the batch
+    * window's — certified stream ≡ batch in EventStreamsSpec, and the
+    * driver oracle is a73's SQL over the emitted rollup.
+    *
+    * Intra-batch order is the (ts-ms, ts-nanos, event_id) sort — the
+    * st14 full-precision tiebreak; cross-batch order is the
+    * event-time-ordered delivery assumption shared with
+    * [[statefulSessionize]]/[[statefulEwma]].
+    *
+    * 100 TB: state is ≤ 8 longs per user, partitioned by the stream's
+    * keyed shuffle; the rollup to event_type runs OUTSIDE the stream
+    * over emitted hits (the st16/st20 hand-off).
+    */
+  private class AnomalyProcessor(win: Int, t: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp, Long, String, Double), AnomalyHit] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var ring: ValueState[AnomRing] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getValueState[AnomRing]("ring",
+        E.product[AnomRing], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Timestamp, Long, String, Double)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AnomalyHit] = {
+      var vals: Vector[Long] =
+        if (ring.exists()) ring.get().vals.toVector else Vector.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+      rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).foreach {
+        case (_, _, eid, tpe, v) =>
+          val vg = math.floor(v * 1048576.0 + 0.5).toLong
+          if (vals.length == win) {
+            val s1 = vals.sum
+            val s2 = vals.map(x => x * x).sum
+            val diff = BigInt(vg) * win - BigInt(s1)
+            val num = diff * diff * (win - 1)
+            val den = BigInt(t.toLong * t * win) *
+              (BigInt(s2) * win - BigInt(s1) * BigInt(s1))
+            out += AnomalyHit(user, eid, tpe, if (num > den) 1L else 0L)
+            vals = vals.tail :+ vg
+          } else {
+            vals = vals :+ vg
+          }
+      }
+      ring.update(AnomRing(vals))
+      out.iterator
+    }
+  }
+
+  def statefulAnomaly(events: DataFrame, win: Int = 8,
+                      t: Int = 3): Dataset[AnomalyHit] = {
+    require(win >= 2 && win <= 64, s"win=$win out of [2,64]")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor(win, t),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

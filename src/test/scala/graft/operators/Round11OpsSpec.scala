@@ -151,4 +151,147 @@ class Round11OpsSpec extends SparkTestBase {
       .orderBy("source").collect()
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+
+  // ------------------------------------------------ a73 rollingAnomaly
+
+  private def ev(id: Long, sec: Int, u: Long, tpe: String, v: Double) =
+    (id, java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d"), u, tpe, v)
+
+  test("a73 rolling anomaly: a constant window degenerates correctly — " +
+       "zero deviation never flags, any deviation flags (s²=0 without " +
+       "an epsilon), and the first `win` events are unscored") {
+    val rows = (1 to 8).map(i => ev(i.toLong, i, 1L, "x", 10.0)) ++ Seq(
+      ev(9L, 9, 1L, "x", 10.0),   // full constant window, zero deviation
+      ev(10L, 10, 1L, "x", 50.0), // full constant window, deviation
+      ev(11L, 11, 2L, "x", 99.0)) // user 2: no full window, unscored
+    val out = graft.queries.Analytics.rollingAnomaly(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 2L) // n_scored: events 9 and 10 only
+    assert(out.head.getLong(2) === 1L) // n_anom: only the deviation
+  }
+
+  test("a73 scores against the trailing window, not the leading one: " +
+       "a spike is flagged AT the spike, and the spike then inflates " +
+       "the variance of its successors' windows") {
+    val rows = (1 to 8).map(i => ev(i.toLong, i, 1L, "x", 10.0)) ++ Seq(
+      ev(9L, 9, 1L, "x", 1000.0), // flagged: window constant at 10
+      ev(10L, 10, 1L, "x", 10.0)) // window now contains the spike: s² huge
+    val scoredAnoms = graft.queries.Analytics.rollingAnomaly(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .head()
+    assert(scoredAnoms.getLong(1) === 2L && scoredAnoms.getLong(2) === 1L)
+  }
+
+  // ------------------------------------------------ a74 distDrift
+
+  test("a74 drift terms match the hand-computed 2×k chi-square " +
+       "contribution on an exact-midpoint split") {
+    // span [0s, 100s] → midpoint 50s inclusive-early.
+    // type a: 3 early 1 late; type b: 1 early 3 late; N1=N2=4.
+    // term = (3·4 − 1·4)² / (4·4·4) = 64/64 = 1.0 for both.
+    val rows = Seq(
+      ev(1L, 0, 1L, "a", 0), ev(2L, 10, 1L, "a", 0), ev(3L, 50, 1L, "a", 0),
+      ev(4L, 90, 1L, "a", 0),
+      ev(5L, 20, 1L, "b", 0), ev(6L, 60, 1L, "b", 0), ev(7L, 70, 1L, "b", 0),
+      ev(8L, 100, 1L, "b", 0))
+    val out = graft.queries.Analytics.distDrift(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(("a", 3L, 1L, 1.0), ("b", 1L, 3L, 1.0)))
+  }
+
+  // ------------------------------------------------ a75 topPaths
+
+  test("a75 paths take the first k events in (ts, event_id) order — " +
+       "ties bind on event_id — and conversion counts the FULL " +
+       "history, not just the path prefix") {
+    val rows = Seq(
+      // user 1: 6 events; purchase is the 6th — outside the 5-path —
+      // but the path's conversion must still count it
+      ev(1L, 1, 1L, "a", 0), ev(2L, 2, 1L, "b", 0), ev(3L, 3, 1L, "c", 0),
+      ev(4L, 4, 1L, "d", 0), ev(5L, 5, 1L, "e", 0),
+      ev(6L, 6, 1L, "purchase", 0),
+      // user 2: same-ts tie — event_id order decides the path
+      ev(8L, 1, 2L, "q", 0), ev(7L, 1, 2L, "p", 0))
+    val out = graft.queries.Analytics.topPaths(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set(("a>b>c>d>e", 1L, 1L), ("p>q", 1L, 0L)))
+  }
+
+  // ------------------------------------------------ cmsJoinSize
+
+  test("cmsJoinSize: exact arm equals the hand-computed per-key " +
+       "product sum, and the CMS inner-product estimate NEVER " +
+       "underestimates (collisions only add)") {
+    // key k appears k times on side 0 and (21-k) times on side 1
+    val rows = (1 to 20).flatMap { k =>
+      Seq.fill(k)((k.toLong, 0L)) ++ Seq.fill(21 - k)((k.toLong, 1L))
+    }
+    val expected = (1 to 20).map(k => k.toLong * (21 - k)).sum
+    val out = Sketches.cmsJoinSize(rows.toDF("k", "side"), "k", "side")
+      .head()
+    assert(out.getLong(3) === expected)
+    assert(out.getLong(2) >= expected)
+    assert(out.getLong(4) >= 0L) // err_bp of an overestimate
+  }
+
+  test("cmsJoinSize fences non-power-of-two widths and oversized depth") {
+    val df = Seq((1L, 0L)).toDF("k", "side")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsJoinSize(df, "k", "side", w = 100)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsJoinSize(df, "k", "side", d = 6)
+    }
+  }
+
+  // ------------------------------------------------ typoPairs
+
+  test("typoPairs finds deletion/substitution/insertion typos at edit " +
+       "distance 1, rejects shared-deletion transpositions (distance " +
+       "2), and the frequency asymmetry excludes legitimate rare words") {
+    val docs = (
+      Seq.fill(50)("hello") ++ Seq.fill(2)("helo") ++ // deletion
+        Seq("hxllo") ++                               // substitution
+        Seq("helloo") ++                              // insertion
+        Seq("ehllo") ++                               // transposition: d=2
+        Seq.fill(8)("world") ++ Seq.fill(40)("worlds") // 40 < 10·8
+      ).map(Tuple1(_)).toDF("text")
+    val pairs = TextAnalysis.typoPairs(docs, "text")
+      .select("typo", "corr").as[(String, String)].collect().toSet
+    assert(pairs === Set(("helo", "hello"), ("hxllo", "hello"),
+      ("helloo", "hello")))
+  }
+
+  test("typoPairs candidate generation is the deletion neighborhood of " +
+       "the VOCABULARY — tokens longer than MaxTypoTokenLen or shorter " +
+       "than 4 never enter") {
+    val docs = Seq.fill(30)("abc ab " + "z" * 25).map(Tuple1(_))
+      .toDF("text") :: Nil
+    val out = TextAnalysis.typoPairs(docs.head, "text").count()
+    assert(out === 0L)
+  }
+
+  // ------------------------------------------------ x113 fences
+
+  test("outlier fence is the integer Tukey fence q75 + 3·IQR div 2, " +
+       "outliers strictly above it (exact-below-k regime)") {
+    val d = ((1 to 100).map(i => (i.toLong, i.toLong)) :+ (101L, 1000L))
+      .toDF("doc_id", "nc").withColumn("source", lit("s"))
+    val sk = Sketches.quantileSketch(d, Seq("source"), col("nc"),
+      col("doc_id"))
+    val f = sk.select(
+      Sketches.quantileEstimate(col("qsketch"), 25).as("q25"),
+      Sketches.quantileEstimate(col("qsketch"), 75).as("q75")).head()
+    val (q25, q75) = (f.getLong(0), f.getLong(1))
+    assert(q25 === 26L && q75 === 76L) // ceil(101·p/100) order stats
+    val fence = q75 + (q75 - q25) * 3 / 2
+    assert(fence === 151L)
+    assert(d.filter(col("nc") > fence).count() === 1L)
+  }
 }

@@ -59,4 +59,81 @@ class Round11PlanSpec extends SparkTestBase {
     // the keyed shuffle is the compact projection, not the document
     assert(s.contains("REQUIRED_BY_STATEFUL_OPERATOR"), s)
   }
+
+  test("a73 rolling anomaly: exactly ONE user_id exchange (the ordered " +
+       "window), the event_type rollup is partial-aggregatable, no " +
+       "cartesian") {
+    val s = planString(
+      graft.queries.Analytics.queries("a73_anomaly_zscore")(spark, sf))
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(s).size
+    assert(userEx === 1, s"expected 1 user_id exchange, got $userEx:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("partial_count") || s.contains("HashAggregate"), s)
+  }
+
+  test("a74 drift: nothing shuffles at event cardinality — the bounds " +
+       "pass broadcasts, the count pass exchanges only the |types|-" +
+       "sized rollup (no user_id/event_id partitioning anywhere)") {
+    val s = planString(
+      graft.queries.Analytics.queries("a74_dist_drift")(spark, sf))
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastExchange"), s"bounds must broadcast:\n$s")
+    assert(!s.contains("hashpartitioning(user_id") &&
+      !s.contains("hashpartitioning(event_id"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("a75 top paths: the rank window and the per-user path agg share " +
+       "ONE user_id exchange; the path rollup is its own (bounded-" +
+       "domain) exchange") {
+    val s = planString(
+      graft.queries.Analytics.queries("a75_top_paths")(spark, sf))
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(s).size
+    assert(userEx === 1, s"expected 1 user_id exchange, got $userEx:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x111 CMS join size: the tagged (user, side) projection is " +
+       "BUILT ONCE (persistOnce) and feeds both the grid pass and the " +
+       "exact arm; the 2·d·w grid join broadcasts") {
+    val df =
+      graft.queries.Extensions.queries("x111_join_size_cms")(spark, sf)
+    val s = planString(df)
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 2, s"expected the tagged frame cached for both arms:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"grid join must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x112 typo pairs: document text never crosses an exchange (the " +
+       "corpus collapses to its vocabulary scan-side), the vocabulary " +
+       "is cached for both join sides, and the candidate join is an " +
+       "equi-join — no cartesian") {
+    val df = graft.queries.Extensions.queries("x112_typo_dedup")(spark, sf)
+    val s = planString(df)
+    assertNoTextInExchanges(s)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 2, s"vocab must be cached for both variant sides:\n$s")
+  }
+
+  test("x113 outlier fences: the catalog-sized fence frame BROADCASTS " +
+       "onto the corpus scan (the corpus is never re-shuffled for the " +
+       "flag), and the sketch build carries one source exchange") {
+    val df =
+      graft.queries.Extensions.queries("x113_outlier_fences")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s"fence join must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("st25 stream anomaly (batch form): runs on TransformWithState " +
+       "with the compact five-column projection keyed on the user") {
+    val s = planString(
+      graft.queries.StreamingQ.queries("st25_stream_anomaly")(spark, sf))
+    assert(s.contains("TransformWithState"), s)
+    assert(s.contains("REQUIRED_BY_STATEFUL_OPERATOR"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }

@@ -949,4 +949,34 @@ class EventStreamsSpec extends SparkTestBase {
       .toSeq
     assert(batch === streamed)
   }
+
+  test("st25 stateful anomaly: the trailing-8 ring chains ACROSS " +
+       "micro-batches, a constant window flags any deviation and no " +
+       "zero deviation, and stream ≡ batch") {
+    implicit val ctx = spark.sqlContext
+    def e(id: Long, sec: Int, v: Double) =
+      EvV(id, t(f"2024-01-01 00:00:$sec%02d"), 1L, "x", v)
+    // 8 constant fills, then one zero-deviation probe and one spike;
+    // the batch split (6 | 4) puts the probe's window half in state.
+    val evs = (1 to 8).map(i => e(i.toLong, i, 10.0)) ++
+      Seq(e(9L, 9, 10.0), e(10L, 10, 500.0))
+    val input = MemoryStream[EvV]
+    val q = EventStreams.statefulAnomaly(input.toDF())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(6))
+      q.processAllAvailable()
+      input.addData(evs.drop(6))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom_out").orderBy("event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(streamed === Seq((9L, 0L), (10L, 1L)))
+    val batch = EventStreams.statefulAnomaly(evs.toDF())
+      .toDF().orderBy("event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    assert(batch === streamed)
+  }
 }
