@@ -323,18 +323,26 @@ object Sketches {
     * counts once on the join key (partial-aggregatable); it exists for
     * verification and is the piece a production run would drop.
     */
-  def cmsJoinSize(df: DataFrame, keyCol: String, sideCol: String,
-                  d: Int = 4, w: Int = 256): DataFrame = {
+  /** The d CMS row positions of `key`: disjoint 48-bit hex slices of
+    * sha256(key-as-string) mod w — the [[cmsHeavyHitters]]/Bloom
+    * replayable scheme, shared by [[cmsJoinSize]] and the st26
+    * streaming grid so batch and stream hash identically.
+    */
+  def cmsSlices(key: Column, d: Int, w: Int): Column = {
     require(d >= 1 && d <= 5, s"d=$d rows need 12d hex chars; sha256 has 64")
     require(w >= 2 && (w & (w - 1)) == 0 && w <= (1 << 20),
       s"w=$w must be a power of two <= 2^20")
-    val hh = sha2(col(keyCol).cast("string"), 256)
-    val slices = array((0 until d).map { r =>
+    val hh = sha2(key.cast("string"), 256)
+    array((0 until d).map { r =>
       conv(substring(hh, 1 + 12 * r, 12), 16, 10).cast("long") % w
     }: _*)
+  }
+
+  def cmsJoinSize(df: DataFrame, keyCol: String, sideCol: String,
+                  d: Int = 4, w: Int = 256): DataFrame = {
     val grids = df
       .select(col(sideCol).cast("long").as("side"),
-        posexplode(slices).as(Seq("r", "pos")))
+        posexplode(cmsSlices(col(keyCol), d, w)).as(Seq("r", "pos")))
       .groupBy("side", "r", "pos").agg(count(lit(1)).as("c"))
     val ga = grids.filter(col("side") === 0L).drop("side")
       .withColumnRenamed("c", "ca")

@@ -1311,7 +1311,12 @@ object Analytics {
     // Top user journeys: first-5-event path strings + per-path
     // conversion — the beyond-first-order companion to a66/a72. See
     // [[topPaths]].
-    "a75_top_paths" -> ((s, dir) => topPaths(T.events(s, dir)))
+    "a75_top_paths" -> ((s, dir) => topPaths(T.events(s, dir))),
+
+    // Activity concentration: per-type Gini over per-user event counts
+    // — rational rank formula, integer 2⁻²⁰-grid output, no libm. See
+    // [[activityGini]].
+    "a76_activity_gini" -> ((s, dir) => activityGini(T.events(s, dir)))
   )
 
   /** a72's state domain (the fixture's event types) — shared by the
@@ -1591,6 +1596,45 @@ object Analytics {
       .orderBy(col("n_users").desc, col("path"))
   }
 
+  /** a76: per-type activity concentration (Gini coefficient over the
+    * per-user event-count distribution — the "whale curve" readout:
+    * 0 = every user equally active, →1 = all activity in one user).
+    * The classic rank formula on ascending counts,
+    *
+    *   G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc)
+    *
+    * is RATIONAL in the counts, so the whole statistic is exact
+    * integer arithmetic on both engines (the a66/a71/a73 no-libm
+    * discipline): ranks come from a total-ordered window ((count,
+    * user_id) — deterministic under count ties), the two sums and the
+    * products run in DECIMAL(38,0)/HUGEINT (n·Σc passes 2⁶³ at corpus
+    * scale), and the emitted `gini_q` is the 2⁻²⁰-grid integer
+    * `(num·2²⁰) div den` — no doubles anywhere in the output.
+    *
+    * 100 TB: one (type, user) partial-aggregatable exchange collapses
+    * events to per-user counts; the rank window exchanges only that
+    * user-cardinality frame on the type key; the final rollup is
+    * |types| rows. Nothing is event-cardinality past the first agg.
+    */
+  private[graft] def activityGini(ev: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perUser = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy(col("c"), col("user_id"))
+    val ranked = perUser.withColumn("i", row_number().over(w))
+    val g = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        sum(col("i").cast(dec) * col("c").cast(dec)).as("s_ic"))
+    val num = (lit(2L).cast(dec) * col("s_ic") -
+      (col("n_users") + 1L).cast(dec) * col("n_events").cast(dec))
+    val den = col("n_users").cast(dec) * col("n_events").cast(dec)
+    g.select(col("event_type"), col("n_users"), col("n_events"),
+        call_function("div",
+          (num * lit(1048576L).cast(dec)).cast(dec), den).cast("long")
+          .as("gini_q"))
+      .orderBy("event_type")
+  }
+
   /** Per-user ordered funnel stage times over an event frame with
     * (user_id, event_type, ts): t1 = first `s1`, t2 = first `s2`
     * strictly AFTER t1, t3 = first `s3` strictly after t2 — null where
@@ -1804,6 +1848,26 @@ object Analytics {
                / CAST(CAST(n_early + n_late AS HUGEINT) * te * tl
                    AS DOUBLE) END AS chi2_term
          FROM w ORDER BY event_type""",
+    // a76: the same total-ordered rank window and the identical
+    // rational Gini tree in HUGEINT; gini_q is the integer grid cut.
+    "a76_activity_gini" ->
+      """WITH pu AS (SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY c, user_id) AS i
+           FROM pu),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             sum(CAST(i AS HUGEINT) * c) AS s_ic
+           FROM r GROUP BY 1)
+         SELECT event_type, n_users, n_events,
+           CAST((2 * s_ic - CAST(n_users + 1 AS HUGEINT) * n_events)
+                * 1048576
+              // (CAST(n_users AS HUGEINT) * n_events) AS BIGINT)
+             AS gini_q
+         FROM g ORDER BY event_type""",
     // a75: the same rank window + ordered string_agg path assembly
     // (NULLs beyond rank k drop out of the aggregate on both engines).
     "a75_top_paths" ->

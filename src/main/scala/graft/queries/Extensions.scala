@@ -840,6 +840,52 @@ object Extensions {
         .orderBy("source")
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift at SKETCH cost: a74 asks the
+    // drift question for a CATEGORICAL column; this answers it for a
+    // CONTINUOUS one without shuffling raw values — per source, the
+    // x109 bottom-k hash-rank sample vs the GLOBAL sample (merged from
+    // the per-source sketches: membership order (h, id, v) is global,
+    // so the merge IS the global bottom-k — the semilattice, third
+    // use). D = sup|F̂_src − F̂_glob| evaluated at the ≤2k merged
+    // support points as the RATIONAL max |r₁·n₂ − r₂·n₁| over
+    // range-frame cumulative ranks — exact integers end to end,
+    // ks_q = (num·2²⁰) div (n₁·n₂). Exact below k; O(1/√k) above.
+    // 100 TB: the corpus is read once into catalog-sized sketches;
+    // everything downstream is |sources|·k rows.
+    "x114_ks_drift" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val srcSk = Sketches.quantileSketch(d, Seq("source"), col("n_chars"),
+        col("doc_id"))
+      val globSk = srcSk.agg(Sketches.quantileMergeSketches(
+        collect_list(col("qsketch"))).as("gsk"))
+      def vs(c: org.apache.spark.sql.Column) =
+        transform(c, x => x.getField("v"))
+      val srcPts = srcSk
+        .select(col("source"), explode(vs(col("qsketch"))).as("v"))
+        .withColumn("is_src", lit(1L)).withColumn("is_glob", lit(0L))
+      val globPts = srcSk.select(col("source")).crossJoin(broadcast(globSk))
+        .select(col("source"), explode(vs(col("gsk"))).as("v"))
+        .withColumn("is_src", lit(0L)).withColumn("is_glob", lit(1L))
+      val wc = Window.partitionBy("source").orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy("source")
+      val scored = srcPts.unionByName(globPts)
+        .withColumn("r1", sum(col("is_src")).over(wc))
+        .withColumn("r2", sum(col("is_glob")).over(wc))
+        .withColumn("n1", sum(col("is_src")).over(wp))
+        .withColumn("n2", sum(col("is_glob")).over(wp))
+      scored.groupBy("source")
+        .agg(max(col("n1")).as("sample_src"),
+          max(col("n2")).as("sample_glob"),
+          max(abs(col("r1") * col("n2") - col("r2") * col("n1")))
+            .as("ks_num"))
+        .withColumn("ks_q", call_function("div",
+          col("ks_num") * lit(1048576L),
+          col("sample_src") * col("sample_glob")))
+        .orderBy("source")
+    }),
+
     // Mergeable quantile sketch (Sketches.quantileSketch — bottom-k
     // hash-rank row sampling, the KMV membership discipline applied to
     // quantiles): per-source doc-length percentiles estimated from
@@ -4206,6 +4252,48 @@ object Extensions {
              AS BIGINT) AS n_outliers
          FROM documents d JOIN f2 ON d.source = f2.source
          GROUP BY 1, 2, 3, 4 ORDER BY 1"""
+    },
+
+    // x114: per-source sketch replay (the x109/x113 murmur3 CTEs) plus
+    // the GLOBAL bottom-k via a second, unpartitioned rank over the
+    // same hash order — equality with Spark's merge-of-source-sketches
+    // IS the semilattice (an element of the global bottom-k is in its
+    // source's bottom-k, so the merge recovers it). Identical
+    // range-frame cumulative ranks and the rational KS max.
+    "x114_ks_drift" -> {
+      val k = graft.operators.Sketches.QsK
+      val (ctes, hc) =
+        Murmur3Sql.hashLongCtes("qt", Seq("source", "nc", "doc_id"), "kh")
+      s"""WITH qt AS (SELECT source, n_chars AS nc, doc_id, doc_id AS v
+             FROM documents),
+         $ctes
+         r AS (SELECT source, nc,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY hu, doc_id, nc) AS rk,
+                 row_number() OVER (ORDER BY hu, doc_id, nc) AS grk
+               FROM $hc),
+         sp AS (SELECT source, nc AS vv, 1 AS is_src, 0 AS is_glob
+                FROM r WHERE rk <= $k),
+         gp AS (SELECT s.source, g.vv, 0 AS is_src, 1 AS is_glob
+                FROM (SELECT DISTINCT source FROM qt) s,
+                     (SELECT nc AS vv FROM r WHERE grk <= $k) g),
+         u AS (SELECT * FROM sp UNION ALL SELECT * FROM gp),
+         sc AS (SELECT source,
+             sum(is_src) OVER (PARTITION BY source ORDER BY vv
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+             sum(is_glob) OVER (PARTITION BY source ORDER BY vv
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2,
+             sum(is_src) OVER (PARTITION BY source) AS n1,
+             sum(is_glob) OVER (PARTITION BY source) AS n2
+           FROM u),
+         g AS (SELECT source, CAST(max(n1) AS BIGINT) AS sample_src,
+             CAST(max(n2) AS BIGINT) AS sample_glob,
+             CAST(max(abs(r1 * n2 - r2 * n1)) AS BIGINT) AS ks_num
+           FROM sc GROUP BY 1)
+         SELECT source, sample_src, sample_glob, ks_num,
+           CAST(ks_num * 1048576 // (sample_src * sample_glob) AS BIGINT)
+             AS ks_q
+         FROM g ORDER BY source"""
     },
 
     // x94: bigram lift over contingency marginals — the one

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{broadcast, call_function, col, count, greatest, lit, max, min, sum, unix_micros, when}
 import graft.streaming.{DocStreams, EventStreams}
 import graft.tables.{Tables => T}
 
@@ -242,6 +242,42 @@ object StreamingQ {
         .withColumn("anom_rate",
           col("n_anom").cast("double") / col("n_scored"))
         .orderBy("event_type"))
+    ,
+
+    // Live CMS join-size grids (x111's streaming dual): keyed state =
+    // one (ca, cb) counter pair per grid cell — 2·d·w longs TOTAL, the
+    // CMS property; counters are additive so stream state ≡ the batch
+    // grid (certified in EventStreamsSpec). The est = min_r Σ ca·cb
+    // readout and the exact arm run OUTSIDE the stream (st16/st20
+    // hand-off); in production the early/late cutover is configured —
+    // here it derives from the batch bounds so the oracle is x111's
+    // SQL verbatim.
+    "st26_stream_cms" -> ((s, dir) => {
+      val ev = T.events(s, dir)
+      val bounds = ev.agg(
+        min(unix_micros(col("ts"))).as("us_min"),
+        max(unix_micros(col("ts"))).as("us_max"))
+      val tagged = graft.Caches.persistOnce(
+        ev.crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            when(unix_micros(col("ts")) <= call_function("div",
+              col("us_min") + col("us_max"), lit(2L)), 0L)
+              .otherwise(1L).as("side")))
+      val cells = EventStreams.statefulCmsGrid(tagged, "user_id", "side")
+        .toDF()
+      val est = cells.groupBy("r")
+        .agg(sum(col("ca") * col("cb")).as("est_r"))
+        .agg(min(col("est_r")).as("est"))
+      val exact = tagged
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"))
+        .agg(sum(col("na") * col("nb")).as("exact"))
+      est.crossJoin(exact)
+        .select(lit(4).as("d"), lit(256).as("w"), col("est"), col("exact"),
+          call_function("div", (col("est") - col("exact")) * 10000L,
+            greatest(col("exact"), lit(1L))).as("err_bp"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,6 +287,11 @@ object StreamingQ {
     // construction.
     "st25_stream_anomaly" ->
       graft.queries.Analytics.oracle("a73_anomaly_zscore"),
+    // st26: x111's oracle VERBATIM — additive counters make the
+    // stream's grid state equal the batch grid, so the same SQL
+    // certifies both surfaces (the st25/a73 lockstep discipline).
+    "st26_stream_cms" ->
+      graft.queries.Extensions.oracle("x111_join_size_cms"),
     // st24: the stream's per-source sketch state recomputed as the
     // direct bottom-k over the whole table (murmur3 CTEs on doc_id) —
     // equality IS the sample semilattice; percentile cut =

@@ -1105,6 +1105,67 @@ object EventStreams {
     }
   }
 
+  /** One live CMS counter cell from [[statefulCmsGrid]]: build-side
+    * (`ca`) and probe-side (`cb`) counts for grid row `r`, column
+    * `pos` — the cell's CURRENT totals after the emitting micro-batch.
+    */
+  final case class CmsCell(r: Int, pos: Long, ca: Long, cb: Long)
+
+  /** x111's CMS join-size counter grids as LIVE keyed state — the
+    * mergeable-sketch ingest story (st16 Bloom / st17 KMV / st24
+    * quantile), now for the inner-product estimator: keyed state is
+    * ONE (ca, cb) pair per grid cell — 2·d·w longs TOTAL regardless of
+    * stream volume, the CMS property — and counters are additive, so
+    * state after any micro-batch split equals the batch grid
+    * (certified in EventStreamsSpec). Each key emits its updated cell
+    * once per batch; the est = min_r Σ_c ca·cb readout runs OUTSIDE
+    * the stream over the latest cells (the st16/st20 hand-off).
+    *
+    * Input rows are (r, pos, side) — the caller computes
+    * [[graft.operators.Sketches.cmsSlices]] scan-side BEFORE the keyed
+    * shuffle so batch and stream hash identically (and the stream
+    * never shuffles the raw key).
+    */
+  private class CmsGridProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, Long), (Int, Long, Long), CmsCell] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var cnt: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[(Long, Long)]("cnt",
+        E.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long),
+                                 rows: Iterator[(Int, Long, Long)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CmsCell] = {
+      var (ca, cb) = if (cnt.exists()) cnt.get() else (0L, 0L)
+      rows.foreach { case (_, _, side) =>
+        if (side == 0L) ca += 1 else cb += 1
+      }
+      cnt.update((ca, cb))
+      Iterator.single(CmsCell(key._1, key._2, ca, cb))
+    }
+  }
+
+  def statefulCmsGrid(tagged: DataFrame, keyCol: String, sideCol: String,
+                      d: Int = 4, w: Int = 256): Dataset[CmsCell] = {
+    import tagged.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(tagged.sparkSession)
+    tagged
+      .select(posexplode(graft.operators.Sketches.cmsSlices(
+          col(keyCol), d, w)).as(Seq("r", "pos")),
+        col(sideCol).cast("long").as("side"))
+      .select(col("r"), col("pos"), col("side"))
+      .as[(Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .transformWithState(new CmsGridProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def statefulAnomaly(events: DataFrame, win: Int = 8,
                       t: Int = 3): Dataset[AnomalyHit] = {
     require(win >= 2 && win <= 64, s"win=$win out of [2,64]")

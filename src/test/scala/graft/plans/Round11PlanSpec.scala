@@ -136,4 +136,47 @@ class Round11PlanSpec extends SparkTestBase {
     assert(s.contains("REQUIRED_BY_STATEFUL_OPERATOR"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("a76 Gini: exactly TWO hash exchanges — the (type, user) count " +
+       "agg and the type-keyed rank window; the final rollup reuses " +
+       "the window's partitioning") {
+    val s = planString(
+      graft.queries.Analytics.queries("a76_activity_gini")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x114 KS drift: document text never enters the plan (3-column " +
+       "scan), the global sketch BROADCASTS onto the source spine, and " +
+       "everything past the sketch build is catalog-sized") {
+    val df = graft.queries.Extensions.queries("x114_ks_drift")(spark, sf)
+    val s = planString(df)
+    assertNoTextInExchanges(s)
+    assert(s.contains("BroadcastExchange"),
+      s"global sketch must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("st26 CMS grid (batch form): TransformWithState keyed on the " +
+       "grid CELL — the keyed shuffle carries (r, pos, side), never " +
+       "the raw user key (cmsSlices runs scan-side); the tagged frame " +
+       "is cache-shared with the exact arm") {
+    val df = graft.queries.StreamingQ.queries("st26_stream_cms")(spark, sf)
+    val s = planString(df)
+    assert(s.contains("TransformWithState"), s)
+    // the STATEFUL operator's keyed shuffle is on the grid cell, not
+    // the raw user key (the exact arm's own user_id agg exchange is
+    // legitimate and separate)
+    val statefulEx = s.split('\n')
+      .filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("REQUIRED_BY_STATEFUL_OPERATOR"))
+    assert(statefulEx.nonEmpty, s"stateful exchange missing:\n$s")
+    statefulEx.foreach { l =>
+      assert(!l.contains("user_id#"),
+        s"raw key crossed the stateful exchange: $l")
+    }
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 2, s"tagged frame must be cached for both arms:\n$s")
+  }
 }

@@ -13,6 +13,8 @@ case class EvJ(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
 case class EvV(event_id: Long, ts: Timestamp, user_id: Long,
                event_type: String, value: Double)
 
+case class TgRow(user_id: Long, side: Long)
+
 /** Structured Streaming surface: the same EventStreams transforms run as
   * a real stream (MemoryStream source, memory sink) and must produce the
   * batch results — the equivalence the batch DuckDB oracle certifies.
@@ -978,5 +980,49 @@ class EventStreamsSpec extends SparkTestBase {
       .toDF().orderBy("event_id")
       .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
     assert(batch === streamed)
+  }
+
+  test("st26 CMS grid: additive counters make stream state after any " +
+       "micro-batch split EQUAL the batch grid, and the inner-product " +
+       "readout equals cmsJoinSize's estimate") {
+    implicit val ctx = spark.sqlContext
+    val rows = (1 to 10).flatMap { u =>
+      Seq.fill(u)(TgRow(u.toLong, 0L)) ++ Seq.fill(11 - u)(TgRow(u.toLong, 1L))
+    }
+    val input = MemoryStream[TgRow]
+    val q = EventStreams.statefulCmsGrid(input.toDF(), "user_id", "side")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(rows.take(40))
+      q.processAllAvailable()
+      input.addData(rows.drop(40))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per cell = the final counters (counts are
+    // monotone, so max == last)
+    val streamed = spark.table("cms_out")
+      .groupBy("r", "pos")
+      .agg(org.apache.spark.sql.functions.max("ca").as("ca"),
+        org.apache.spark.sql.functions.max("cb").as("cb"))
+      .orderBy("r", "pos")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.statefulCmsGrid(rows.toDF(), "user_id", "side")
+      .toDF().orderBy("r", "pos").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // readout ≡ the batch estimator
+    val est = spark.table("cms_out")
+      .groupBy("r", "pos")
+      .agg(org.apache.spark.sql.functions.max("ca").as("ca"),
+        org.apache.spark.sql.functions.max("cb").as("cb"))
+      .groupBy("r")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("ca") *
+          org.apache.spark.sql.functions.col("cb")).as("est_r"))
+      .agg(org.apache.spark.sql.functions.min("est_r")).head().getLong(0)
+    val direct = graft.operators.Sketches
+      .cmsJoinSize(rows.toDF(), "user_id", "side").head().getLong(2)
+    assert(est === direct)
   }
 }
