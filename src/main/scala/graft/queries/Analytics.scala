@@ -1316,7 +1316,40 @@ object Analytics {
     // Activity concentration: per-type Gini over per-user event counts
     // — rational rank formula, integer 2⁻²⁰-grid output, no libm. See
     // [[activityGini]].
-    "a76_activity_gini" -> ((s, dir) => activityGini(T.events(s, dir)))
+    "a76_activity_gini" -> ((s, dir) => activityGini(T.events(s, dir))),
+
+    // Inter-arrival time quantiles at sketch cost — the engagement-
+    // cadence readout (how often does a user who clicks click again):
+    // per (user, type), consecutive-event gaps from ONE lag window;
+    // per type, the p50/p90/p99 gap from the x109 mergeable quantile
+    // sketch instead of a full per-type value sort — the sketch
+    // family's fourth application (x109 lengths, x113 fences, x114
+    // drift, now durations). The gaps frame is persisted once for the
+    // sketch and the exact count; integer microseconds end to end.
+    // 100 TB: one (user, type) exchange for the lag window, one
+    // type-keyed rank exchange for the sketch (the kmvSketch shape);
+    // per-type state ≤ k triples.
+    "a77_interarrival_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = graft.Caches.persistOnce(T.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull))
+      val sk = graft.operators.Sketches.quantileSketch(gaps,
+        Seq("event_type"), col("gap"), col("event_id"))
+      val counts = gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"))
+      import graft.operators.Sketches.{quantileEstimate, quantileSampleSize}
+      sk.join(counts, "event_type")
+        .select(col("event_type"), col("n_gaps"),
+          quantileSampleSize(col("qsketch")).as("sample_n"),
+          quantileEstimate(col("qsketch"), 50).as("p50_us"),
+          quantileEstimate(col("qsketch"), 90).as("p90_us"),
+          quantileEstimate(col("qsketch"), 99).as("p99_us"))
+        .orderBy("event_type")
+    })
   )
 
   /** a72's state domain (the fixture's event types) — shared by the
@@ -1848,6 +1881,37 @@ object Analytics {
                / CAST(CAST(n_early + n_late AS HUGEINT) * te * tl
                    AS DOUBLE) END AS chi2_term
          FROM w ORDER BY event_type""",
+    // a77: identical lag window, then the x109 sketch replay (murmur3
+    // CTEs on event_id, rank by (hu, event_id, gap)) + the integer
+    // percentile cuts — the st24/x113 oracle shape over durations.
+    "a77_interarrival_quantiles" -> {
+      val k = graft.operators.Sketches.QsK
+      val (ctes, hc) =
+        Murmur3Sql.hashLongCtes("qt", Seq("event_type", "gap", "event_id"),
+          "gh")
+      s"""WITH g0 AS (SELECT event_type, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap
+           FROM events),
+         qt AS (SELECT event_type, gap, event_id, event_id AS v
+                FROM g0 WHERE gap IS NOT NULL),
+         $ctes
+         r AS (SELECT event_type, gap,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY hu, event_id, gap) AS rk
+               FROM $hc),
+         s AS (SELECT event_type, list(gap ORDER BY gap) AS vs,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM r WHERE rk <= $k GROUP BY 1),
+         c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
+               FROM qt GROUP BY 1)
+         SELECT s.event_type, c.n_gaps, s.n AS sample_n,
+           vs[(n*50+99)//100] AS p50_us,
+           vs[(n*90+99)//100] AS p90_us,
+           vs[(n*99+99)//100] AS p99_us
+         FROM s JOIN c USING (event_type) ORDER BY event_type"""
+    },
     // a76: the same total-ordered rank window and the identical
     // rational Gini tree in HUGEINT; gini_q is the integer grid cut.
     "a76_activity_gini" ->

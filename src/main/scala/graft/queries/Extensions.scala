@@ -886,6 +886,31 @@ object Extensions {
         .orderBy("source")
     }),
 
+    // Near-dup CLUSTER profile + glue audit — what the x14 keep-one
+    // election hides: the size histogram of the connected components
+    // and, per size class, the WEAKEST verified edge inside any such
+    // cluster (transitive closure gluing two barely-similar docs into
+    // one component is the classic CC-dedup failure; a weakest edge
+    // near the 0.2 threshold in a large cluster is the warning sign).
+    // Rides the session-memoized clusterLabels + bandedPairs frames —
+    // zero new corpus passes; the rollup is component-domain sized.
+    "x115_cluster_profile" -> ((s, dir) => {
+      val lbl = clusterLabels(s, dir)
+      val pairs = bandedPairs(s, dir)
+      val sizes = lbl.groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_docs"))
+      val edges = pairs
+        .join(lbl.select(col("doc_id").as("d1"), col("canonical_id")), "d1")
+        .groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_edges"), min(col("jaccard")).as("weakest"))
+      sizes.join(edges, Seq("canonical_id"), "left")
+        .groupBy("n_docs")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(coalesce(col("n_edges"), lit(0L))).as("n_edges"),
+          min(col("weakest")).as("weakest_jacc"))
+        .orderBy("n_docs")
+    }),
+
     // Mergeable quantile sketch (Sketches.quantileSketch — bottom-k
     // hash-rank row sampling, the KMV membership discipline applied to
     // quantiles): per-source doc-length percentiles estimated from
@@ -2008,7 +2033,9 @@ object Extensions {
          FROM w WHERE len(ws) >= 3),
        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        pairs AS (
-         SELECT d1, d2 FROM (
+         SELECT d1, d2,
+           CAST(n_inter AS DOUBLE) / (s1.sz + s2.sz - n_inter) AS jacc
+         FROM (
            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) i
          JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
@@ -4295,6 +4322,33 @@ object Extensions {
              AS ks_q
          FROM g ORDER BY source"""
     },
+
+    // x115: the x14 closure replayed (same shared pair + reach CTEs),
+    // labels rolled up to the size histogram with the weakest verified
+    // edge per size class — jacc values are the x02-proven doubles, so
+    // min() over them is cross-engine deterministic. lbl MUST be
+    // MATERIALIZED: it is referenced by both sz and e, and DuckDB 1.0
+    // inlines multi-referenced CTEs — two copies of the closure-
+    // correlated label subquery spilled past the disk at sf1 (the x82
+    // multi-path-reachability lesson).
+    "x115_cluster_profile" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         $closureCtes,
+         lbl AS MATERIALIZED (
+           SELECT d.doc_id, $canonicalIdExpr AS canonical_id
+           FROM documents d),
+         sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_docs
+                FROM lbl GROUP BY 1),
+         e AS (SELECT l.canonical_id, CAST(count(*) AS BIGINT) AS n_edges,
+                 min(p.jacc) AS weakest
+               FROM pairs p JOIN lbl l ON l.doc_id = p.d1 GROUP BY 1),
+         cl AS (SELECT s.n_docs, coalesce(e.n_edges, 0) AS n_edges,
+                 e.weakest
+                FROM sz s LEFT JOIN e USING (canonical_id))
+         SELECT n_docs, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_edges) AS BIGINT) AS n_edges,
+           min(weakest) AS weakest_jacc
+         FROM cl GROUP BY 1 ORDER BY n_docs""",
 
     // x94: bigram lift over contingency marginals — the one
     // grid-quantized division; bigrams via per-row index unnest.

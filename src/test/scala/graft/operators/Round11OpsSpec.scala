@@ -336,6 +336,63 @@ class Round11OpsSpec extends SparkTestBase {
     assert(best * 1048576L / (100L * 201L) === expected)
   }
 
+  // ------------------------------------------------ a77 interarrival
+
+  test("a77 inter-arrival quantiles: gaps are per (user, type) " +
+       "consecutive differences in event-time order, and the " +
+       "exact-below-k percentile cuts are the order statistics") {
+    val rows = Seq(
+      ev(1L, 0, 1L, "x", 0), ev(2L, 10, 1L, "x", 0),
+      ev(3L, 30, 1L, "x", 0), ev(4L, 60, 1L, "x", 0),
+      // a different user/type pair contributes no cross gaps
+      ev(5L, 5, 2L, "y", 0))
+    val out = graft.queries.Analytics
+      .queries("a77_interarrival_quantiles")(spark, "/root/testdata/sf0.001")
+    // fixture-independent invariants are covered by the oracle gate;
+    // here pin the hand case through the same operator pieces
+    val gaps = Seq(10L, 20L, 30L).map(_ * 1000000L)
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val g = df.select(col("event_type"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap"))
+      .filter(col("gap").isNotNull)
+    assert(g.filter(col("event_type") === "x").select("gap")
+      .as[Long].collect().sorted.toSeq === gaps)
+    val sk = Sketches.quantileSketch(g, Seq("event_type"), col("gap"),
+      col("event_id"))
+    val r = sk.filter(col("event_type") === "x").select(
+      Sketches.quantileEstimate(col("qsketch"), 50).as("p50"),
+      Sketches.quantileEstimate(col("qsketch"), 90).as("p90")).head()
+    assert(r.getLong(0) === 20000000L) // ceil(3·50/100) = 2nd
+    assert(r.getLong(1) === 30000000L) // ceil(3·90/100) = 3rd
+    assert(out.columns.toSeq === Seq("event_type", "n_gaps", "sample_n",
+      "p50_us", "p90_us", "p99_us"))
+  }
+
+  // ------------------------------------------------ x115 cluster audit
+
+  test("x115 cluster profile: size classes partition the corpus, " +
+       "singletons carry zero edges and a null weakest edge, and every " +
+       "multi-doc class's weakest edge clears the 0.2 threshold") {
+    val out = graft.queries.Extensions
+      .queries("x115_cluster_profile")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val nDocs = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(nDocs === 500L) // sf0.001 corpus size
+    out.foreach { r =>
+      if (r.getLong(0) === 1L) {
+        assert(r.getLong(2) === 0L && r.isNullAt(3), r.toString)
+      } else {
+        assert(r.getLong(2) >= r.getLong(1), // ≥ sz−1 edges per cluster
+          r.toString)
+        assert(!r.isNullAt(3) && r.getDouble(3) >= 0.2, r.toString)
+      }
+    }
+  }
+
   // ------------------------------------------------ x113 fences
 
   test("outlier fence is the integer Tukey fence q75 + 3·IQR div 2, " +

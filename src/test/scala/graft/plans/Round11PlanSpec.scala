@@ -137,6 +137,30 @@ class Round11PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("a77 inter-arrival quantiles: the gaps frame is BUILT ONCE " +
+       "(persistOnce) and feeds both the sketch and the exact count; " +
+       "no cartesian") {
+    val s = planString(graft.queries.Analytics
+      .queries("a77_interarrival_quantiles")(spark, sf))
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 2, s"gaps frame must be cached for both arms:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x115 cluster profile: rides the session-memoized clusterLabels " +
+       "+ bandedPairs frames — the rollup adds NO new corpus scan " +
+       "(every leaf is a cache read), no cartesian") {
+    val df = graft.queries.Extensions
+      .queries("x115_cluster_profile")(spark, sf)
+    val s = planString(df)
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 2, s"expected memoized label+pair scans:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    // (InMemoryTableScan nodes print their cached BUILD subtree, so
+    // FileScan lines appear in the text — the profile's own leaves are
+    // the two cache reads above.)
+  }
+
   test("a76 Gini: exactly TWO hash exchanges — the (type, user) count " +
        "agg and the type-keyed rank window; the final rollup reuses " +
        "the window's partitioning") {
