@@ -1520,7 +1520,12 @@ object Analytics {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-win, -1)
     val dec = "decimal(38,0)"
+    // null values are excluded BEFORE the window (a null row would
+    // otherwise count toward the frame width while contributing
+    // nothing to the sums — silently corrupt statistics); the fixture
+    // has none, but the operator should not depend on that
     val scored = ev
+      .filter(col("value").isNotNull)
       .withColumn("vg", floor(col("value") * lit(1048576.0) + lit(0.5))
         .cast("long"))
       .withColumn("s1", sum(col("vg")).over(w))
@@ -1835,7 +1840,7 @@ object Analytics {
     "a73_anomaly_zscore" ->
       """WITH g AS (SELECT event_type, user_id, ts, event_id,
              CAST(floor(value * 1048576.0 + 0.5) AS BIGINT) AS vg
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
          w AS (SELECT event_type, vg,
              sum(vg) OVER win AS s1,
              sum(vg * vg) OVER win AS s2,

@@ -1174,6 +1174,8 @@ object EventStreams {
     twsReady(events.sparkSession)
     events.select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
+      .filter(col("value").isNotNull) // a73's null discipline (and the
+      // primitive-Double encoder would NPE on a null row)
       .as[(Long, Timestamp, Long, String, Double)]
       .groupByKey(_._1)
       .transformWithState(new AnomalyProcessor(win, t),
