@@ -1349,6 +1349,36 @@ object Analytics {
           quantileEstimate(col("qsketch"), 90).as("p90_us"),
           quantileEstimate(col("qsketch"), 99).as("p99_us"))
         .orderBy("event_type")
+    }),
+
+    // Funnel latency quantiles — a55 counts WHO converts; this prices
+    // HOW LONG each hop takes (p50/p90 signup→click and
+    // click→purchase), the stage-latency readout that decides where
+    // the funnel leaks. Per-user stage times come from the shared
+    // funnelTimes windows (persisted once — one user_id exchange);
+    // the hop-duration distribution is the mergeable quantile
+    // sketch's fifth application, never a per-stage value sort.
+    // Integer microseconds end to end.
+    "a78_funnel_latency_quantiles" -> ((s, dir) => {
+      val ft = graft.Caches.persistOnce(
+        funnelTimes(T.events(s, dir), "signup", "click", "purchase"))
+      val d12 = ft.filter(col("t2").isNotNull)
+        .select(lit("1_signup_to_click").as("stage"), col("user_id"),
+          (unix_micros(col("t2")) - unix_micros(col("t1"))).as("gap"))
+      val d23 = ft.filter(col("t3").isNotNull)
+        .select(lit("2_click_to_purchase").as("stage"), col("user_id"),
+          (unix_micros(col("t3")) - unix_micros(col("t2"))).as("gap"))
+      val gaps = d12.unionByName(d23)
+      val sk = graft.operators.Sketches.quantileSketch(gaps, Seq("stage"),
+        col("gap"), col("user_id"))
+      val counts = gaps.groupBy("stage").agg(count(lit(1)).as("n_conv"))
+      import graft.operators.Sketches.{quantileEstimate, quantileSampleSize}
+      sk.join(counts, "stage")
+        .select(col("stage"), col("n_conv"),
+          quantileSampleSize(col("qsketch")).as("sample_n"),
+          quantileEstimate(col("qsketch"), 50).as("p50_us"),
+          quantileEstimate(col("qsketch"), 90).as("p90_us"))
+        .orderBy("stage")
     })
   )
 
@@ -1916,6 +1946,47 @@ object Analytics {
            vs[(n*90+99)//100] AS p90_us,
            vs[(n*99+99)//100] AS p99_us
          FROM s JOIN c USING (event_type) ORDER BY event_type"""
+    },
+    // a78: a55's u1/u2/u3 funnel chain re-emitting the stage TIMES,
+    // then the x109 sketch replay per hop (murmur3 on user_id, rank
+    // by (hu, user_id, gap)) + integer percentile cuts.
+    "a78_funnel_latency_quantiles" -> {
+      val k = graft.operators.Sketches.QsK
+      val (ctes, hc) =
+        Murmur3Sql.hashLongCtes("qt", Seq("stage", "gap", "user_id"), "fq")
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events),
+         u1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t2
+                FROM e JOIN u1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t3
+                FROM e JOIN u2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+         gaps AS (
+           SELECT '1_signup_to_click' AS stage, u2.user_id,
+             epoch_us(t2) - epoch_us(t1) AS gap
+           FROM u2 JOIN u1 USING (user_id)
+           UNION ALL
+           SELECT '2_click_to_purchase', u3.user_id,
+             epoch_us(t3) - epoch_us(t2)
+           FROM u3 JOIN u2 USING (user_id)),
+         qt AS (SELECT stage, gap, user_id, user_id AS v FROM gaps),
+         $ctes
+         r AS (SELECT stage, gap,
+                 row_number() OVER (PARTITION BY stage
+                   ORDER BY hu, user_id, gap) AS rk
+               FROM $hc),
+         s AS (SELECT stage, list(gap ORDER BY gap) AS vs,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM r WHERE rk <= $k GROUP BY 1),
+         c AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_conv
+               FROM gaps GROUP BY 1)
+         SELECT s.stage, c.n_conv, s.n AS sample_n,
+           vs[(n*50+99)//100] AS p50_us,
+           vs[(n*90+99)//100] AS p90_us
+         FROM s JOIN c USING (stage) ORDER BY stage"""
     },
     // a76: the same total-ordered rank window and the identical
     // rational Gini tree in HUGEINT; gini_q is the integer grid cut.

@@ -911,6 +911,31 @@ object Extensions {
         .orderBy("n_docs")
     }),
 
+    // Dedup threshold sensitivity — the curation-tuning readout: how
+    // many pairs and how many affected documents the near-dup join
+    // yields at each candidate threshold 0.2..0.9, all from the ONE
+    // memoized verified-pair frame (counts at t > 0.2 are exact subset
+    // counts of the ≥0.2 verification, so no re-join is needed). The
+    // table that decides where to set the keep-one knife before
+    // running x14 at corpus scale.
+    "x116_threshold_sensitivity" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = bandedPairs(s, dir)
+      val tdf = (2 to 9).map(_ * 1000).toDF("t_bp")
+      val hits = pairs.crossJoin(broadcast(tdf))
+        .filter(col("jaccard") >= col("t_bp").cast("double") / 10000.0)
+      val np = hits.groupBy("t_bp").agg(count(lit(1)).as("n_pairs"))
+      val nd = hits
+        .select(col("t_bp"), explode(array(col("d1"), col("d2"))).as("doc"))
+        .distinct()
+        .groupBy("t_bp").agg(count(lit(1)).as("n_docs"))
+      tdf.join(np, Seq("t_bp"), "left").join(nd, Seq("t_bp"), "left")
+        .select(col("t_bp"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("t_bp")
+    }),
+
     // Mergeable quantile sketch (Sketches.quantileSketch — bottom-k
     // hash-rank row sampling, the KMV membership discipline applied to
     // quantiles): per-source doc-length percentiles estimated from
@@ -4349,6 +4374,27 @@ object Extensions {
            CAST(sum(n_edges) AS BIGINT) AS n_edges,
            min(weakest) AS weakest_jacc
          FROM cl GROUP BY 1 ORDER BY n_docs""",
+
+    // x116: the exact-pair CTE (same jacc doubles the x02 gate proves)
+    // swept over the same integer threshold spine; left joins keep
+    // empty thresholds at 0/0.
+    "x116_threshold_sensitivity" ->
+      s"""WITH $jaccardPairsCtes,
+         th AS (SELECT CAST(unnest(range(2, 10)) * 1000 AS INTEGER)
+                  AS t_bp),
+         hits AS (SELECT t_bp, d1, d2
+                  FROM pairs, th
+                  WHERE jacc >= CAST(t_bp AS DOUBLE) / 10000.0),
+         np AS (SELECT t_bp, CAST(count(*) AS BIGINT) AS n_pairs
+                FROM hits GROUP BY 1),
+         nd AS (SELECT t_bp, CAST(count(*) AS BIGINT) AS n_docs FROM (
+                  SELECT DISTINCT t_bp, doc FROM (
+                    SELECT t_bp, unnest([d1, d2]) AS doc FROM hits))
+                GROUP BY 1)
+         SELECT t.t_bp, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+         FROM th t LEFT JOIN np USING (t_bp) LEFT JOIN nd USING (t_bp)
+         ORDER BY t_bp""",
 
     // x94: bigram lift over contingency marginals — the one
     // grid-quantized division; bigrams via per-row index unnest.

@@ -393,6 +393,51 @@ class Round11OpsSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------ a78 funnel latency
+
+  test("a78 funnel latency: stage gaps are the funnelTimes hop " +
+       "durations (ordered stages only), and the below-k percentile " +
+       "cuts are exact order statistics") {
+    // user 1: signup@0, click@10, purchase@30 → gaps 10s and 20s
+    // user 2: click@0, signup@5 (click BEFORE signup: no hop 1)
+    val rows = Seq(
+      ev(1L, 0, 1L, "signup", 0), ev(2L, 10, 1L, "click", 0),
+      ev(3L, 30, 1L, "purchase", 0),
+      ev(4L, 0, 2L, "click", 0), ev(5L, 5, 2L, "signup", 0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ft = graft.queries.Analytics.funnelTimes(df,
+      "signup", "click", "purchase")
+    val u1 = ft.filter(col("t2").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("t2")) - unix_micros(col("t1"))).as("gap"))
+      .collect()
+    assert(u1.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10000000L)))
+    val u2g = ft.filter(col("t3").isNotNull)
+      .select((unix_micros(col("t3")) - unix_micros(col("t2"))).as("gap"))
+      .as[Long].collect()
+    assert(u2g.toSeq === Seq(20000000L))
+  }
+
+  // ------------------------------------------------ x116 thresholds
+
+  test("x116 threshold sensitivity is monotone non-increasing in the " +
+       "threshold and its 0.2 row equals the full verified pair count " +
+       "(subset counting, no re-join)") {
+    val out = graft.queries.Extensions
+      .queries("x116_threshold_sensitivity")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === (2 to 9).map(_ * 1000))
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3, s"not monotone: $a -> $b")
+    }
+    val nPairs02 = graft.queries.Extensions
+      .queries("x20_banded_jaccard")(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(out.head._2 === nPairs02,
+      "0.2 row must equal the verified pair count")
+  }
+
   // ------------------------------------------------ x113 fences
 
   test("outlier fence is the integer Tukey fence q75 + 3·IQR div 2, " +

@@ -161,6 +161,27 @@ class Round11PlanSpec extends SparkTestBase {
     // the two cache reads above.)
   }
 
+  test("a78 funnel latency: the funnelTimes frame is BUILT ONCE " +
+       "(persistOnce) under both hop projections and both arms; no " +
+       "cartesian") {
+    val s = planString(graft.queries.Analytics
+      .queries("a78_funnel_latency_quantiles")(spark, sf))
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 4, s"funnelTimes must be cached for all 4 reads:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x116 threshold sweep: the verified-pair frame is the memoized " +
+       "bandedPairs cache, the 8-row threshold spine broadcasts, and " +
+       "no corpus-shaped join appears") {
+    val s = planString(graft.queries.Extensions
+      .queries("x116_threshold_sensitivity")(spark, sf))
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 2, s"expected the memoized pair cache:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastExchange"), s"spine must broadcast:\n$s")
+  }
+
   test("a76 Gini: exactly TWO hash exchanges — the (type, user) count " +
        "agg and the type-keyed rank window; the final rollup reuses " +
        "the window's partitioning") {
