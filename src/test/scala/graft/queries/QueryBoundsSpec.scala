@@ -105,6 +105,44 @@ class QueryBoundsSpec extends SparkTestBase {
     }
   }
 
+  test("x114 sketch-KS tracks the exact two-sample KS within the " +
+       "sampling-regime band (3/√k) on a genuinely sampled input") {
+    import spark.implicits._
+    // two sources, 5 000 rows each, shifted distributions: the sketch
+    // samples k=256 of each, so this exercises the estimation regime.
+    // Exact KS(src, global) is computed in-test from the raw values.
+    val n = 5000
+    val d = ((1 to n).map(i => (i.toLong, "a", (i % 997).toLong)) ++
+      (1 to n).map(i => (n + i.toLong, "b", 400L + (i % 997))))
+      .toDF("doc_id", "source", "nc")
+    val sk = graft.operators.Sketches.quantileSketch(d, Seq("source"),
+      col("nc"), col("doc_id"))
+    val glob = sk.agg(graft.operators.Sketches.quantileMergeSketches(
+      collect_list(col("qsketch"))).as("gsk"))
+    def vals(c: org.apache.spark.sql.Column) =
+      transform(c, x => x.getField("v"))
+    val gv = glob.select(explode(vals(col("gsk")))).as[Long].collect().sorted
+    val all = d.select("nc").as[Long].collect().sorted
+    Seq("a", "b").foreach { src =>
+      val sv = sk.filter(col("source") === src)
+        .select(explode(vals(col("qsketch")))).as[Long].collect().sorted
+      val raw = d.filter(col("source") === src)
+        .select("nc").as[Long].collect().sorted
+      def ks(s1: Array[Long], s2: Array[Long]): Double = {
+        val pts = (s1 ++ s2).distinct.sorted
+        pts.map { v =>
+          val f1 = s1.count(_ <= v).toDouble / s1.length
+          val f2 = s2.count(_ <= v).toDouble / s2.length
+          math.abs(f1 - f2)
+        }.max
+      }
+      val est = ks(sv, gv)
+      val exact = ks(raw, all)
+      assert(math.abs(est - exact) <= 3.0 / math.sqrt(256.0),
+        s"$src: est $est vs exact $exact")
+    }
+  }
+
   test("a23 graft sketches agree with Spark's native HLL++ within combined error") {
     // Cross-check against approx_count_distinct (rsd 0.05 default):
     // native and graft estimates must bracket the same ground truth.
