@@ -431,6 +431,87 @@ case class RollingWindowHashes(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The [[RollingWindowHashes]] byte stream SAMPLED at CHARACTER ends —
+  * the multi-byte-safe boundary source for CDC chunking
+  * ([[graft.operators.Chunking.cdcChunks]]): element q (1-based) ↔ the
+  * q-th character of the string; its value is the window hash
+  * `Σ_{j=0..7} byte(e_q−j)·31^j` over the 8 UTF-8 BYTES ending at that
+  * character's LAST byte e_q, or the sentinel −1 (never ≡ 0 mod the
+  * boundary mask — hashes are non-negative) when fewer than 8 bytes
+  * precede. Admitting boundaries only at character ends keeps chunk
+  * slicing in the CHARACTER domain on both engines (DuckDB has no blob
+  * substring/md5), so multilingual corpora chunk correctly where the
+  * former byte-position + char-substring mismatch had to fail loudly.
+  *
+  * On single-byte-per-char text every byte position IS a char end, so
+  * element q equals RollingWindowHashes element q−7 exactly — the
+  * pre-round-12 ASCII behavior bit-for-bit (pinned in
+  * GraftFunctionsSpec). Same incremental multiply-add-per-byte codegen
+  * as [[RollingWindowHashes]]; char ends are `(next byte & 0xC0) !=
+  * 0x80` — one mask test per byte, no decode.
+  */
+case class CdcCharHashes(child: Expression) extends UnaryExpression {
+  private val Pow7 = 27512614111L // 31^7
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cdc_char_hashes expects string, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val n = b.length
+    var nc = 0
+    var i = 0
+    while (i < n) { if ((b(i) & 0xC0) != 0x80) nc += 1; i += 1 }
+    val out = new Array[Long](nc)
+    var h = 0L
+    var q = 0
+    i = 0
+    while (i < n) {
+      h = if (i < 8) h * 31L + (b(i) & 0xffL)
+          else (h - (b(i - 8) & 0xffL) * Pow7) * 31L + (b(i) & 0xffL)
+      if (i == n - 1 || (b(i + 1) & 0xC0) != 0x80) {
+        out(q) = if (i >= 7) h else -1L
+        q += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("b"); val n = ctx.freshName("n")
+      val nc = ctx.freshName("nc"); val out = ctx.freshName("out")
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
+      s"""
+         |byte[] $b = $s.getBytes();
+         |int $n = $b.length;
+         |int $nc = 0;
+         |for (int $i = 0; $i < $n; $i++)
+         |  if (($b[$i] & 0xC0) != 0x80) $nc++;
+         |long[] $out = new long[$nc];
+         |long $h = 0L;
+         |int $q = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $h = $i < 8 ? $h * 31L + ($b[$i] & 0xffL)
+         |             : ($h - ($b[$i - 8] & 0xffL) * ${Pow7}L) * 31L + ($b[$i] & 0xffL);
+         |  if ($i == $n - 1 || ($b[$i + 1] & 0xC0) != 0x80) {
+         |    $out[$q++] = $i >= 7 ? $h : -1L;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over a token array: FNV-1a hash per token, per-bit
   * majority vote. Near-duplicate documents land within a small Hamming
   * distance; band the result (e.g. four 16-bit bands) for bucketed
@@ -544,6 +625,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("cdc_hashes",
       (es: Seq[Expression]) => RollingWindowHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("cdc_char_hashes",
+      (es: Seq[Expression]) => CdcCharHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("l2_normalize",
       (es: Seq[Expression]) => L2Normalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("hilbert2d",
@@ -579,6 +662,7 @@ object GraftFunctions {
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def cdcHashes(c: Column): Column = call_function("cdc_hashes", c)
+  def cdcCharHashes(c: Column): Column = call_function("cdc_char_hashes", c)
   def l2Normalize(c: Column): Column = call_function("l2_normalize", c)
   def hilbert2d(x: Column, y: Column, bits: Int): Column =
     call_function("hilbert2d", x, y,

@@ -13,18 +13,23 @@ import org.apache.spark.sql.functions.{col, explode, expr, posexplode}
   * companion to the token-level passage dedup (x38).
   *
   * Determinism (cross-engine replayable, no seeded fingerprint tables):
-  * the boundary hash at position p is the window polynomial
-  * `Σ_{j=0..7} code(char p−j)·31^j` — a pure per-position function of
-  * the window CONTENT, which both engines compute identically (max
-  * magnitude 8·255·31⁷ ≈ 5.6·10¹³ — long-exact, no wrap). The SPARK
-  * side evaluates it with the codegen'd incremental recurrence
-  * ([[graft.functions.RollingWindowHashes]] — one multiply-add per
-  * byte inside whole-stage codegen); the DuckDB ORACLE evaluates the
-  * closed form per position with list HOFs — algebraically equal exact
-  * integers, so the hash streams match bit-for-bit. A position is a
-  * boundary when the hash ≡ 0 (mod [[Chunking.AvgChunk]]) → expected
-  * chunk length ≈ AvgChunk. Chunk identity is md5 of the chunk text
-  * (the x10 fingerprint).
+  * the boundary hash ending at byte e is the window polynomial
+  * `Σ_{j=0..7} byte(e−j)·31^j` — a pure function of the window's UTF-8
+  * BYTES, which both engines compute identically (max magnitude
+  * 8·255·31⁷ ≈ 5.6·10¹³ — long-exact, no wrap). Boundary candidates are
+  * CHARACTER ends only ([[graft.functions.CdcCharHashes]] — the
+  * codegen'd incremental recurrence sampled where the next byte is not
+  * a UTF-8 continuation), so chunk slicing stays in the character
+  * domain on both engines (DuckDB has no blob substring/md5) and
+  * multilingual text chunks correctly; on single-byte text every byte
+  * position is a char end, making this bit-identical to the historical
+  * byte-position stream. The DuckDB ORACLE evaluates the same closed
+  * form per char end (hex(encode(text)) byte access for multi-byte
+  * rows, the plain codepoint form on ASCII rows — equal exact
+  * integers). A char end is a boundary when its hash ≡ 0 (mod
+  * [[Chunking.AvgChunk]]) → expected chunk length ≈ AvgChunk. Chunk
+  * identity is md5 of the chunk text (the x10 fingerprint); chunk
+  * lengths are measured in CHARACTERS.
   *
   * 100 TB: chunking is a pure scan-side higher-order-function pass
   * (one filter + one zip_with per document, no UDF, no shuffle); only
@@ -52,30 +57,22 @@ object Chunking {
     val keep = passthrough.map(col)
     docs
       .select(col(idCol).as("doc_id") +: col(textCol).as("t") +: keep: _*)
-      // ASCII fence: boundary positions come from the UTF-8 BYTE-indexed
-      // hash stream but are applied via CHARACTER-indexed substring —
-      // on multi-byte text a boundary could exceed length(t) and emit
-      // corrupt chunks SILENTLY. Fail loudly instead (octet_length =
-      // length ⟺ every char is single-byte); callers with non-ASCII
-      // corpora must transliterate/filter upstream.
-      .withColumn("t", expr(
-        """CASE WHEN t IS NULL OR octet_length(t) = length(t) THEN t
-            ELSE raise_error(concat(
-              'cdcChunks: non-ASCII text in doc ', CAST(doc_id AS STRING),
-              ' (octet_length <> length); CDC boundaries are byte-indexed',
-              ' but chunk slicing is character-indexed'))
-           END"""))
-      // the hash stream is the codegen'd incremental expression
-      // (RollingWindowHashes — one multiply-add per byte inside
-      // whole-stage codegen); boundary selection over the long array is
-      // a cheap HOF. kh element i ↔ position i + Window − 1.
+      // The hash stream is byte-domain (the rolling window slides over
+      // UTF-8 bytes) but SAMPLED at character ends
+      // ([[graft.functions.CdcCharHashes]] — codegen'd, one
+      // multiply-add + one continuation-mask test per byte): kh element
+      // q ↔ character q, so boundary positions are CHARACTER positions
+      // and the char-indexed substring below is exact on ANY text —
+      // multilingual corpora chunk correctly where the pre-round-12
+      // ASCII fence had to fail loudly. On single-byte text this is
+      // bit-identical to the former byte-position stream (every byte
+      // position is a char end), so existing chunk hashes are unchanged.
       .withColumn("kh",
-        graft.functions.GraftFunctions.cdcHashes(col("t")))
+        graft.functions.GraftFunctions.cdcCharHashes(col("t")))
       .withColumn("bnds", expr(
         s"""CASE WHEN size(kh) = 0 THEN array()
-            ELSE transform(filter(sequence(1, size(kh)),
-                   i -> element_at(kh, i) % $AvgChunk = 0),
-                 i -> i + ${Window - 1}) END"""))
+            ELSE filter(sequence(1, size(kh)),
+                 q -> element_at(kh, q) % $AvgChunk = 0) END"""))
       // chunk END positions: boundaries plus the document end (distinct
       // keeps ascending order — bnds is ascending and ≤ length)
       .withColumn("ends",

@@ -160,11 +160,15 @@ object Graph {
     * round's edge frame is persisted, so every union branch reads its
     * round's cache, and the degree rollup doubles as the node count:
     * n_nodes = count of degree groups, n_edges = Σdeg/2 — no second
-    * pass, no Expand).
+    * pass, no Expand). The one-action contract holds for rounds <
+    * checkpointEvery; at the cadence an EAGER localCheckpoint fires
+    * deliberately (see the in-loop comment for the measured
+    * adjudication of the lazy/no-checkpoint alternatives).
     */
   def kCorePeel(edges: DataFrame, aCol: String, bCol: String,
                 k: Int = 3, rounds: Int = 3,
-                checkpointEvery: Int = 8): DataFrame = {
+                checkpointEvery: Int = 6): DataFrame = {
+    require(checkpointEvery >= 2, s"checkpointEvery=$checkpointEvery")
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1, 64] (bounded unrolled replay), got $rounds")
@@ -193,6 +197,19 @@ object Graph {
         e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .select("a", "b"))
+      // Periodic EAGER checkpoint, both alternatives measured and
+      // rejected (r11 ADVICE follow-up): localCheckpoint(eager = false)
+      // is NOT construction-lazy under AQE (Dataset.checkpoint calls
+      // toRdd, and AdaptiveSparkPlanExec materializes every query stage
+      // to finalize the plan — measured: 92 construction jobs at
+      // rounds=9), and NO checkpoint makes the PRINTED plan exponential
+      // (each round's frame references the previous one 3×; persist
+      // bounds execution but InMemoryRelation prints its build subtree
+      // per reference, and AQE emits explainString events at execution
+      // — a rounds=9 run hung 30+ min inside generateTreeString). So:
+      // the one-action contract holds for rounds < checkpointEvery
+      // (pinned in Round10bPlanSpec); longer runs deliberately pay one
+      // truncating job per checkpointEvery rounds.
       if (r % checkpointEvery == 0 && r < rounds) e = e.localCheckpoint()
       out = out.unionByName(stats(e, r))
     }
@@ -216,39 +233,65 @@ object Graph {
     * cross-engine oracle replay finite, the pageRank discipline).
     *
     * Deterministic by construction: integer min over a set — no
-    * quantization, no tie concerns. 100 TB: each round is one equi-join
-    * of the node-sized label table against the edge table plus one
-    * partial-aggregatable min keyed on the node — the pageRank shape
-    * with min instead of sum; hot nodes are ordinary skewed agg keys.
+    * quantization, no tie concerns.
+    *
+    * Round structure (round 12 — bit-identical to the naive unrolling,
+    * ~2× fewer edge-sized exchanges):
+    *   - Round 1 needs NO join: every node's label is still its own id,
+    *     so `nbrMin(v) = min_{u~v} u` is one partial-aggregatable min
+    *     straight off the edge table.
+    *   - Rounds 2+ are DELTA rounds: a neighbor u can only improve v in
+    *     round r if u's own label changed in round r−1 (an unchanged
+    *     label was already offered to v last round and min is
+    *     idempotent), so the edge join runs against the CHANGED label
+    *     rows only. The frontier collapses geometrically on real graphs
+    *     (a label must travel r−1 hops to still be moving), and AQE
+    *     broadcasts the shrunken frontier — later rounds cost a
+    *     broadcast probe of the cached edge frame instead of a full
+    *     edge exchange. At 100 TB the same delta discipline holds: the
+    *     per-round join volume is frontier-incident edges, not E.
+    *
+    * A pre-partitioned edge persist (repartition(u) before cache) was
+    * MEASURED and rejected: the per-round joins rebuild attribute ids,
+    * so the cached layout does not satisfy the join distribution and
+    * the exchange stays (A/B at sf0.1: 4.99 s min both ways, +1 build
+    * shuffle); bucketed TABLES (SourcesSpec's co-located-join path)
+    * are the exchange-free variant when edges live in storage.
     */
   def minLabelPropagation(edges: DataFrame, aCol: String, bCol: String,
                           rounds: Int = 3,
-                          checkpointEvery: Int = 8): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // Both directions once. A pre-partitioned persist (repartition(u)
-    // before cache) was MEASURED and rejected: the per-round joins
-    // rebuild attribute ids, so the cached layout does not satisfy the
-    // join distribution and the exchange stays (A/B at sf0.1: 4.99 s
-    // min both ways, +1 build shuffle) — at cluster scale the per-round
-    // edge exchange is inherent to synchronous label propagation here;
-    // bucketed TABLES (SourcesSpec's co-located-join path) are the
-    // exchange-free variant when edges live in storage.
+                          checkpointEvery: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64] (bounded unrolled replay), got $rounds")
+    require(checkpointEvery >= 2, s"checkpointEvery=$checkpointEvery")
     val und = graft.Caches.persistOnce(
       edges.select(col(aCol).as("v"), col(bCol).as("u"))
         .union(edges.select(col(bCol).as("v"), col(aCol).as("u")))
         .filter(col("v") =!= col("u") && col("v").isNotNull).distinct())
-    val nodes = graft.Caches.persistOnce(
-      und.select(col("v")).distinct())
-    var lbl = nodes.select(col("v"), col("v").as("lbl"))
-    for (r <- 1 to rounds) {
-      val nbrMin = und
-        .join(lbl.select(col("v").as("u"), col("lbl").as("ulbl")), "u")
+    // round 1: nbrMin = min neighbor id (labels are identities), fused
+    // with the node set build — one aggregate produces (v, lbl, changed)
+    var lbl = graft.Caches.persistOnce(
+      und.groupBy("v").agg(min(col("u")).as("nlbl"))
+        .select(col("v"), least(col("v"), col("nlbl")).as("lbl"),
+          (col("nlbl") < col("v")).as("changed")))
+    for (r <- 2 to rounds) {
+      // only last round's movers can improve a neighbor this round
+      val frontier = lbl.filter(col("changed"))
+        .select(col("v").as("u"), col("lbl").as("ulbl"))
+      val nbrMin = und.join(frontier, "u")
         .groupBy("v").agg(min(col("ulbl")).as("nlbl"))
-      lbl = lbl.join(nbrMin, Seq("v"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      if (r % checkpointEvery == 0 && r < rounds)
-        lbl = lbl.localCheckpoint()
+      // per-round persist truncates recomputation; the periodic EAGER
+      // checkpoint truncates the PRINTED plan, which doubles per round
+      // (lbl referenced twice: frontier + update join) and would hang
+      // AQE's explainString events at high round counts — see
+      // kCorePeel's measured adjudication of both alternatives
+      lbl = graft.Caches.persistOnce(
+        lbl.join(nbrMin, Seq("v"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            coalesce(col("nlbl") < col("lbl"), lit(false)).as("changed")))
+      if (r % checkpointEvery == 0 && r < rounds) lbl = lbl.localCheckpoint()
     }
-    lbl
+    lbl.select("v", "lbl")
   }
 }

@@ -71,10 +71,14 @@ object Sketches {
     * [[kmvDistinct]] (filtered before the sketch — both engines
     * exclude them identically).
     *
-    * 100 TB: the distinct is a partial-aggregatable (key, hash)
-    * exchange; the rank filter bounds per-key state to k rows BEFORE
-    * the collect, so the sketch column is ≤ k longs per key — never a
-    * collect_set over the raw domain.
+    * 100 TB: the build is ONE partial+final typed aggregate
+    * ([[graft.functions.TypedAggregators.KmvSketchAgg]], a k-long
+    * sorted-insert heap): each map task reduces its rows to ≤ k longs
+    * per key before the exchange, so the wire carries
+    * O(partitions·groups·k) — never the corpus's (key, hash) rows the
+    * former distinct + rank-window formulation shipped. The bottom-k
+    * semilattice makes the result bit-identical to that formulation
+    * (the DuckDB oracles still replay the global distinct + rank ≤ k).
     */
   def kmvSketch(df: DataFrame, keyCols: Seq[String], value: Column,
                 k: Int = KmvK): DataFrame = {
@@ -83,10 +87,10 @@ object Sketches {
     val h = when(value.isNotNull,
       hash(value).cast("bigint").bitwiseAND(lit(4294967295L)))
       .otherwise(lit(-1L))
-    val dh = df.select(kc :+ h.as("h"): _*).filter(col("h") >= 0L).distinct()
-    val w = Window.partitionBy(kc: _*).orderBy(col("h"))
-    dh.withColumn("r", row_number().over(w)).filter(col("r") <= k)
-      .groupBy(kc: _*).agg(sort_array(collect_list(col("h"))).as("sketch"))
+    val agg = udaf(new graft.functions.TypedAggregators.KmvSketchAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.select(kc :+ h.as("h"): _*).filter(col("h") >= 0L)
+      .groupBy(kc: _*).agg(agg(col("h")).as("sketch"))
   }
 
   /** Merge an array-of-sketches column (each from [[kmvSketch]] with
@@ -180,10 +184,16 @@ object Sketches {
     * excluded before sampling (SQL aggregate semantics — both engines
     * drop them identically).
     *
-    * 100 TB: one hash-partitioned rank window bounds per-key state to k
-    * rows BEFORE the collect (never a collect over the raw group), the
-    * kmvSketch shape exactly; sketch rows are ≤ k structs of three
-    * longs per key.
+    * 100 TB: the build is ONE partial+final typed aggregate
+    * ([[graft.functions.TypedAggregators.QuantileSketchAgg]], a k-triple
+    * sorted-insert heap): each map task reduces its rows to ≤ k
+    * (h, sid, v) triples per key before the exchange, so the wire
+    * carries O(partitions·groups·k) — never the corpus rows the former
+    * rank-window formulation shuffled. The bottom-k multiset semilattice
+    * makes the result bit-identical to that formulation (the DuckDB
+    * oracles still replay the global rank ≤ k). NULL ids are excluded
+    * alongside NULL values (both violate the row-unique-id contract;
+    * exclusion keeps the primitive-long aggregate input total).
     */
   def quantileSketch(df: DataFrame, keyCols: Seq[String], value: Column,
                      id: Column, k: Int = QsK): DataFrame = {
@@ -193,13 +203,12 @@ object Sketches {
     val base = df
       .select(kc ++ Seq(hu.as("h"), id.cast("bigint").as("sid"),
         value.cast("bigint").as("v")): _*)
-      .filter(col("v").isNotNull)
-    val w = Window.partitionBy(kc: _*)
-      .orderBy(col("h"), col("sid"), col("v"))
-    base.withColumn("r", row_number().over(w)).filter(col("r") <= k)
-      .groupBy(kc: _*)
-      .agg(sort_array(collect_list(
-        struct(col("h"), col("sid"), col("v")))).as("qsketch"))
+      .filter(col("v").isNotNull && col("sid").isNotNull)
+    val agg = udaf(new graft.functions.TypedAggregators.QuantileSketchAgg(k),
+      org.apache.spark.sql.Encoders.product[
+        graft.functions.TypedAggregators.QsEntry])
+    base.groupBy(kc: _*)
+      .agg(agg(col("h"), col("sid"), col("v")).as("qsketch"))
   }
 
   /** Merge an array-of-quantile-sketches column (each from
@@ -348,10 +357,24 @@ object Sketches {
       .withColumnRenamed("c", "ca")
     val gb = grids.filter(col("side") === 1L).drop("side")
       .withColumnRenamed("c", "cb")
-    // the grids are ≤ d·w rows each but sit above an aggregate, where
-    // Catalyst's size estimate is blind — pin the broadcast
-    val est = ga.join(broadcast(gb), Seq("r", "pos"))
-      .groupBy("r").agg(sum(col("ca") * col("cb")).as("est_r"))
+    // Inner product over the FULL d×w spine, not just co-populated
+    // cells: an inner grid join drops any row r with no overlapping
+    // cell, so disjoint-key inputs would yield NULL (or an overstated
+    // min over the surviving rows) instead of the correct est = 0 —
+    // and would diverge from the st26 keyed-state readout, which keeps
+    // one-sided cells with a zero partner (r11 ADVICE). The spine is a
+    // pure d·w-row range projection; absent cells contribute 0·0.
+    // The grids are ≤ d·w rows each but sit above an aggregate, where
+    // Catalyst's size estimate is blind — pin the broadcasts.
+    val spine = df.sparkSession.range(0, d.toLong * w)
+      .select(call_function("div", col("id"), lit(w.toLong))
+        .cast("int").as("r"),
+        pmod(col("id"), lit(w.toLong)).as("pos"))
+    val est = spine.join(broadcast(ga), Seq("r", "pos"), "left")
+      .join(broadcast(gb), Seq("r", "pos"), "left")
+      .groupBy("r")
+      .agg(sum(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
+        .as("est_r"))
       .agg(min(col("est_r")).as("est"))
     val exact = df
       .groupBy(col(keyCol))

@@ -370,16 +370,23 @@ object Extensions {
 
     // Content-defined chunking (FastCDC-family storage dedup): rolling-
     // hash boundaries via a scan-side HOF pass, chunk md5s, per-source
-    // chunk-level dup report. See operators/Chunking.scala.
+    // chunk-level dup report. Runs over the non-ASCII-extended corpus
+    // (injectNonAscii) so the byte-window/char-end boundary path is
+    // oracle-proven, not just unit-tested. See operators/Chunking.scala.
     "x96_cdc_chunks" -> ((s, dir) =>
-      Chunking.cdcDupReport(T.documents(s, dir), "text", "doc_id", "source")
+      Chunking.cdcDupReport(injectNonAscii(T.documents(s, dir)),
+          "text", "doc_id", "source")
         .orderBy("source")),
 
     // Winnowing copy detection (MOSS, SIGMOD'03): min-hash-per-window
     // fingerprint selection over the CDC rolling-hash stream, df-pruned
     // boilerplate, shared-fingerprint pair evidence; top-20 pairs.
+    // Non-ASCII-extended input: fingerprints are byte-window VALUES
+    // (never positions), so multilingual text needs no char remap here
+    // — the oracle evaluates the same polynomial over hex bytes.
     "x97_winnowing" -> ((s, dir) =>
-      Chunking.winnowingPairs(T.documents(s, dir), "text", "doc_id")
+      Chunking.winnowingPairs(injectNonAscii(T.documents(s, dir)),
+          "text", "doc_id")
         .orderBy(col("n_shared").desc, col("d1"), col("d2"))
         .limit(20)),
 
@@ -402,7 +409,7 @@ object Extensions {
     // x27/x31 ingest pattern at CDC granularity): per new doc, chunks
     // and BYTES already in the store — the dedup-store ingest saving.
     "x100_cdc_incremental" -> ((s, dir) => {
-      val docs = T.documents(s, dir)
+      val docs = injectNonAscii(T.documents(s, dir))
       Chunking.cdcIncremental(
           docs.filter(pmod(col("doc_id"), lit(5L)) === 0),
           docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
@@ -761,6 +768,10 @@ object Extensions {
         Layout.mortonInterleave(col("qu"), col("qd"), 4))
       val hq = q.withColumn("hval", graft.functions.GraftFunctions
         .hilbert2d(col("qu"), col("qd"), 4))
+      // the derived bound degenerates (selects nothing) below a span of
+      // 8 — fail loudly instead (house fence discipline, r11 VERDICT nit)
+      require(uspan >= 8,
+        s"x110: user-id span $uspan < 8 makes p_user select nothing")
       val uhi = uspan / 8 - 1
       val preds = Seq(
         ("p_user", Seq(("u", lit(0L), lit(uhi)))),
@@ -2028,6 +2039,70 @@ object Extensions {
          FROM scored)
        WHERE rank <= 10 ORDER BY query_id, rank"""
   }
+
+  /** Deterministic non-ASCII extension of the documents table (the x33
+    * injection discipline — a pure function of doc_id/text, replayed
+    * verbatim by both engines): every 13th doc gains a multi-byte
+    * suffix whose repeat length varies with doc_id, exercising the CDC
+    * byte-window/char-end path (round-12 ASCII-fence lift) at every
+    * gated SF. Shared by the x96/x97/x100/st20 queries and oracles.
+    */
+  private[queries] def injectNonAscii(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        concat(col("text"), lit(" ünïcodé"),
+          expr("repeat('é', CAST(pmod(doc_id, 5) + 1 AS INT))")))
+        .otherwise(col("text")))
+
+  /** The SQL side of [[injectNonAscii]] — a CTE named `inj` over
+    * `documents`. */
+  private[queries] val cdcInjectCte: String =
+    """inj AS (SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0
+           THEN text || ' ünïcodé' || repeat('é', CAST(doc_id % 5 AS INTEGER) + 1)
+           ELSE text END AS text
+       FROM documents)"""
+
+  /** 31-powers list literal shared by the CDC oracle fragments. */
+  private[queries] val cdcPowList: String =
+    "[1, 31, 961, 29791, 923521, 28629151, 887503681, 27512614111]"
+
+  /** CDC boundary CTE block over a CTE named `inj` with a `text`
+    * column: `b0` carries inj's columns plus `bnds` — the CHARACTER
+    * positions whose byte-window hash hits the mod-64 mask, the exact
+    * dual of [[graft.functions.CdcCharHashes]] + the mask filter.
+    * ASCII rows take the historical codepoint closed form (bytes =
+    * codepoints); multi-byte rows locate char ends via the UTF-8
+    * continuation mask over hex(encode(text)) and evaluate the same
+    * polynomial on byte values — probe-verified equal to the Spark
+    * expression on random multilingual strings. The inner CASE exists
+    * because DuckDB's vectorized AND does not short-circuit (substr at
+    * byte < 1 would throw on a bare conjunction).
+    */
+  private[queries] val cdcBoundaryCtes: String =
+    s"""hb AS (SELECT *, hex(encode(text)) AS hx, strlen(text) AS nb
+           FROM inj),
+       ce AS (SELECT *, CASE WHEN nb = length(text)
+                THEN CAST([] AS BIGINT[])
+                ELSE list_filter(range(1, nb + 1), i ->
+                  CASE WHEN i = nb THEN TRUE
+                       ELSE NOT (CAST(concat('0x', substr(hx, 2*i + 1, 2))
+                                 AS BIGINT) BETWEEN 128 AND 191) END)
+                END AS cends
+              FROM hb),
+       b0 AS (SELECT *, CASE WHEN nb = length(text) THEN
+                list_filter(range(8, length(text) + 1), p ->
+                  list_sum(list_transform(range(0, 8), j ->
+                    unicode(text[p - j]) * $cdcPowList[j + 1])) % 64 = 0)
+              ELSE
+                list_filter(range(1, len(cends) + 1), q ->
+                  CASE WHEN cends[q] >= 8 THEN
+                    list_sum(list_transform(range(0, 8), j ->
+                      CAST(concat('0x', substr(hx, 2*(cends[q] - j) - 1, 2))
+                        AS BIGINT) * $cdcPowList[j + 1])) % 64 = 0
+                  ELSE FALSE END)
+              END AS bnds FROM ce)"""
 
   /** Symmetric transitive-closure CTE block over a CTE named `pairs`
     * with (d1, d2) columns — the SQL analog of
@@ -4216,9 +4291,11 @@ object Extensions {
     },
 
     // x111: both counter grids rebuilt from the same sha256 48-bit hex
-    // slices (the x32/Bloom replay scheme), inner product per row, min
-    // over rows; the exact arm is the per-key conditional-count join
-    // size. All integer.
+    // slices (the x32/Bloom replay scheme), inner product per row over
+    // the FULL d×w spine (absent cells contribute 0 — disjoint sides
+    // correctly read est = 0, mirroring the Spark spine join), min over
+    // rows; the exact arm is the per-key conditional-count join size.
+    // All integer.
     "x111_join_size_cms" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS us_min,
              max(epoch_us(ts)) AS us_max FROM events),
@@ -4232,10 +4309,15 @@ object Extensions {
            FROM t, range(4) s(r)),
          g AS (SELECT side, r, pos, CAST(count(*) AS BIGINT) AS c
                FROM rp GROUP BY 1, 2, 3),
-         ip AS (SELECT ga.r, sum(ga.c * gb.c) AS est_r
-                FROM g ga JOIN g gb
-                  ON ga.r = gb.r AND ga.pos = gb.pos
-                 AND ga.side = 0 AND gb.side = 1
+         sp AS (SELECT CAST(x // 256 AS INTEGER) AS r, x % 256 AS pos
+                FROM range(1024) spn(x)),
+         ip AS (SELECT sp.r,
+                  sum(coalesce(ga.c, 0) * coalesce(gb.c, 0)) AS est_r
+                FROM sp
+                LEFT JOIN (SELECT r, pos, c FROM g WHERE side = 0) ga
+                  ON ga.r = sp.r AND ga.pos = sp.pos
+                LEFT JOIN (SELECT r, pos, c FROM g WHERE side = 1) gb
+                  ON gb.r = sp.r AND gb.pos = sp.pos
                 GROUP BY 1),
          e AS (SELECT CAST(min(est_r) AS BIGINT) AS est FROM ip),
          k AS (SELECT user_id,
@@ -4251,18 +4333,22 @@ object Extensions {
 
     // x112: identical injection (pure function of text/doc_id), the
     // same {self} ∪ 1-deletions variant domain over the vocabulary,
-    // and the same levenshtein + frequency-asymmetry verify.
+    // and the same levenshtein + frequency-asymmetry verify. The token
+    // fence interpolates TextAnalysis.MaxTypoTokenLen (the QsK pattern)
+    // so Spark and oracle cannot desynchronize under a constant change.
     "x112_typo_dedup" ->
-      """WITH inj AS (SELECT CASE WHEN doc_id % 7 = 0
+      s"""WITH inj AS (SELECT CASE WHEN doc_id % 7 = 0
                AND len(regexp_extract(text, '[a-z]{5,}')) >= 5
              THEN text || ' '
                || substr(regexp_extract(text, '[a-z]{5,}'), 1, 2)
                || substr(regexp_extract(text, '[a-z]{5,}'), 4)
              ELSE text END AS text FROM documents),
          vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-           FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+           FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
                    AS tok FROM inj)
-           WHERE regexp_matches(tok, '^[a-z]{4,20}$') GROUP BY 1),
+           WHERE regexp_matches(tok,
+             '^[a-z]{4,${graft.operators.TextAnalysis.MaxTypoTokenLen}}$$')
+           GROUP BY 1),
          vars AS (SELECT tok, cnt,
              unnest(list_append(list_transform(range(1, len(tok) + 1),
                i -> substr(tok, 1, i - 1)
@@ -4431,16 +4517,28 @@ object Extensions {
              AS dup_rate_q
          FROM h GROUP BY 1 ORDER BY 1""",
 
-    // x97: the winnowing selection replayed — same k-gram polynomial as
-    // x96, per-window minima, df prune, shared-fingerprint pair join.
+    // x97: the winnowing selection replayed — the x96 BYTE-window
+    // polynomial per BYTE position (fingerprints are hash values, never
+    // positions, so no char-end admission here), per-window minima, df
+    // prune, shared-fingerprint pair join. ASCII rows keep the cheap
+    // codepoint form; injected multi-byte rows evaluate the same
+    // polynomial over hex(encode(text)) byte values.
     "x97_winnowing" ->
-      """WITH kh AS (SELECT doc_id,
-             list_transform(range(8, length(text) + 1), p ->
-               list_sum(list_transform(range(0, 8), j ->
-                 unicode(text[p - j]) *
-                 [1, 31, 961, 29791, 923521, 28629151,
-                  887503681, 27512614111][j + 1]))) AS kh
-           FROM documents),
+      s"""WITH $cdcInjectCte,
+         hb AS (SELECT doc_id, text, hex(encode(text)) AS hx,
+                  strlen(text) AS nb FROM inj),
+         kh AS (SELECT doc_id,
+             CASE WHEN nb = length(text) THEN
+               list_transform(range(8, length(text) + 1), p ->
+                 list_sum(list_transform(range(0, 8), j ->
+                   unicode(text[p - j]) * $cdcPowList[j + 1])))
+             ELSE
+               list_transform(range(8, nb + 1), p ->
+                 list_sum(list_transform(range(0, 8), j ->
+                   CAST(concat('0x', substr(hx, 2*(p - j) - 1, 2)) AS BIGINT)
+                     * $cdcPowList[j + 1])))
+             END AS kh
+           FROM hb),
          fp AS (SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, len(kh) - 2),
                i -> list_min(kh[i:i+3])))) AS fp
@@ -4474,19 +4572,15 @@ object Extensions {
                * 1048576 + 0.5) AS BIGINT) AS coverage_q
          FROM m GROUP BY 1 ORDER BY 1""",
 
-    // x100: the x96 chunk CTE with per-chunk (len, md5) structs, split
-    // into history/batch arms on doc_id % 5, probed via left join.
+    // x100: the x96 chunk CTE (non-ASCII-extended, char-end boundary
+    // dual) with per-chunk (len, md5) structs, split into history/batch
+    // arms on doc_id % 5, probed via left join.
     "x100_cdc_incremental" ->
-      """WITH b AS (SELECT doc_id, text,
-             list_filter(range(8, length(text) + 1), p ->
-               list_sum(list_transform(range(0, 8), j ->
-                 unicode(text[p - j]) *
-                 [1, 31, 961, 29791, 923521, 28629151,
-                  887503681, 27512614111][j + 1])) % 64 = 0) AS bnds
-           FROM documents),
+      s"""WITH $cdcInjectCte,
+         $cdcBoundaryCtes,
          e AS (SELECT doc_id, text,
              list_sort(list_distinct(list_append(bnds, length(text)))) AS ends
-           FROM b),
+           FROM b0),
          ch AS (SELECT doc_id,
              unnest(list_transform(range(1, len(ends) + 1), i ->
                {'clen': ends[i] - (CASE WHEN i = 1 THEN 0
@@ -4511,20 +4605,16 @@ object Extensions {
          FROM bat LEFT JOIN hist ON hist.h = bat.h
          GROUP BY 1 ORDER BY 1""",
 
-    // x96: the CDC rolling-hash boundaries (8-char window, base-31
-    // polynomial, mod-64 mask) and chunk md5s replayed with list HOFs,
-    // then the same per-source dup rollup as x95.
+    // x96: the CDC rolling-hash boundaries (8-BYTE window, base-31
+    // polynomial, mod-64 mask, char-end admission) and chunk md5s
+    // replayed with list HOFs over the non-ASCII-extended corpus, then
+    // the same per-source dup rollup as x95.
     "x96_cdc_chunks" ->
-      """WITH b AS (SELECT source, text,
-             list_filter(range(8, length(text) + 1), p ->
-               list_sum(list_transform(range(0, 8), j ->
-                 unicode(text[p - j]) *
-                 [1, 31, 961, 29791, 923521, 28629151,
-                  887503681, 27512614111][j + 1])) % 64 = 0) AS bnds
-           FROM documents),
+      s"""WITH $cdcInjectCte,
+         $cdcBoundaryCtes,
          e AS (SELECT source, text,
              list_sort(list_distinct(list_append(bnds, length(text)))) AS ends
-           FROM b),
+           FROM b0),
          ch AS (SELECT source,
              unnest(list_transform(range(1, len(ends) + 1), i ->
                md5(text[(CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END) + 1

@@ -172,7 +172,9 @@ object StreamingQ {
     // byte-weighted reuse combined outside the stream. Batch ≡ the
     // min-doc-per-hash SQL, certified here.
     "st20_stream_cdc" -> ((s, dir) =>
-      DocStreams.cdcFirstSeenReport(T.documents(s, dir), "text", "doc_id")
+      DocStreams.cdcFirstSeenReport(
+          graft.queries.Extensions.injectNonAscii(T.documents(s, dir)),
+          "text", "doc_id")
         .orderBy("doc_id")),
 
     // Streaming SCD2 run-close: the a65 interval build as live keyed
@@ -325,16 +327,11 @@ object StreamingQ {
     // earliest carrier is this document (min-doc == doc ⟺ no strictly
     // earlier doc has it).
     "st20_stream_cdc" ->
-      """WITH b AS (SELECT doc_id, text,
-             list_filter(range(8, length(text) + 1), p ->
-               list_sum(list_transform(range(0, 8), j ->
-                 unicode(text[p - j]) *
-                 [1, 31, 961, 29791, 923521, 28629151,
-                  887503681, 27512614111][j + 1])) % 64 = 0) AS bnds
-           FROM documents),
+      s"""WITH ${graft.queries.Extensions.cdcInjectCte},
+         ${graft.queries.Extensions.cdcBoundaryCtes},
          e AS (SELECT doc_id, text,
              list_sort(list_distinct(list_append(bnds, length(text)))) AS ends
-           FROM b),
+           FROM b0),
          ch AS (SELECT doc_id,
              unnest(list_transform(range(1, len(ends) + 1), i ->
                {'clen': ends[i] - (CASE WHEN i = 1 THEN 0

@@ -240,6 +240,11 @@ object DocStreams {
           .bitwiseAND(lit(4294967295L)).as("h"),
         col(idCol).cast("long").as("sid"),
         size(split(lower(col(textCol)), "\\s+")).cast("long").as("len"))
+      // null text ⇒ null len, which the primitive-Long tuple encoder
+      // NPEs on at runtime — exclude it up front, the batch
+      // quantileSketch's v.isNotNull discipline (statefulAnomaly's
+      // filter, same reason)
+      .filter(col("len").isNotNull && col("sid").isNotNull)
       .as[(String, Long, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new QuantileSketchProcessor(k),

@@ -184,4 +184,51 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(rows(1).getSeq[Long](0).isEmpty)
     assert(rows(2).isNullAt(0))
   }
+
+  test("cdc_char_hashes: on single-byte text, element q equals the byte " +
+       "stream's element q-7 (pre-round-12 behavior bit-for-bit), with " +
+       "-1 sentinels below the first full window") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val r = Seq(text).toDF("t")
+      .select(GraftFunctions.cdcHashes(col("t")).as("kh"),
+        GraftFunctions.cdcCharHashes(col("t")).as("ch"))
+      .head()
+    val kh = r.getSeq[Long](0)
+    val ch = r.getSeq[Long](1)
+    assert(ch.length === text.length)
+    assert(ch.take(7) === Seq.fill(7)(-1L))
+    assert(ch.drop(7) === kh)
+  }
+
+  test("cdc_char_hashes: multi-byte text — one element per CHARACTER, " +
+       "values equal the byte-window polynomial at each char's last " +
+       "byte, -1 where fewer than 8 bytes precede") {
+    val text = "héllo wörld — ünïcodé 漢字テスト"
+    def ref(s: String): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var h = 0L
+      val p7 = 27512614111L
+      for (i <- b.indices) {
+        h = if (i < 8) h * 31L + (b(i) & 0xffL)
+            else (h - (b(i - 8) & 0xffL) * p7) * 31L + (b(i) & 0xffL)
+        if (i == b.length - 1 || (b(i + 1) & 0xC0) != 0x80)
+          out += (if (i >= 7) h else -1L)
+      }
+      out.toSeq
+    }
+    val got = Seq(text).toDF("t")
+      .select(GraftFunctions.cdcCharHashes(col("t")).as("ch"))
+      .head().getSeq[Long](0)
+    assert(got.length === text.codePointCount(0, text.length))
+    assert(got === ref(text))
+    // interpreted eval agrees with the codegen path
+    val interp = CdcCharHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text),
+        org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp === got)
+  }
 }

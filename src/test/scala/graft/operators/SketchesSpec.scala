@@ -159,4 +159,26 @@ class SketchesSpec extends SparkTestBase {
     assert(u > est(a) * 0.9 && u > est(b) * 0.9)
     assert(math.abs(u - 7500).toDouble / 7500 < 0.2)
   }
+
+  test("cmsJoinSize on DISJOINT key sets reads est = 0 (not NULL, not " +
+       "an overstated min over co-populated rows) — the d×w spine fix " +
+       "(r11 ADVICE); dominance est >= exact still holds") {
+    // sides share no keys: exact join size is 0
+    val df = ((0 until 200).map(i => (s"a$i", 0L)) ++
+      (0 until 200).map(i => (s"b$i", 1L))).toDF("k", "side")
+    val r = Sketches.cmsJoinSize(df, "k", "side").collect()(0)
+    assert(r.getAs[Long]("exact") == 0L)
+    // collisions can only ADD cross terms, so est >= 0 and NON-NULL;
+    // with w=256 and 200 keys/side a fully-collision-free row is
+    // possible, so only the >= 0 + non-null contract is pinned
+    assert(!r.isNullAt(r.fieldIndex("est")), "est must not be NULL")
+    assert(r.getAs[Long]("est") >= 0L)
+  }
+
+  test("cmsJoinSize with one empty side reads est = exact = 0") {
+    val df = (0 until 100).map(i => (s"k$i", 0L)).toDF("k", "side")
+    val r = Sketches.cmsJoinSize(df, "k", "side").collect()(0)
+    assert(r.getAs[Long]("est") == 0L)
+    assert(r.getAs[Long]("exact") == 0L)
+  }
 }

@@ -70,6 +70,47 @@ class Round10bPlanSpec extends SparkTestBase {
     assert(df.collect().length == 4) // rounds 0..3 still evaluate
   }
 
+  test("kCorePeel / minLabelPropagation stay construction-lazy for ALL " +
+       "rounds below the checkpoint cadence (rounds=5 < 6), and a " +
+       "rounds=9 run past the cadence is CORRECT (the deliberate eager " +
+       "checkpoint truncates the exponentially-printed plan — r11 " +
+       "ADVICE adjudicated: eager=false is not lazy under AQE, and no " +
+       "checkpoint hangs explainString)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L))
+      .toDF("a", "b")
+    edges.count() // settle any scan-side work outside the window
+    sc.setJobGroup("cklazy", "checkpoint-cadence lazy pin")
+    val (peel, lp) = try {
+      val p = graft.operators.Graph.kCorePeel(edges, "a", "b", k = 2,
+        rounds = 5)
+      val l = graft.operators.Graph.minLabelPropagation(edges, "a", "b",
+        rounds = 5)
+      sc.parallelize(Seq(1)).count() // sentinel
+      (p, l)
+    } finally sc.clearJobGroup()
+    var ids = Array.empty[Int]
+    val deadline = System.currentTimeMillis + 15000
+    while (ids.length < 1 && System.currentTimeMillis < deadline) {
+      Thread.sleep(50)
+      ids = sc.statusTracker.getJobIdsForGroup("cklazy")
+    }
+    assert(ids.length == 1,
+      s"construction ran ${ids.length - 1} eager job(s) at rounds=5; " +
+      "expected none (only the sentinel)")
+    assert(peel.collect().length == 6) // rounds 0..5 still evaluate
+    assert(lp.collect().map(r => r.getLong(1)).forall(_ == 1L)) // one CC
+    // past the cadence: construction fires the truncating checkpoint
+    // jobs by design; results stay correct and the plan stays printable
+    val lp9 = graft.operators.Graph
+      .minLabelPropagation(edges, "a", "b", rounds = 9).collect()
+    assert(lp9.map(r => r.getLong(1)).forall(_ == 1L))
+    val p9 = graft.operators.Graph
+      .kCorePeel(edges, "a", "b", k = 2, rounds = 9).collect()
+    assert(p9.length == 10)
+  }
+
   test("x104 filtered ann: the label side joins as a BROADCAST onto the " +
        "probed candidates — the index is never re-shuffled for the " +
        "post-filter") {

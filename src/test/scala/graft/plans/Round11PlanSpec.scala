@@ -21,16 +21,15 @@ class Round11PlanSpec extends SparkTestBase {
     }
 
   test("x109 quantile sketch: text never crosses an exchange (tokenize-" +
-       "count runs scan-side), no cartesian, and the rank window bounds " +
-       "the sample before the collect_list") {
+       "count runs scan-side), no cartesian, and the sketch build is the " +
+       "round-12 partial+final typed aggregate (no rank window anywhere)") {
     val s = planString(
       graft.queries.Extensions.queries("x109_quantile_sketch")(spark, sf))
     assertNoTextInExchanges(s)
     assert(!s.contains("CartesianProduct"), s)
-    assert(s.contains("Window"), s"rank window missing:\n$s")
-    // the bounded collect happens AFTER the rank filter: the window's
-    // row_number filter appears below the sketch aggregate
-    assert(s.contains("row_number"), s)
+    assert(s.contains("partial_quantilesketchagg"),
+      s"map-side sketch combine missing:\n$s")
+    assert(!s.contains("row_number"), s"rank window resurfaced:\n$s")
   }
 
   test("x110 skipping report: no cartesian, and each layout's bin-stats " +

@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan pins for the round-12 sketch-build rework: both
+  * bottom-k sketch builders (KMV and quantile) are now typed
+  * partial+final aggregates, so the ONLY exchange in a sketch build
+  * carries ≤ k rows per key per map task — never the corpus's raw or
+  * distinct rows. The former rank-window formulation (whose exchange
+  * shipped every (key, h, …) row) must not resurface.
+  */
+class Round12PlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("quantileSketch: partial aggregation below the keyed exchange " +
+       "(map-side k-row combine), no rank window, no distinct pass") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val sk = graft.operators.Sketches.quantileSketch(
+      df, Seq("source"), col("n_chars"), col("doc_id"))
+    val s = planString(sk)
+    assert(s.contains("partial_quantilesketchagg"),
+      s"partial sketch aggregate missing:\n$s")
+    assert(!s.contains("Window") && !s.contains("row_number"),
+      s"rank window resurfaced:\n$s")
+    // exactly one exchange: the partial→final hash exchange on the key
+    val ex = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(ex === 1, s"expected 1 exchange, got $ex:\n$s")
+  }
+
+  test("kmvSketch: partial aggregation below the keyed exchange, no " +
+       "rank window, and no separate distinct exchange (dedup happens " +
+       "inside the k-long buffer)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val sk = graft.operators.Sketches.kmvSketch(
+      df, Seq("source"), col("doc_id"))
+    val s = planString(sk)
+    assert(s.contains("partial_kmvsketchagg"),
+      s"partial sketch aggregate missing:\n$s")
+    assert(!s.contains("Window") && !s.contains("row_number"), s)
+    val ex = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(ex === 1,
+      s"expected 1 exchange (no distinct pass), got $ex:\n$s")
+  }
+
+  test("a77 inter-arrival quantiles: the sketch arm adds a partial " +
+       "aggregate above the cached gaps frame — the only non-cache " +
+       "exchanges are the catalog-sized type rollups") {
+    val s = planString(graft.queries.Analytics
+      .queries("a77_interarrival_quantiles")(spark, sf))
+    assert(s.contains("partial_quantilesketchagg"),
+      s"map-side sketch combine missing:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("a70 rolling KMV: the daily sketch build inside the cache is " +
+       "the typed aggregate (partial combine), not distinct + window") {
+    val df = graft.queries.Analytics
+      .queries("a70_rolling_active_kmv")(spark, sf)
+    val s = planString(df)
+    // the persistOnce cache prints its build subtree — the typed
+    // aggregate must be what's cached
+    assert(s.contains("kmvsketchagg"),
+      s"typed KMV sketch aggregate missing:\n$s")
+    assert(!s.contains("row_number"), s"rank window resurfaced:\n$s")
+  }
+}

@@ -105,6 +105,35 @@ class QueryBoundsSpec extends SparkTestBase {
     }
   }
 
+  test("quantileEstimate boundary pcts (1, 100) match percentile_disc " +
+       "in the exact regime — the ⌈n·pct/100⌉ upper-rank convention " +
+       "pinned so a refactor can't drift it") {
+    import spark.implicits._
+    // 100 distinct values in one group, n < k so the sketch IS the
+    // group: the estimate must equal the discrete percentile exactly,
+    // including both endpoints (pct=1 → first value, pct=100 → max).
+    val d = (1 to 100).map(i => (i.toLong, "g", i.toLong * 10))
+      .toDF("id", "g", "v")
+    val sk = graft.operators.Sketches.quantileSketch(
+      d, Seq("g"), col("v"), col("id"))
+    val got = sk.select(
+      graft.operators.Sketches.quantileEstimate(col("qsketch"), 1).as("p1"),
+      graft.operators.Sketches.quantileEstimate(col("qsketch"), 50).as("p50"),
+      graft.operators.Sketches.quantileEstimate(col("qsketch"), 100).as("p100"))
+      .head()
+    // percentile_disc returns double; on discrete long inputs the value
+    // is an exact order statistic, so the cast back to long is lossless
+    val disc = d.agg(
+      expr("CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p1"),
+      expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p50"),
+      expr("CAST(percentile_disc(1.00) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p100"))
+      .head()
+    Seq(0, 1, 2).foreach { i =>
+      assert(got.getLong(i) == disc.getLong(i),
+        s"field $i: sketch ${got.getLong(i)} vs disc ${disc.getLong(i)}")
+    }
+  }
+
   test("x114 sketch-KS tracks the exact two-sample KS within the " +
        "sampling-regime band (3/√k) on a genuinely sampled input") {
     import spark.implicits._
