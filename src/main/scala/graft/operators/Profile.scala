@@ -9,52 +9,61 @@ import org.apache.spark.sql.functions._
   * diagnosis (the report that decides salting factors).
   */
 object Profile {
-  /** One-pass column profiler: for each (name, typed expression) spec —
+  /** Exact column profiler: for each (name, typed expression) spec —
     * row count, null count, EXACT distinct count, and min/max rendered
     * to strings AFTER typed aggregation (so numeric/date ordering is
     * the typed one, never lexicographic; callers pass exactness-safe
     * expressions, e.g. a DECIMAL view of a money double, so the string
     * rendering is engine-stable).
     *
-    * 100 TB: ONE aggregation pass. Multiple exact count-distincts in a
-    * single agg plan via Spark's Expand (|specs|× row multiplication
-    * before the partial agg — the standard exact-ANALYZE cost; swap in
-    * approx_count_distinct when estimates suffice). The result is one
-    * row, unpivoted driver-free via stack().
+    * Plan shape (round 12 — the Expand measured out): ONE cached
+    * projection of exactly the spec columns feeds (a) a single cheap
+    * stats aggregate (count/nulls/min/max — no distinct anywhere, so
+    * no Expand) and (b) one SINGLE-distinct aggregate per spec, which
+    * Spark plans as an ordinary two-phase aggregate with NO row
+    * multiplication. The former all-in-one form planned |specs|
+    * count_distincts through Expand — a (|specs|+1)× row multiplication
+    * before the partial agg that made the profiler the #2 bench
+    * resident (3.6 s cold, CPU-bound in Expand). The 1-row arms
+    * broadcast-join back together and unpivot driver-free via stack().
+    *
+    * 100 TB: parquet is columnar, so the |specs| NDV subtrees each
+    * decode exactly ONE column — total bytes touched equal the one-pass
+    * Expand form's, without multiplying rows; each NDV exchange carries
+    * only that column's distinct values (map-side partial dedup). The
+    * cache is an optimization that degrades gracefully (eviction =
+    * column-pruned re-scan). For estimate-grade stats in one true pass
+    * with O(k) state use [[profileApprox]].
     */
   def profile(df: DataFrame, specs: Seq[(String, Column)]): DataFrame = {
     require(specs.nonEmpty, "profile needs at least one column spec")
     require(specs.map(_._1).distinct.size == specs.size, "spec names must be unique")
-    // Narrow-input spread (the duplicateSpans pattern): the |specs|×
-    // Expand multiplication happens BEFORE the first exchange, so on a
-    // single-row-group file the whole expansion would run in the scan's
-    // one task (measured at sf0.1, 5 specs over lineitem: 8.3-9.2 s
-    // single-task vs 2.3-3.3 s spread — the residual is the expanded
-    // partial agg itself). At production scale the source is many-split
-    // and this repartition is a no-op. Two guards keep the spread from
-    // costing more than it saves on a LARGE few-partition input (the
-    // round-8 sf1 regression: 3 packed multi-file splits → a full-table
-    // round-robin exchange): (1) the exchange ships ONLY the spec
-    // columns — the profile never needs the rest of the row; (2) the
-    // spread fires only when the input is truly narrow (≤ parallelism/4
-    // partitions), where the |specs|× post-Expand parallelism win
-    // dominates the projected exchange. For estimate-grade stats at
-    // scale use [[profileApprox]] — no Expand, no spread at all.
+    // Narrow-input spread (the duplicateSpans pattern): on a single-
+    // row-group file every arm's partial agg would run in the scan's
+    // one task; the spread fires only when the input is truly narrow
+    // (≤ parallelism/4 partitions) and ships ONLY the spec columns.
+    // At production scale the source is many-split and this is a no-op.
     val pruned = df.select(specs.map { case (n, c) => c.as(s"__c_$n") }: _*)
     val specCols = specs.map { case (n, _) => (n, col(s"__c_$n")) }
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val input =
+    val input = graft.Caches.persistOnce(
       if (pruned.rdd.getNumPartitions * 4 <= parallelism)
         pruned.repartition(parallelism)
-      else pruned
-    val aggs = specCols.flatMap { case (name, c) =>
+      else pruned)
+    val statAggs = specCols.flatMap { case (name, c) =>
       Seq(count(lit(1)).as(s"__n_$name"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$name"),
-        count_distinct(c).as(s"__nd_$name"),
         min(c).cast("string").as(s"__mn_$name"),
         max(c).cast("string").as(s"__mx_$name"))
     }
-    val one = input.agg(aggs.head, aggs.tail: _*)
+    var one = input.agg(statAggs.head, statAggs.tail: _*)
+    specCols.foreach { case (name, c) =>
+      // single-distinct aggregates plan Expand-free; the 1-row result
+      // sits above an aggregate (size-blind to Catalyst) — pin the
+      // broadcast
+      one = one.crossJoin(broadcast(
+        input.agg(count_distinct(c).as(s"__nd_$name"))))
+    }
     val stacked = specs.map { case (name, _) =>
       s"'$name', __n_$name, __nn_$name, __nd_$name, __mn_$name, __mx_$name"
     }.mkString(", ")

@@ -237,16 +237,21 @@ class Round8bOpsSpec extends SparkTestBase {
       txt.getString(4) === "a" && txt.getString(5) === "c")
   }
 
-  test("profile plan: multiple exact distincts compile to ONE aggregation " +
-       "pass over an Expand — not one scan per column") {
+  test("profile plan: NO Expand — each exact NDV is its own single-" +
+       "distinct two-phase aggregate over the shared cached projection " +
+       "(round 12: the 6x row multiplication measured out), and the " +
+       "stats pass carries no distinct aggregate") {
     val li = T.lineitem(spark, sf)
     val plan = Profile.profile(li, Seq(
         "l_orderkey" -> col("l_orderkey"),
         "l_returnflag" -> col("l_returnflag")))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Expand"), s"exact multi-NDV must go through Expand:\n$plan")
-    assert("FileScan".r.findAllIn(plan).size === 1,
-      s"profiler must scan the table exactly once:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"exact profile must not Expand (single-distinct subtrees):\n$plan")
+    // every NDV subtree and the stats pass read the ONE cached pruned
+    // projection, never the parquet file again
+    val imr = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(imr >= 3, s"expected >=3 cache reads (stats + 2 NDVs):\n$plan")
   }
 
   test("skewReport: hand-checked counts, log2 buckets, shares, and the " +

@@ -78,11 +78,14 @@ class Round9OpsSpec extends SparkTestBase {
       "id" -> col("id"), "m" -> col("m")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
-    // the exact profiler DOES expand on multi-NDV specs — the cost x78b exists to avoid
+    // since round 12 the exact profiler avoids Expand too (per-column
+    // single-distinct subtrees over one cached projection); what still
+    // separates x78b is ONE pass and O(k) state vs |specs|+1 cache
+    // passes with exact-NDV hash state
     val exactPlan = Profile.profile(df, Seq(
       "id" -> col("id"), "m" -> col("m")))
       .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"))
+    assert(!exactPlan.contains("Expand"))
   }
 
   test("triangleCounts: K4 gives every node 3 triangles; a path gives none; " +
