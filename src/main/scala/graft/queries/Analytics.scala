@@ -1379,8 +1379,105 @@ object Analytics {
           quantileEstimate(col("qsketch"), 50).as("p50_us"),
           quantileEstimate(col("qsketch"), 90).as("p90_us"))
         .orderBy("stage")
-    })
+    }),
+
+    // RFM segmentation — the product-analytics customer-value grid:
+    // per customer recency (days since last order), frequency (order
+    // count), monetary (exact cents); tertile edges for all three
+    // dimensions come from ONE bottom-k hash-rank sample (the
+    // mergeable quantile sketch's sixth application — membership is
+    // (h, custkey)-ranked, so the SAME sampled customers provide all
+    // three edge sets and the oracle replays one rank), then one
+    // broadcast of the 6 scalars onto the customer frame buckets every
+    // customer into the 3×3×3 grid. Integer end to end (cents via the
+    // MoneyStatsAgg floor(x·100+0.5) convention).
+    // 100 TB: one custkey exchange builds the customer rollup (cached
+    // for the sketch arms and the bucket pass); the sketch arms are
+    // partial+final typed aggregates (≤ k triples each); the grid
+    // rollup is a 27-cell aggregate.
+    "a79_rfm_segments" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val o = T.orders(s, dir)
+      val bounds = o.agg(max(col("o_orderdate")).as("dmax"))
+      val cust = graft.Caches.persistOnce(
+        o.groupBy(col("o_custkey").as("ck"))
+          .agg(max(col("o_orderdate")).as("last_d"),
+            count(lit(1)).as("f"),
+            sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+              .as("m"))
+          .crossJoin(broadcast(bounds))
+          .select(col("ck"),
+            datediff(to_date(col("dmax")), to_date(col("last_d")))
+              .cast("bigint").as("r_days"),
+            col("f"), col("m")))
+      def edges(v: String) = {
+        val sk = Sketches.quantileSketch(
+          cust.withColumn("g", lit(1)), Seq("g"), col(v), col("ck"))
+        sk.select(
+          Sketches.quantileEstimate(col("qsketch"), 33).as(s"${v}_e1"),
+          Sketches.quantileEstimate(col("qsketch"), 67).as(s"${v}_e2"))
+      }
+      val e = broadcast(edges("r_days").crossJoin(edges("f"))
+        .crossJoin(edges("m")))
+      def bucket(v: String) =
+        when(col(v) <= col(s"${v}_e1"), 0)
+          .when(col(v) <= col(s"${v}_e2"), 1).otherwise(2).cast("int")
+      cust.crossJoin(e)
+        .select(bucket("r_days").as("r_b"), bucket("f").as("f_b"),
+          bucket("m").as("m_b"), col("f"), col("m"))
+        .groupBy("r_b", "f_b", "m_b")
+        .agg(count(lit(1)).as("n_cust"), sum(col("f")).as("orders_total"),
+          sum(col("m")).as("m_total_cents"))
+        .orderBy("r_b", "f_b", "m_b")
+    }),
+
+    // CUSUM changepoint over the per-type daily count series — the
+    // drift-WHEN companion to a74 (which asks IF the distribution
+    // moved): the one-sided CUSUM S_t = max(0, S_{t-1} + (x_t − k))
+    // with drift allowance k = the type's mean daily count, evaluated
+    // in closed form S_t = P_t − min(0, min_{j≤t} P_j) over the prefix
+    // sums P_t = Σ(n·x_i − T) (scaled by n = #days so k = T/n stays
+    // integer — no division anywhere). Reported per type: the max
+    // statistic, the day it peaks (the changepoint estimate; ties take
+    // the earliest day), and how many days exceed the one-average-day
+    // alarm threshold S_t > T·1 (scaled: > T). Deterministic integers
+    // end to end.
+    // 100 TB: the daily rollup is the partial-aggregatable reduction
+    // to the (type × day) calendar domain; both windows and the final
+    // rollup share ONE event_type exchange.
+    "a80_changepoint" -> ((s, dir) =>
+      cusumReadout(T.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("x"))))
   )
+
+  /** The CUSUM changepoint readout over a (event_type, d, x) daily-count
+    * frame — shared verbatim by a80 (batch rollup input) and st27 (live
+    * keyed-state counters input), the st25/a73 lockstep discipline.
+    * Both windows and the final rollup share ONE event_type exchange.
+    */
+  private[graft] def cusumReadout(daily: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("event_type")
+    val wo = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_days", count(lit(1)).over(wp))
+      .withColumn("total", sum(col("x")).over(wp))
+      .withColumn("p",
+        sum(col("x") * col("n_days") - col("total")).over(wo))
+      .withColumn("s",
+        col("p") - least(min(col("p")).over(wo), lit(0L)))
+      .withColumn("s_max", max(col("s")).over(wp))
+      .groupBy("event_type")
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("total")).as("total_events"),
+        max(col("s")).as("s_max"),
+        min(when(col("s") === col("s_max"), col("d")))
+          .as("changepoint_day"),
+        sum(when(col("s") > col("total"), 1L).otherwise(0L))
+          .as("n_alarm_days"))
+      .orderBy("event_type")
+  }
 
   /** a72's state domain (the fixture's event types) — shared by the
     * query and the oracle generator so both engines fold the walk's
@@ -1988,6 +2085,80 @@ object Analytics {
            vs[(n*90+99)//100] AS p90_us
          FROM s JOIN c USING (stage) ORDER BY stage"""
     },
+    // a79: the customer RFM rollup (exact cents via floor(x·100+0.5)),
+    // ONE murmur3 bottom-k rank on custkey (membership is (hu, ck) —
+    // identical for all three dimensions, so one sample provides all
+    // six tertile edges), integer percentile cuts, then the 3×3×3
+    // bucket rollup.
+    "a79_rfm_segments" -> {
+      val k = graft.operators.Sketches.QsK
+      val (ctes, hc) =
+        Murmur3Sql.hashLongCtes("c1", Seq("ck", "r_days", "f", "m"), "rf")
+      s"""WITH dmx AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax
+             FROM orders),
+         c0 AS (SELECT o_custkey AS ck,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS m,
+             max(CAST(o_orderdate AS DATE)) AS last_d
+           FROM orders GROUP BY 1),
+         c1 AS (SELECT ck,
+             CAST(date_diff('day', last_d, dmax) AS BIGINT) AS r_days,
+             f, m, ck AS v FROM c0, dmx),
+         $ctes
+         r AS (SELECT ck, r_days, f, m,
+                 row_number() OVER (ORDER BY hu, ck) AS rk FROM $hc),
+         smp AS (SELECT list(r_days ORDER BY r_days) AS rv,
+                   list(f ORDER BY f) AS fv,
+                   list(m ORDER BY m) AS mv,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM r WHERE rk <= $k),
+         e AS (SELECT rv[(n*33+99)//100] AS r_e1, rv[(n*67+99)//100] AS r_e2,
+                 fv[(n*33+99)//100] AS f_e1, fv[(n*67+99)//100] AS f_e2,
+                 mv[(n*33+99)//100] AS m_e1, mv[(n*67+99)//100] AS m_e2
+               FROM smp),
+         b AS (SELECT
+             CASE WHEN c.r_days <= e.r_e1 THEN 0
+                  WHEN c.r_days <= e.r_e2 THEN 1 ELSE 2 END AS r_b,
+             CASE WHEN c.f <= e.f_e1 THEN 0
+                  WHEN c.f <= e.f_e2 THEN 1 ELSE 2 END AS f_b,
+             CASE WHEN c.m <= e.m_e1 THEN 0
+                  WHEN c.m <= e.m_e2 THEN 1 ELSE 2 END AS m_b,
+             c.f, c.m
+           FROM c1 c, e)
+         SELECT CAST(r_b AS INTEGER) AS r_b, CAST(f_b AS INTEGER) AS f_b,
+           CAST(m_b AS INTEGER) AS m_b,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(f) AS BIGINT) AS orders_total,
+           CAST(sum(m) AS BIGINT) AS m_total_cents
+         FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    },
+    // a80: the CUSUM closed form replayed — per-type totals via a CTE
+    // join (same integers as the Spark windows), prefix sums, running
+    // min, max statistic + earliest argmax day + alarm-day count.
+    "a80_changepoint" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS total FROM daily GROUP BY 1),
+         sc AS (SELECT event_type, d, x, n_days, total,
+             sum(x * n_days - total) OVER (PARTITION BY event_type
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS p
+           FROM daily JOIN tot USING (event_type)),
+         s2 AS (SELECT *, p - least(min(p) OVER (PARTITION BY event_type
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) AS s
+           FROM sc),
+         s3 AS (SELECT *, max(s) OVER (PARTITION BY event_type) AS s_max
+                FROM s2)
+         SELECT event_type, max(n_days) AS n_days, max(total) AS total_events,
+           CAST(max(s) AS BIGINT) AS s_max,
+           min(CASE WHEN s = s_max THEN d END) AS changepoint_day,
+           CAST(sum(CASE WHEN s > total THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_days
+         FROM s3 GROUP BY 1 ORDER BY 1""",
     // a76: the same total-ordered rank window and the identical
     // rational Gini tree in HUGEINT; gini_q is the integer grid cut.
     "a76_activity_gini" ->

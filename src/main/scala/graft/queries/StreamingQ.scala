@@ -279,7 +279,19 @@ object StreamingQ {
         .select(lit(4).as("d"), lit(256).as("w"), col("est"), col("exact"),
           call_function("div", (col("est") - col("exact")) * 10000L,
             greatest(col("exact"), lit(1L))).as("err_bp"))
-    })
+    }),
+
+    // Live daily ingest counters + CUSUM changepoint readout (a80's
+    // streaming dual): keyed state = one MapState[day, count] per
+    // event type — calendar-bounded, additive, so state after any
+    // micro-batch split equals the batch daily rollup. The CUSUM scan
+    // needs the type's FULL series total for its drift allowance, so
+    // it runs OUTSIDE the stream over the latest cells (st16/st20
+    // hand-off) — the readout is Analytics.cusumReadout VERBATIM and
+    // the oracle is a80's SQL verbatim (stream ≡ batch certified).
+    "st27_stream_cusum" -> ((s, dir) =>
+      graft.queries.Analytics.cusumReadout(
+        EventStreams.statefulDailyCounts(T.events(s, dir)).toDF()))
   )
 
   val oracle: Map[String, String] = Map(
@@ -294,6 +306,11 @@ object StreamingQ {
     // certifies both surfaces (the st25/a73 lockstep discipline).
     "st26_stream_cms" ->
       graft.queries.Extensions.oracle("x111_join_size_cms"),
+    // st27: a80's oracle VERBATIM — additive daily counters make the
+    // stream's MapState equal the batch rollup, and the readout is the
+    // shared cusumReadout, so one SQL certifies both surfaces.
+    "st27_stream_cusum" ->
+      graft.queries.Analytics.oracle("a80_changepoint"),
     // st24: the stream's per-source sketch state recomputed as the
     // direct bottom-k over the whole table (murmur3 CTEs on doc_id) —
     // equality IS the sample semilattice; percentile cut =

@@ -1181,4 +1181,65 @@ object EventStreams {
       .transformWithState(new AnomalyProcessor(win, t),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** One live daily-count cell from [[statefulDailyCounts]]: the
+    * CURRENT count of `event_type` events on day `d` after the
+    * emitting micro-batch.
+    */
+  final case class DayCount(event_type: String, d: java.sql.Date, x: Long)
+
+  /** Per-type daily event counters as LIVE keyed state — the additive
+    * ingest state behind the a80 CUSUM changepoint readout (the
+    * st26-grid pattern: counters are additive, so state after any
+    * micro-batch split equals the batch daily rollup; the CUSUM scan
+    * itself needs the type's FULL series total for its drift
+    * allowance, so it runs OUTSIDE the stream over the latest cells —
+    * the st16/st20 hand-off). State per type is one MapState[epoch-day,
+    * count] — bounded by the calendar, not by event volume; day
+    * extraction runs codegen'd BEFORE the keyed shuffle, so the
+    * stateful operator only ever sees (type, epoch_day) pairs.
+    */
+  private class DailyCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Int), DayCount] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var counts: MapState[Int, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Int, Long]("counts",
+        E.scalaInt, E.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(tpe: String,
+                                 rows: Iterator[(String, Int)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DayCount] = {
+      val touched = scala.collection.mutable.SortedSet.empty[Int]
+      rows.foreach { case (_, ed) =>
+        val n = if (counts.containsKey(ed)) counts.getValue(ed) else 0L
+        counts.updateValue(ed, n + 1L)
+        touched += ed
+      }
+      touched.iterator.map { ed =>
+        DayCount(tpe,
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(ed.toLong)),
+          counts.getValue(ed))
+      }
+    }
+  }
+
+  def statefulDailyCounts(events: DataFrame): Dataset[DayCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
+    events
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("int").as("ed"))
+      .filter(col("event_type").isNotNull && col("ed").isNotNull)
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .transformWithState(new DailyCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -69,4 +69,46 @@ class Round12PlanSpec extends SparkTestBase {
       s"typed KMV sketch aggregate missing:\n$s")
     assert(!s.contains("row_number"), s"rank window resurfaced:\n$s")
   }
+
+  test("a79 RFM: the customer rollup is BUILT ONCE (persistOnce) and " +
+       "feeds the three sketch arms and the bucket pass; the sketch " +
+       "arms are the typed partial aggregate; the 6 edge scalars " +
+       "broadcast — no cartesian, no rank window") {
+    val df = graft.queries.Analytics
+      .queries("a79_rfm_segments")(spark, sf)
+    val s = planString(df)
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 4, s"customer rollup must be cached for 4 reads:\n$s")
+    assert(s.contains("partial_quantilesketchagg"),
+      s"typed sketch arms missing:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastExchange"), s"edges must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("row_number"), s)
+  }
+
+  test("a80 CUSUM: exactly TWO hash exchanges — the (type, day) daily " +
+       "rollup and the type-keyed windows; the final rollup reuses the " +
+       "window partitioning; no cartesian") {
+    val s = planString(graft.queries.Analytics
+      .queries("a80_changepoint")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("st27 stream CUSUM (batch form): TransformWithState keyed on " +
+       "the event type — the keyed shuffle carries (type, epoch-day), " +
+       "never the raw timestamp; the CUSUM readout runs above it") {
+    val s = planString(graft.queries.StreamingQ
+      .queries("st27_stream_cusum")(spark, sf))
+    assert(s.contains("TransformWithState"), s)
+    val statefulEx = s.split('\n').filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+      l.contains("REQUIRED_BY_STATEFUL_OPERATOR"))
+    assert(statefulEx.nonEmpty, s"stateful exchange missing:\n$s")
+    statefulEx.foreach { l =>
+      assert(!l.contains("ts#"), s"raw timestamp crossed the keyed shuffle: $l")
+    }
+    assert(s.contains("Window"), s"CUSUM readout windows missing:\n$s")
+  }
 }
