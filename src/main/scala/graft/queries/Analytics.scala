@@ -1449,6 +1449,44 @@ object Analytics {
       cusumReadout(T.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("d"))
         .groupBy("event_type", "d").agg(count(lit(1)).as("x"))))
+    ,
+
+    // Rolling (trailing-7-day) value quantiles at sketch cost — a70's
+    // calendar-explode answer for sliding DISTINCT, now for sliding
+    // QUANTILES (the mergeable sketch's seventh application): per day,
+    // one bottom-k sketch of the 2^-20-grid-quantized event values;
+    // per report day, the ≤7 trailing daily sketches merge — the
+    // bottom-k semilattice makes the merge identical to a from-scratch
+    // sketch over the whole window, which the oracle PROVES by
+    // recomputing each window's bottom-k directly (the a70/x109 proof
+    // shape). Exact below k=256 rows/window; O(1/√k) rank rsd above.
+    // 100 TB: the corpus collapses to one sketch per day (typed
+    // partial agg, ≤ k triples/day on the wire); the merge explode is
+    // CALENDAR-sized — days × 7 sketches of ≤ k triples — independent
+    // of event volume.
+    "a81_rolling_quantiles" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = T.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("event_id"),
+          floor(col("value") * 1048576 + lit(0.5)).cast("bigint").as("vg"))
+        .filter(col("vg").isNotNull)
+      val daily = graft.Caches.persistOnce(
+        Sketches.quantileSketch(ev, Seq("d"), col("vg"), col("event_id")))
+      val days = daily.select(col("d").as("day"))
+      val contrib = daily
+        .select(col("qsketch"), explode(sequence(lit(0), lit(6))).as("o"),
+          col("d"))
+        .select(expr("date_add(d, o)").as("day"), col("qsketch"))
+      contrib.join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(Sketches.quantileMergeSketches(
+          collect_list(col("qsketch"))).as("sk"))
+        .select(col("day"),
+          Sketches.quantileSampleSize(col("sk")).as("sample_n"),
+          Sketches.quantileEstimate(col("sk"), 50).as("p50_vg"),
+          Sketches.quantileEstimate(col("sk"), 90).as("p90_vg"))
+        .orderBy("day")
+    })
   )
 
   /** The CUSUM changepoint readout over a (event_type, d, x) daily-count
@@ -2132,6 +2170,35 @@ object Analytics {
            CAST(sum(f) AS BIGINT) AS orders_total,
            CAST(sum(m) AS BIGINT) AS m_total_cents
          FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    },
+    // a81: each report day's trailing-7-day bottom-k recomputed
+    // DIRECTLY (murmur3 on event_id, rank within the window) —
+    // equality with Spark's merge-of-daily-sketches IS the bottom-k
+    // semilattice, the a70/x109 proof shape for sliding windows.
+    "a81_rolling_quantiles" -> {
+      val k = graft.operators.Sketches.QsK
+      val (ctes, hc) =
+        Murmur3Sql.hashLongCtes("e0", Seq("d", "vg", "event_id"), "rq")
+      s"""WITH e0 AS (SELECT CAST(ts AS DATE) AS d, event_id,
+             CAST(floor(value * 1048576 + 0.5) AS BIGINT) AS vg,
+             event_id AS v
+           FROM events WHERE value IS NOT NULL),
+         $ctes
+         days AS (SELECT DISTINCT d AS day FROM e0),
+         w AS (SELECT days.day, vg, event_id, hu
+               FROM days JOIN $hc h
+                 ON h.d BETWEEN days.day - 6 AND days.day),
+         r AS (SELECT day, vg,
+                 row_number() OVER (PARTITION BY day
+                   ORDER BY hu, event_id, vg) AS rk
+               FROM w),
+         s AS (SELECT day, list(vg ORDER BY vg) AS vs,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM r WHERE rk <= $k GROUP BY 1)
+         SELECT day, n AS sample_n,
+           vs[(n*50+99)//100] AS p50_vg,
+           vs[(n*90+99)//100] AS p90_vg
+         FROM s ORDER BY day"""
     },
     // a80: the CUSUM closed form replayed — per-type totals via a CTE
     // join (same integers as the Spark windows), prefix sums, running

@@ -96,6 +96,19 @@ class Round12PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("a81 rolling quantiles: the daily sketch frame is BUILT ONCE " +
+       "(persistOnce, typed partial agg inside) and feeds both the day " +
+       "spine and the x7 contribution explode; no cartesian, no rank " +
+       "window — the merge explode is calendar-sized") {
+    val s = planString(graft.queries.Analytics
+      .queries("a81_rolling_quantiles")(spark, sf))
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 2, s"daily sketches must be cached for both reads:\n$s")
+    assert(s.contains("quantilesketchagg"),
+      s"typed sketch build missing from the cached subtree:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("row_number"), s)
+  }
+
   test("st27 stream CUSUM (batch form): TransformWithState keyed on " +
        "the event type — the keyed shuffle carries (type, epoch-day), " +
        "never the raw timestamp; the CUSUM readout runs above it") {
