@@ -83,4 +83,72 @@ object Bloom {
         lit(0).as("is_dup"))
     positives.unionByName(negatives)
   }
+
+  /** Bloom RUNTIME-FILTER join pruning report — the "ship a filter of
+    * the dimension's keys to the fact scan" story every lakehouse
+    * engine implements (Spark's own runtime row-group filters do this
+    * opaquely; here every bit is replayable): build the filter from
+    * the SMALL side's join keys, probe the BIG side's key DOMAIN (one
+    * partial-aggregatable key rollup — never the raw fact rows), and
+    * report what block-level semi-join pruning would save plus the
+    * false-positive tail the exact verify catches. No false negatives
+    * by construction, so `maybe = 0 ⇒ matched = 0` and the exact
+    * verify join runs ONLY over bloom-positive keys.
+    *
+    * One output row: big-side rows and keys, bloom-positive keys,
+    * exact-match keys, FP keys, rows a bloom-negative scan skips, and
+    * the basis-point prune/FP rates (integer div — no libm).
+    *
+    * 100 TB: the filter is ≤ mBits rows built by one distinct over
+    * the (already filtered, dimension-sized) small side and broadcast;
+    * the fact side pays one key-domain rollup — the shuffle carries
+    * (key, count), never fact rows; the verify semi-join touches only
+    * the bloom-positive key slice.
+    */
+  def joinPruneReport(big: DataFrame, bigKey: Column,
+                      small: DataFrame, smallKey: Column,
+                      k: Int = 4, mBits: Int = 1 << 14): DataFrame = {
+    require(k >= 1 && k <= 5, s"k=$k needs 12k hex chars; sha256 has 64")
+    require(mBits >= 2 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits must be a power of two")
+    val sk = small.select(smallKey.cast("string").as("sk")).distinct()
+    val bloom = sk
+      .select(explode(array(
+        digestPositions(sha2(col("sk"), 256), k, mBits): _*)).as("pos"))
+      .distinct().withColumn("present", lit(1))
+    val keys = graft.Caches.persistOnce(
+      big.select(bigKey.cast("string").as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("n_rows")))
+    val probed = keys
+      .select(col("bk"), col("n_rows"), explode(array(
+        digestPositions(sha2(col("bk"), 256), k, mBits): _*)).as("pos"))
+      .join(broadcast(bloom), Seq("pos"), "left")
+      .groupBy("bk", "n_rows")
+      .agg(min(coalesce(col("present"), lit(0))).as("maybe"))
+    // exact verify over the bloom-positive slice only (no false
+    // negatives — a maybe=0 key cannot match)
+    val matched = probed.filter(col("maybe") === 1)
+      .join(sk.withColumn("m", lit(1)),
+        probed("bk") === col("sk"), "left")
+      .select(col("bk"), col("n_rows"), col("maybe"),
+        coalesce(col("m"), lit(0)).as("matched"))
+    val rep = matched.unionByName(
+      probed.filter(col("maybe") === 0)
+        .select(col("bk"), col("n_rows"), col("maybe"),
+          lit(0).as("matched")))
+    rep.agg(
+      sum(col("n_rows")).as("n_big_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(col("maybe")).cast("bigint").as("n_maybe_keys"),
+      sum(col("matched")).cast("bigint").as("n_match_keys"),
+      (sum(col("maybe")) - sum(col("matched"))).cast("bigint")
+        .as("n_fp_keys"),
+      sum(when(col("maybe") === 0, col("n_rows")).otherwise(0L))
+        .as("pruned_rows"))
+      .withColumn("prune_bp", call_function("div",
+        col("pruned_rows") * 10000L, col("n_big_rows")))
+      .withColumn("fp_bp", call_function("div",
+        col("n_fp_keys") * 10000L,
+        greatest(col("n_keys") - col("n_match_keys"), lit(1L))))
+  }
 }

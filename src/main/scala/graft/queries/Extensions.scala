@@ -808,6 +808,24 @@ object Extensions {
       Sketches.cmsJoinSize(tagged, "user_id", "side")
     }),
 
+    // Bloom RUNTIME-FILTER join pruning (Bloom.joinPruneReport): the
+    // lakehouse "ship the dimension's keys to the fact scan" move,
+    // priced as a report — a selective orders slice (1-URGENT, one
+    // month) builds a 2^14-bit replayable filter; lineitem's orderkey
+    // DOMAIN probes it scan-side; exact verify over the bloom-positive
+    // slice accounts the FP tail (no false negatives by construction).
+    // At sf0.1 the filter is oversized (pruning ~100 %, FP ~0); at sf1
+    // m/n ≈ 4 so the FP tail is genuinely exercised — the x31
+    // undersized-filter philosophy applied across SFs.
+    "x117_bloom_join_prune" -> ((s, dir) => {
+      val sel = T.orders(s, dir).filter(
+        col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+      graft.operators.Bloom.joinPruneReport(
+        T.lineitem(s, dir), col("l_orderkey"), sel, col("o_orderkey"))
+    }),
+
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
     // typo→correction pairs via the deletion-neighborhood equi-join
     // over the VOCABULARY — never an all-pairs or corpus-sized string
@@ -4330,6 +4348,48 @@ object Extensions {
            CAST((est - exact) * 10000 // greatest(exact, 1) AS BIGINT)
              AS err_bp
          FROM e, x""",
+
+    // x117: the filter bits and probe positions rebuilt from the same
+    // sha256 48-bit hex slices (the x31/Bloom replay scheme), key-domain
+    // rollup, min-over-positions membership, exact verify, integer
+    // basis-point rates.
+    "x117_bloom_join_prune" ->
+      """WITH so AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS sk
+             FROM orders
+             WHERE o_orderpriority = '1-URGENT'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1996-02-01'),
+         bp AS (SELECT DISTINCT
+               CAST(concat('0x', substr(sha256(sk), 1 + 12*i, 12))
+                 AS BIGINT) % 16384 AS pos,
+               1 AS present
+             FROM so, range(4) t(i)),
+         keys AS (SELECT CAST(l_orderkey AS VARCHAR) AS bk,
+               CAST(count(*) AS BIGINT) AS n_rows
+             FROM lineitem GROUP BY 1),
+         pr AS (SELECT bk, n_rows,
+               CAST(concat('0x', substr(sha256(bk), 1 + 12*i, 12))
+                 AS BIGINT) % 16384 AS pos
+             FROM keys, range(4) t(i)),
+         kp AS (SELECT bk, n_rows,
+               min(CASE WHEN present IS NOT NULL THEN 1 ELSE 0 END) AS maybe
+             FROM pr LEFT JOIN bp USING (pos) GROUP BY 1, 2),
+         km AS (SELECT kp.*,
+               CASE WHEN so.sk IS NOT NULL AND maybe = 1 THEN 1 ELSE 0 END
+                 AS matched
+             FROM kp LEFT JOIN so ON so.sk = kp.bk)
+         SELECT CAST(sum(n_rows) AS BIGINT) AS n_big_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(maybe) AS BIGINT) AS n_maybe_keys,
+           CAST(sum(matched) AS BIGINT) AS n_match_keys,
+           CAST(sum(maybe) - sum(matched) AS BIGINT) AS n_fp_keys,
+           CAST(sum(CASE WHEN maybe = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS pruned_rows,
+           CAST(sum(CASE WHEN maybe = 0 THEN n_rows ELSE 0 END) * 10000
+             // sum(n_rows) AS BIGINT) AS prune_bp,
+           CAST((sum(maybe) - sum(matched)) * 10000
+             // greatest(count(*) - sum(matched), 1) AS BIGINT) AS fp_bp
+         FROM km""",
 
     // x112: identical injection (pure function of text/doc_id), the
     // same {self} ∪ 1-deletions variant domain over the vocabulary,

@@ -109,6 +109,23 @@ class Round12PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct") && !s.contains("row_number"), s)
   }
 
+  test("x117 bloom join prune: the filter BROADCASTS onto the key-" +
+       "domain probe (the fact side never shuffles raw rows — its only " +
+       "exchange is the key rollup), and the verify join touches the " +
+       "bloom-positive slice; no cartesian") {
+    val s = planString(graft.queries.Extensions
+      .queries("x117_bloom_join_prune")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"),
+      s"bloom filter must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    // the only lineitem-derived exchange is the (key, count) rollup —
+    // no exchange line carries a lineitem payload column
+    s.split('\n').filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("l_quantity") && !l.contains("l_extendedprice"),
+        s"fact payload crossed an exchange: $l")
+    }
+  }
+
   test("st27 stream CUSUM (batch form): TransformWithState keyed on " +
        "the event type — the keyed shuffle carries (type, epoch-day), " +
        "never the raw timestamp; the CUSUM readout runs above it") {
