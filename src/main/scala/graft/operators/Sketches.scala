@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sketch operators.
@@ -62,10 +61,11 @@ object Sketches {
     * behind [[kmvDistinct]], exposed as a column so incremental rollups
     * can store it and fold new batches in without rescanning history
     * (see x101): one row per key with the sorted array of the k
-    * smallest distinct unsigned-32-bit `hash(value)` values. Built from
-    * codegen'd builtins only (hash → distinct → per-key row_number ≤ k
-    * → bounded collect_list), so the DuckDB oracle replays it through
-    * the murmur3 CTEs exactly like the [[kmvDistinct]] aggregate.
+    * smallest distinct unsigned-32-bit `hash(value)` values. Hashing is
+    * Spark's codegen'd murmur3; the bottom-k fold is the typed
+    * [[graft.functions.TypedAggregators.KmvSketchAgg]] heap, and the
+    * DuckDB oracle replays it through the murmur3 CTEs + a global
+    * distinct + rank ≤ k exactly like the [[kmvDistinct]] aggregate.
     *
     * NULLs use the same out-of-domain sentinel discipline as
     * [[kmvDistinct]] (filtered before the sketch — both engines

@@ -1326,9 +1326,9 @@ object Analytics {
     // family's fourth application (x109 lengths, x113 fences, x114
     // drift, now durations). The gaps frame is persisted once for the
     // sketch and the exact count; integer microseconds end to end.
-    // 100 TB: one (user, type) exchange for the lag window, one
-    // type-keyed rank exchange for the sketch (the kmvSketch shape);
-    // per-type state ≤ k triples.
+    // 100 TB: one (user, type) exchange for the lag window; the sketch
+    // is the typed partial+final aggregate (≤ k triples per type per
+    // map task on the wire — the round-12 kmvSketch shape).
     "a77_interarrival_quantiles" -> ((s, dir) => {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts"), col("event_id"))
