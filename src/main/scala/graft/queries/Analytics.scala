@@ -1451,6 +1451,39 @@ object Analytics {
         .groupBy("event_type", "d").agg(count(lit(1)).as("x"))))
     ,
 
+    // Cohort revenue-retention triangle (the LTV readout — a57 tracks
+    // WHO comes back; this tracks the MONEY they bring): customers
+    // cohorted by first-order month, revenue per (cohort, month
+    // offset) in exact integer cents (the floor(x·100+0.5) money
+    // convention), plus each cell's basis-point share of its cohort's
+    // month-0 revenue (integer div — month 0 is nonempty by
+    // construction).
+    // 100 TB: ONE custkey exchange serves the cohort min and the
+    // cohort join (same partitioning); the triangle rollup and the
+    // month-0 self-join live on the calendar² domain.
+    "a82_cohort_revenue" -> ((s, dir) => {
+      val o = graft.Caches.persistOnce(T.orders(s, dir)
+        .select(col("o_custkey").as("ck"),
+          date_trunc("month", col("o_orderdate")).as("m"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint")
+            .as("cents")))
+      val cohort = o.groupBy("ck").agg(min(col("m")).as("cohort_m"))
+      val tri = graft.Caches.persistOnce(o.join(cohort, "ck")
+        .withColumn("offset_m",
+          months_between(col("m"), col("cohort_m")).cast("int"))
+        .groupBy("cohort_m", "offset_m")
+        .agg(countDistinct(col("ck")).as("n_cust"),
+          sum(col("cents")).as("rev_cents")))
+      val base0 = tri.filter(col("offset_m") === 0)
+        .select(col("cohort_m"), col("rev_cents").as("rev0"))
+      tri.join(base0, "cohort_m")
+        .select(col("cohort_m"), col("offset_m"), col("n_cust"),
+          col("rev_cents"),
+          call_function("div", col("rev_cents") * 10000L, col("rev0"))
+            .as("rev_bp"))
+        .orderBy("cohort_m", "offset_m")
+    }),
+
     // Rolling (trailing-7-day) value quantiles at sketch cost — a70's
     // calendar-explode answer for sliding DISTINCT, now for sliding
     // QUANTILES (the mergeable sketch's seventh application): per day,
@@ -2171,6 +2204,24 @@ object Analytics {
            CAST(sum(m) AS BIGINT) AS m_total_cents
          FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
     },
+    // a82: the same cohort min / month offset / cents rollup and the
+    // month-0 self-join — integer cents and integer bp both engines.
+    "a82_cohort_revenue" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+             date_trunc('month', o_orderdate) AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         c AS (SELECT ck, min(m) AS cohort_m FROM o GROUP BY 1),
+         t AS (SELECT cohort_m,
+             CAST(date_diff('month', cohort_m, m) AS INTEGER) AS offset_m,
+             CAST(count(DISTINCT ck) AS BIGINT) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS rev_cents
+           FROM o JOIN c USING (ck) GROUP BY 1, 2),
+         b AS (SELECT cohort_m, rev_cents AS rev0 FROM t WHERE offset_m = 0)
+         SELECT t.cohort_m, t.offset_m, t.n_cust, t.rev_cents,
+           CAST(t.rev_cents * 10000 // b.rev0 AS BIGINT) AS rev_bp
+         FROM t JOIN b USING (cohort_m) ORDER BY 1, 2""",
+
     // a81: each report day's trailing-7-day bottom-k recomputed
     // DIRECTLY (murmur3 on event_id, rank within the window) —
     // equality with Spark's merge-of-daily-sketches IS the bottom-k

@@ -53,7 +53,11 @@ class Round12OpsSpec extends SparkTestBase {
       "héllo wörld — ünïcodé 漢字テスト répéated and répéated and répéated",
       "plain ascii text that is long enough to chunk into several pieces",
       "éééééééééééééééééééééééééééééééééééééééééééééééééééééééé",
-      "mixéd ascii and àccénts interleaved ünevenly 漢字 across the 漢字 text")
+      "mixéd ascii and àccénts interleaved ünevenly 漢字 across the 漢字 text",
+      // 4-byte (astral) sequences: emoji are 1 codepoint / 2 UTF-16
+      // units / 4 UTF-8 bytes — the refChunks reference counts
+      // codepoints, so agreement here pins the whole width ladder
+      "emoji mix 😀 and 🍺 across the text 😀🍺 tail of ascii chunks")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val got = Chunking.cdcChunks(docs, "text", "doc_id")

@@ -109,6 +109,16 @@ class Round12PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct") && !s.contains("row_number"), s)
   }
 
+  test("a82 cohort revenue: the orders projection is BUILT ONCE " +
+       "(persistOnce) for the cohort min and the join; the triangle is " +
+       "cached for the month-0 self-join; no cartesian") {
+    val s = planString(graft.queries.Analytics
+      .queries("a82_cohort_revenue")(spark, sf))
+    val imr = "InMemoryTableScan".r.findAllIn(s).size
+    assert(imr >= 3, s"orders + triangle caches expected:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("x117 bloom join prune: the filter BROADCASTS onto the key-" +
        "domain probe (the fact side never shuffles raw rows — its only " +
        "exchange is the key rollup), and the verify join touches the " +
