@@ -66,6 +66,19 @@ class Round12bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bloom joinPruneReport with an EMPTY dimension side: every key " +
+       "is bloom-negative, pruning is total, matches and FPs are zero") {
+    val big = (1L to 100L).toDF("bk")
+    val small = Seq.empty[Long].toDF("sk")
+    val r = Bloom.joinPruneReport(big, col("bk"), small, col("sk"),
+      k = 2, mBits = 256).collect()(0)
+    assert(r.getAs[Long]("n_maybe_keys") == 0L)
+    assert(r.getAs[Long]("n_match_keys") == 0L)
+    assert(r.getAs[Long]("n_fp_keys") == 0L)
+    assert(r.getAs[Long]("pruned_rows") == 100L)
+    assert(r.getAs[Long]("prune_bp") == 10000L)
+  }
+
   test("a81-shape rolling sketch quantiles stay within the O(1/sqrt(k)) " +
        "rank band of the exact window percentile in the genuine " +
        "sampling regime (5000 rows/window vs k=256)") {
