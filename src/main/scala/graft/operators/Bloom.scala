@@ -119,12 +119,15 @@ object Bloom {
     val keys = graft.Caches.persistOnce(
       big.select(bigKey.cast("string").as("bk"))
         .groupBy("bk").agg(count(lit(1)).as("n_rows")))
-    val probed = keys
+    // persisted: both the maybe=1 verify arm and the maybe=0 arm read
+    // this frame — without the pin the positions-explode + broadcast
+    // probe + min aggregate would run twice per report
+    val probed = graft.Caches.persistOnce(keys
       .select(col("bk"), col("n_rows"), explode(array(
         digestPositions(sha2(col("bk"), 256), k, mBits): _*)).as("pos"))
       .join(broadcast(bloom), Seq("pos"), "left")
       .groupBy("bk", "n_rows")
-      .agg(min(coalesce(col("present"), lit(0))).as("maybe"))
+      .agg(min(coalesce(col("present"), lit(0))).as("maybe")))
     // exact verify over the bloom-positive slice only (no false
     // negatives — a maybe=0 key cannot match)
     val matched = probed.filter(col("maybe") === 1)

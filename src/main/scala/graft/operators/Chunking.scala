@@ -92,9 +92,11 @@ object Chunking {
 
   /** Incremental chunk-level dedup against a HISTORY corpus — the
     * x27/x31 ingest pattern at CDC-chunk granularity: per new document,
-    * how many of its chunks (and how many of its BYTES) already exist
-    * in the store. This is the number a dedup store actually saves on
-    * ingest — byte-level reuse across documents that are nowhere near
+    * how many of its chunks (and how many of its CHARACTERS — chunk
+    * lengths are character counts since the round-12 char-domain
+    * switch, see the [[Chunking]] header) already exist in the store.
+    * This is the volume a dedup store actually saves on ingest —
+    * sub-document reuse across documents that are nowhere near
     * duplicates at document granularity (a changed file shares its
     * unedited chunks with yesterday's version).
     *
@@ -102,7 +104,8 @@ object Chunking {
     * (hash-keyed, partial-agg built, incrementally maintainable); the
     * probe is one equi-join on the 32-hex hash — O(batch chunks +
     * colliding history), never a text comparison. reuse_rate_q is
-    * byte-weighted (chunk lengths ride the scan), 2^-20-grid.
+    * length-weighted in characters (chunk lengths ride the scan),
+    * 2^-20-grid.
     */
   def cdcIncremental(batch: DataFrame, history: DataFrame,
                      textCol: String, idCol: String): DataFrame = {
@@ -115,20 +118,20 @@ object Chunking {
       .groupBy("doc_id")
       .agg(F.count(F.lit(1)).as("n_chunks"),
         F.sum(F.when(col("seen").isNull, 1L).otherwise(0L)).as("n_new_chunks"),
-        F.sum(col("chunk_len")).as("total_bytes"),
+        F.sum(col("chunk_len")).as("total_chars"),
         F.sum(F.when(col("seen").isNull, col("chunk_len")).otherwise(F.lit(0)))
-          .cast("bigint").as("new_bytes"))
-      // an empty document is one zero-length chunk → total_bytes = 0;
+          .cast("bigint").as("new_chars"))
+      // an empty document is one zero-length chunk → total_chars = 0;
       // 0/0 would be NaN here but a DuckDB CAST(floor(NaN)) ERROR on the
-      // oracle side — define the reuse rate of zero bytes as 0 on BOTH
+      // oracle side — define the reuse rate of zero length as 0 on BOTH
       // engines (the oracle carries the matching CASE guard)
       .withColumn("reuse_rate_q",
-        F.when(col("total_bytes") === 0, 0L).otherwise(
-          F.floor((col("total_bytes") - col("new_bytes")).cast("double")
-            / col("total_bytes").cast("double") * grid + F.lit(0.5))
+        F.when(col("total_chars") === 0, 0L).otherwise(
+          F.floor((col("total_chars") - col("new_chars")).cast("double")
+            / col("total_chars").cast("double") * grid + F.lit(0.5))
             .cast("long")))
-      .select("doc_id", "n_chunks", "n_new_chunks", "total_bytes",
-        "new_bytes", "reuse_rate_q")
+      .select("doc_id", "n_chunks", "n_new_chunks", "total_chars",
+        "new_chars", "reuse_rate_q")
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,

@@ -16,8 +16,8 @@ object Profile {
     * expressions, e.g. a DECIMAL view of a money double, so the string
     * rendering is engine-stable).
     *
-    * Plan shape (round 12 — the Expand measured out): ONE cached
-    * projection of exactly the spec columns feeds (a) a single cheap
+    * Plan shape (round 12 — the Expand measured out): ONE projection
+    * of exactly the spec columns feeds (a) a single cheap
     * stats aggregate (count/nulls/min/max — no distinct anywhere, so
     * no Expand) and (b) one SINGLE-distinct aggregate per spec, which
     * Spark plans as an ordinary two-phase aggregate with NO row
@@ -31,9 +31,10 @@ object Profile {
     * decode exactly ONE column — total bytes touched equal the one-pass
     * Expand form's, without multiplying rows; each NDV exchange carries
     * only that column's distinct values (map-side partial dedup). The
-    * cache is an optimization that degrades gracefully (eviction =
-    * column-pruned re-scan). For estimate-grade stats in one true pass
-    * with O(k) state use [[profileApprox]].
+    * projection is cached only on NARROW inputs (see the branch below);
+    * at scale the arms are independent column-pruned re-scans and no
+    * table-sized cache entry is pinned. For estimate-grade stats in one
+    * true pass with O(k) state use [[profileApprox]].
     */
   def profile(df: DataFrame, specs: Seq[(String, Column)]): DataFrame = {
     require(specs.nonEmpty, "profile needs at least one column spec")
@@ -46,10 +47,17 @@ object Profile {
     val pruned = df.select(specs.map { case (n, c) => c.as(s"__c_$n") }: _*)
     val specCols = specs.map { case (n, _) => (n, col(s"__c_$n")) }
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val input = graft.Caches.persistOnce(
+    // Cache ONLY the narrow-input branch: there the repartitioned
+    // projection is small by construction (few source splits) and the
+    // |specs|+1 arms would otherwise re-pay the spread shuffle each.
+    // On a many-split production table the arms are column-pruned
+    // parquet re-scans that each decode ONE column — cheaper than
+    // pinning a table-sized (spec-columns) cache entry per profiled
+    // table until Caches.clearAll (the round-12 ADVICE finding).
+    val input =
       if (pruned.rdd.getNumPartitions * 4 <= parallelism)
-        pruned.repartition(parallelism)
-      else pruned)
+        graft.Caches.persistOnce(pruned.repartition(parallelism))
+      else pruned
     val statAggs = specCols.flatMap { case (name, c) =>
       Seq(count(lit(1)).as(s"__n_$name"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nn_$name"),

@@ -194,6 +194,15 @@ object Sketches {
     * oracles still replay the global rank ≤ k). NULL ids are excluded
     * alongside NULL values (both violate the row-unique-id contract;
     * exclusion keeps the primitive-long aggregate input total).
+    *
+    * COMPATIBILITY CUT LINE (round 12): the retired rank-window build
+    * KEPT null-id rows (they sorted nulls-first into the sample); this
+    * build drops them. Sketches persisted by a pre-round-12 binary over
+    * data with null ids are therefore NOT bit-compatible with newly
+    * built or merged ones — the bit-identical-merge guarantee holds
+    * only under the row-unique-(non-null)-id contract above. History
+    * folds over stored sketches (the x101 shape) built before the cut
+    * must rebuild the historical side once.
     */
   def quantileSketch(df: DataFrame, keyCols: Seq[String], value: Column,
                      id: Column, k: Int = QsK): DataFrame = {

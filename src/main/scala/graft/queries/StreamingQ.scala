@@ -361,9 +361,9 @@ object StreamingQ {
          SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(sum(CASE WHEN f.first_id = ch.doc_id THEN 1 ELSE 0 END)
              AS BIGINT) AS n_new_chunks,
-           CAST(sum(clen) AS BIGINT) AS total_bytes,
+           CAST(sum(clen) AS BIGINT) AS total_chars,
            CAST(sum(CASE WHEN f.first_id = ch.doc_id THEN clen ELSE 0 END)
-             AS BIGINT) AS new_bytes,
+             AS BIGINT) AS new_chars,
            CASE WHEN sum(clen) = 0 THEN CAST(0 AS BIGINT)
                 ELSE CAST(floor(CAST(sum(CASE WHEN f.first_id < ch.doc_id
                                           THEN clen ELSE 0 END) AS DOUBLE)

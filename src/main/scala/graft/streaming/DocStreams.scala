@@ -193,19 +193,19 @@ object DocStreams {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(!col("hit"), 1L).otherwise(0L)).as("n_new_chunks"),
-        sum(col("chunk_len")).as("total_bytes"),
+        sum(col("chunk_len")).as("total_chars"),
         sum(when(!col("hit"), col("chunk_len")).otherwise(lit(0)))
-          .cast("bigint").as("new_bytes"))
-      // empty doc → one zero-length chunk → total_bytes = 0: define the
+          .cast("bigint").as("new_chars"))
+      // empty doc → one zero-length chunk → total_chars = 0: define the
       // rate as 0 rather than NaN (matches Chunking.cdcIncremental and
       // the oracle's CASE guard)
       .withColumn("reuse_rate_q",
-        when(col("total_bytes") === 0, 0L).otherwise(
-          floor((col("total_bytes") - col("new_bytes")).cast("double")
-            / col("total_bytes").cast("double") * grid + lit(0.5))
+        when(col("total_chars") === 0, 0L).otherwise(
+          floor((col("total_chars") - col("new_chars")).cast("double")
+            / col("total_chars").cast("double") * grid + lit(0.5))
             .cast("long")))
-      .select("doc_id", "n_chunks", "n_new_chunks", "total_bytes",
-        "new_bytes", "reuse_rate_q")
+      .select("doc_id", "n_chunks", "n_new_chunks", "total_chars",
+        "new_chars", "reuse_rate_q")
   }
 
   /** Live per-source length quantiles via a MERGEABLE quantile-sketch

@@ -92,7 +92,7 @@ class Round10OpsSpec extends SparkTestBase {
     val out = Chunking.cdcIncremental(batch, history, "text", "doc_id")
       .orderBy("doc_id").collect()
     val edited = out(0)
-    assert(edited.getAs[Long]("new_bytes") < edited.getAs[Long]("total_bytes"),
+    assert(edited.getAs[Long]("new_chars") < edited.getAs[Long]("total_chars"),
       "the shared tail must dedupe at chunk level")
     assert(edited.getAs[Long]("reuse_rate_q") > 0L)
     val novel = out(1)

@@ -144,7 +144,7 @@ class DocStreamsSpec extends SparkTestBase {
     val byId = batch.map(r => r.getLong(0) -> r).toMap
     // doc 2 is an exact copy of doc 1: every chunk already in the store
     assert(byId(2L).getAs[Long]("n_new_chunks") === 0L)
-    assert(byId(2L).getAs[Long]("new_bytes") === 0L)
+    assert(byId(2L).getAs[Long]("new_chars") === 0L)
     assert(byId(2L).getAs[Long]("reuse_rate_q") === 1048576L)
     // doc 1 seeds the store: all chunks new, zero reuse
     assert(byId(1L).getAs[Long]("n_new_chunks") === byId(1L).getAs[Long]("n_chunks"))
