@@ -1461,28 +1461,8 @@ object Analytics {
     // 100 TB: ONE custkey exchange serves the cohort min and the
     // cohort join (same partitioning); the triangle rollup and the
     // month-0 self-join live on the calendar² domain.
-    "a82_cohort_revenue" -> ((s, dir) => {
-      val o = graft.Caches.persistOnce(T.orders(s, dir)
-        .select(col("o_custkey").as("ck"),
-          date_trunc("month", col("o_orderdate")).as("m"),
-          floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint")
-            .as("cents")))
-      val cohort = o.groupBy("ck").agg(min(col("m")).as("cohort_m"))
-      val tri = graft.Caches.persistOnce(o.join(cohort, "ck")
-        .withColumn("offset_m",
-          months_between(col("m"), col("cohort_m")).cast("int"))
-        .groupBy("cohort_m", "offset_m")
-        .agg(countDistinct(col("ck")).as("n_cust"),
-          sum(col("cents")).as("rev_cents")))
-      val base0 = tri.filter(col("offset_m") === 0)
-        .select(col("cohort_m"), col("rev_cents").as("rev0"))
-      tri.join(base0, "cohort_m")
-        .select(col("cohort_m"), col("offset_m"), col("n_cust"),
-          col("rev_cents"),
-          call_function("div", col("rev_cents") * 10000L, col("rev0"))
-            .as("rev_bp"))
-        .orderBy("cohort_m", "offset_m")
-    }),
+    "a82_cohort_revenue" -> ((s, dir) =>
+      cohortRevenueTriangle(T.orders(s, dir))),
 
     // Rolling (trailing-7-day) value quantiles at sketch cost — a70's
     // calendar-explode answer for sliding DISTINCT, now for sliding
@@ -1519,8 +1499,220 @@ object Analytics {
           Sketches.quantileEstimate(col("sk"), 50).as("p50_vg"),
           Sketches.quantileEstimate(col("sk"), 90).as("p90_vg"))
         .orderBy("day")
+    }),
+
+    // Gap-based sessionization (the web-analytics primitive every
+    // funnel/attribution readout upstream assumes): a session is a
+    // maximal run of a user's events with consecutive gaps ≤
+    // SessionGapUs; per session-start day — sessions, bounces
+    // (1-event sessions), events, total duration (exact µs integers),
+    // and sessions containing a purchase. st28 is the SAME assignment
+    // as live keyed state, sharing sessionDailyStats verbatim (the
+    // a80/st27 lockstep discipline).
+    // 100 TB: ONE user_id exchange serves both windows; the session
+    // rollup's map-side partial agg collapses each user's events to
+    // session rows before its exchange (rows are already user-local),
+    // so the second shuffle carries O(sessions), the third O(days).
+    "a83_sessionize" -> ((s, dir) =>
+      sessionDailyStats(sessionAssign(T.events(s, dir)))),
+
+    // Pareto frontier / skyline per brand (Börzsönyi et al. ICDE'01):
+    // the parts no same-brand part dominates on (price ↓, size ↑) —
+    // the multi-objective "best offers" cut that single-column top-k
+    // can't express. Distinct-point semantics (duplicate (price, size)
+    // points collapse first, with a count), cents-exact prices, and
+    // the one-pass sweep: in (price asc, size desc) order a point is
+    // ON the frontier iff its size strictly exceeds every earlier
+    // size (running max) — every dominator sorts strictly earlier.
+    // 100 TB: ONE brand exchange serves dedup, sweep window, and rank;
+    // per-brand work is the O(n log n) sort the exchange already pays.
+    "a84_pareto_frontier" -> ((s, dir) => {
+      val pts = T.part(s, dir)
+        .select(col("p_brand").as("brand"),
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("bigint")
+            .as("price_cents"),
+          col("p_size").cast("int").as("size"))
+        .groupBy("brand", "price_cents", "size")
+        .agg(count(lit(1)).as("n_parts"))
+      val ord = Window.partitionBy("brand")
+        .orderBy(col("price_cents").asc, col("size").desc)
+      val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+      pts
+        .withColumn("max_size_before", max(col("size")).over(before))
+        .filter(col("max_size_before").isNull ||
+          col("size") > col("max_size_before"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("brand")
+            .orderBy(col("price_cents").asc, col("size").desc)))
+        .select(col("brand"), col("rk").cast("int").as("rk"),
+          col("price_cents"), col("size"), col("n_parts"))
+        .orderBy("brand", "rk")
+    }),
+
+    // Day-of-week seasonality per event type: each dow's share of the
+    // type's events and its seasonal index vs a flat week (both on the
+    // 2^-20 grid, integer div — no libm), plus the type's peak dow —
+    // the seasonal profile a dashboard deseasonalizes against.
+    // 100 TB: one partial-aggregatable (type × dow) rollup (42 cells),
+    // one type-level window over the 42-row frame.
+    "a85_dow_seasonality" -> ((s, dir) => {
+      val grid = 1048576L
+      val cells = T.events(s, dir)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("event_type")
+      cells
+        .withColumn("n_total", sum(col("n")).over(wt))
+        .withColumn("share_q",
+          call_function("div", col("n") * grid, col("n_total")))
+        .withColumn("index_q",
+          call_function("div", col("n") * 7L * grid, col("n_total")))
+        .withColumn("peak_dow",
+          min(when(col("n") === max(col("n")).over(wt), col("dow")))
+            .over(wt).cast("int"))
+        .select(col("event_type"), col("dow").cast("int").as("dow"),
+          col("n"), col("share_q"), col("index_q"), col("peak_dow"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Per-type linear trend over the daily-count series — closed-form
+    // OLS on integer sums (slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²),
+    // day index x = epoch day): the direction-and-rate readout next to
+    // a80's WHEN (changepoint) and a74's IF (drift). Slope lands on
+    // the 2^-20 grid via integer div of exact integer sums; n_days ≥ 2
+    // per type on any real fixture makes the denominator positive
+    // (n·Σx² > (Σx)² whenever two distinct x exist), and a
+    // single-day type reads slope 0 via the explicit guard rather
+    // than a divide-by-zero.
+    // 100 TB: daily rollup partial-aggregates to the calendar domain;
+    // the OLS sums are ONE aggregate per type over its days.
+    "a86_daily_trend" -> ((s, dir) => {
+      val grid = 1048576L
+      val daily = T.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("bigint").as("x"))
+        .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("n_events"),
+          sum(col("x")).as("sx"), sum(col("y") * col("x")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope_q",
+          when(col("den") === 0, 0L).otherwise(call_function("div",
+            (col("n_days") * col("sxy") - col("sx") * col("n_events")) * grid,
+            col("den"))))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          col("slope_q"))
+        .orderBy("event_type")
     })
   )
+
+  /** Microseconds of inactivity that close a session (6 h — wide for
+    * the synthetic fixture's sparse per-user streams; production web
+    * analytics uses 30 min).
+    */
+  private[graft] val SessionGapUs = 21600000000L
+
+  /** The a83 oracle, shared verbatim by st28 (stream ≡ batch): the gap
+    * rule over the (ts, event_id) total order, session rollup, daily
+    * rollup — all exact integers (epoch_us both engines).
+    */
+  private[graft] val SessionizeOracleSql: String =
+    s"""WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS tu,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+         FROM events),
+       f AS (SELECT *, CASE WHEN tu - lag(tu) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) <= $SessionGapUs
+           THEN 0 ELSE 1 END AS ns FROM e),
+       a AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM f),
+       sess AS (SELECT user_id, sid, count(*) AS n_ev, min(ts) AS t0,
+           CAST(min(tu) AS BIGINT) AS u0, CAST(max(tu) AS BIGINT) AS u1,
+           max(is_p) AS has_p
+         FROM a GROUP BY 1, 2)
+       SELECT CAST(t0 AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounce,
+         CAST(sum(n_ev) AS BIGINT) AS n_events,
+         CAST(sum(u1 - u0) AS BIGINT) AS total_dur_us,
+         CAST(sum(has_p) AS BIGINT) AS n_purchase_sessions
+       FROM sess GROUP BY 1 ORDER BY 1"""
+
+  /** Session assignment via windows — each event tagged with its
+    * user-local session index (1-based). Total order within user is
+    * (ts, event_id) so duplicate timestamps stay deterministic (the
+    * st14 tie discipline).
+    */
+  private[graft] def sessionAssign(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("tu"),
+        (col("event_type") === "purchase").cast("int").as("is_purchase"))
+      .withColumn("ns",
+        when(col("tu") - lag(col("tu"), 1).over(w) <= SessionGapUs, 0L)
+          .otherwise(1L))
+      .withColumn("sid", sum(col("ns")).over(run))
+      .select("user_id", "sid", "ts", "tu", "is_purchase")
+  }
+
+  /** The per-day session rollup shared by a83 (window assignment) and
+    * st28 (keyed-state assignment): input is one row per event with
+    * (user_id, sid, ts, tu, is_purchase).
+    */
+  private[graft] def sessionDailyStats(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_ev"), min(col("ts")).as("t0"),
+        min(col("tu")).as("u0"), max(col("tu")).as("u1"),
+        max(col("is_purchase")).as("has_p"))
+      .groupBy(to_date(col("t0")).as("d"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_ev")).as("n_events"),
+        sum(col("u1") - col("u0")).as("total_dur_us"),
+        sum(col("has_p").cast("bigint")).as("n_purchase_sessions"))
+      .orderBy("d")
+
+  /** a82's cohort revenue-retention triangle over an orders-shaped frame
+    * (o_custkey, o_orderdate, o_totalprice) — extracted so the month-0
+    * divisor fence is unit-testable on a crafted zero-revenue cohort
+    * (Round13OpsSpec), which the TPC-H-style fixture can never produce.
+    * 100 TB: ONE custkey exchange serves the cohort min and the cohort
+    * join (same partitioning); the triangle rollup and the month-0
+    * self-join live on the calendar² domain.
+    */
+  private[graft] def cohortRevenueTriangle(orders: DataFrame): DataFrame = {
+    val o = graft.Caches.persistOnce(orders
+      .select(col("o_custkey").as("ck"),
+        date_trunc("month", col("o_orderdate")).as("m"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint")
+          .as("cents")))
+    val cohort = o.groupBy("ck").agg(min(col("m")).as("cohort_m"))
+    val tri = graft.Caches.persistOnce(o.join(cohort, "ck")
+      .withColumn("offset_m",
+        months_between(col("m"), col("cohort_m")).cast("int"))
+      .groupBy("cohort_m", "offset_m")
+      .agg(countDistinct(col("ck")).as("n_cust"),
+        sum(col("cents")).as("rev_cents")))
+    val base0 = tri.filter(col("offset_m") === 0)
+      .select(col("cohort_m"), col("rev_cents").as("rev0"))
+    tri.join(base0, "cohort_m")
+      .select(col("cohort_m"), col("offset_m"), col("n_cust"),
+        col("rev_cents"),
+        // month-0 revenue is > 0 on any TPC-H-style fixture
+        // (o_totalprice strictly positive), but the divisor fence is
+        // explicit (x117 discipline), not inherited from the
+        // generator: a zero-revenue cohort reads bp vs 1 cent.
+        call_function("div", col("rev_cents") * 10000L,
+          greatest(col("rev0"), lit(1L))).as("rev_bp"))
+      .orderBy("cohort_m", "offset_m")
+  }
 
   /** The CUSUM changepoint readout over a (event_type, d, x) daily-count
     * frame — shared verbatim by a80 (batch rollup input) and st27 (live
@@ -2219,7 +2411,7 @@ object Analytics {
            FROM o JOIN c USING (ck) GROUP BY 1, 2),
          b AS (SELECT cohort_m, rev_cents AS rev0 FROM t WHERE offset_m = 0)
          SELECT t.cohort_m, t.offset_m, t.n_cust, t.rev_cents,
-           CAST(t.rev_cents * 10000 // b.rev0 AS BIGINT) AS rev_bp
+           CAST(t.rev_cents * 10000 // greatest(b.rev0, 1) AS BIGINT) AS rev_bp
          FROM t JOIN b USING (cohort_m) ORDER BY 1, 2""",
 
     // a81: each report day's trailing-7-day bottom-k recomputed
@@ -2251,6 +2443,63 @@ object Analytics {
            vs[(n*90+99)//100] AS p90_vg
          FROM s ORDER BY day"""
     },
+    // a83: the identical gap rule over the identical (ts, event_id)
+    // total order — lag → run flag → running sum = session id, then
+    // the same two rollups. epoch_us ≡ Spark's unix_micros (µs-exact
+    // integers; the fixture's TIMESTAMP(µs) physical type loses
+    // nothing on either engine). Shared verbatim by st28.
+    "a83_sessionize" -> SessionizeOracleSql,
+    // a84: identical distinct-point sweep — running max of size over
+    // the strictly-earlier prefix in (price asc, size desc) order.
+    "a84_pareto_frontier" ->
+      """WITH pts AS (SELECT p_brand AS brand,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+               AS price_cents,
+             CAST(p_size AS INTEGER) AS size,
+             CAST(count(*) AS BIGINT) AS n_parts
+           FROM part GROUP BY 1, 2, 3),
+         sw AS (SELECT *, max(size) OVER (PARTITION BY brand
+             ORDER BY price_cents ASC, size DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS msb FROM pts),
+         fr AS (SELECT * FROM sw WHERE msb IS NULL OR size > msb)
+         SELECT brand, CAST(row_number() OVER (PARTITION BY brand
+             ORDER BY price_cents ASC, size DESC) AS INTEGER) AS rk,
+           price_cents, size, n_parts
+         FROM fr ORDER BY brand, rk""",
+    // a85: DuckDB dayofweek is 0=Sunday..6; Spark's is 1..7 → +1.
+    "a85_dow_seasonality" ->
+      """WITH cells AS (SELECT event_type,
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT *, sum(n) OVER (PARTITION BY event_type)
+               AS n_total,
+             max(n) OVER (PARTITION BY event_type) AS n_max
+           FROM cells)
+         SELECT event_type, dow, n,
+           CAST(n * 1048576 // n_total AS BIGINT) AS share_q,
+           CAST(n * 7 * 1048576 // n_total AS BIGINT) AS index_q,
+           CAST(min(CASE WHEN n = n_max THEN dow END)
+             OVER (PARTITION BY event_type) AS INTEGER) AS peak_dow
+         FROM t ORDER BY event_type, dow""",
+    // a86: the same integer OLS sums; // is floor div like Spark div.
+    "a86_daily_trend" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(y) AS BIGINT) AS n_events,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y * x) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_days, n_events,
+           CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN 0
+             ELSE (n_days * sxy - sx * n_events) * 1048576
+               // (n_days * sxx - sx * sx) END AS BIGINT) AS slope_q
+         FROM s ORDER BY event_type""",
     // a80: the CUSUM closed form replayed — per-type totals via a CTE
     // join (same integers as the Spark windows), prefix sums, running
     // min, max statistic + earliest argmax day + alarm-day count.

@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Bloom, Chunking, Dedup, Graph, Linkage, Multimodal, Packing, Profile, Retrieval, Sampling, Similarity, Sketches, TextAnalysis, Urls}
-import graft.tables.{Tables => T}
+import graft.tables.{Exact, Tables => T}
 
 /** LLM-training-data pipeline operators as driver queries: dedup family,
   * similarity search, text analysis, multimodal plumbing.
@@ -407,7 +407,9 @@ object Extensions {
 
     // Incremental chunk-level dedup against a history corpus (the
     // x27/x31 ingest pattern at CDC granularity): per new doc, chunks
-    // and BYTES already in the store — the dedup-store ingest saving.
+    // and CHARACTERS already in the store — the dedup-store ingest
+    // saving (lengths are char counts since the round-12 char-domain
+    // switch).
     "x100_cdc_incremental" -> ((s, dir) => {
       val docs = injectNonAscii(T.documents(s, dir))
       Chunking.cdcIncremental(
@@ -824,6 +826,105 @@ object Extensions {
         col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
       graft.operators.Bloom.joinPruneReport(
         T.lineitem(s, dir), col("l_orderkey"), sel, col("o_orderkey"))
+    }),
+
+    // Corpus novelty curve — the data-scaling readout (how fast does
+    // NEW content saturate as the corpus grows?): docs bucketed into
+    // ingest deciles by doc_id (the fixture's arrival order), each
+    // 3-gram shingle attributed to the decile that saw it FIRST;
+    // per decile — its distinct shingles and the fraction first seen
+    // there (2^-20 grid). The key on the wire is md5(shingle) (the
+    // x10 32-hex fingerprint discipline — fixed width, never raw
+    // text); md5 collisions are corpus-negligible and in any case
+    // identical cross-engine.
+    // 100 TB: one partial-aggregatable min per fingerprint + one
+    // distinct (bucket, fingerprint) pass, both keyed on the hash;
+    // the decile rollup is 10 rows.
+    "x118_novelty_curve" -> ((s, dir) => {
+      val grid = 1048576L
+      val docs = T.documents(s, dir)
+      val hi = broadcast(docs.agg(max(col("doc_id")).as("max_id")))
+      val b = call_function("div", col("doc_id") * 10L,
+        col("max_id") + 1L).cast("int").as("b")
+      val pairs = graft.Caches.persistOnce(
+        graft.operators.Dedup.shingles(docs, "text", "doc_id")
+          .crossJoin(hi)
+          .select(b, explode(col("shingles")).as("s"))
+          .select(col("b"), md5(col("s")).as("f"))
+          .distinct())
+      val firstSeen = pairs.groupBy("f").agg(min(col("b")).as("fb"))
+      val perBucket = pairs.join(firstSeen, "f")
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("fb") === col("b"), 1L).otherwise(0L))
+            .as("n_new_shingles"))
+      val nd = docs.crossJoin(hi)
+        .groupBy(b).agg(count(lit(1)).as("n_docs"))
+      nd.join(perBucket, "b")
+        .select(col("b"), col("n_docs"), col("n_shingles"),
+          col("n_new_shingles"),
+          call_function("div", col("n_new_shingles") * grid,
+            col("n_shingles")).as("novelty_q"))
+        .orderBy("b")
+    }),
+
+    // int8 scalar-quantization ANN recall — the 4×-memory-cut scale
+    // path PQ (x89) sits beyond: per-dimension symmetric max-abs
+    // scales, embeddings quantized to ⌊v·127/m + 0.5⌋ ∈ [−127, 127],
+    // candidates ranked by the EXACT INTEGER dot against the float-dot
+    // truth (both MIPS — the recommendation-retrieval objective), and
+    // recall@k reported per query on the 2^-20 grid. All-zero
+    // dimensions quantize to 0 via an explicit m > 0 guard, not a NaN.
+    // 100 TB: the query side is the bounded seed set (broadcast, the
+    // x05 shape); scales are ONE 64-row aggregate; the integer dot is
+    // SIMD-width arithmetic on a 4×-smaller scan.
+    "x119_int8_recall" -> ((s, dir) => {
+      val k = 10
+      val grid = 1048576L
+      val emb = T.embeddings(s, dir)
+      // per-dim max-abs, packed into one ordered array (64 values)
+      val scales = broadcast(emb
+        .select(posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy("p").agg(max(abs(col("v"))).as("m"))
+        .agg(array_sort(collect_list(struct(col("p"), col("m"))))
+          .as("pm"))
+        .select(expr("transform(pm, x -> x.m)").as("ms")))
+      def quant(vec: Column): Column =
+        zip_with(vec, col("ms"), (v, m) =>
+          when(m > lit(0f),
+            floor(v.cast("double") * 127.0 / m.cast("double") + lit(0.5)))
+            .otherwise(lit(0L)))
+      val cand = emb.crossJoin(scales)
+        .select(col("vec_id").as("cand_id"),
+          col("embedding").as("cv"), quant(col("embedding")).as("cq"))
+      val qs = broadcast(emb.filter(col("vec_id") < 5).crossJoin(scales)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"), quant(col("embedding")).as("qq")))
+      val scored = cand.join(qs, col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          Exact.round6(aggregate(zip_with(col("qv"), col("cv"),
+            (a, b) => a.cast("double") * b), lit(0.0), _ + _))
+            .as("fdot"),
+          aggregate(zip_with(col("qq"), col("cq"), _ * _),
+            lit(0L), _ + _).as("idot"))
+      val we = Window.partitionBy("query_id")
+        .orderBy(col("fdot").desc, col("cand_id"))
+      val wi = Window.partitionBy("query_id")
+        .orderBy(col("idot").desc, col("cand_id"))
+      val ranked = scored
+        .withColumn("re", row_number().over(we))
+        .withColumn("ri", row_number().over(wi))
+      // overlap = rows in BOTH top-ks; every query keeps its row (the
+      // exact side always has k rows per query). Both ranks ride ONE
+      // query_id exchange (same partitioning, two sort specs).
+      ranked.filter(col("re") <= k)
+        .groupBy("query_id")
+        .agg(sum(when(col("ri") <= k, 1L).otherwise(0L)).as("n_overlap"))
+        .select(col("query_id"), lit(k).cast("bigint").as("k"),
+          col("n_overlap"),
+          call_function("div", col("n_overlap") * grid, lit(k.toLong))
+            .as("recall_q"))
+        .orderBy("query_id")
     }),
 
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
@@ -4349,6 +4450,73 @@ object Extensions {
              AS err_bp
          FROM e, x""",
 
+    // x118: identical decile rule (integer // on doc_id·10), the x02
+    // shingle CTE, md5 fingerprints, min-bucket first-seen, same
+    // integer-grid novelty.
+    "x118_novelty_curve" ->
+      """WITH hi AS (SELECT max(doc_id) AS max_id FROM documents),
+         w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
+               AS ws FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+         pairs AS (SELECT DISTINCT
+             CAST(doc_id * 10 // (max_id + 1) AS INTEGER) AS b,
+             md5(s) AS f
+           FROM sh, hi),
+         fs AS (SELECT f, min(b) AS fb FROM pairs GROUP BY 1),
+         pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN fb = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_shingles
+           FROM pairs JOIN fs USING (f) GROUP BY 1),
+         nd AS (SELECT CAST(doc_id * 10 // (max_id + 1) AS INTEGER) AS b,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents, hi GROUP BY 1)
+         SELECT b, n_docs, n_shingles, n_new_shingles,
+           CAST(n_new_shingles * 1048576 // n_shingles AS BIGINT)
+             AS novelty_q
+         FROM nd JOIN pb USING (b) ORDER BY b""",
+
+    // x119: per-dim max-abs scales (float max — order-free exact),
+    // the same ⌊v·127/m + 0.5⌋ quantizer with the m > 0 guard, integer
+    // dots, the x05 list_sum float dot at round6, both rank windows,
+    // integer recall grid.
+    "x119_int8_recall" ->
+      """WITH d AS (SELECT unnest(range(1,
+             (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+         pm AS (SELECT i, max(abs(embedding[i])) AS m
+             FROM embeddings, d GROUP BY i),
+         sc AS (SELECT list(m ORDER BY i) AS ms FROM pm),
+         qc AS (SELECT vec_id, embedding,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN ms[i] > 0 THEN
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0
+                     / CAST(ms[i] AS DOUBLE) + 0.5) AS BIGINT)
+                 ELSE 0 END) AS q
+           FROM embeddings, sc),
+         scored AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             floor(list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 AS fdot,
+             CAST(list_sum(list_transform(range(1, len(a.q)+1),
+               i -> a.q[i] * b.q[i])) AS BIGINT) AS idot
+           FROM qc a JOIN qc b
+             ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         rk AS (SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY fdot DESC, cand_id) AS re,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY idot DESC, cand_id) AS ri
+           FROM scored)
+         SELECT query_id, CAST(10 AS BIGINT) AS k,
+           CAST(sum(CASE WHEN ri <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap,
+           CAST(sum(CASE WHEN ri <= 10 THEN 1 ELSE 0 END) * 1048576 // 10
+             AS BIGINT) AS recall_q
+         FROM rk WHERE re <= 10 GROUP BY query_id ORDER BY query_id""",
+
     // x117: the filter bits and probe positions rebuilt from the same
     // sha256 48-bit hex slices (the x31/Bloom replay scheme), key-domain
     // rollup, min-over-positions membership, exact verify, integer
@@ -4654,9 +4822,9 @@ object Extensions {
          SELECT bat.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(sum(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_new_chunks,
-           CAST(sum(clen) AS BIGINT) AS total_bytes,
+           CAST(sum(clen) AS BIGINT) AS total_chars,
            CAST(sum(CASE WHEN hist.h IS NULL THEN clen ELSE 0 END) AS BIGINT)
-             AS new_bytes,
+             AS new_chars,
            CASE WHEN sum(clen) = 0 THEN CAST(0 AS BIGINT)
                 ELSE CAST(floor(CAST(sum(CASE WHEN hist.h IS NOT NULL
                                           THEN clen ELSE 0 END) AS DOUBLE)
