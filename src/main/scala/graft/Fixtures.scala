@@ -91,3 +91,24 @@ object Fixtures {
     destDir
   }
 }
+
+/** Standalone fixture builder: `runMain graft.EnsureSf1 [destDir]` —
+  * lets the full-surface sf1 sweep (Verify + oracle_check) run without
+  * first paying a BenchSf1 pass. Idempotent via the marker file.
+  */
+object EnsureSf1 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Fixtures.ensureSf1(spark,
+      destDir = args.headOption.getOrElse(Fixtures.DefaultDir))
+    println(s"[fixtures] sf1 ready at $dir")
+    spark.stop()
+  }
+}
