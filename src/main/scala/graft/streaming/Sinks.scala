@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Checkpointed exactly-once micro-batch sinks — the write-side half of
+  * the streaming story (st01–st27 are read/transform surfaces; this is
+  * how their outputs land durably).
+  *
+  * Structured Streaming's contract with `foreachBatch` is AT-LEAST-once:
+  * after a crash between a batch's execution and its commit-log write,
+  * restart re-executes that batch with the SAME `batchId` and (for
+  * replayable sources + versioned state stores) the same rows. Exactly-
+  * once therefore needs an idempotent sink: this one keys every write
+  * by `batchId` and commits it with a create-if-absent marker, so a
+  * replayed batch is either skipped (marker present — the crash was
+  * after commit) or deterministically overwritten (marker absent — the
+  * crash was mid-write), never appended twice.
+  *
+  * Layout under `outDir`:
+  *   data/batch_id=<id>/...parquet   (static-partition overwrite per batch)
+  *   _commits/<id>                   (empty marker; atomic create)
+  * Readers consume ONLY manifest-committed partitions
+  * ([[readCommitted]]), so a half-written batch directory is invisible.
+  *
+  * 100 TB: one directory per micro-batch is the standard streaming-
+  * ingest layout (compaction is a downstream batch job); the manifest
+  * is O(batches) empty files, listable in one RPC per poll. On object
+  * stores without atomic directory rename, pair this with a cloud
+  * committer for the data write — the marker commit is a single-file
+  * create, atomic on S3/GCS/HDFS alike.
+  */
+object Sinks {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitMarker(outDir: String, batchId: Long) =
+    new Path(s"$outDir/_commits/$batchId")
+
+  /** The `foreachBatch` function: idempotent per-batch parquet write.
+    * Pass as `.writeStream.foreachBatch(Sinks.exactlyOnceParquet(dir) _)`
+    * with a `checkpointLocation` — the checkpoint provides replay, this
+    * sink provides idempotence; exactly-once is the pair.
+    */
+  def exactlyOnceParquet(outDir: String)(df: DataFrame, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val hfs = fs(spark, outDir)
+    val marker = commitMarker(outDir, batchId)
+    if (hfs.exists(marker)) {
+      // Replayed batch, crash was AFTER commit: emit nothing — but
+      // still DRAIN every partition. Stateful queries commit their
+      // state stores through the batch job foreachBatch runs, and
+      // Spark 4 validates that all partitions committed
+      // (STATE_STORE_COMMIT_VALIDATION_FAILED on an early return).
+      System.err.println(s"[sink] batch $batchId already committed — drop")
+      df.foreach(_ => ())
+      return
+    }
+    // crash was mid-write (or first attempt): overwrite is idempotent
+    df.write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
+    hfs.mkdirs(marker.getParent)
+    // atomic create-if-absent; a concurrent committer losing this race
+    // would have written identical data (same batchId, same rows)
+    hfs.createNewFile(marker)
+    ()
+  }
+
+  /** Batch ids the manifest records as committed (empty set before the
+    * first commit).
+    */
+  def committedBatches(spark: SparkSession, outDir: String): Set[Long] = {
+    val hfs = fs(spark, outDir)
+    val dir = new Path(s"$outDir/_commits")
+    if (!hfs.exists(dir)) Set.empty
+    else hfs.listStatus(dir).map(_.getPath.getName.toLong).toSet
+  }
+
+  /** The exactly-once view: union of manifest-committed batch
+    * directories only — a batch directory without its marker (crash
+    * mid-write) is invisible until its replay commits it.
+    */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val ids = committedBatches(spark, outDir).toSeq.sorted
+    require(ids.nonEmpty, s"no committed batches under $outDir")
+    spark.read.parquet(ids.map(id => s"$outDir/data/batch_id=$id"): _*)
+  }
+}

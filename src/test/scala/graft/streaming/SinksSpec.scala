@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkTestBase
+
+/** Exactly-once restart certification for the foreachBatch parquet sink
+  * (the write-side streaming surface): st20's CDC probe stream lands in
+  * batch_id partitions with a commit manifest; a crash in EITHER window
+  * (after data write / after manifest commit) replays the batch on
+  * restart, and the sink's idempotence keeps the committed view exact.
+  */
+class SinksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docsA = Seq(
+    Doc(1L, "the quick brown fox jumps over the lazy dog again and again"),
+    Doc(2L, "the quick brown fox jumps over the lazy dog again and again"),
+    Doc(3L, "completely different text about spark streaming state stores"))
+  private val docsB = Seq(
+    Doc(4L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+    Doc(5L, "another unrelated document mentioning parquet and shuffles"))
+  private val docsC = Seq(
+    Doc(6L, "a third wave of text arriving after the restart happened"))
+
+  private def startQuery(input: MemoryStream[Doc], out: String, cp: String) =
+    DocStreams.cdcFirstSeenProbes(input.toDF(), "text", "doc_id").toDF()
+      .writeStream
+      .foreachBatch(Sinks.exactlyOnceParquet(out) _)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Update())
+      .start()
+
+  test("exactly-once parquet sink: clean run commits every batch once " +
+       "and the committed view equals the stream output") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sink1").toString
+    val (out, cp) = (s"$dir/out", s"$dir/cp")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+    } finally q.stop()
+    assert(Sinks.committedBatches(spark, out) === Set(0L, 1L))
+    val view = Sinks.readCommitted(spark, out)
+    // every document's chunks land exactly once
+    val perDoc = view.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    val batch = DocStreams.cdcFirstSeenReport(
+      (docsA ++ docsB).toDF(), "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc === batch, "committed chunk counts must equal the batch report")
+  }
+
+  test("restart after crash-AFTER-commit (checkpoint commit log lost, " +
+       "sink manifest present): the replayed batch is SKIPPED — no " +
+       "duplicate rows") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sink2").toString
+    val (out, cp) = (s"$dir/out", s"$dir/cp")
+    val input = MemoryStream[Doc]
+    val q1 = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q1.processAllAvailable()
+      input.addData(docsB); q1.processAllAvailable()
+    } finally q1.stop()
+    val before = Sinks.readCommitted(spark, out).count()
+    // simulate the crash window: Spark executed batch 1 and the sink
+    // committed it, but the checkpoint's commit-log write was lost —
+    // restart must re-execute batch 1 (same id, same rows). A real
+    // crash loses the checksum twin too (LocalFS writes .N.crc).
+    assert(Files.deleteIfExists(Paths.get(s"$cp/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$cp/commits/.1.crc"))
+    val q2 = startQuery(input, out, cp)
+    try {
+      q2.processAllAvailable() // replays batch 1 → sink skips
+      input.addData(docsC); q2.processAllAvailable() // stream continues
+    } finally q2.stop()
+    assert(Sinks.committedBatches(spark, out) === Set(0L, 1L, 2L))
+    val view = Sinks.readCommitted(spark, out)
+    assert(view.filter($"doc_id" <= 5L).count() === before,
+      "replayed batch must not duplicate rows")
+    assert(view.filter($"doc_id" === 6L).count() > 0,
+      "post-restart batch must land")
+    // chunk-level exactness: one row per (doc, chunk index)
+    val dup = view.groupBy("doc_id", "chunk_len", "hit").count()
+    assert(view.count() ===
+      DocStreams.cdcFirstSeenReport((docsA ++ docsB ++ docsC).toDF(),
+        "text", "doc_id").agg(
+        org.apache.spark.sql.functions.sum("n_chunks")).head().getLong(0),
+      s"total committed chunks must equal the batch total; got ${dup.collect().mkString}")
+  }
+
+  test("restart after crash-MID-WRITE (data written, sink manifest " +
+       "missing): the replay overwrites the partition deterministically " +
+       "and commits it — still exactly-once") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sink3").toString
+    val (out, cp) = (s"$dir/out", s"$dir/cp")
+    val input = MemoryStream[Doc]
+    val q1 = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q1.processAllAvailable()
+      input.addData(docsB); q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate: batch 1's data landed but NEITHER commit happened
+    // (sink marker + checkpoint commit log both lost, with their
+    // LocalFS .crc twins)
+    assert(Files.deleteIfExists(Paths.get(s"$cp/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$cp/commits/.1.crc"))
+    assert(Files.deleteIfExists(Paths.get(s"$out/_commits/1")))
+    Files.deleteIfExists(Paths.get(s"$out/_commits/.1.crc"))
+    // the half-written batch is invisible to the committed view
+    assert(Sinks.committedBatches(spark, out) === Set(0L))
+    val q2 = startQuery(input, out, cp)
+    try q2.processAllAvailable() // replays batch 1 → overwrite + commit
+    finally q2.stop()
+    assert(Sinks.committedBatches(spark, out) === Set(0L, 1L))
+    val perDoc = Sinks.readCommitted(spark, out)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = DocStreams.cdcFirstSeenReport(
+      (docsA ++ docsB).toDF(), "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc === batch,
+      "overwritten replay must land the batch exactly once")
+  }
+}
