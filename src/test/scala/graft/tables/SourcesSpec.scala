@@ -82,4 +82,51 @@ class SourcesSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
     assert(one.count() === docs.filter(col("lang") === "en").count())
   }
+
+  // ------------------------------------------------------ cross-format
+  // QUERY parity (beyond the value round-trips above): the p01
+  // projection answered from parquet, ORC, and JSON copies of the SAME
+  // table must be row-identical — the multi-source claim in COVERAGE
+  // §2.1, pinned by execution. JSON is schema-applied on read
+  // (inference would type dates as strings and change semantics).
+
+  private def p01(li: org.apache.spark.sql.DataFrame): Seq[String] =
+    li.select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("lnum"),
+        col("l_quantity").as("qty"),
+        col("l_returnflag").as("rflag"))
+      .orderBy("okey", "lnum", "qty", "rflag")
+      .collect().map(_.toSeq.mkString("|")).toSeq
+
+  test("p01 projection over parquet, orc, and json copies of lineitem " +
+       "is row-identical (dates/decimals survive each format roundtrip)") {
+    val pq = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = Files.createTempDirectory("fmt").toString
+    pq.write.mode("overwrite").orc(s"$dir/lineitem.orc")
+    pq.write.mode("overwrite").json(s"$dir/lineitem.json")
+
+    val fromParquet = p01(pq)
+    assert(fromParquet.nonEmpty)
+    assert(p01(spark.read.orc(s"$dir/lineitem.orc")) === fromParquet,
+      "ORC scan diverged from parquet")
+    assert(p01(spark.read.schema(pq.schema).json(s"$dir/lineitem.json"))
+      === fromParquet, "JSON scan diverged from parquet")
+  }
+
+  test("full-row parity: every lineitem column survives the orc and " +
+       "json roundtrips bit-for-bit") {
+    val pq = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = Files.createTempDirectory("fmt2").toString
+    pq.write.mode("overwrite").orc(s"$dir/li.orc")
+    pq.write.mode("overwrite").json(s"$dir/li.json")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.map(col)
+      df.select(cols: _*)
+        .collect().map(_.toSeq.mkString("|")).toSeq.sorted
+    }
+    val base = canon(pq)
+    assert(canon(spark.read.orc(s"$dir/li.orc")) === base)
+    assert(canon(spark.read.schema(pq.schema).json(s"$dir/li.json")) === base)
+  }
 }
