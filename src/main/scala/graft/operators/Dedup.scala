@@ -1014,7 +1014,13 @@ object Dedup {
                        seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(docs, textCol, idCol, n, numHashes, seed)
+    // persisted (the minhashNative choice, round-13 measured for this
+    // path too): BOTH sides of the band self-join read the signatures —
+    // unpersisted, the full shingle-explode + 16-murmur3 + min-agg
+    // build ran twice per cold pass (the x21 cold leader's dominant
+    // stage). O(docs · numHashes) longs, MEMORY_AND_DISK.
+    val sigs = graft.Caches.persistOnce(
+      minhashSignatures(docs, textCol, idCol, n, numHashes, seed))
     val banded = sigs.select(col("doc_id"), explode(
       array((0 until bands).map(b =>
         struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*))
