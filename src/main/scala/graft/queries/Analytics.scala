@@ -1526,28 +1526,12 @@ object Analytics {
     // size (running max) — every dominator sorts strictly earlier.
     // 100 TB: ONE brand exchange serves dedup, sweep window, and rank;
     // per-brand work is the O(n log n) sort the exchange already pays.
-    "a84_pareto_frontier" -> ((s, dir) => {
-      val pts = T.part(s, dir)
+    "a84_pareto_frontier" -> ((s, dir) =>
+      paretoFrontier(T.part(s, dir)
         .select(col("p_brand").as("brand"),
           floor(col("p_retailprice") * 100 + lit(0.5)).cast("bigint")
             .as("price_cents"),
-          col("p_size").cast("int").as("size"))
-        .groupBy("brand", "price_cents", "size")
-        .agg(count(lit(1)).as("n_parts"))
-      val ord = Window.partitionBy("brand")
-        .orderBy(col("price_cents").asc, col("size").desc)
-      val before = ord.rowsBetween(Window.unboundedPreceding, -1)
-      pts
-        .withColumn("max_size_before", max(col("size")).over(before))
-        .filter(col("max_size_before").isNull ||
-          col("size") > col("max_size_before"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("brand")
-            .orderBy(col("price_cents").asc, col("size").desc)))
-        .select(col("brand"), col("rk").cast("int").as("rk"),
-          col("price_cents"), col("size"), col("n_parts"))
-        .orderBy("brand", "rk")
-    }),
+          col("p_size").cast("int").as("size")))),
 
     // Day-of-week seasonality per event type: each dow's share of the
     // type's events and its seasonal index vs a flat week (both on the
@@ -1659,6 +1643,32 @@ object Analytics {
           .otherwise(1L))
       .withColumn("sid", sum(col("ns")).over(run))
       .select("user_id", "sid", "ts", "tu", "is_purchase")
+  }
+
+  /** a84's skyline sweep over a (brand, price_cents, size) point frame —
+    * extracted so dominance/tie semantics are unit-testable on crafted
+    * cases (Round13OpsSpec). Distinct-point semantics: duplicate points
+    * collapse first with a count; a point is ON the frontier iff its
+    * size strictly exceeds every size at a strictly-lower-or-equal
+    * price sorted earlier (every dominator sorts strictly earlier in
+    * (price asc, size desc) order).
+    */
+  private[graft] def paretoFrontier(pts0: DataFrame): DataFrame = {
+    val pts = pts0.groupBy("brand", "price_cents", "size")
+      .agg(count(lit(1)).as("n_parts"))
+    val ord = Window.partitionBy("brand")
+      .orderBy(col("price_cents").asc, col("size").desc)
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("max_size_before", max(col("size")).over(before))
+      .filter(col("max_size_before").isNull ||
+        col("size") > col("max_size_before"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("brand")
+          .orderBy(col("price_cents").asc, col("size").desc)))
+      .select(col("brand"), col("rk").cast("int").as("rk"),
+        col("price_cents"), col("size"), col("n_parts"))
+      .orderBy("brand", "rk")
   }
 
   /** The per-day session rollup shared by a83 (window assignment) and
