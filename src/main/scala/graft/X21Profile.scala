@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler for the x21 composite (not part of the
+  * driver surface; delete or keep — it is measurement tooling).
+  * Times each pipeline stage cumulatively in one cold session.
+  */
+object X21Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
+    SparkEntry.entry(spark).count() // warmup
+
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"STAGE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.tables.{Tables => T}
+    val docs = T.documents(spark, dir)
+    val surviving = graft.Caches.persistOnce(TextAnalysis.qualityScore(
+        TextAnalysis.langId(docs, "text"), "text")
+      .filter(col("pred_lang") === "en" && col("quality_ok") === 1)
+      .select("doc_id", "text"))
+    t("scan+lang+quality")(surviving.count())
+    val exactKeep = surviving
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = graft.Caches.persistOnce(surviving.join(exactKeep, "doc_id"))
+    t("exact-dedup+persist")(deduped.count())
+    val pairs = t("banded-pairs") {
+      val p = Dedup.bandedJaccardMinhash(deduped, "text", "doc_id",
+        n = 3, threshold = 0.2, numHashes = 16, bands = 8,
+        collapseExactDups = false).select("d1", "d2")
+      p.count(); p
+    }
+    val canonical = t("connected-components") {
+      val c = Dedup.connectedComponentsKeepOne(deduped, "doc_id", pairs)
+        .filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id")
+      c.count(); c
+    }
+    val kept = deduped.join(canonical, "doc_id")
+    t("fingerprints+sort")(
+      TextAnalysis.fingerprints(TextAnalysis.tokenCounts(kept, "text"), "text")
+        .select("doc_id", "ws_tokens", "fp_md5")
+        .orderBy("doc_id").count())
+    spark.stop()
+  }
+}

@@ -1014,11 +1014,13 @@ object Dedup {
                        seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // persisted (the minhashNative choice, round-13 measured for this
-    // path too): BOTH sides of the band self-join read the signatures —
-    // unpersisted, the full shingle-explode + 16-murmur3 + min-agg
-    // build ran twice per cold pass (the x21 cold leader's dominant
-    // stage). O(docs · numHashes) longs, MEMORY_AND_DISK.
+    // persisted (the minhashNative choice): both sides of the band
+    // self-join read the signatures. Round-13 adjudication: measured
+    // cold x21 is UNCHANGED by this pin (ReuseExchange already
+    // deduplicated the identical self-join subtrees), so the persist
+    // is a structural guarantee — single build regardless of planner
+    // reuse heuristics under AQE — not a measured win. O(docs ·
+    // numHashes) ints, MEMORY_AND_DISK.
     val sigs = graft.Caches.persistOnce(
       minhashSignatures(docs, textCol, idCol, n, numHashes, seed))
     val banded = sigs.select(col("doc_id"), explode(
