@@ -94,7 +94,10 @@ object BenchColdLedger {
     // codegen/classloader warmup, same as Bench/TimeQuery
     SparkEntry.entry(spark).count()
 
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit 0,123 and
+    // break the JSON (ADVICE r13)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val rows = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to reps).map { _ =>

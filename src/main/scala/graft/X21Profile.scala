@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 /** Dev-only stage profiler for the x21 composite (not part of the
   * driver surface; delete or keep — it is measurement tooling).
   * Times each pipeline stage cumulatively in one cold session.
+  *
+  * MIRRORS `Extensions.pipelineDocs` stage by stage — when the pipeline
+  * changes, change this too (pointer on both sides, r13 verdict nit).
   */
 object X21Profile {
   def main(args: Array[String]): Unit = {

@@ -31,8 +31,10 @@ object Profile {
     * decode exactly ONE column — total bytes touched equal the one-pass
     * Expand form's, without multiplying rows; each NDV exchange carries
     * only that column's distinct values (map-side partial dedup). The
-    * projection is cached only on NARROW inputs (see the branch below);
-    * at scale the arms are independent column-pruned re-scans and no
+    * projection is cached on NARROW inputs and on COMPUTED inputs
+    * (join/agg/generate/window/union upstream — the arms must not
+    * re-execute those); only a many-split bare scan goes uncached: at
+    * scale its arms are independent column-pruned re-scans and no
     * table-sized cache entry is pinned. For estimate-grade stats in one
     * true pass with O(k) state use [[profileApprox]].
     */
@@ -47,16 +49,26 @@ object Profile {
     val pruned = df.select(specs.map { case (n, c) => c.as(s"__c_$n") }: _*)
     val specCols = specs.map { case (n, _) => (n, col(s"__c_$n")) }
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // Cache ONLY the narrow-input branch: there the repartitioned
-    // projection is small by construction (few source splits) and the
-    // |specs|+1 arms would otherwise re-pay the spread shuffle each.
-    // On a many-split production table the arms are column-pruned
+    // Cache the narrow-input branch (the repartitioned projection is
+    // small by construction and the |specs|+1 arms would otherwise
+    // re-pay the spread shuffle each) AND computed inputs (joins/aggs/
+    // generates upstream — re-executing those per arm is a silent
+    // multi-x cost, the round-13 ADVICE finding). Only a many-split
+    // BARE SCAN goes uncached: there the arms are column-pruned
     // parquet re-scans that each decode ONE column — cheaper than
     // pinning a table-sized (spec-columns) cache entry per profiled
     // table until Caches.clearAll (the round-12 ADVICE finding).
+    val scanShaped = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      pruned.queryExecution.optimizedPlan.collectFirst {
+        case p @ (_: Join | _: Aggregate | _: Generate | _: Window |
+                  _: Union | _: Distinct) => p
+      }.isEmpty
+    }
     val input =
       if (pruned.rdd.getNumPartitions * 4 <= parallelism)
         graft.Caches.persistOnce(pruned.repartition(parallelism))
+      else if (!scanShaped) graft.Caches.persistOnce(pruned)
       else pruned
     val statAggs = specCols.flatMap { case (name, c) =>
       Seq(count(lit(1)).as(s"__n_$name"),

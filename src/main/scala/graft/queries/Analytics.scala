@@ -2493,7 +2493,10 @@ object Analytics {
            CAST(min(CASE WHEN n = n_max THEN dow END)
              OVER (PARTITION BY event_type) AS INTEGER) AS peak_dow
          FROM t ORDER BY event_type, dow""",
-    // a86: the same integer OLS sums; // is floor div like Spark div.
+    // a86: the same integer OLS sums; DuckDB // was MEASURED to
+    // truncate toward zero on negatives (-7 // 2 = -3), matching Spark
+    // div — not floor division (negative-slope case pinned in
+    // Round13OpsSpec).
     "a86_daily_trend" ->
       """WITH daily AS (SELECT event_type,
              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,

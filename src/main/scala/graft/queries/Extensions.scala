@@ -203,6 +203,10 @@ object Extensions {
     *    scale when the gates are aggressive and no sibling query shares
     *    the full-corpus shingles.
     * Both produce identical output (PipelineVariantsSpec).
+    *
+    * NOTE: `graft.X21Profile` mirrors these stages inline for per-stage
+    * timing — keep the two in sync when the pipeline changes, or the
+    * profiler silently profiles something else.
     */
   private[graft] def pipelineDocs(s: SparkSession, dir: String,
                                   mineSurvivorsOnly: Boolean): DataFrame = {

@@ -73,7 +73,10 @@ object Sinks {
     val hfs = fs(spark, outDir)
     val dir = new Path(s"$outDir/_commits")
     if (!hfs.exists(dir)) Set.empty
-    else hfs.listStatus(dir).map(_.getPath.getName.toLong).toSet
+    // tolerate non-marker names (stray temp files, object-store
+    // checksum twins): only all-digit names are batch markers
+    else hfs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("\\d+")).map(_.toLong).toSet
   }
 
   /** The exactly-once view: union of manifest-committed batch
