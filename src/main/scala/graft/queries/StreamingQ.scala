@@ -291,7 +291,17 @@ object StreamingQ {
     // the oracle is a80's SQL verbatim (stream ≡ batch certified).
     "st27_stream_cusum" -> ((s, dir) =>
       graft.queries.Analytics.cusumReadout(
-        EventStreams.statefulDailyCounts(T.events(s, dir)).toDF()))
+        EventStreams.statefulDailyCounts(T.events(s, dir)).toDF())),
+
+    // Live sessionization (a83's streaming dual): keyed state = two
+    // longs per user (session index, last event µs); each event emits
+    // exactly once tagged with its session — the per-day rollup runs
+    // OUTSIDE the stream (st16/st20 hand-off) and is
+    // Analytics.sessionDailyStats VERBATIM, so a83's oracle certifies
+    // stream ≡ batch (the a80/st27 lockstep discipline).
+    "st28_stream_sessionize" -> ((s, dir) =>
+      graft.queries.Analytics.sessionDailyStats(
+        EventStreams.statefulSessionAssign(T.events(s, dir)).toDF()))
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,6 +316,12 @@ object StreamingQ {
     // certifies both surfaces (the st25/a73 lockstep discipline).
     "st26_stream_cms" ->
       graft.queries.Extensions.oracle("x111_join_size_cms"),
+    // st28: a83's oracle VERBATIM — the keyed-state fold over the
+    // (tu, event_id) order is the window assignment, and the daily
+    // rollup is sessionDailyStats shared verbatim, so one SQL
+    // certifies both surfaces (the st25/a73 lockstep discipline).
+    "st28_stream_sessionize" ->
+      graft.queries.Analytics.oracle("a83_sessionize"),
     // st27: a80's oracle VERBATIM — additive daily counters make the
     // stream's MapState equal the batch rollup, and the readout is the
     // shared cusumReadout, so one SQL certifies both surfaces.

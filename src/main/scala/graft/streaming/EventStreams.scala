@@ -1242,4 +1242,92 @@ object EventStreams {
       .transformWithState(new DailyCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Live gap-based session ASSIGNMENT (a83's streaming dual, st28):
+    * each event is tagged with its user-local 1-based session index
+    * under the [[graft.queries.Analytics.SessionGapUs]] rule, as keyed
+    * stream state — the per-day session rollup
+    * ([[graft.queries.Analytics.sessionDailyStats]]) runs OUTSIDE the
+    * stream over the assigned rows (the st16/st20 hand-off), shared
+    * VERBATIM with a83 so one oracle certifies both surfaces.
+    *
+    * Differs from [[statefulSessionize]] (st08) in what it emits:
+    * st08 folds events INTO session rows (one open-session state row,
+    * session-level output); this emits one FINAL row per event —
+    * exactly the `sessionDailyStats` input shape `(user_id, sid, ts,
+    * tu, is_purchase)` — so any downstream rollup (daily stats here;
+    * funnel-by-session, dwell-time, … elsewhere) composes on the
+    * assigned stream without re-deriving sessions.
+    *
+    * State per user: (current session index, last event-time µs).
+    * Each micro-batch sorts its rows by (tu, event_id) — the a83 /
+    * oracle total order, tu = unix_micros(ts) computed codegen'd
+    * BEFORE the keyed shuffle — and folds the gap rule. Under
+    * event-time-ordered delivery per key (the [[statefulSessionize]]
+    * condition) the assignment equals the batch window formulation;
+    * defensively, a cross-batch straggler inside the gap joins the
+    * open session without regressing its anchor (`lastTu` is
+    * monotone), and one beyond the gap opens a new session — exactly
+    * the window rule applied to the observed order. In batch each key
+    * processes once over full history, so the fold IS the window
+    * formulation (certified in EventStreamsSpec; the driver's st28
+    * oracle is a83's SQL verbatim).
+    *
+    * 100 TB/streaming: state is two longs per user; shuffle keyed on
+    * user_id; the in-memory sort is per (user, micro-batch), bounded
+    * by per-user batch activity. Output is append-shaped (every event
+    * assigned exactly once — Update mode, rows final).
+    */
+  final case class SessionCursor(sid: Long, lastTu: Long)
+  final case class AssignedEvent(user_id: Long, sid: Long, ts: Timestamp,
+                                 tu: Long, is_purchase: Int)
+
+  private class SessionAssignProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Timestamp, Long, Int), AssignedEvent] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var cursor: ValueState[SessionCursor] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cursor = getHandle.getValueState[SessionCursor]("cursor",
+        E.product[SessionCursor], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Long, Timestamp, Long, Int)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AssignedEvent] = {
+      val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+      val out = new scala.collection.mutable.ArrayBuffer[AssignedEvent](sorted.size)
+      var st: Option[SessionCursor] =
+        if (cursor.exists()) Some(cursor.get()) else None
+      sorted.foreach { case (_, _, ts, tu, isP) =>
+        st = st match {
+          case Some(c) if tu - c.lastTu <= gapUs =>
+            Some(SessionCursor(c.sid, math.max(c.lastTu, tu)))
+          case Some(c) => Some(SessionCursor(c.sid + 1, tu))
+          case None => Some(SessionCursor(1L, tu))
+        }
+        out += AssignedEvent(user, st.get.sid, ts, tu, isP)
+      }
+      st.foreach(cursor.update)
+      out.iterator
+    }
+  }
+
+  def statefulSessionAssign(events: DataFrame,
+                            gapUs: Long =
+                              graft.queries.Analytics.SessionGapUs)
+      : Dataset[AssignedEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
+    events.select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("tu"),
+        (col("event_type") === "purchase").cast("int").as("is_purchase"))
+      .as[(Long, Long, Timestamp, Long, Int)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionAssignProcessor(gapUs),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

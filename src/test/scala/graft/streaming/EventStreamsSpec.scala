@@ -1025,4 +1025,81 @@ class EventStreamsSpec extends SparkTestBase {
       .cmsJoinSize(rows.toDF(), "user_id", "side").head().getLong(2)
     assert(est === direct)
   }
+
+  test("st28 stateful session assignment across micro-batches equals " +
+       "the a83 window formulation (assignment AND daily rollup)") {
+    implicit val ctx = spark.sqlContext
+    // 6 h gap (Analytics.SessionGapUs); craft boundary cases:
+    //  - exactly == gap stays in-session (<= rule), gap + 1 µs opens new
+    //  - same-µs tie broken by event_id (the st14 tie discipline)
+    //  - purchase flag carried through to n_purchase_sessions
+    //  - a bounce (1-event) session on its own day
+    val evs = Seq(
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),
+      EvJ(3L, t("2024-01-01 06:00:00"), 1L, "purchase"), // == gap → same
+      EvJ(2L, t("2024-01-01 06:00:00"), 1L, "view"),     // µs tie, id order
+      EvJ(4L, t("2024-01-02 00:05:00"), 2L, "view"),     // bounce, day 2
+      // micro-batch 2 (event-time-ordered per key):
+      EvJ(5L, t("2024-01-01 12:00:00.000001"), 1L, "click"), // gap+1µs → new
+      EvJ(6L, t("2024-01-01 13:00:00"), 1L, "click"),
+      EvJ(7L, t("2024-01-03 00:00:00"), 2L, "purchase"))
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulSessionAssign(input.toDF())
+      .writeStream.format("memory").queryName("sess_assign_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(4))
+      q.processAllAvailable()
+      input.addData(evs.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every event emits exactly once and is final — no latest-row pick
+    val streamed = spark.table("sess_assign_out")
+    assert(streamed.count() === evs.size.toLong)
+    val batchAssign = graft.queries.Analytics.sessionAssign(evs.toDF())
+    assert(streamed.orderBy("user_id", "tu", "is_purchase")
+        .select("user_id", "sid", "ts", "tu", "is_purchase")
+        .collect().toSeq ===
+      batchAssign.orderBy("user_id", "tu", "is_purchase").collect().toSeq)
+    // the daily rollup shared with a83 agrees on both inputs
+    val fromStream = graft.queries.Analytics
+      .sessionDailyStats(streamed.toDF()).collect().toSeq
+    val fromBatch = graft.queries.Analytics
+      .sessionDailyStats(batchAssign).collect().toSeq
+    assert(fromStream === fromBatch)
+    // user 1: session 1 = events 1,3,2 (purchase), session 2 = 5,6;
+    // user 2: two bounces, one purchase — check the day-2 row directly
+    val byDay = fromStream.map(r => r.getDate(0).toString -> r).toMap
+    assert(byDay("2024-01-01").getLong(1) === 2L) // n_sessions
+    assert(byDay("2024-01-01").getLong(5) === 1L) // n_purchase_sessions
+    assert(byDay("2024-01-02").getLong(2) === 1L) // n_bounce
+    assert(byDay("2024-01-03").getLong(2) === 1L)
+  }
+
+  test("st28 cross-batch in-gap straggler joins the open session " +
+       "without regressing its anchor") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulSessionAssign(input.toDF())
+      .writeStream.format("memory").queryName("sess_assign_late_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(Seq(
+        EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),
+        EvJ(2L, t("2024-01-01 05:00:00"), 1L, "click")))
+      q.processAllAvailable()
+      // straggler OLDER than the anchor but inside the gap: same
+      // session; anchor stays 05:00 so the next event 6 h after the
+      // anchor still extends the session
+      input.addData(Seq(EvJ(3L, t("2024-01-01 03:00:00"), 1L, "click")))
+      q.processAllAvailable()
+      input.addData(Seq(EvJ(4L, t("2024-01-01 11:00:00"), 1L, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sids = spark.table("sess_assign_late_out")
+      .orderBy("tu").select("sid").collect().map(_.getLong(0)).toSeq
+    assert(sids === Seq(1L, 1L, 1L, 1L))
+  }
 }
