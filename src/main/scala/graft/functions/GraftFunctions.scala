@@ -595,6 +595,116 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature over a shingle array in ONE pass: every seeded
+  * murmur3 lane evaluated inside a single fused loop per shingle, with
+  * running minima — `array<string> → array<int>` (k lanes).
+  *
+  * Replaces the explode → k× `murmur3_seeded` → groupBy(min…k) build
+  * (r13 verdict task: the x21/x03 cold floor was ~8 M exploded shingles
+  * × 16 separate seeded expression evaluations plus a corpus-wide
+  * hash-aggregate exchange). Here the signature is a scan-side
+  * projection: no explode row blow-up, no aggregation exchange, one
+  * `UTF8String` fetch per shingle with the bytes hot in cache across
+  * all k lanes.
+  *
+  * Parity contract (pinned in GraftFunctionsSpec): lane j equals
+  * `min(Murmur3Hash(shingle, seeds(j)))` over the array's elements —
+  * the exact values the former build produced and the DuckDB oracle
+  * replays. That means Spark's `Murmur3_x86_32.hashUnsafeBytes` on the
+  * UTF8 bytes for non-null elements, and the SEED itself for a null
+  * element (Spark's hash of null returns the seed — explode used to
+  * emit null elements as rows). An EMPTY (or all-null-yielding…) array
+  * returns a null signature, mirroring "explode emits no rows → the
+  * doc never reaches the aggregate".
+  */
+case class MinhashSignature(child: Expression, seeds: Seq[Int])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if seeds.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure("minhash_sig needs at least one seed")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string>, got $t")
+  }
+
+  private lazy val seedArray: Array[Int] = seeds.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = seedArray.length
+    val mins = Array.fill(k)(Int.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var j = 0
+        while (j < k) {
+          if (seedArray(j) < mins(j)) mins(j) = seedArray(j); j += 1
+        }
+      } else {
+        val u = arr.getUTF8String(i)
+        val base = u.getBaseObject
+        val off = u.getBaseOffset
+        val len = u.numBytes()
+        var j = 0
+        while (j < k) {
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashUnsafeBytes(base, off, len, seedArray(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sd = ctx.addReferenceObj("seeds", seedArray, "int[]")
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val u = ctx.freshName("u")
+      val b = ctx.freshName("b"); val o = ctx.freshName("o")
+      val l = ctx.freshName("l"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $k = $sd.length;
+         |  int[] $mins = new int[$k];
+         |  java.util.Arrays.fill($mins, Integer.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($arr.isNullAt($i)) {
+         |      for (int $j = 0; $j < $k; $j++)
+         |        if ($sd[$j] < $mins[$j]) $mins[$j] = $sd[$j];
+         |    } else {
+         |      org.apache.spark.unsafe.types.UTF8String $u = $arr.getUTF8String($i);
+         |      Object $b = $u.getBaseObject();
+         |      long $o = $u.getBaseOffset();
+         |      int $l = $u.numBytes();
+         |      for (int $j = 0; $j < $k; $j++) {
+         |        int $h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |          .hashUnsafeBytes($b, $o, $l, $sd[$j]);
+         |        if ($h < $mins[$j]) $mins[$j] = $h;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Registration + Column-level wrappers for the engine's native functions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -644,6 +754,17 @@ object GraftFunctions {
     // hash() pins seed 42): k independent hash functions for MinHash are
     // murmur3 under k seeds — the textbook construction; affine maps of
     // ONE hash are perfectly correlated (see Dedup.minhashSignatures).
+    reg.createOrReplaceTempFunction("minhash_sig",
+      (es: Seq[Expression]) => {
+        if (es.length < 2) throw new IllegalArgumentException(
+          s"minhash_sig expects (shingles, seed...) — ≥2 arguments, got ${es.length}")
+        val seeds = es.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig expects literal int seeds, got $other")
+        }
+        MinhashSignature(es.head, seeds)
+      }, "built-in")
     reg.createOrReplaceTempFunction("murmur3_seeded",
       (es: Seq[Expression]) => {
         if (es.length != 2) throw new IllegalArgumentException(
@@ -669,4 +790,7 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bits))
   def murmur3Seeded(c: Column, seed: Int): Column =
     call_function("murmur3_seeded", c, org.apache.spark.sql.functions.lit(seed))
+  def minhashSig(shingles: Column, seeds: Seq[Int]): Column =
+    call_function("minhash_sig",
+      (shingles +: seeds.map(org.apache.spark.sql.functions.lit(_))): _*)
 }

@@ -127,10 +127,19 @@ object Dedup {
       if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
       else docs
     val w = split(lower(col(textCol)), "\\s+")
-    input
+    // The cache boundary lives HERE (round 14; it used to sit on the
+    // exploded [[shingleFlat]]): the regex split + shingle assembly +
+    // array_distinct is the expensive part, and the one-pass signature
+    // build ([[minhashSignatures]]) consumes the ARRAYS while the
+    // set-intersection verifiers consume the EXPLODED rows — caching
+    // the array table lets both derive from one computation, and it is
+    // strictly smaller than the exploded table the old boundary pinned.
+    // Re-exploding from cached arrays per consumer scan is cheap (no
+    // regex, no distinct).
+    graft.Caches.persistOnce(input
       .filter(size(w) >= n)
       .select(col(idCol).as("doc_id"),
-        array_distinct(shingleArray(col(textCol), n)).as("shingles"))
+        array_distinct(shingleArray(col(textCol), n)).as("shingles")))
   }
 
   /** The raw n-gram array (duplicates preserved) behind [[shingles]] —
@@ -469,17 +478,22 @@ object Dedup {
       .filter(col("d1") < col("d2"))
   }
 
-  /** One exploded (doc_id, sz, shingle) row per distinct shingle,
-    * persisted. The persist matters even with only two consumers
-    * (measured 12.7s vs 7.5s on sf0.1): every consumer re-derives the
-    * explode otherwise. All shingle-based operators share this ONE plan
-    * shape so Spark's CacheManager (canonical-plan matching) reuses a
-    * single cached copy across queries in the same session.
+  /** One exploded (doc_id, sz, shingle) row per distinct shingle.
+    * NOT persisted itself (round 14): the cache boundary moved into
+    * [[shingles]] — consumers re-run the cheap explode over the cached
+    * array table, so the split/distinct work is shared with the
+    * array-consuming one-pass signature build too, and the pinned
+    * bytes shrink to the pre-explosion table. (The r4-era measurement
+    * that motivated caching — 12.7 s vs 7.5 s on sf0.1 — compared
+    * against re-deriving the REGEX SPLIT per consumer; that work is
+    * what the arrays cache now dedups.) All shingle-based operators
+    * still share ONE plan shape, so CacheManager canonical-plan
+    * matching reuses a single cached array table across queries in the
+    * same session.
     */
   def shingleFlat(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    graft.Caches.persistOnce(
-      shingles(docs, textCol, idCol, n)
-        .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("s")))
+    shingles(docs, textCol, idCol, n)
+      .select(col("doc_id"), size(col("shingles")).as("sz"), explode(col("shingles")).as("s"))
 
   /** The per-function murmur3 seeds behind [[minhashSignatures]] —
     * exposed so the DuckDB oracle generator (graft.queries.Extensions)
@@ -509,13 +523,16 @@ object Dedup {
                         seed: Long = 42L): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val seeds = minhashSeeds(numHashes, seed)
-    val flat = shingleFlat(docs, textCol, idCol, n)
-    val aggs = seeds.zipWithIndex.map { case (s, i) =>
-      min(GraftFunctions.murmur3Seeded(col("s"), s)).as(s"h$i")
-    }
-    flat.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // ONE scan-side pass (round-14 rework of the r13 cold floor): the
+    // codegen'd MinhashSignature expression evaluates all k seeded
+    // murmur3 lanes per shingle inside one fused loop with running
+    // minima — no explode row blow-up, no groupBy exchange. Values are
+    // bit-identical to the former explode → k×murmur3_seeded →
+    // groupBy(min…) build (lane parity pinned in GraftFunctionsSpec;
+    // the DuckDB oracles replay unchanged).
+    shingles(docs, textCol, idCol, n)
       .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        GraftFunctions.minhashSig(col("shingles"), seeds).as("sig"))
   }
 
   /** MinHash LSH banding: candidate pairs share at least one band

@@ -231,4 +231,70 @@ class GraftFunctionsSpec extends SparkTestBase {
       .toLongArray().toSeq
     assert(interp === got)
   }
+
+  test("minhash_sig: every lane equals min(murmur3_seeded) over the " +
+       "exploded elements — the former build's values, bit for bit") {
+    val seeds = graft.operators.Dedup.minhashSeeds(16, 42L)
+    val df = Seq(
+      (1L, Seq("the quick", "quick brown", "brown fox")),
+      (2L, Seq("a single")),
+      (3L, Seq("the quick", "the quick", "ÿüñí ←code", "brown fox")))
+      .toDF("doc_id", "shingles")
+    val got = df.select($"doc_id",
+        GraftFunctions.minhashSig($"shingles", seeds).as("sig"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val aggs = seeds.zipWithIndex.map { case (s, i) =>
+      min(GraftFunctions.murmur3Seeded($"s", s)).as(s"h$i") }
+    val want = df.select($"doc_id", explode($"shingles").as("s"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getInt).toSeq).toMap
+    assert(got === want)
+  }
+
+  test("minhash_sig: null array → null; EMPTY array → null (explode " +
+       "emitted no rows); a null ELEMENT contributes the seed itself " +
+       "(explode emitted a null row; hash(null) = seed)") {
+    val seeds = Seq(7, -13, 123456789)
+    val df = Seq(
+      (1L, Some(Seq[String]())),
+      (2L, None),
+      (3L, Some(Seq[String](null, "x"))))
+      .toDF("doc_id", "shingles")
+    val rows = df.select($"doc_id",
+        GraftFunctions.minhashSig($"shingles", seeds).as("sig"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1))
+    val aggs = seeds.zipWithIndex.map { case (s, i) =>
+      min(GraftFunctions.murmur3Seeded($"s", s)).as(s"h$i") }
+    val want = df.filter($"doc_id" === 3L)
+      .select($"doc_id", explode($"shingles").as("s"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => (1 to 3).map(r.getInt).toSeq).head
+    assert(rows(2).getSeq[Int](1) === want)
+  }
+
+  test("minhash_sig interpreted eval equals the codegen result; two " +
+       "instances in one projection compile") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val seeds = Seq(1, 2, 3)
+    val arr = new GenericArrayData(Array[Any](
+      UTF8String.fromString("aa"), UTF8String.fromString("bb")))
+    val interp = MinhashSignature(
+        Literal(arr, ArrayType(StringType)), seeds)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+    val df = Seq((Seq("aa", "bb"), Seq("aa", "bb"))).toDF("s1", "s2")
+    val row = df.select(
+        GraftFunctions.minhashSig($"s1", seeds).as("a"),
+        GraftFunctions.minhashSig($"s2", Seq(1, 2, 3)).as("b"))
+      .collect().head
+    assert(row.getSeq[Int](0) === interp)
+    assert(row.getSeq[Int](1) === interp)
+  }
 }

@@ -28,4 +28,17 @@ class Round14PlanSpec extends SparkTestBase {
         s"(user_id, sid) rollup + day rollup):\n$s")
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("minhash signature build is a scan-side projection: no explode, " +
+       "no aggregation, no exchange below the signature table") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val s = planString(graft.operators.Dedup
+      .minhashSignatures(docs, "text", "doc_id"))
+    assert(hashExchanges(s) === 0,
+      s"one-pass build must not shuffle:\n$s")
+    assert(!s.contains("Generate"), s"no explode expected:\n$s")
+    assert(!s.contains("HashAggregate"), s"no per-lane min agg expected:\n$s")
+    assert(s.toLowerCase.contains("minhashsignature"),
+      s"the fused expression should appear in the plan:\n$s")
+  }
 }
