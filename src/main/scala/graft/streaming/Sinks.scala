@@ -24,7 +24,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ([[readCommitted]]), so a half-written batch directory is invisible.
   *
   * 100 TB: one directory per micro-batch is the standard streaming-
-  * ingest layout (compaction is a downstream batch job); the manifest
+  * ingest layout (compaction is a downstream batch job —
+  * [[compactCommitted]]); the manifest
   * is O(batches) empty files, listable in one RPC per poll. On object
   * stores without atomic directory rename, pair this with a cloud
   * committer for the data write — the marker commit is a single-file
@@ -88,4 +89,95 @@ object Sinks {
     require(ids.nonEmpty, s"no committed batches under $outDir")
     spark.read.parquet(ids.map(id => s"$outDir/data/batch_id=$id"): _*)
   }
+
+  /** Partition directory key a compaction snapshot is laid out by;
+    * dropped again on read, so the compacted view's schema equals the
+    * sink's.
+    */
+  private[streaming] val CompactPartCol = "__part"
+
+  /** Batch id the latest compaction snapshot covers through (None
+    * before the first compaction). Same all-digit-name discipline as
+    * [[committedBatches]].
+    */
+  def latestCompaction(spark: SparkSession, targetDir: String): Option[Long] = {
+    val hfs = fs(spark, targetDir)
+    val dir = new Path(s"$targetDir/_manifests")
+    if (!hfs.exists(dir)) None
+    else hfs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("\\d+")).map(_.toLong)
+      .reduceOption(_ max _)
+  }
+
+  /** The downstream compaction job [[exactlyOnceParquet]]'s scaladoc
+    * defers: rewrite every manifest-committed `batch_id=` partition
+    * into ONE partitioned snapshot (typically date-partitioned — pass
+    * `to_date(col("ts"))` — so readers prune on time instead of
+    * listing O(batches) micro-batch directories), committed by an
+    * atomic manifest swap.
+    *
+    * Restart-safety is the sink's own discipline, one level up:
+    *   snapshots/<cut>/__part=<v>/...parquet  (cut = max batch id covered)
+    *   _manifests/<cut>                       (empty marker; atomic create)
+    * The snapshot directory is keyed by `cut`, so a re-run after a
+    * crash mid-compaction overwrites it deterministically and then
+    * commits the same marker — convergent; a snapshot without its
+    * manifest is invisible to readers (they fall back to the previous
+    * manifest, or to the raw committed view before the first one), so
+    * a crash mid-compaction never degrades readability. Source batch
+    * directories are retained (they are the recovery input and the
+    * incremental tail); orphaned manifest-less snapshot directories
+    * are dead and GC-able.
+    *
+    * 100 TB: the swap is a single-file atomic create (object-store
+    * safe); readers of an old snapshot keep a consistent view while a
+    * new one builds (nothing is rewritten in place). This job rewrites
+    * the full committed prefix per run — the bounded-rewrite variant
+    * (dynamic partition overwrite of only the dates the new batches
+    * touch, with a file-granular manifest) is the Delta/Iceberg design
+    * and out of scope here; run compaction on a cadence where full
+    * rewrite is acceptable, or cap the source's retained batch count.
+    *
+    * Returns the cut compacted through (None when nothing is
+    * committed); already-compacted-through-cut re-runs are no-ops.
+    */
+  def compactCommitted(spark: SparkSession, outDir: String,
+                       targetDir: String,
+                       partition: org.apache.spark.sql.Column): Option[Long] = {
+    val ids = committedBatches(spark, outDir)
+    if (ids.isEmpty) return None
+    val cut = ids.max
+    val hfs = fs(spark, targetDir)
+    val manifest = new Path(s"$targetDir/_manifests/$cut")
+    if (hfs.exists(manifest)) return Some(cut)
+    spark.read
+      .parquet(ids.toSeq.sorted.map(id => s"$outDir/data/batch_id=$id"): _*)
+      .withColumn(CompactPartCol, partition)
+      .write.mode("overwrite")
+      .partitionBy(CompactPartCol)
+      .parquet(s"$targetDir/snapshots/$cut")
+    hfs.mkdirs(manifest.getParent)
+    hfs.createNewFile(manifest)
+    Some(cut)
+  }
+
+  /** The reader over a compacted sink: the latest manifest-committed
+    * snapshot plus every committed batch directory NEWER than its cut
+    * (the incremental tail) — before the first compaction, exactly
+    * [[readCommitted]]. Equal to [[readCommitted]] at every point in
+    * the compaction lifecycle (certified in SinksSpec, including a
+    * crash mid-compaction).
+    */
+  def readCompactedView(spark: SparkSession, outDir: String,
+                        targetDir: String): DataFrame =
+    latestCompaction(spark, targetDir) match {
+      case None => readCommitted(spark, outDir)
+      case Some(cut) =>
+        val snap = spark.read.parquet(s"$targetDir/snapshots/$cut")
+          .drop(CompactPartCol)
+        val newer = committedBatches(spark, outDir).filter(_ > cut).toSeq.sorted
+        if (newer.isEmpty) snap
+        else snap.unionByName(spark.read.parquet(
+          newer.map(id => s"$outDir/data/batch_id=$id"): _*))
+    }
 }

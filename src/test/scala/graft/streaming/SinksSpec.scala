@@ -129,4 +129,92 @@ class SinksSpec extends SparkTestBase {
     assert(perDoc === batch,
       "overwritten replay must land the batch exactly once")
   }
+
+  private def viewKey(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  test("compaction: snapshot + atomic manifest swap; the compacted view " +
+       "equals the committed view; a re-run at the same cut is a no-op") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkc1").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/compacted")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+    } finally q.stop()
+    val part = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(2L))
+    assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(1L))
+    assert(Sinks.latestCompaction(spark, tgt) === Some(1L))
+    val committed = Sinks.readCommitted(spark, out)
+    val view = Sinks.readCompactedView(spark, out, tgt)
+    assert(view.columns.toSeq === committed.columns.toSeq,
+      "compacted view schema must equal the sink's")
+    assert(viewKey(view) === viewKey(committed))
+    // no-op re-run: same cut, still exactly one manifest
+    assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(1L))
+    // count only marker names — LocalFS adds .N.crc checksum twins
+    assert(Files.list(Paths.get(s"$tgt/_manifests"))
+      .filter(p => p.getFileName.toString.matches("\\d+")).count() === 1L)
+  }
+
+  test("crash MID-COMPACTION (snapshot half-written, manifest absent): " +
+       "the committed view stays readable and unchanged; a re-run " +
+       "converges and the view is identical before and after") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkc2").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/compacted")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+    } finally q.stop()
+    val before = viewKey(Sinks.readCommitted(spark, out))
+    // simulate the crash window: a partial snapshot landed (wrong,
+    // half-written data) but the manifest create never happened
+    Seq(docsA.head).toDF()
+      .withColumn(Sinks.CompactPartCol, org.apache.spark.sql.functions.lit(0L))
+      .write.partitionBy(Sinks.CompactPartCol)
+      .parquet(s"$tgt/snapshots/1")
+    assert(Sinks.latestCompaction(spark, tgt) === None,
+      "a manifest-less snapshot must be invisible")
+    assert(viewKey(Sinks.readCompactedView(spark, out, tgt)) === before,
+      "the readable view must not degrade during a crashed compaction")
+    // re-run: deterministic overwrite of snapshots/1, then the commit
+    val part = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(2L))
+    assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(1L))
+    assert(viewKey(Sinks.readCompactedView(spark, out, tgt)) === before,
+      "committed view before == after the converged compaction")
+  }
+
+  test("batches landing AFTER a compaction stay visible (snapshot + " +
+       "newer batch dirs); the next compaction advances the cut") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkc3").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/compacted")
+    val part = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(2L))
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+      assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(1L))
+      input.addData(docsC); q.processAllAvailable()
+    } finally q.stop()
+    // snapshot covers 0..1; batch 2 reads from its committed batch dir
+    assert(viewKey(Sinks.readCompactedView(spark, out, tgt)) ===
+      viewKey(Sinks.readCommitted(spark, out)))
+    assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(2L))
+    assert(Sinks.latestCompaction(spark, tgt) === Some(2L))
+    assert(viewKey(Sinks.readCompactedView(spark, out, tgt)) ===
+      viewKey(Sinks.readCommitted(spark, out)))
+  }
 }
