@@ -1589,8 +1589,57 @@ object Analytics {
         .select(col("event_type"), col("n_days"), col("n_events"),
           col("slope_q"))
         .orderBy("event_type")
-    })
+    }),
+
+    // RFM segmentation per nation (the classic CRM cut): per customer
+    // — recency (days from the corpus max order date), frequency
+    // (order count), monetary (exact cents) — each scored 1–5 by
+    // ntile WITHIN the customer's nation over a total order (metric,
+    // custkey — deterministic under ties on both engines); the output
+    // is the per-nation segment matrix with customer counts and exact
+    // revenue. Score orientation: 5 = most recent / most frequent /
+    // highest spend (the worst rows fill bucket 1 first).
+    // 100 TB: the per-customer rollup partial-aggregates on custkey;
+    // all three ntile windows share ONE nationkey exchange (same
+    // partitioning, three sort specs — the a83 discipline), and the
+    // per-nation sort is the work that exchange already pays; the
+    // segment rollup rides the nationkey clustering (subset
+    // partitioning), and the anchor date is a broadcast 1-row frame.
+    // A global (unpartitioned) ntile would single-partition the
+    // window at scale — the per-market cut is the scale-legal AND the
+    // more actionable readout.
+    "a87_rfm_segments" -> ((s, dir) =>
+      rfmSegments(T.orders(s, dir), T.customer(s, dir)
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))))
   )
+
+  /** a87's RFM segment matrix over an orders-shaped frame and a
+    * (ck, nk) customer dimension — extracted so the tie/short-nation
+    * ntile semantics are unit-testable on crafted frames
+    * (Round14OpsSpec). See the a87 entry for the scale notes.
+    */
+  private[graft] def rfmSegments(orders: DataFrame,
+                                 cust: DataFrame): DataFrame = {
+    val anchor = broadcast(orders.agg(max(col("o_orderdate")).as("maxd")))
+    val per = orders.groupBy(col("o_custkey").as("ck"))
+      .agg(max(col("o_orderdate")).as("lastd"),
+        count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+          .as("cents"))
+    val wr = Window.partitionBy("nk")
+      .orderBy(col("r_days").desc, col("ck"))
+    val wf = Window.partitionBy("nk").orderBy(col("f"), col("ck"))
+    val wm = Window.partitionBy("nk").orderBy(col("cents"), col("ck"))
+    per.join(cust, "ck").crossJoin(anchor)
+      .withColumn("r_days",
+        datediff(col("maxd"), col("lastd")).cast("bigint"))
+      .withColumn("r_score", ntile(5).over(wr))
+      .withColumn("f_score", ntile(5).over(wf))
+      .withColumn("m_score", ntile(5).over(wm))
+      .groupBy("nk", "r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sum_cents"))
+      .orderBy("nk", "r_score", "f_score", "m_score")
+  }
 
   /** Microseconds of inactivity that close a session (6 h — wide for
     * the synthetic fixture's sparse per-user streams; production web
@@ -2513,6 +2562,34 @@ object Analytics {
              ELSE (n_days * sxy - sx * n_events) * 1048576
                // (n_days * sxx - sx * sx) END AS BIGINT) AS slope_q
          FROM s ORDER BY event_type""",
+    // a87: the same per-customer rollup, the same (metric, custkey)
+    // total orders per nation — ntile is ANSI on both engines (first
+    // buckets take the remainder), and the custkey tiebreak makes the
+    // row order, hence every bucket boundary, deterministic. Exact
+    // cents; datediff ≡ date_diff('day', lastd, maxd); ntile cast to
+    // INTEGER to match Spark's int.
+    "a87_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey AS ck, max(o_orderdate) AS lastd,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         a AS (SELECT max(o_orderdate) AS maxd FROM orders),
+         s AS (SELECT c.c_nationkey AS nk, per.ck, per.f, per.cents,
+             CAST(date_diff('day', per.lastd, a.maxd) AS BIGINT) AS r_days
+           FROM per JOIN customer c ON per.ck = c.c_custkey, a),
+         t AS (SELECT nk, ck, cents,
+             CAST(ntile(5) OVER (PARTITION BY nk
+               ORDER BY r_days DESC, ck) AS INTEGER) AS r_score,
+             CAST(ntile(5) OVER (PARTITION BY nk
+               ORDER BY f, ck) AS INTEGER) AS f_score,
+             CAST(ntile(5) OVER (PARTITION BY nk
+               ORDER BY cents, ck) AS INTEGER) AS m_score
+           FROM s)
+         SELECT nk, r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM t GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
     // a80: the CUSUM closed form replayed — per-type totals via a CTE
     // join (same integers as the Spark windows), prefix sums, running
     // min, max statistic + earliest argmax day + alarm-day count.

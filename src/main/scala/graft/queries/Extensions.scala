@@ -937,6 +937,29 @@ object Extensions {
         .orderBy("query_id")
     }),
 
+    // PII scan + redaction audit — the privacy stage every release
+    // pipeline runs: emails, 555-prefixed phone numbers and IPv4s
+    // detected per doc, and the doc's length after every hit is
+    // replaced with '<PII>'. The fixture corpus is PII-free, so hits
+    // are INJECTED deterministically from doc_id on both engines (the
+    // injectNonAscii/x112 discipline) — positives AND negatives are
+    // exercised at every SF, and docs may carry 0–3 kinds at once.
+    // 100 TB: pure scan-side regexes inside WholeStageCodegen — no
+    // shuffle, no UDF; one row per doc (the orderBy is dump-only).
+    "x120_pii_scan" -> ((s, dir) =>
+      piiScan(injectPii(T.documents(s, dir))).orderBy("doc_id")),
+
+    // Cross-document boilerplate (the C4/CCNet header-footer cut —
+    // within-doc repetition is x26): a 3-gram is boilerplate when it
+    // appears in ≥ 4 distinct docs; per doc — distinct 3-grams, how
+    // many are boilerplate, and the boilerplate fraction on the 2^-20
+    // grid. The wire carries md5(shingle) fingerprints (the x118
+    // discipline — fixed width, never raw text).
+    // 100 TB: one partial-aggregatable df count per fingerprint + one
+    // fingerprint-keyed join back; both shuffles carry 32-hex keys.
+    "x121_boilerplate_ngrams" -> ((s, dir) =>
+      boilerplateNgrams(T.documents(s, dir))),
+
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
     // typo→correction pairs via the deletion-neighborhood equi-join
     // over the VOCABULARY — never an all-pairs or corpus-sized string
@@ -2191,6 +2214,99 @@ object Extensions {
          CASE WHEN doc_id % 13 = 0
            THEN text || ' ünïcodé' || repeat('é', CAST(doc_id % 5 AS INTEGER) + 1)
            ELSE text END AS text
+       FROM documents)"""
+
+  /** PII detection patterns (x120) — RE2/Java-regex common subset (no
+    * lookaround, ASCII word boundaries) so the SAME pattern text runs
+    * in both engines, the x26 \b discipline.
+    */
+  private[queries] val PiiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PiiPhoneRe = "\\b555-[0-9]{4}\\b"
+  private[queries] val PiiIpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Deterministic PII injection for x120 (the corpus is PII-free):
+    * docs gain an email (doc_id % 7 = 0), a 555 phone (% 11 = 0)
+    * and/or an IPv4 (% 5 = 0), each a pure integer function of doc_id
+    * replayed verbatim by [[piiInjectCte]] — the injectNonAscii
+    * discipline.
+    */
+  private[queries] def injectPii(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        concat(lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.org"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(lit(" from 10."),
+          pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+          pmod(col("doc_id") * 7L, lit(256L)).cast("string"), lit("."),
+          pmod(col("doc_id"), lit(100L)).cast("string")))
+        .otherwise(lit(""))))
+
+  /** x120's detection + redaction over an (injected) documents frame —
+    * extracted so the regex semantics (multi-hit docs, boundary
+    * behavior, redacted lengths) are unit-testable on crafted texts
+    * (Round14OpsSpec). Pure scan-side expressions; no shuffle.
+    */
+  private[graft] def piiScan(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0)))
+          .cast("bigint").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(PiiPhoneRe), lit(0)))
+          .cast("bigint").as("n_phone"),
+        size(regexp_extract_all(col("text"), lit(PiiIpRe), lit(0)))
+          .cast("bigint").as("n_ip"),
+        length(col("text")).cast("bigint").as("raw_len"),
+        length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+            PiiEmailRe, "<PII>"), PiiPhoneRe, "<PII>"), PiiIpRe, "<PII>"))
+          .cast("bigint").as("clean_len"))
+      .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_ip"))
+
+  /** x121's cross-document boilerplate readout — extracted so the df
+    * threshold boundary (df = minDf−1 vs minDf) is unit-testable on a
+    * crafted corpus (Round14OpsSpec). md5 fingerprints on the wire.
+    */
+  private[graft] def boilerplateNgrams(docs: org.apache.spark.sql.DataFrame,
+                                       minDf: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    val grid = 1048576L
+    val pairs = graft.Caches.persistOnce(
+      Dedup.shingles(docs, "text", "doc_id")
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .select(col("doc_id"), md5(col("s")).as("f")))
+    val dfreq = pairs.groupBy("f").agg(count(lit(1)).as("df"))
+    pairs.join(dfreq, "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_q",
+        call_function("div", col("n_boiler") * grid,
+          greatest(col("n_shingles"), lit(1L))))
+      .orderBy("doc_id")
+  }
+
+  /** The SQL side of [[injectPii]] — a CTE named `pii` over
+    * `documents`. */
+  private[queries] val piiInjectCte: String =
+    """pii AS (SELECT doc_id, source, text
+         || CASE WHEN doc_id % 7 = 0 THEN ' reach user'
+              || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+            ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+              || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END AS text
        FROM documents)"""
 
   /** 31-powers list literal shared by the CDC oracle fragments. */
@@ -4526,6 +4642,48 @@ object Extensions {
            CAST(sum(CASE WHEN ri <= 10 THEN 1 ELSE 0 END) * 1048576 // 10
              AS BIGINT) AS recall_q
          FROM rk WHERE re <= 10 GROUP BY query_id ORDER BY query_id""",
+
+    // x120: same injection CTE, same RE2/Java-common patterns, DuckDB
+    // regexp_* with the 'g' flag where Spark replaces globally by
+    // default; lengths are characters on both engines (ASCII corpus +
+    // ASCII injection).
+    "x120_pii_scan" ->
+      s"""WITH $piiInjectCte,
+         c AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(text, '$PiiPhoneRe')) AS BIGINT)
+               AS n_phone,
+             CAST(len(regexp_extract_all(text, '$PiiIpRe')) AS BIGINT)
+               AS n_ip,
+             CAST(length(text) AS BIGINT) AS raw_len,
+             CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                 text, '$PiiEmailRe', '<PII>', 'g'),
+                 '$PiiPhoneRe', '<PII>', 'g'),
+                 '$PiiIpRe', '<PII>', 'g')) AS BIGINT) AS clean_len
+           FROM pii)
+         SELECT doc_id, n_email, n_phone, n_ip, raw_len, clean_len,
+           n_email + n_phone + n_ip AS n_pii
+         FROM c ORDER BY doc_id""",
+
+    // x121: the x118 shingle/md5 CTE shape; df over distinct
+    // (doc, fingerprint) pairs, fraction on the 2^-20 grid.
+    "x121_boilerplate_ngrams" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+')
+               AS ws FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w WHERE len(ws) >= 3),
+         p AS (SELECT doc_id, md5(s) AS f FROM sh),
+         dfreq AS (SELECT f, CAST(count(*) AS BIGINT) AS df
+           FROM p GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(sum(CASE WHEN df >= 4 THEN 1 ELSE 0 END) * 1048576
+             // greatest(count(*), 1) AS BIGINT) AS boiler_q
+         FROM p JOIN dfreq USING (f) GROUP BY 1 ORDER BY 1""",
 
     // x117: the filter bits and probe positions rebuilt from the same
     // sha256 48-bit hex slices (the x31/Bloom replay scheme), key-domain
