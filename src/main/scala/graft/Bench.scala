@@ -145,7 +145,10 @@ object Bench {
     val warm = minOf(Seq(1, 3))
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val warmTotal = warm.map(_._2).filter(_ >= 0).sum
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT like BenchColdLedger (ADVICE r13): a comma-decimal
+    // default locale would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
