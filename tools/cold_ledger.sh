@@ -14,9 +14,25 @@ cur="${1:-BENCH_DETAIL.json}"
 out="${2:-BENCH_COLD_LEDGER.json}"
 prev=/tmp/prev_bench_detail.json
 
-prev_commit=$(git log -n 1 --format=%H -- BENCH_DETAIL.json)
+# Self-compare guard (r14 ADVICE): if the worktree BENCH_DETAIL.json is
+# unmodified vs HEAD, the newest commit touching it IS the current
+# capture — comparing against it would report no movers. Step back to
+# the second-newest commit in that case (the genuinely previous round).
+declare -a commits
+mapfile -t commits < <(git log -n 2 --format=%H -- BENCH_DETAIL.json)
+prev_commit="${commits[0]:-}"
+if [[ "$cur" == "BENCH_DETAIL.json" && -n "$prev_commit" ]] \
+    && git diff --quiet HEAD -- BENCH_DETAIL.json 2>/dev/null; then
+  if [[ -n "${commits[1]:-}" ]]; then
+    echo "[cold_ledger] worktree BENCH_DETAIL.json == HEAD capture — using the commit before it" >&2
+    prev_commit="${commits[1]}"
+  else
+    echo "[cold_ledger] WARNING: current capture is the ONLY committed one — ledger would self-compare; running top-N only" >&2
+    prev_commit=""
+  fi
+fi
 if [[ -z "$prev_commit" ]]; then
-  echo "[cold_ledger] no committed BENCH_DETAIL.json found — running top-N only" >&2
+  echo "[cold_ledger] no prior committed BENCH_DETAIL.json — running top-N only" >&2
   prev_arg="-"
 else
   git show "${prev_commit}:BENCH_DETAIL.json" > "$prev"
