@@ -131,12 +131,12 @@ object Sinks {
     *
     * 100 TB: the swap is a single-file atomic create (object-store
     * safe); readers of an old snapshot keep a consistent view while a
-    * new one builds (nothing is rewritten in place). This job rewrites
-    * the full committed prefix per run — the bounded-rewrite variant
-    * (dynamic partition overwrite of only the dates the new batches
-    * touch, with a file-granular manifest) is the Delta/Iceberg design
-    * and out of scope here; run compaction on a cadence where full
-    * rewrite is acceptable, or cap the source's retained batch count.
+    * new one builds (nothing is rewritten in place). This job REWRITES
+    * the full committed history per run (its read side is bounded:
+    * previous snapshot + post-cut batches); when the rewrite volume is
+    * the problem, use [[compactIncremental]] — the partition-granular
+    * bounded-rewrite variant. The file-granular design (a Delta/
+    * Iceberg log) stays out of scope.
     *
     * Returns the cut compacted through (None when nothing is
     * committed); already-compacted-through-cut re-runs are no-ops.
@@ -145,20 +145,102 @@ object Sinks {
                        targetDir: String,
                        partition: org.apache.spark.sql.Column): Option[Long] = {
     val ids = committedBatches(spark, outDir)
-    if (ids.isEmpty) return None
-    val cut = ids.max
+    val prev = latestCompaction(spark, targetDir)
+    if (ids.isEmpty && prev.isEmpty) return None
+    val cut = (ids ++ prev).max
     val hfs = fs(spark, targetDir)
     val manifest = new Path(s"$targetDir/_manifests/$cut")
     if (hfs.exists(manifest)) return Some(cut)
-    spark.read
-      .parquet(ids.toSeq.sorted.map(id => s"$outDir/data/batch_id=$id"): _*)
-      .withColumn(CompactPartCol, partition)
+    // Build from the latest snapshot plus only the batches PAST its
+    // cut — row-identical to re-reading the full committed prefix (the
+    // snapshot IS batches ≤ prev cut, certified in SinksSpec), but the
+    // read volume stops growing with history and [[gcCompacted]]'s
+    // optional batch-dir GC becomes sound (pre-cut dirs are never
+    // needed again).
+    val rows = prev match {
+      case Some(pc) =>
+        val tail = ids.filter(_ > pc).toSeq.sorted
+        val snap = spark.read.parquet(s"$targetDir/snapshots/$pc")
+          .drop(CompactPartCol)
+        if (tail.isEmpty) snap // cut == pc is returned above; defensive
+        else snap.unionByName(spark.read.parquet(
+          tail.map(id => s"$outDir/data/batch_id=$id"): _*))
+      case None =>
+        spark.read.parquet(
+          ids.toSeq.sorted.map(id => s"$outDir/data/batch_id=$id"): _*)
+    }
+    rows.withColumn(CompactPartCol, partition)
       .write.mode("overwrite")
       .partitionBy(CompactPartCol)
       .parquet(s"$targetDir/snapshots/$cut")
     hfs.mkdirs(manifest.getParent)
     hfs.createNewFile(manifest)
     Some(cut)
+  }
+
+  /** GC for the compacted layout (the job [[compactCommitted]]'s
+    * scaladoc promised): deletes what no retained view can reference.
+    *
+    *  - every manifest-less `snapshots/<cut>` dir — a crashed
+    *    compaction's debris (a re-run keys by the CURRENT max batch
+    *    id, so an old orphan can never be committed);
+    *  - manifested snapshots older than the newest `keepSnapshots`
+    *    (manifest deleted FIRST, so no reader resolves a manifest
+    *    whose data is gone);
+    *  - with `gcBatchDirs`, batch dirs (and their commit markers)
+    *    covered by EVERY retained snapshot (id ≤ the oldest retained
+    *    cut) — sound because [[compactCommitted]] builds from the
+    *    latest snapshot + tail, never the pre-cut prefix. After batch
+    *    GC the RAW [[readCommitted]] view is truncated to the tail by
+    *    design; [[readCompactedView]] remains the complete view.
+    *
+    * A reader of the LATEST view is never broken: the latest snapshot
+    * and all post-cut batch dirs are always retained. `keepSnapshots`
+    * is the protection window for readers pinned to OLDER snapshots —
+    * size it beyond the longest-running reader. Single-compactor
+    * discipline: don't run concurrently with [[compactCommitted]] (an
+    * in-progress snapshot is manifest-less and would be swept).
+    *
+    * Returns (snapshot dirs deleted, batch dirs deleted).
+    */
+  def gcCompacted(spark: SparkSession, outDir: String, targetDir: String,
+                  keepSnapshots: Int = 2,
+                  gcBatchDirs: Boolean = false): (Int, Int) = {
+    require(keepSnapshots >= 1, "must retain at least the latest snapshot")
+    val hfs = fs(spark, targetDir)
+    val manifested = {
+      val dir = new Path(s"$targetDir/_manifests")
+      if (!hfs.exists(dir)) Seq.empty[Long]
+      else hfs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.matches("\\d+")).map(_.toLong).toSeq.sorted
+    }
+    val retained = manifested.takeRight(keepSnapshots).toSet
+    var snapsDeleted = 0
+    val snapRoot = new Path(s"$targetDir/snapshots")
+    if (hfs.exists(snapRoot)) hfs.listStatus(snapRoot).foreach { st =>
+      val name = st.getPath.getName
+      val keep = name.matches("\\d+") && retained.contains(name.toLong)
+      if (!keep) {
+        if (name.matches("\\d+") && manifested.contains(name.toLong))
+          hfs.delete(new Path(s"$targetDir/_manifests/$name"), false)
+        hfs.delete(st.getPath, true)
+        snapsDeleted += 1
+      }
+    }
+    var batchesDeleted = 0
+    if (gcBatchDirs && retained.nonEmpty) {
+      val floor = retained.min
+      val ofs = fs(spark, outDir)
+      committedBatches(spark, outDir).filter(_ <= floor).toSeq.sorted
+        .foreach { id =>
+          // marker first: the tail view never lists an id whose dir is
+          // mid-delete
+          ofs.delete(new Path(s"$outDir/_commits/$id"), false)
+          ofs.delete(new Path(s"$outDir/data/batch_id=$id"), true)
+          batchesDeleted += 1
+        }
+    }
+    (snapsDeleted, batchesDeleted)
   }
 
   /** The reader over a compacted sink: the latest manifest-committed
@@ -180,4 +262,216 @@ object Sinks {
         else snap.unionByName(spark.read.parquet(
           newer.map(id => s"$outDir/data/batch_id=$id"): _*))
     }
+
+  // ---------------------------------------------------------------------
+  // Partition-granular bounded-rewrite compaction (the middle step
+  // between the full-prefix snapshot job above and a file-granular
+  // Delta/Iceberg log).
+  // ---------------------------------------------------------------------
+
+  /** Committed incremental-compaction cuts, ascending (empty before the
+    * first). Same all-digit-name discipline as [[committedBatches]].
+    */
+  def incrementalCuts(spark: SparkSession, targetDir: String): Seq[Long] = {
+    val hfs = fs(spark, targetDir)
+    val dir = new Path(s"$targetDir/_pmanifests")
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("\\d+")).map(_.toLong).toSeq.sorted
+  }
+
+  /** The per-partition manifest, resolved: partition value (string
+    * form) → the newest committed cut whose version dir contains it.
+    * The manifest needs NO content file — a commit is the same single
+    * empty-marker create as everywhere else in this sink (atomic on
+    * S3/GCS/HDFS alike; no rename, nothing transactional to write) and
+    * the mapping is reconstructed by listing one directory per
+    * committed compaction: O(compactions) RPCs, bounded by the
+    * [[gcIncremental]] retention cadence. `asOf` restricts to cuts
+    * ≤ the given manifest (the view a reader of that manifest sees).
+    */
+  def incrementalVersions(spark: SparkSession, targetDir: String,
+                          asOf: Option[Long] = None): Map[String, Long] = {
+    val hfs = fs(spark, targetDir)
+    val cuts = incrementalCuts(spark, targetDir)
+      .filter(c => asOf.forall(c <= _))
+    cuts.foldLeft(Map.empty[String, Long]) { (m, v) =>
+      val d = new Path(s"$targetDir/pdata/v=$v")
+      val parts =
+        if (!hfs.exists(d)) Seq.empty[String]
+        else hfs.listStatus(d).map(_.getPath.getName).toSeq
+          .filter(_.startsWith(s"$CompactPartCol="))
+          .map(_.stripPrefix(s"$CompactPartCol="))
+      m ++ parts.map(_ -> v)
+    }
+  }
+
+  /** Bounded-rewrite compaction: rewrite ONLY the partitions the new
+    * batches touch, not the full history.
+    *
+    * Layout under `targetDir`:
+    *   pdata/v=<cut>/__part=<p>/...parquet  (partitions TOUCHED at that cut)
+    *   _pmanifests/<cut>                    (empty marker; atomic create)
+    * A partition's current data lives at its newest committed version
+    * ([[incrementalVersions]]); versions are never rewritten in place.
+    *
+    * Each run reads (previous version of the touched partitions) +
+    * (batches past the previous cut), unions, and writes ONE new
+    * version dir holding just those partitions — for a time-partitioned
+    * stream the touched set is the recent dates, so old partitions
+    * reach a terminal version and are never read or written again.
+    * Crash mid-write leaves a marker-less v=<cut> dir readers never
+    * resolve (they keep the previous manifest's view); a re-run
+    * overwrites it deterministically — or keys by a higher cut if new
+    * batches landed, orphaning the debris for [[gcIncremental]] — and
+    * then commits. Re-runs after commit are no-ops. Both windows
+    * certified in SinksSpec.
+    *
+    * The partition expression must be non-null and its STRING form
+    * must round-trip as a directory name (dates, ints, enum-ish
+    * strings — the usual compaction grains). The touched-partition set
+    * is collected to the driver: it is bounded by the partition grain
+    * (dates at 100 TB), never by the data, and fenced below.
+    */
+  def compactIncremental(spark: SparkSession, outDir: String,
+                         targetDir: String,
+                         partition: org.apache.spark.sql.Column): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ids = committedBatches(spark, outDir)
+    val prev = incrementalCuts(spark, targetDir).lastOption
+    if (ids.isEmpty && prev.isEmpty) return None
+    val cut = (ids ++ prev).max
+    val hfs = fs(spark, targetDir)
+    val marker = new Path(s"$targetDir/_pmanifests/$cut")
+    if (hfs.exists(marker)) return Some(cut)
+    val tail = ids.filter(id => prev.forall(id > _)).toSeq.sorted
+    val fresh = spark.read
+      .parquet(tail.map(id => s"$outDir/data/batch_id=$id"): _*)
+      .withColumn(CompactPartCol, partition.cast("string"))
+    val touched = fresh.select(CompactPartCol).distinct()
+      .collect().map(_.getString(0))
+    require(!touched.contains(null),
+      "compactIncremental needs a non-null partition value on every row")
+    require(touched.length <= 100000,
+      s"${touched.length} touched partitions — the grain is meant to be " +
+        "dates/buckets; repartition the expression, not the fence")
+    val current = incrementalVersions(spark, targetDir)
+    // previous content of the touched partitions, grouped by the
+    // version dir it lives in (leaf-dir reads: no partition inference —
+    // re-attach the known value as a literal so types stay uniform)
+    val prevParts = touched.toSeq.sorted
+      .flatMap(p => current.get(p).map(v => (v, p)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (v, ps) =>
+        ps.map { case (_, p) =>
+          spark.read.parquet(s"$targetDir/pdata/v=$v/$CompactPartCol=$p")
+            .withColumn(CompactPartCol, lit(p))
+        }
+      }
+    (prevParts :+ fresh).reduce(_ unionByName _)
+      .write.mode("overwrite")
+      .partitionBy(CompactPartCol)
+      .parquet(s"$targetDir/pdata/v=$cut")
+    hfs.mkdirs(marker.getParent)
+    hfs.createNewFile(marker)
+    Some(cut)
+  }
+
+  /** The reader over an incrementally-compacted sink: each partition at
+    * its current version, plus every committed batch NEWER than the
+    * latest cut — before the first compaction, exactly
+    * [[readCommitted]]. Equal to [[readCommitted]] at every lifecycle
+    * point (certified in SinksSpec). Schema equals the sink's (the
+    * partition column is layout-only and never read back).
+    */
+  def readIncrementalView(spark: SparkSession, outDir: String,
+                          targetDir: String): DataFrame =
+    incrementalCuts(spark, targetDir).lastOption match {
+      case None => readCommitted(spark, outDir)
+      case Some(cut) =>
+        val current = incrementalVersions(spark, targetDir)
+        val paths = current.toSeq.sortBy(x => (x._2, x._1)).map { case (p, v) =>
+          s"$targetDir/pdata/v=$v/$CompactPartCol=$p"
+        }
+        val snap = spark.read.parquet(paths: _*)
+        val newer = committedBatches(spark, outDir).filter(_ > cut).toSeq.sorted
+        if (newer.isEmpty) snap
+        else snap.unionByName(spark.read.parquet(
+          newer.map(id => s"$outDir/data/batch_id=$id"): _*))
+    }
+
+  /** GC for the incremental layout. Deletes, in this order:
+    *
+    *  - marker-less `pdata/v=` dirs (crashed attempts — single-
+    *    compactor discipline, as [[gcCompacted]]);
+    *  - SUPERSEDED partition subdirs: a `v=<v>/__part=<p>` whose p no
+    *    longer resolves to v under the newest `keepCuts` manifests
+    *    (each older manifest's as-of view is protection for readers
+    *    pinned to it — the keep window mirrors [[gcCompacted]]);
+    *  - version dirs (and their manifests) left EMPTY by the above —
+    *    a manifest may only disappear together with its last data,
+    *    since resolution walks manifested version dirs;
+    *  - with `gcBatchDirs`, batch dirs + markers ≤ the latest cut
+    *    (sound: [[compactIncremental]] reads only past-cut batches).
+    *
+    * Returns (partition subdirs deleted, batch dirs deleted).
+    */
+  def gcIncremental(spark: SparkSession, outDir: String, targetDir: String,
+                    keepCuts: Int = 2,
+                    gcBatchDirs: Boolean = false): (Int, Int) = {
+    require(keepCuts >= 1, "must retain at least the latest manifest view")
+    val hfs = fs(spark, targetDir)
+    val cuts = incrementalCuts(spark, targetDir)
+    val retainedCuts = cuts.takeRight(keepCuts)
+    // every (partition, version) any retained manifest's as-of view
+    // resolves
+    val protectedPairs: Set[(String, Long)] = retainedCuts
+      .flatMap(c => incrementalVersions(spark, targetDir, Some(c)).toSeq)
+      .toSet
+    var subdirsDeleted = 0
+    val root = new Path(s"$targetDir/pdata")
+    if (hfs.exists(root)) hfs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("v=")) {
+        val vStr = name.stripPrefix("v=")
+        val committed = vStr.matches("\\d+") && cuts.contains(vStr.toLong)
+        if (!committed) { // crashed attempt: whole dir is debris
+          hfs.delete(st.getPath, true)
+          subdirsDeleted += 1
+        } else {
+          val v = vStr.toLong
+          hfs.listStatus(st.getPath)
+            .filter(_.getPath.getName.startsWith(s"$CompactPartCol="))
+            .foreach { part =>
+              val p = part.getPath.getName.stripPrefix(s"$CompactPartCol=")
+              if (!protectedPairs.contains((p, v))) {
+                hfs.delete(part.getPath, true)
+                subdirsDeleted += 1
+              }
+            }
+          // dir left with no partition subdirs (only _SUCCESS etc.):
+          // the version is fully superseded — its manifest may only
+          // disappear together with its last data, since resolution
+          // walks manifested version dirs
+          if (!hfs.listStatus(st.getPath)
+              .exists(_.getPath.getName.startsWith(s"$CompactPartCol="))) {
+            hfs.delete(st.getPath, true)
+            hfs.delete(new Path(s"$targetDir/_pmanifests/$vStr"), false)
+          }
+        }
+      }
+    }
+    var batchesDeleted = 0
+    if (gcBatchDirs && cuts.nonEmpty) {
+      val floor = retainedCuts.min
+      val ofs = fs(spark, outDir)
+      committedBatches(spark, outDir).filter(_ <= floor).toSeq.sorted
+        .foreach { id =>
+          ofs.delete(new Path(s"$outDir/_commits/$id"), false)
+          ofs.delete(new Path(s"$outDir/data/batch_id=$id"), true)
+          batchesDeleted += 1
+        }
+    }
+    (subdirsDeleted, batchesDeleted)
+  }
 }

@@ -217,4 +217,169 @@ class SinksSpec extends SparkTestBase {
     assert(viewKey(Sinks.readCompactedView(spark, out, tgt)) ===
       viewKey(Sinks.readCommitted(spark, out)))
   }
+
+  private val docsD = Seq(
+    Doc(7L, "a fourth wave of text landing after the garbage collection"))
+
+  private def partOf(c: String) = org.apache.spark.sql.functions.pmod(
+    org.apache.spark.sql.functions.col(c), org.apache.spark.sql.functions.lit(2L))
+
+  test("gcCompacted: sweeps orphans and pre-window snapshots (+ optional " +
+       "pre-cut batch dirs); a reader of the latest view opened BEFORE " +
+       "the GC still reads it, and compaction continues afterwards") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkgc1").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/compacted")
+    val part = partOf("doc_id")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+      assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(1L))
+      input.addData(docsC); q.processAllAvailable()
+      assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(2L))
+      // a crashed compaction's debris: manifest-less snapshot dir
+      Seq(docsA.head).toDF()
+        .withColumn(Sinks.CompactPartCol, org.apache.spark.sql.functions.lit(0L))
+        .write.partitionBy(Sinks.CompactPartCol).parquet(s"$tgt/snapshots/99")
+      val before = viewKey(Sinks.readCommitted(spark, out))
+      val openedBeforeGc = Sinks.readCompactedView(spark, out, tgt) // lazy
+      // keep=1: snapshot 1 (+ its manifest) and orphan 99 go; 2 stays
+      assert(Sinks.gcCompacted(spark, out, tgt, keepSnapshots = 1) === (2, 0))
+      assert(Sinks.latestCompaction(spark, tgt) === Some(2L))
+      assert(!Files.exists(Paths.get(s"$tgt/snapshots/1")))
+      assert(!Files.exists(Paths.get(s"$tgt/snapshots/99")))
+      assert(viewKey(openedBeforeGc) === before,
+        "a latest-view reader must survive a concurrent GC")
+      // batch-dir GC: everything ≤ the retained cut goes; the compacted
+      // view stays complete (the RAW view is truncated by design)
+      assert(Sinks.gcCompacted(spark, out, tgt, keepSnapshots = 1,
+        gcBatchDirs = true) === (0, 3))
+      assert(Sinks.committedBatches(spark, out) === Set.empty[Long])
+      assert(viewKey(Sinks.readCompactedView(spark, out, tgt)) === before)
+      // the stream continues and compaction still works from snapshot +
+      // tail — the pre-cut dirs were genuinely not needed again
+      input.addData(docsD); q.processAllAvailable()
+      assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(3L))
+      val after = viewKey(Sinks.readCompactedView(spark, out, tgt))
+      assert(after.size > before.size)
+      assert(before.forall(after.contains),
+        "post-GC compaction must retain every pre-GC row")
+    } finally q.stop()
+  }
+
+  test("compactIncremental: only touched partitions are rewritten; the " +
+       "incremental view equals the committed view across compactions; " +
+       "re-runs are no-ops") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkinc1").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/inc")
+    val part = partOf("doc_id")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+      assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(1L))
+      assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) ===
+        viewKey(Sinks.readCommitted(spark, out)))
+      // docsC = doc 6 only → partition 0; partition 1 must NOT be
+      // rewritten at the new cut
+      input.addData(docsC); q.processAllAvailable()
+      assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) ===
+        viewKey(Sinks.readCommitted(spark, out)),
+        "post-cut batches must stay visible before the next compaction")
+      assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(2L))
+    } finally q.stop()
+    assert(Files.exists(Paths.get(
+      s"$tgt/pdata/v=2/${Sinks.CompactPartCol}=0")))
+    assert(!Files.exists(Paths.get(
+      s"$tgt/pdata/v=2/${Sinks.CompactPartCol}=1")),
+      "an untouched partition must not be rewritten")
+    assert(Sinks.incrementalVersions(spark, tgt) ===
+      Map("0" -> 2L, "1" -> 1L))
+    val committed = Sinks.readCommitted(spark, out)
+    val view = Sinks.readIncrementalView(spark, out, tgt)
+    assert(view.columns.toSeq === committed.columns.toSeq,
+      "incremental view schema must equal the sink's")
+    assert(viewKey(view) === viewKey(committed))
+    // no-op re-run: same cut, still exactly two manifests
+    assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(2L))
+    assert(Sinks.incrementalCuts(spark, tgt) === Seq(1L, 2L))
+  }
+
+  test("compactIncremental crash MID-WRITE (version dir half-written, " +
+       "manifest absent): invisible to readers; a re-run converges") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkinc2").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/inc")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+    } finally q.stop()
+    val before = viewKey(Sinks.readCommitted(spark, out))
+    // the crash window: a partial (wrong) version dir, no marker
+    Seq(docsA.head).toDF()
+      .withColumn(Sinks.CompactPartCol, org.apache.spark.sql.functions.lit("0"))
+      .write.partitionBy(Sinks.CompactPartCol).parquet(s"$tgt/pdata/v=1")
+    assert(Sinks.incrementalCuts(spark, tgt) === Seq.empty,
+      "a marker-less version dir must be invisible")
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === before,
+      "the readable view must not degrade during a crashed compaction")
+    // re-run: deterministic overwrite of v=1, then the commit
+    assert(Sinks.compactIncremental(spark, out, tgt, partOf("doc_id"))
+      === Some(1L))
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === before,
+      "committed view before == after the converged compaction")
+  }
+
+  test("gcIncremental: sweeps superseded partition versions and crashed " +
+       "attempts; empty versions fold away with their manifests; batch " +
+       "GC leaves the view complete and compaction continues") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkinc3").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/inc")
+    val part = partOf("doc_id")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+      assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(1L))
+      input.addData(docsC); q.processAllAvailable()
+      assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(2L))
+      // crashed-attempt debris
+      Seq(docsA.head).toDF()
+        .withColumn(Sinks.CompactPartCol, org.apache.spark.sql.functions.lit("0"))
+        .write.partitionBy(Sinks.CompactPartCol).parquet(s"$tgt/pdata/v=99")
+      val before = viewKey(Sinks.readIncrementalView(spark, out, tgt))
+      // keep=1: v=1/__part=0 is superseded by v=2 (partition 0 touched
+      // by docsC); v=1/__part=1 stays CURRENT; the v=99 debris goes
+      assert(Sinks.gcIncremental(spark, out, tgt, keepCuts = 1) === (2, 0))
+      assert(!Files.exists(Paths.get(s"$tgt/pdata/v=99")))
+      assert(!Files.exists(Paths.get(
+        s"$tgt/pdata/v=1/${Sinks.CompactPartCol}=0")))
+      assert(Files.exists(Paths.get(
+        s"$tgt/pdata/v=1/${Sinks.CompactPartCol}=1")))
+      assert(Sinks.incrementalCuts(spark, tgt) === Seq(1L, 2L),
+        "a version dir still holding current data keeps its manifest")
+      assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === before)
+      // batch-dir GC: all ids ≤ the latest cut go; view stays complete
+      assert(Sinks.gcIncremental(spark, out, tgt, keepCuts = 1,
+        gcBatchDirs = true) === (0, 3))
+      assert(Sinks.committedBatches(spark, out) === Set.empty[Long])
+      assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === before)
+      // the stream continues; the next compaction touches only doc 7's
+      // partition and the pre-GC rows all survive
+      input.addData(docsD); q.processAllAvailable()
+      assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(3L))
+      val after = viewKey(Sinks.readIncrementalView(spark, out, tgt))
+      assert(after.size > before.size)
+      assert(before.forall(after.contains),
+        "post-GC compaction must retain every pre-GC row")
+    } finally q.stop()
+  }
 }
