@@ -1610,8 +1610,61 @@ object Analytics {
     // more actionable readout.
     "a87_rfm_segments" -> ((s, dir) =>
       rfmSegments(T.orders(s, dir), T.customer(s, dir)
-        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))))
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk")))),
+
+    // ABC / Pareto classification per brand (the supply-chain 80/15/5
+    // cut): parts ranked by exact discounted revenue within their
+    // brand; class A = the smallest prefix covering ≥ 80% of the brand
+    // total (a part is A when the revenue BEFORE it is still under
+    // 80%: (cum−rev)·5 < tot·4 — so the crossing part is A, and a
+    // single-part brand is A, the x122 r50/r90 inclusive-crossing
+    // convention; pure integer comparisons), B up to 95%
+    // ((cum−rev)·20 < tot·19), C beyond. Revenue in e4 units
+    // (ten-thousandths of a dollar): price×(1−discount) is exact at
+    // scale 4, so ×10000 casts to BIGINT with zero truncation — no
+    // float sum, no rounding rule to match.
+    // 100 TB: the (brand, part) rollup partial-aggregates; the parts
+    // dim broadcasts into the lineitem scan; rank, cumulative and
+    // brand-total windows all ride ONE brand-keyed exchange (the a87
+    // discipline) whose partitions are PART-count sized, and the class
+    // rollup rides the same clustering. A global (brand-less) Pareto
+    // would single-partition the window — the per-brand cut is the
+    // scale-legal readout.
+    "a88_abc_pareto" -> ((s, dir) =>
+      abcParts(T.lineitem(s, dir),
+        T.part(s, dir).select(col("p_partkey"), col("p_brand"))))
   )
+
+  /** a88's per-brand ABC classification over lineitem-/part-shaped
+    * frames — extracted so the exact-boundary semantics (cum exactly
+    * at 80% stays A; the crossing part starts B) are unit-testable on
+    * crafted frames (Round15OpsSpec). See the a88 entry for the scale
+    * notes.
+    */
+  private[graft] def abcParts(lineitem: DataFrame,
+                              part: DataFrame): DataFrame = {
+    val rev = lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum((Exact.dec(col("l_extendedprice")) *
+        (lit(1) - Exact.dec(col("l_discount"))) * 10000).cast("long"))
+        .as("rev_e4"))
+    val wOrd = Window.partitionBy("p_brand")
+      .orderBy(col("rev_e4").desc, col("p_partkey"))
+    val wAll = Window.partitionBy("p_brand")
+    rev
+      .withColumn("cum", sum(col("rev_e4")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("rev_e4")).over(wAll))
+      .withColumn("abc_class",
+        when((col("cum") - col("rev_e4")) * 5 < col("tot") * 4, "A")
+          .when((col("cum") - col("rev_e4")) * 20 < col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("p_brand"), col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_e4")).as("class_rev_e4"))
+      .orderBy("p_brand", "abc_class")
+  }
 
   /** a87's RFM segment matrix over an orders-shaped frame and a
     * (ck, nk) customer dimension — extracted so the tie/short-nation
@@ -2590,6 +2643,32 @@ object Analytics {
            CAST(count(*) AS BIGINT) AS n_cust,
            CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM t GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    // a88: the same exact e4-unit revenue (DECIMAL product is scale-4,
+    // ×10000 is integer-valued, the BIGINT cast never truncates), the
+    // same (rev desc, partkey) total order and the same integer
+    // prefix-coverage rules — (cum−rev)·5 < tot·4 / (cum−rev)·20 <
+    // tot·19 (the crossing part is A). HUGEINT window sums compare
+    // fine; only output columns cast back.
+    "a88_abc_pareto" ->
+      """WITH rev AS (SELECT p_brand, p_partkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+               AS BIGINT)) AS BIGINT) AS rev_e4
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         w AS (SELECT p_brand, rev_e4,
+             sum(rev_e4) OVER (PARTITION BY p_brand
+               ORDER BY rev_e4 DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(rev_e4) OVER (PARTITION BY p_brand) AS tot
+           FROM rev)
+         SELECT p_brand,
+           CASE WHEN (cum - rev_e4) * 5 < tot * 4 THEN 'A'
+                WHEN (cum - rev_e4) * 20 < tot * 19 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_e4) AS BIGINT) AS class_rev_e4
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // a80: the CUSUM closed form replayed — per-type totals via a CTE
     // join (same integers as the Spark windows), prefix sums, running
     // min, max statistic + earliest argmax day + alarm-day count.

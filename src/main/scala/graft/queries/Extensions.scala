@@ -960,6 +960,39 @@ object Extensions {
     "x121_boilerplate_ngrams" -> ((s, dir) =>
       boilerplateNgrams(T.documents(s, dir))),
 
+    // Vocabulary concentration per source — the integer-exact Zipf
+    // readout (no float logs, the x79 length(bin) discipline): tokens
+    // ranked by (count desc, token), r50/r90 = how many distinct
+    // tokens cover 50% / 90% of the source's token MASS (cum*2 ≥
+    // total, cum*10 ≥ 9·total — pure integer comparisons). A healthy
+    // natural-language source has small r50 and a long tail; spam /
+    // template / synthetic text shows up as an r90 collapse. top_cnt
+    // beside total lets the reader form the head share exactly.
+    // 100 TB: the (source, token) rollup partial-aggregates; the
+    // ranked window sorts VOCAB-sized data per source (bounded by the
+    // language's vocabulary, not the corpus), and rank, cumulative
+    // mass, total and vocab all ride ONE source-keyed exchange (same
+    // partitioning, two frame specs — the a87 discipline), with the
+    // final rollup on the same key.
+    "x122_vocab_concentration" -> ((s, dir) =>
+      vocabConcentration(T.documents(s, dir))),
+
+    // Token-distribution drift between two corpus slices (doc_id
+    // parity = "crawl A vs crawl B") — the CATEGORICAL companion to
+    // x114's numeric KS: per top-200 token (by combined count, token
+    // tiebreak), the 2×2-margin chi-square contribution against the
+    // expected split, top 20 movers. Counts are exact integers; the
+    // contribution is computed in DOUBLE with the IDENTICAL operation
+    // order on both engines (IEEE ops are deterministic given the same
+    // tree) and lands on the 2^-20 grid, so ordering and values replay
+    // bit-identically.
+    // 100 TB: one token-keyed partial-aggregatable rollup; the top-200
+    // vocab cut is a global TopK (TakeOrderedAndProject, never a full
+    // sort); slice totals are a broadcast 1-row frame; the chi-square
+    // arithmetic touches 200 rows.
+    "x123_token_chisq" -> ((s, dir) =>
+      tokenChisq(T.documents(s, dir))),
+
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
     // typo→correction pairs via the deletion-neighborhood equi-join
     // over the VOCABULARY — never an all-pairs or corpus-sized string
@@ -2297,6 +2330,74 @@ object Extensions {
         call_function("div", col("n_boiler") * grid,
           greatest(col("n_shingles"), lit(1L))))
       .orderBy("doc_id")
+  }
+
+  /** x122's per-source vocabulary-concentration readout — extracted so
+    * the inclusive-crossing coverage ranks (cum·2 ≥ total, cum·10 ≥
+    * 9·total) and tie handling are unit-testable on crafted frames
+    * (Round15OpsSpec). See the x122 entry for the scale notes.
+    */
+  private[graft] def vocabConcentration(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(lower(col("text")), "\\s+")).as("token"))
+    val cnts = tok.groupBy("source", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("token"))
+    val wAll = Window.partitionBy("source")
+    cnts
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("cum", sum(col("cnt")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_tokens", sum(col("cnt")).over(wAll))
+      .withColumn("vocab", count(lit(1)).over(wAll))
+      .groupBy(col("source"), col("total_tokens"), col("vocab"))
+      .agg(
+        min(when(col("cum") * 2 >= col("total_tokens"), col("r")))
+          .as("r50"),
+        min(when(col("cum") * 10 >= col("total_tokens") * 9, col("r")))
+          .as("r90"),
+        max(when(col("r") === 1, col("cnt"))).as("top_cnt"))
+      .orderBy("source")
+  }
+
+  /** x123's token-distribution chi-square drift between the doc_id
+    * parity slices — extracted so the contribution arithmetic (fixed
+    * double operation order, 2^-20 grid) is unit-testable on crafted
+    * frames (Round15OpsSpec). See the x123 entry for the scale notes.
+    */
+  private[graft] def tokenChisq(docs: org.apache.spark.sql.DataFrame,
+                                topV: Int = 200, topK: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    val grid = 1048576L
+    val tok = docs
+      .select((col("doc_id") % 2 === 0).cast("int").as("ina"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+    val cnts = tok.groupBy("token")
+      .agg(sum(col("ina")).as("n_a"), sum(lit(1) - col("ina")).as("n_b"))
+    // persistOnce: the contributions AND the slice totals both read the
+    // topV-row cut — uncached, each consumer re-runs the corpus scan +
+    // token rollup + TopK (measured as 2 hash exchanges in the plan);
+    // the pinned entry is topV rows.
+    val vocab = graft.Caches.persistOnce(cnts
+      .orderBy((col("n_a") + col("n_b")).desc, col("token"))
+      .limit(topV))
+    val tot = vocab.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val ea = col("t_a").cast("double") *
+      (col("n_a") + col("n_b")).cast("double") /
+      (col("t_a") + col("t_b")).cast("double")
+    val eb = col("t_b").cast("double") *
+      (col("n_a") + col("n_b")).cast("double") /
+      (col("t_a") + col("t_b")).cast("double")
+    val da = col("n_a").cast("double") - ea
+    val db = col("n_b").cast("double") - eb
+    vocab.crossJoin(broadcast(tot))
+      .withColumn("chisq_q",
+        floor((da * da / ea + db * db / eb) * grid + lit(0.5)) / grid)
+      .select(col("token"), col("n_a"), col("n_b"), col("chisq_q"))
+      .orderBy(col("chisq_q").desc, col("token"))
+      .limit(topK)
   }
 
   /** The SQL side of [[injectPii]] — a CTE named `pii` over
@@ -4691,6 +4792,64 @@ object Extensions {
            CAST(sum(CASE WHEN df >= 4 THEN 1 ELSE 0 END) * 1048576
              // greatest(count(*), 1) AS BIGINT) AS boiler_q
          FROM p JOIN dfreq USING (f) GROUP BY 1 ORDER BY 1""",
+
+    // x122: the same integer coverage-rank rule — rank over
+    // (count desc, token), cumulative mass on the same total order,
+    // cum*2 ≥ total / cum*10 ≥ 9·total boundaries; sums cast back from
+    // DuckDB's HUGEINT, row_number from BIGINT to Spark's INT.
+    "x122_vocab_concentration" ->
+      """WITH tok AS (SELECT source,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1, 2),
+         w AS (SELECT source, token, cnt,
+             row_number() OVER (PARTITION BY source
+               ORDER BY cnt DESC, token) AS r,
+             sum(cnt) OVER (PARTITION BY source
+               ORDER BY cnt DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS total,
+             count(*) OVER (PARTITION BY source) AS vocab
+           FROM c)
+         SELECT source, CAST(total AS BIGINT) AS total_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(min(CASE WHEN cum * 2 >= total THEN r END) AS INTEGER)
+             AS r50,
+           CAST(min(CASE WHEN cum * 10 >= total * 9 THEN r END) AS INTEGER)
+             AS r90,
+           CAST(max(CASE WHEN r = 1 THEN cnt END) AS BIGINT) AS top_cnt
+         FROM w GROUP BY source, total, vocab ORDER BY source""",
+
+    // x123: the same counts, the same top-200 vocab cut, and the
+    // chi-square contribution with the IDENTICAL double operation
+    // order (t*(a+b)/N, then d²/e + d²/e) before the 2^-20 grid —
+    // IEEE arithmetic is deterministic given the same expression tree,
+    // so values AND the (chisq_q desc, token) order replay exactly.
+    "x123_token_chisq" ->
+      """WITH tok AS (SELECT
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ina,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT token, CAST(sum(ina) AS BIGINT) AS n_a,
+             CAST(sum(1 - ina) AS BIGINT) AS n_b
+           FROM tok GROUP BY 1),
+         v AS (SELECT * FROM c
+           ORDER BY n_a + n_b DESC, token LIMIT 200),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+             CAST(sum(n_b) AS BIGINT) AS t_b FROM v),
+         x AS (SELECT token, n_a, n_b,
+             CAST(t_a AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+               / CAST(t_a + t_b AS DOUBLE) AS e_a,
+             CAST(t_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+               / CAST(t_a + t_b AS DOUBLE) AS e_b
+           FROM v, t)
+         SELECT token, n_a, n_b,
+           floor(((CAST(n_a AS DOUBLE) - e_a) * (CAST(n_a AS DOUBLE) - e_a)
+               / e_a
+             + (CAST(n_b AS DOUBLE) - e_b) * (CAST(n_b AS DOUBLE) - e_b)
+               / e_b) * 1048576 + 0.5) / 1048576 AS chisq_q
+         FROM x ORDER BY chisq_q DESC, token LIMIT 20""",
 
     // x117: the filter bits and probe positions rebuilt from the same
     // sha256 48-bit hex slices (the x31/Bloom replay scheme), key-domain

@@ -301,7 +301,21 @@ object StreamingQ {
     // stream ≡ batch (the a80/st27 lockstep discipline).
     "st28_stream_sessionize" -> ((s, dir) =>
       graft.queries.Analytics.sessionDailyStats(
-        EventStreams.statefulSessionAssign(T.events(s, dir)).toDF()))
+        EventStreams.statefulSessionAssign(T.events(s, dir)).toDF())),
+
+    // Live temporal (as-of) enrichment — Flink's temporal-table join
+    // as keyed stream state: each click is enriched with the same
+    // user's latest purchase at or before the click (>= ties, exact
+    // cents), null payload when none precedes. ONE user_id shuffle
+    // feeds the three-long state; in batch the fold over full history
+    // IS the as-of window rule, which the oracle replays directly
+    // (EventStreamsSpec additionally cross-checks the fold against the
+    // independent AsOfJoin.asofBackward formulation and certifies
+    // cross-micro-batch equivalence).
+    "st29_temporal_enrich" -> ((s, dir) =>
+      EventStreams.temporalEnrich(T.events(s, dir))
+        .toDF()
+        .orderBy("event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -322,6 +336,33 @@ object StreamingQ {
     // certifies both surfaces (the st25/a73 lockstep discipline).
     "st28_stream_sessionize" ->
       graft.queries.Analytics.oracle("a83_sessionize"),
+    // st29: the as-of rule as the standard union + last_value(IGNORE
+    // NULLS) running window (the AsOfJoin.asofBackward formulation):
+    // purchases sort before clicks at equal timestamps (>= semantics),
+    // the larger event_id wins among equal-time purchases, and both
+    // payload columns read the SAME chosen row because the frame order
+    // is total and purchase rows are never null in either column.
+    // ROWS (not the default RANGE) so equal-ts peers don't leak ahead.
+    "st29_temporal_enrich" ->
+      """WITH u AS (
+           SELECT user_id, 0 AS side, event_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, 1 AS side, event_id, ts,
+                  CAST(NULL AS BIGINT) AS cents
+             FROM events WHERE event_type = 'click'
+         ), m AS (
+           SELECT user_id, side, event_id, ts,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS p_event_id,
+             last_value(cents IGNORE NULLS) OVER w AS p_cents
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )
+         SELECT user_id, event_id, ts, p_event_id, p_cents
+         FROM m WHERE side = 1 ORDER BY event_id""",
     // st27: a80's oracle VERBATIM — additive daily counters make the
     // stream's MapState equal the batch rollup, and the readout is the
     // shared cusumReadout, so one SQL certifies both surfaces.

@@ -1330,4 +1330,100 @@ object EventStreams {
       .transformWithState(new SessionAssignProcessor(gapUs),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Live temporal (as-of) enrichment — Flink's temporal-table join as
+    * ONE keyed-state operator (st29): each `click` event is enriched
+    * with the same user's latest `purchase` at or before the click's
+    * event time (>= semantics — a purchase at the click's exact
+    * timestamp matches, like DuckDB's ASOF JOIN). Clicks with no
+    * preceding purchase emit null payload (left-join semantics).
+    *
+    * The build side is a CHANGE STREAM, not a static dimension — this
+    * is the piece [[enrichedSegmentCounts]]' broadcast join cannot
+    * express and batch [[graft.operators.AsOfJoin]] expresses only
+    * over bounded history. Both sides are unioned into one keyed
+    * stream (side tag 0 = purchase, 1 = click) so ONE user_id shuffle
+    * feeds the state; per micro-batch the rows fold in (tu, side,
+    * event_id) order — purchases sort before clicks at equal
+    * timestamps (the >= tie rule) and among equal-time purchases the
+    * larger event_id wins (the [[graft.operators.AsOfJoin]] tieBreak
+    * rule, applied via the monotone state guard below).
+    *
+    * State per user: the latest purchase cursor (tu, event_id, cents)
+    * — three longs. A cross-batch purchase straggler older than the
+    * cursor is DROPPED by the monotone guard (it can no longer be the
+    * latest for any future click); as with [[statefulSessionAssign]],
+    * a straggler CLICK older than the cursor still reads the newer
+    * state — stream ≡ batch holds under event-time-ordered delivery
+    * per key (certified across micro-batches in EventStreamsSpec,
+    * which also cross-checks the batch fold against the independent
+    * [[graft.operators.AsOfJoin.asofBackward]] window formulation).
+    * In batch each key processes once over full history, so the fold
+    * IS the as-of window rule — that is what the driver's st29 oracle
+    * replays.
+    *
+    * 100 TB/streaming: one keyed shuffle, O(1) state per user, output
+    * append-shaped (each click enriched exactly once — rows final).
+    * Exact cents (`floor(value*100+0.5)`) so the payload replays
+    * bit-identically in DuckDB.
+    */
+  final case class PurchaseCursor(tu: Long, eid: Long, cents: Long)
+  final case class EnrichedClick(user_id: Long, event_id: Long,
+                                 ts: Timestamp, p_event_id: Option[Long],
+                                 p_cents: Option[Long])
+
+  private class TemporalEnrichProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Int, Long, Timestamp, Long, Long), EnrichedClick] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var cursor: ValueState[PurchaseCursor] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cursor = getHandle.getValueState[PurchaseCursor]("cursor",
+        E.product[PurchaseCursor], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Int, Long, Timestamp, Long, Long)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EnrichedClick] = {
+      // (tu, side, event_id): the oracle's total order — purchases
+      // (side 0) become visible to equal-timestamp clicks (side 1).
+      val sorted = rows.toSeq.sortBy(r => (r._5, r._2, r._3))
+      val out = new scala.collection.mutable.ArrayBuffer[EnrichedClick]()
+      var st: Option[PurchaseCursor] =
+        if (cursor.exists()) Some(cursor.get()) else None
+      sorted.foreach { case (_, side, eid, ts, tu, cents) =>
+        if (side == 0) {
+          // monotone guard: only a purchase at or after the cursor
+          // (ties broken by event_id) replaces it — a cross-batch
+          // straggler behind the cursor can never be "latest" again
+          if (st.forall(c => tu > c.tu || (tu == c.tu && eid >= c.eid)))
+            st = Some(PurchaseCursor(tu, eid, cents))
+        } else {
+          out += EnrichedClick(user, eid, ts,
+            st.map(_.eid), st.map(_.cents))
+        }
+      }
+      st.foreach(cursor.update)
+      out.iterator
+    }
+  }
+
+  def temporalEnrich(events: DataFrame): Dataset[EnrichedClick] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
+        col("event_id"), col("ts"), unix_micros(col("ts")).as("tu"),
+        // exact cents BEFORE the keyed shuffle (codegen'd scan-side)
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .as[(Long, Int, Long, Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TemporalEnrichProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

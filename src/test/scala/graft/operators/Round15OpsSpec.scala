@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Round-15 crafted-case fences: ABC prefix-coverage boundaries (the
+  * exact-80% part, the single-part brand, discounted-cents exactness),
+  * vocabulary-concentration coverage ranks under ties, and the
+  * chi-square contribution arithmetic + vocab-cut tiebreak — each on
+  * inputs the synthetic fixture cannot produce.
+  */
+class Round15OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("abcParts: the part crossing 80% is A, a part STARTING exactly " +
+       "at 80% is B, at 95% is C; a single-part brand is A; discounted " +
+       "revenue is exact in e4 units") {
+    val part = Seq(
+      (1L, "BX"), (2L, "BX"), (3L, "BX"),
+      (4L, "BY"),
+      (5L, "BW"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      // BX: the textbook 80/15/5 split — prefix boundaries land EXACTLY
+      (1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 5.0, 0.0),
+      // BY: single part carries 100% — prev-cum 0 < 80% → A
+      (4L, 10.0, 0.0),
+      // BW: discount path — 10.01·0.97 = 9.7097 → 97097 e4 exactly,
+      // plus 5.00·0.90 = 45000 e4
+      (5L, 10.01, 0.03), (5L, 5.0, 0.1))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = graft.queries.Analytics.abcParts(li, part).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // BX: part 1 (prev 0) is A; part 2 starts exactly at 80% → NOT A
+    // (strict prev-cum rule) → B; part 3 starts exactly at 95% → C
+    assert(out(("BX", "A")) === (1L, 800000L))
+    assert(out(("BX", "B")) === (1L, 150000L))
+    assert(out(("BX", "C")) === (1L, 50000L))
+    assert(out(("BY", "A")) === (1L, 100000L))
+    assert(out(("BW", "A")) === (1L, 97097L + 45000L))
+    assert(out.size === 5)
+  }
+
+  test("vocabConcentration: inclusive-crossing r50/r90, count-desc/" +
+       "token-asc rank order under ties, exact top_cnt") {
+    val docs = Seq(
+      (1L, "a a a b c d", "s1"),
+      (2L, "x y z", "s2"),
+      (3L, "b b a a c", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.queries.Extensions.vocabConcentration(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    // s1: 'a'(3) covers exactly half of 6 → r50 = 1 (cum·2 ≥ total
+    // inclusive); 90% needs all four ranks (cum 5 at r3 < 5.4)
+    assert(out("s1") === (6L, 4L, 1, 4, 3L))
+    // s2: all-singleton — r50 = 2 of 3, r90 = 3
+    assert(out("s2") === (3L, 3L, 2, 3, 1L))
+    // s3: a and b tie on 2 — token asc puts 'a' at rank 1 (top_cnt
+    // reads rank 1's count); r50 = 2 (cum 4·2 ≥ 5), r90 = 3
+    assert(out("s3") === (5L, 3L, 2, 3, 2L))
+  }
+
+  test("tokenChisq: contributions equal the mirrored double arithmetic " +
+       "on the 2^-20 grid, ordered (chisq desc, token); the top-V vocab " +
+       "cut breaks count ties by token") {
+    // doc 0 → slice A: tokens w w q; doc 1 → slice B: tokens w r
+    val docs = Seq(
+      (0L, "w w q", "s"),
+      (1L, "w r", "s"))
+      .toDF("doc_id", "text", "source")
+    def chiQ(na: Long, nb: Long, ta: Long, tb: Long): Double = {
+      val ea = ta.toDouble * (na + nb).toDouble / (ta + tb).toDouble
+      val eb = tb.toDouble * (na + nb).toDouble / (ta + tb).toDouble
+      val da = na.toDouble - ea
+      val db = nb.toDouble - eb
+      math.floor((da * da / ea + db * db / eb) * 1048576L + 0.5) / 1048576L
+    }
+    val rows = graft.queries.Extensions.tokenChisq(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // totals over the full vocab: t_a = 3, t_b = 2; the slice-exclusive
+    // tokens score highest, r (rarer slice) above q
+    assert(rows.toSeq === Seq(
+      ("r", 0L, 1L, chiQ(0, 1, 3, 2)),
+      ("q", 1L, 0L, chiQ(1, 0, 3, 2)),
+      ("w", 2L, 1L, chiQ(2, 1, 3, 2))))
+    // topV = 2: w (count 3) is in; q and r tie on 1 → token asc keeps
+    // q, drops r — and the slice totals shrink to the kept vocab
+    // (t_a = 3, t_b = 1)
+    val cut = graft.queries.Extensions.tokenChisq(docs, topV = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cut.toSeq === Seq(
+      ("q", 1L, 0L, chiQ(1, 0, 3, 1)),
+      ("w", 2L, 1L, chiQ(2, 1, 3, 1))))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan pins for the round-15 queries: the temporal enrichment
+  * must stay a single keyed shuffle into bounded state, the vocabulary
+  * and ABC readouts must ride ONE partition-key exchange for all their
+  * window frames plus the rollup, and the chi-square drift must keep
+  * its TopK cut and broadcast totals.
+  */
+class Round15PlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def hashExchanges(s: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(s).size
+
+  test("st29 temporal enrich: ONE user_id keyed exchange feeds the " +
+       "stateful operator — no join, no cartesian (the dim side is " +
+       "state, not a build table)") {
+    val s = planString(graft.queries.StreamingQ
+      .queries("st29_temporal_enrich")(spark, sf))
+    assert(s.contains("TransformWithState"), s"keyed-state op expected:\n$s")
+    assert(hashExchanges(s) === 1,
+      s"expected exactly 1 hash exchange (the user_id shuffle):\n$s")
+    assert(!s.contains("Join"), s"no join of any kind expected:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x122 vocab concentration: the (source, token) rollup plus ONE " +
+       "source exchange carrying rank, cumulative, totals AND the " +
+       "final rollup (subset clustering)") {
+    val s = planString(graft.queries.Extensions
+      .queries("x122_vocab_concentration")(spark, sf))
+    assert(hashExchanges(s) === 2,
+      s"expected exactly 2 hash exchanges (token rollup + source " +
+        s"window/rollup):\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x123 token chi-square: one token rollup exchange (the cached " +
+       "vocab cut feeds BOTH consumers); the cut is a TopK " +
+       "(TakeOrderedAndProject), never a full sort; the slice totals " +
+       "broadcast as a 1-row frame") {
+    val df = graft.queries.Extensions
+      .queries("x123_token_chisq")(spark, sf)
+    val s = planString(df)
+    // both consumers read the cached vocab cut; the ONLY shuffle
+    // anywhere in the tree (incl. the cache's build plan, which the
+    // string prints once per consuming InMemoryTableScan) is the
+    // token-keyed rollup
+    assert(s.contains("InMemoryTableScan"),
+      s"vocab cut should be the shared cache boundary:\n$s")
+    val exchanges = s.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("token")),
+      s"every hash exchange must carry the token key:\n$s")
+    assert(hashExchanges(s) <= 2, // the cache's build plan, printed twice
+      s"unexpected extra exchange:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-V cut should be a TopK, not a global sort:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"1-row totals should broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("a88 ABC pareto: the parts dim broadcasts into the lineitem " +
+       "scan; rank, cumulative, brand totals and the class rollup ride " +
+       "the (brand, part) rollup + ONE brand exchange") {
+    val s = planString(graft.queries.Analytics
+      .queries("a88_abc_pareto")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"),
+      s"parts dim should broadcast:\n$s")
+    assert(hashExchanges(s) === 2,
+      s"expected exactly 2 hash exchanges ((brand, part) rollup + " +
+        s"brand window/rollup):\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+}

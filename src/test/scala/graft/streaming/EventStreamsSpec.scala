@@ -1139,4 +1139,106 @@ class EventStreamsSpec extends SparkTestBase {
     assert(batchSids === Seq(1L, 1L, 1L)) // full-history sort merges all
     assert(streamSids !== batchSids)      // the divergence, pinned
   }
+
+  test("st29 temporal enrichment across micro-batches equals the batch " +
+       "fold AND the independent AsOfJoin window formulation") {
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      // user 1, batch 1:
+      EvV(1L, t("2024-01-01 00:00:00"), 1L, "click", 0.0),    // before any purchase → null
+      EvV(11L, t("2024-01-01 00:10:00"), 1L, "view", 9.9),    // non-click/purchase: ignored
+      EvV(2L, t("2024-01-01 01:00:00"), 1L, "purchase", 12.345), // cents 1235
+      EvV(3L, t("2024-01-01 01:00:00"), 1L, "click", 0.0),    // ts tie → matches e2 (>=)
+      EvV(4L, t("2024-01-01 02:00:00"), 1L, "purchase", 10.0),
+      EvV(5L, t("2024-01-01 02:00:00"), 1L, "purchase", 20.0), // equal-ts: larger eid wins
+      EvV(6L, t("2024-01-01 03:00:00"), 1L, "click", 0.0),    // → e5 / 2000
+      EvV(10L, t("2024-01-01 00:30:00"), 2L, "click", 0.0),   // user 2 never purchases
+      // user 1, batch 2 (event-time-ordered per key):
+      EvV(7L, t("2024-01-01 04:00:00"), 1L, "click", 0.0),    // cursor survives the batch boundary
+      EvV(8L, t("2024-01-01 05:00:00"), 1L, "purchase", 7.77),
+      EvV(9L, t("2024-01-01 06:00:00"), 1L, "click", 0.0))    // → e8 / 777
+    val input = MemoryStream[EvV]
+    val q = EventStreams.temporalEnrich(input.toDF())
+      .writeStream.format("memory").queryName("tenrich_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(8))
+      q.processAllAvailable()
+      input.addData(evs.drop(8))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("tenrich_out")
+    // one final row per click, none for views/purchases
+    assert(streamed.count() === 6L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_id", "ts", "p_event_id", "p_cents")
+        .orderBy("event_id").collect().toSeq
+    val batch = EventStreams.temporalEnrich(evs.toDF()).toDF()
+    assert(canon(streamed) === canon(batch))
+    // independent formulation: the AsOfJoin union+window operator
+    val df = evs.toDF()
+    val clicks = df.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    val purch = df.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val asof = graft.operators.AsOfJoin.asofBackward(clicks, purch,
+      "user_id", "ts", "ts",
+      Map("event_id" -> "p_event_id", "cents" -> "p_cents"),
+      tieBreak = Some("event_id"))
+    assert(canon(streamed) === canon(asof))
+    // spot-check the crafted semantics directly
+    val byId = canon(streamed).map(r => r.getLong(1) -> r).toMap
+    assert(byId(1L).isNullAt(3) && byId(1L).isNullAt(4))
+    assert(byId(3L).getLong(3) === 2L && byId(3L).getLong(4) === 1235L)
+    assert(byId(6L).getLong(3) === 5L && byId(6L).getLong(4) === 2000L)
+    assert(byId(7L).getLong(3) === 5L) // state crossed the batch boundary
+    assert(byId(9L).getLong(3) === 8L && byId(9L).getLong(4) === 777L)
+    assert(byId(10L).isNullAt(3))
+  }
+
+  test("st29 monotone guard: a cross-batch purchase straggler behind " +
+       "the cursor is dropped; a straggler CLICK reads the newer state " +
+       "(the documented best-effort divergence)") {
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EvV]
+    val q = EventStreams.temporalEnrich(input.toDF())
+      .writeStream.format("memory").queryName("tenrich_late_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(Seq(
+        EvV(2L, t("2024-01-01 05:00:00"), 1L, "purchase", 5.0)))
+      q.processAllAvailable()
+      // purchase straggler OLDER than the cursor: dropped (it can
+      // never be "latest" for any future click) — the following click
+      // still reads e2
+      input.addData(Seq(
+        EvV(1L, t("2024-01-01 01:00:00"), 1L, "purchase", 1.0),
+        EvV(3L, t("2024-01-01 06:00:00"), 1L, "click", 0.0)))
+      q.processAllAvailable()
+      // click straggler BEFORE the cursor's time: the stream reads the
+      // newer state (batch would give e1's 100 cents) — best-effort
+      input.addData(Seq(
+        EvV(4L, t("2024-01-01 02:00:00"), 1L, "click", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("tenrich_late_out")
+      .orderBy("event_id").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(3L, 4L))
+    assert(rows(0).getLong(3) === 2L && rows(0).getLong(4) === 500L)
+    // the divergence, pinned: stream says e2/500; the full-history
+    // batch fold would say e1/100 for the 02:00 click
+    assert(rows(1).getLong(3) === 2L)
+    val batch = EventStreams.temporalEnrich(Seq(
+      EvV(2L, t("2024-01-01 05:00:00"), 1L, "purchase", 5.0),
+      EvV(1L, t("2024-01-01 01:00:00"), 1L, "purchase", 1.0),
+      EvV(3L, t("2024-01-01 06:00:00"), 1L, "click", 0.0),
+      EvV(4L, t("2024-01-01 02:00:00"), 1L, "click", 0.0)).toDF()).toDF()
+    val b4 = batch.filter(col("event_id") === 4L).collect().head
+    assert(b4.getLong(3) === 1L && b4.getLong(4) === 100L)
+  }
 }
