@@ -1632,8 +1632,55 @@ object Analytics {
     // scale-legal readout.
     "a88_abc_pareto" -> ((s, dir) =>
       abcParts(T.lineitem(s, dir),
-        T.part(s, dir).select(col("p_partkey"), col("p_brand"))))
+        T.part(s, dir).select(col("p_partkey"), col("p_brand")))),
+
+    // Customer segment migration per nation (the churn/upsell matrix):
+    // revenue tercile WITHIN the customer's nation in the first half
+    // of the corpus (orders before 1998-01-01) vs the second, counted
+    // as an origin→destination matrix; customers absent from a period
+    // (incl. never-ordered customers — the base is the customer dim)
+    // take class 0. ntile(3) over the (cents, custkey) total order —
+    // deterministic boundaries cross-engine (the a87 discipline); the
+    // per-nation formulation is the scale-legal one (a global tercile
+    // would single-partition the window at 100 TB).
+    // 100 TB: two custkey-partial period rollups, two nk-window sorts,
+    // ck-keyed joins against the dim, and the matrix rollup — nothing
+    // corpus-quadratic, no cartesian.
+    "a89_segment_migration" -> ((s, dir) =>
+      segmentMigration(T.orders(s, dir), T.customer(s, dir)
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))))
   )
+
+  /** a89's per-nation tercile migration matrix — extracted so the
+    * class-0 (absent-period) convention, tercile tie handling and the
+    * never-ordered-customer cell are unit-testable on crafted frames
+    * (Round15OpsSpec). See the a89 entry for the scale notes.
+    */
+  private[graft] def segmentMigration(orders: DataFrame,
+                                      cust: DataFrame,
+                                      splitDate: String = "1998-01-01")
+      : DataFrame = {
+    val split = lit(splitDate).cast("date")
+    def score(o: DataFrame): DataFrame =
+      o.groupBy(col("o_custkey").as("ck"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("bigint"))
+          .as("cents"))
+        .join(cust, "ck")
+        .withColumn("cls", ntile(3).over(
+          Window.partitionBy("nk").orderBy(col("cents"), col("ck"))))
+        .select(col("ck"), col("cls"))
+    val c1 = score(orders.filter(col("o_orderdate") < split))
+      .withColumnRenamed("cls", "c1")
+    val c2 = score(orders.filter(col("o_orderdate") >= split))
+      .withColumnRenamed("cls", "c2")
+    cust.join(c1, Seq("ck"), "left").join(c2, Seq("ck"), "left")
+      .select(col("nk"),
+        coalesce(col("c1"), lit(0)).as("c1"),
+        coalesce(col("c2"), lit(0)).as("c2"))
+      .groupBy("nk", "c1", "c2")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("nk", "c1", "c2")
+  }
 
   /** a88's per-brand ABC classification over lineitem-/part-shaped
     * frames — extracted so the exact-boundary semantics (cum exactly
@@ -2669,6 +2716,36 @@ object Analytics {
            CAST(count(*) AS BIGINT) AS n_parts,
            CAST(sum(rev_e4) AS BIGINT) AS class_rev_e4
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    // a89: the same period split, the same exact-cents rollups and the
+    // same (cents, ck) ntile total order per nation; absent periods
+    // coalesce to class 0 off the customer-dim base; ntile cast to
+    // INTEGER to match Spark's int.
+    "a89_segment_migration" ->
+      """WITH cust AS (SELECT c_custkey AS ck, c_nationkey AS nk
+           FROM customer),
+         s1 AS (SELECT o_custkey AS ck,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders WHERE o_orderdate < DATE '1998-01-01'
+           GROUP BY 1),
+         s2 AS (SELECT o_custkey AS ck,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+           GROUP BY 1),
+         t1 AS (SELECT s1.ck,
+             CAST(ntile(3) OVER (PARTITION BY nk
+               ORDER BY cents, s1.ck) AS INTEGER) AS c1
+           FROM s1 JOIN cust ON s1.ck = cust.ck),
+         t2 AS (SELECT s2.ck,
+             CAST(ntile(3) OVER (PARTITION BY nk
+               ORDER BY cents, s2.ck) AS INTEGER) AS c2
+           FROM s2 JOIN cust ON s2.ck = cust.ck)
+         SELECT nk, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2,
+           CAST(count(*) AS BIGINT) AS n_cust
+         FROM cust LEFT JOIN t1 ON cust.ck = t1.ck
+                   LEFT JOIN t2 ON cust.ck = t2.ck
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // a80: the CUSUM closed form replayed — per-type totals via a CTE
     // join (same integers as the Spark windows), prefix sums, running
     // min, max statistic + earliest argmax day + alarm-day count.

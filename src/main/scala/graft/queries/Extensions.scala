@@ -993,6 +993,37 @@ object Extensions {
     "x123_token_chisq" -> ((s, dir) =>
       tokenChisq(T.documents(s, dir))),
 
+    // Dedup impact audit per source — the governance readout every
+    // production dedup run ships with: how many docs each source
+    // contributed, how many survived the x14-parameter keep-one chain,
+    // and whether the removals were exact copies or near-dups. Rides
+    // the session-memoized clusterLabels frame (ONE chain build per
+    // session, shared with x14/x44/x59) plus one content-hash rollup.
+    // Accounting is disjoint by construction: kept (canonical = self),
+    // removed-exact (not kept AND a later copy of an identical text),
+    // removed-near (the rest). A doc too short to shingle never pairs,
+    // so an exact dup of a sub-n-gram doc stays kept — pinned in
+    // Round15OpsSpec as the documented edge.
+    // 100 TB: the hash rollup shuffles a uniform digest; the flag join
+    // is doc_id-keyed; the rollup partial-aggregates on source.
+    "x124_dedup_audit" -> ((s, dir) =>
+      dedupAudit(T.documents(s, dir), clusterLabels(s, dir))),
+
+    // Spearman rank correlation per source between document length and
+    // distinct-vocabulary size — the "does longer mean richer"
+    // corpus-health check, INTEGER-exact end to end: ranks are
+    // row_number over the (metric, doc_id) total order (the
+    // deterministic-tiebreak convention, NOT average ranks — pinned),
+    // d² sums are exact longs, and ρ lands as (den − 6Σd²)·2^20 div
+    // den (trunc toward zero both engines, the a86 discipline; den
+    // fenced to 1 for a single-doc source, which reads ρ_q = 0 by
+    // convention).
+    // 100 TB: one scan computes both metrics codegen'd; both rank
+    // windows AND the rollup ride ONE source exchange (the a87
+    // discipline); nothing corpus-quadratic anywhere.
+    "x125_spearman" -> ((s, dir) =>
+      spearmanLengthVocab(T.documents(s, dir))),
+
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
     // typo→correction pairs via the deletion-neighborhood equi-join
     // over the VOCABULARY — never an all-pairs or corpus-sized string
@@ -2398,6 +2429,69 @@ object Extensions {
       .select(col("token"), col("n_a"), col("n_b"), col("chisq_q"))
       .orderBy(col("chisq_q").desc, col("token"))
       .limit(topK)
+  }
+
+  /** x124's per-source dedup accounting over a docs frame and a
+    * (doc_id, canonical_id) component-label frame — extracted so the
+    * disjoint kept/removed-exact/removed-near convention and the
+    * short-doc exact-dup edge (an unshingleable copy stays kept) are
+    * unit-testable on crafted frames (Round15OpsSpec). See the x124
+    * entry for the scale notes.
+    */
+  private[graft] def dedupAudit(docs: org.apache.spark.sql.DataFrame,
+                                canon: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hx = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    docs.select(col("doc_id"), col("source"),
+        sha2(col("text"), 256).as("h"))
+      .join(hx, "h")
+      .join(canon, "doc_id")
+      .select(col("source"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("kept"),
+        (col("doc_id") > col("first_id")).cast("long").as("isx"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 0 && col("isx") === 1, 1L)
+          .otherwise(0L)).as("n_removed_exact"),
+        sum(when(col("kept") === 0 && col("isx") === 0, 1L)
+          .otherwise(0L)).as("n_removed_near"))
+      .orderBy("source")
+  }
+
+  /** x125's per-source Spearman ρ between token count and distinct
+    * token count — extracted so the row_number-tiebreak rank
+    * convention, the single-doc den fence, and the exact integer ρ_q
+    * are unit-testable on crafted frames (Round15OpsSpec). See the
+    * x125 entry for the scale notes.
+    */
+  private[graft] def spearmanLengthVocab(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grid = 1048576L
+    val t = docs.select(col("doc_id"), col("source"),
+        split(lower(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+    val w1 = Window.partitionBy("source")
+      .orderBy(col("n_words"), col("doc_id"))
+    val w2 = Window.partitionBy("source")
+      .orderBy(col("n_distinct"), col("doc_id"))
+    t.withColumn("r1", row_number().over(w1))
+      .withColumn("r2", row_number().over(w2))
+      .withColumn("d", (col("r1") - col("r2")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("den",
+        col("n_docs") * (col("n_docs") * col("n_docs") - 1))
+      .withColumn("rho_q", call_function("div",
+        (col("den") - lit(6L) * col("sum_d2")) * grid,
+        greatest(col("den"), lit(1L))))
+      .select(col("source"), col("n_docs"), col("sum_d2"), col("rho_q"))
+      .orderBy("source")
   }
 
   /** The SQL side of [[injectPii]] — a CTE named `pii` over
@@ -4850,6 +4944,56 @@ object Extensions {
              + (CAST(n_b AS DOUBLE) - e_b) * (CAST(n_b AS DOUBLE) - e_b)
                / e_b) * 1048576 + 0.5) / 1048576 AS chisq_q
          FROM x ORDER BY chisq_q DESC, token LIMIT 20""",
+
+    // x124: the x14 closure machinery (jaccardPairsCtes + closureCtes,
+    // shared so the chain cannot drift) + a text-partition first-copy
+    // window + the disjoint kept/exact/near rollup per source.
+    "x124_dedup_audit" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         $closureCtes,
+         canon AS (
+           SELECT d.doc_id, d.source,
+             $canonicalIdExpr AS canonical_id
+           FROM documents d),
+         ex AS (SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY text) AS first_id
+           FROM documents),
+         f AS (SELECT c.source,
+             CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END AS kept,
+             CASE WHEN e.first_id < e.doc_id THEN 1 ELSE 0 END AS isx
+           FROM canon c JOIN ex e ON c.doc_id = e.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept = 0 AND isx = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed_exact,
+           CAST(sum(CASE WHEN kept = 0 AND isx = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed_near
+         FROM f GROUP BY source ORDER BY source""",
+
+    // x125: the same row_number ranks over the same (metric, doc_id)
+    // total orders, exact integer d² sums, and the identical
+    // (den − 6Σd²)·2^20 // greatest(den, 1) truncating division.
+    "x125_spearman" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(lower(text), '\s+'))
+               AS INTEGER) AS n_words,
+             CAST(len(list_distinct(regexp_split_to_array(lower(text),
+               '\s+'))) AS INTEGER) AS n_distinct
+           FROM documents),
+         r AS (SELECT source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_words, doc_id) AS r1,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_distinct, doc_id) AS r2
+           FROM t),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+           FROM r GROUP BY 1)
+         SELECT source, n_docs, sum_d2,
+           CAST((n_docs * (n_docs * n_docs - 1) - 6 * sum_d2) * 1048576
+             // greatest(n_docs * (n_docs * n_docs - 1), 1) AS BIGINT)
+             AS rho_q
+         FROM g ORDER BY source""",
 
     // x117: the filter bits and probe positions rebuilt from the same
     // sha256 48-bit hex slices (the x31/Bloom replay scheme), key-domain

@@ -315,7 +315,20 @@ object StreamingQ {
     "st29_temporal_enrich" -> ((s, dir) =>
       EventStreams.temporalEnrich(T.events(s, dir))
         .toDF()
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Streaming windowed first-event dedup (x45's streaming dual):
+    // one survivor per (user, event type, 5-min tumbling window) — the
+    // earliest by (ts, event_id) — maintained as a two-long best
+    // cursor per key, emitting only on first sight or improvement
+    // (the latest emission per key IS the x45 row). In batch each key
+    // folds once over full history ⇒ exactly one emission per key, so
+    // x45's oracle certifies both surfaces verbatim (the st25/a73
+    // lockstep discipline).
+    "st30_window_first_dedup" -> ((s, dir) =>
+      EventStreams.statefulWindowFirst(T.events(s, dir))
+        .toDF()
+        .orderBy("user_id", "event_type", "w_start"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -343,6 +356,13 @@ object StreamingQ {
     // payload columns read the SAME chosen row because the frame order
     // is total and purchase rows are never null in either column.
     // ROWS (not the default RANGE) so equal-ts peers don't leak ahead.
+    // st30: x45's oracle VERBATIM — the keyed best-cursor fold over
+    // full history emits exactly the windowed (ts, event_id) minimum,
+    // which is x45's row_number() = 1 row, so one SQL certifies the
+    // batch query and (via EventStreamsSpec's cross-micro-batch run)
+    // the streaming surface.
+    "st30_window_first_dedup" ->
+      graft.queries.Extensions.oracle("x45_event_dedup_window"),
     "st29_temporal_enrich" ->
       """WITH u AS (
            SELECT user_id, 0 AS side, event_id, ts,

@@ -1410,6 +1410,83 @@ object EventStreams {
     }
   }
 
+  /** Streaming windowed first-event dedup (x45's streaming dual, st30):
+    * one surviving event per (user, event type, 5-minute tumbling
+    * window) — the earliest by (event time, event_id), the x45 total
+    * order. The batch formulation keys a groupBy on the window start;
+    * as a STREAM the winner must be maintainable under late arrivals,
+    * so the state is the per-key best cursor (TWO LONGS: event-time µs,
+    * event_id) and a row is emitted only when the key first appears or
+    * a strictly better (earlier) event arrives — the emission stream is
+    * the monotone refinement of the answer, and the LATEST emission per
+    * key is always the current x45 row (Update-mode semantics; the
+    * memory-sink test takes the per-key minimum of the emissions, which
+    * equals the last one emitted). In batch each key processes once
+    * over full history, so exactly one row per key is emitted — the
+    * driver's st30 oracle is x45's SQL VERBATIM (the st25/a73 lockstep
+    * discipline).
+    *
+    * 100 TB/streaming: the window start is computed codegen'd BEFORE
+    * the keyed shuffle, ONE (user, type, window) shuffle feeds the
+    * state, O(1) state per live key (a TTL would bound it to the
+    * lateness horizon in production; TimeMode.None here keeps batch ≡
+    * stream exact).
+    */
+  final case class WindowFirst(user_id: Long, event_type: String,
+                               w_start: Timestamp, ts: Timestamp,
+                               event_id: Long)
+  final case class FirstCursor(tu: Long, eid: Long)
+
+  private class WindowFirstProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String, Long),
+        (Long, String, Long, Timestamp, Timestamp, Long),
+        WindowFirst] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var best: ValueState[FirstCursor] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      best = getHandle.getValueState[FirstCursor]("best",
+        E.product[FirstCursor], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String, Long),
+                                 rows: Iterator[(Long, String, Long, Timestamp, Timestamp, Long)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[WindowFirst] = {
+      // batch-local winner by the x45 total order (event-time µs, id)
+      val cand = rows.minBy(r => (unixMicros(r._5), r._6))
+      val tu = unixMicros(cand._5)
+      val cur = if (best.exists()) Some(best.get()) else None
+      if (cur.forall(c => tu < c.tu || (tu == c.tu && cand._6 < c.eid))) {
+        best.update(FirstCursor(tu, cand._6))
+        Iterator.single(
+          WindowFirst(cand._1, cand._2, cand._4, cand._5, cand._6))
+      } else Iterator.empty
+    }
+
+    private def unixMicros(ts: Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+  }
+
+  def statefulWindowFirst(events: DataFrame,
+                          width: String = "5 minutes"): Dataset[WindowFirst] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
+    events
+      .select(col("user_id"), col("event_type"),
+        window(col("ts"), width).getField("start").as("w_start"),
+        col("ts"), col("event_id"))
+      .withColumn("wu", unix_micros(col("w_start")))
+      .select(col("user_id"), col("event_type"), col("wu"),
+        col("w_start"), col("ts"), col("event_id"))
+      .as[(Long, String, Long, Timestamp, Timestamp, Long)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .transformWithState(new WindowFirstProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def temporalEnrich(events: DataFrame): Dataset[EnrichedClick] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode

@@ -94,4 +94,82 @@ class Round15OpsSpec extends SparkTestBase {
       ("q", 1L, 0L, chiQ(1, 0, 3, 1)),
       ("w", 2L, 1L, chiQ(2, 1, 3, 1))))
   }
+
+  test("dedupAudit: kept / removed-exact / removed-near are disjoint " +
+       "and sum to n_docs; an unshingleable exact dup (the chain never " +
+       "pairs it) stays kept — the documented edge") {
+    val docs = Seq(
+      // s1: 1 kept, 2 = exact copy of 1 (removed-exact),
+      //     3 = near-dup in 1's component (removed-near)
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s1"),
+      (3L, "alpha beta gamma epsilon", "s1"),
+      // s2: 4 and 5 are identical TWO-word docs — no 3-gram shingles,
+      // never pair, both canonical ⇒ both KEPT despite being copies
+      (4L, "zz yy", "s2"),
+      (5L, "zz yy", "s2"))
+      .toDF("doc_id", "text", "source")
+    val canon = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("doc_id", "canonical_id")
+    val out = graft.queries.Extensions.dedupAudit(docs, canon).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // (n_docs, n_kept, n_removed_exact, n_removed_near)
+    assert(out("s1") === (3L, 1L, 1L, 1L))
+    assert(out("s2") === (2L, 2L, 0L, 0L)) // the pinned short-doc edge
+    out.values.foreach { case (n, k, e, nr) => assert(k + e + nr === n) }
+  }
+
+  test("spearmanLengthVocab: +1 on monotone, -1 on anti-monotone, 0 " +
+       "for a single-doc source (den fence), grid-exact under doc_id " +
+       "rank ties") {
+    val docs = Seq(
+      // s1: length and vocab rise together → ρ = +1 (rho_q = 2^20)
+      (1L, "a b", "s1"), (2L, "a b c", "s1"), (3L, "a b c d", "s1"),
+      // s2: longer doc has FEWER distinct tokens → ρ = −1
+      (10L, "x x x", "s2"), (11L, "a b", "s2"),
+      // s3: single doc — den fenced to 1, ρ_q = 0 by convention
+      (20L, "solo doc here", "s3"),
+      // s4: identical metrics — doc_id breaks both rank ties the same
+      // way → d = 0 → ρ_q = 2^20
+      (30L, "a b", "s4"), (31L, "c d", "s4"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.queries.Extensions.spearmanLengthVocab(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out("s1") === (3L, 0L, 1048576L))
+    assert(out("s2") === (2L, 2L, -1048576L))
+    assert(out("s3") === (1L, 0L, 0L))
+    assert(out("s4") === (2L, 0L, 1048576L))
+  }
+
+  test("segmentMigration: per-nation terciles, class 0 for an absent " +
+       "period and for never-ordered customers, cents ties broken by " +
+       "custkey") {
+    val cust = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 9L), (5L, 8L),
+      (6L, 8L)).toDF("ck", "nk")
+    val orders = Seq(
+      // nation 7, period 1: cents 100 < 200 < 300 → classes 1, 2, 3
+      (1L, "1997-05-01", 1.0), (2L, "1997-05-01", 2.0),
+      (3L, "1997-05-01", 3.0),
+      // nation 7, period 2: only customer 1 orders → its class = 1;
+      // customers 2 and 3 take class 0
+      (1L, "1998-05-01", 9.0),
+      // nation 8, period 1: customers 5 and 6 TIE on cents → custkey
+      // order puts 5 in bucket 1, 6 in bucket 2 (ntile(3) of 2 rows)
+      (5L, "1997-06-01", 4.0), (6L, "1997-06-01", 4.0))
+      .toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("d"))).drop("d")
+    val out = graft.queries.Analytics.segmentMigration(orders, cust)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(out((7L, 1, 1)) === 1L) // customer 1: tercile 1 → tercile 1
+    assert(out((7L, 2, 0)) === 1L) // customer 2: absent from period 2
+    assert(out((7L, 3, 0)) === 1L)
+    assert(out((9L, 0, 0)) === 1L) // never ordered at all
+    assert(out((8L, 1, 0)) === 1L) // tie → ck 5 takes bucket 1
+    assert(out((8L, 2, 0)) === 1L)
+    assert(out.values.sum === cust.count())
+  }
 }

@@ -67,6 +67,50 @@ class Round15PlanSpec extends SparkTestBase {
     assert(!s.contains("SortMergeJoin"), s)
   }
 
+  test("st30 windowed first dedup: ONE keyed exchange (user, type, " +
+       "window start — computed scan-side BEFORE the shuffle) feeds " +
+       "the stateful operator; no join") {
+    val s = planString(graft.queries.StreamingQ
+      .queries("st30_window_first_dedup")(spark, sf))
+    assert(s.contains("TransformWithState"), s"keyed-state op expected:\n$s")
+    assert(hashExchanges(s) === 1,
+      s"expected exactly 1 hash exchange (the keyed shuffle):\n$s")
+    assert(!s.contains("Join"), s"no join of any kind expected:\n$s")
+  }
+
+  test("x124 dedup audit: rides the session-memoized cluster-label " +
+       "cache (InMemoryTableScan); content-hash rollup + source rollup " +
+       "are the only hash exchanges; no cartesian") {
+    val s = planString(graft.queries.Extensions
+      .queries("x124_dedup_audit")(spark, sf))
+    assert(s.contains("InMemoryTableScan"),
+      s"the shared clusterLabels cache should feed the audit:\n$s")
+    assert(hashExchanges(s) <= 3, s"unexpected extra exchange:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x125 spearman: both rank windows AND the rollup ride ONE " +
+       "source exchange; the metrics are scan-side (no token shuffle)") {
+    val s = planString(graft.queries.Extensions
+      .queries("x125_spearman")(spark, sf))
+    assert(hashExchanges(s) === 1,
+      s"expected exactly 1 hash exchange (the source window/rollup):\n$s")
+    assert(!s.contains("Generate"),
+      s"metrics are array-level, no explode expected:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("a89 segment migration: both ntile windows partition by nation; " +
+       "the dim joins broadcast at this SF; five hash exchanges (two " +
+       "period rollups, two nation windows, the matrix rollup)") {
+    val s = planString(graft.queries.Analytics
+      .queries("a89_segment_migration")(spark, sf))
+    assert("hashpartitioning\\(nk".r.findAllIn(s).size >= 2,
+      s"both ntile windows should partition by nk:\n$s")
+    assert(hashExchanges(s) <= 5, s"unexpected extra exchange:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("a88 ABC pareto: the parts dim broadcasts into the lineitem " +
        "scan; rank, cumulative, brand totals and the class rollup ride " +
        "the (brand, part) rollup + ONE brand exchange") {

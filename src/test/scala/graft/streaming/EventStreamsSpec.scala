@@ -1241,4 +1241,50 @@ class EventStreamsSpec extends SparkTestBase {
     val b4 = batch.filter(col("event_id") === 4L).collect().head
     assert(b4.getLong(3) === 1L && b4.getLong(4) === 100L)
   }
+
+  test("st30 windowed first-event dedup: emits only on first sight or " +
+       "improvement; the latest emission per key equals the batch fold; " +
+       "same-ts ties break by event_id") {
+    import org.apache.spark.sql.functions.{col, min, struct}
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      // batch 1 — window 00:00: e5 emits, e6 is worse (no emit);
+      // window 00:10: e20 and e21 tie on ts → e20 wins within the batch
+      EvJ(5L, t("2024-01-01 00:02:00"), 1L, "click"),
+      EvJ(6L, t("2024-01-01 00:03:00"), 1L, "click"),
+      EvJ(20L, t("2024-01-01 00:10:00"), 1L, "click"),
+      EvJ(21L, t("2024-01-01 00:10:00"), 1L, "click"),
+      // batch 2 — e3 IMPROVES window 00:00 (re-emit), e7 does not,
+      // e9 opens window 00:05
+      EvJ(3L, t("2024-01-01 00:01:00"), 1L, "click"),
+      EvJ(7L, t("2024-01-01 00:02:30"), 1L, "click"),
+      EvJ(9L, t("2024-01-01 00:07:00"), 1L, "click"))
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulWindowFirst(input.toDF())
+      .writeStream.format("memory").queryName("wfirst_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(4))
+      q.processAllAvailable()
+      input.addData(evs.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wfirst_out")
+    // four emissions: e5, e20 (batch 1), e3 (improvement), e9 (new key)
+    assert(streamed.count() === 4L)
+    assert(streamed.select("event_id").collect().map(_.getLong(0)).toSet
+      === Set(5L, 20L, 3L, 9L))
+    // the latest (= minimal) emission per key is the batch answer
+    val lastPerKey = streamed
+      .groupBy("user_id", "event_type", "w_start")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"), col("w_start"),
+        col("f.ts").as("ts"), col("f.event_id").as("event_id"))
+      .orderBy("w_start").collect().toSeq
+    val batch = EventStreams.statefulWindowFirst(evs.toDF()).toDF()
+      .orderBy("w_start").collect().toSeq
+    assert(lastPerKey === batch)
+    assert(batch.map(_.getLong(4)) === Seq(3L, 9L, 20L))
+  }
 }
