@@ -1648,8 +1648,55 @@ object Analytics {
     // corpus-quadratic, no cartesian.
     "a89_segment_migration" -> ((s, dir) =>
       segmentMigration(T.orders(s, dir), T.customer(s, dir)
-        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))))
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk")))),
+
+    // Order ↔ lineitem reconciliation (the warehouse audit every
+    // finance pipeline runs): per priority class — order count, orders
+    // whose header total EXACTLY equals the recomputed line total
+    // (price×(1−disc)×(1+tax) summed), orders with no lines at all,
+    // and the max/sum absolute discrepancy. ALL-INTEGER in e8 units
+    // (hundred-millionths of a dollar): the line value is v4·(10000 +
+    // t4) where v4 = price×(1−disc) in exact e4 (the a88 route) and
+    // t4 = tax in exact e-4 — no division, no rounding rule anywhere;
+    // the header side is cents·10^6. (At sf ≫ 1 the e8 sums want
+    // DECIMAL; BIGINT holds to ~sf100.)
+    // 100 TB: one orderkey-partial rollup on lineitem, one join on
+    // the order key, one priority rollup — no window, no skew risk
+    // (orderkey is the uniform key).
+    "a90_order_reconciliation" -> ((s, dir) =>
+      orderReconciliation(T.orders(s, dir), T.lineitem(s, dir)))
   )
+
+  /** a90's all-integer reconciliation over orders-/lineitem-shaped
+    * frames — extracted so the exact-match, discrepancy and
+    * no-lines-order cells are unit-testable on crafted frames
+    * (Round15OpsSpec). See the a90 entry for the scale notes.
+    */
+  private[graft] def orderReconciliation(orders: DataFrame,
+                                         lineitem: DataFrame): DataFrame = {
+    val line = lineitem
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum((Exact.dec(col("l_extendedprice")) *
+          (lit(1) - Exact.dec(col("l_discount"))) * 10000).cast("long") *
+        (lit(10000L) +
+          (Exact.dec(col("l_tax")) * 10000).cast("long")))
+        .as("line_e8"))
+    orders
+      .select(col("o_orderkey").as("ok"), col("o_orderpriority"),
+        (floor(col("o_totalprice") * 100 + lit(0.5)).cast("long") *
+          1000000L).as("order_e8"))
+      .join(line, Seq("ok"), "left")
+      .withColumn("diff_e8",
+        abs(coalesce(col("line_e8"), lit(0L)) - col("order_e8")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("diff_e8") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("line_e8").isNull, 1L).otherwise(0L))
+          .as("n_no_lines"),
+        max(col("diff_e8")).as("max_diff_e8"),
+        sum(col("diff_e8")).as("sum_diff_e8"))
+      .orderBy("o_orderpriority")
+  }
 
   /** a89's per-nation tercile migration matrix — extracted so the
     * class-0 (absent-period) convention, tercile tie handling and the
@@ -2746,6 +2793,32 @@ object Analytics {
          FROM cust LEFT JOIN t1 ON cust.ck = t1.ck
                    LEFT JOIN t2 ON cust.ck = t2.ck
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // a90: the identical all-integer e8 tree — v4 and t4 from exact
+    // DECIMAL casts, line value v4·(10000+t4), header cents·10^6 —
+    // and the same left-join/null accounting.
+    "a90_order_reconciliation" ->
+      """WITH line AS (SELECT l_orderkey AS ok,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+                 AS BIGINT)
+               * (10000 + CAST(CAST(l_tax AS DECIMAL(12,2)) * 10000
+                 AS BIGINT))) AS BIGINT) AS line_e8
+           FROM lineitem GROUP BY 1),
+         o AS (SELECT o_orderkey AS ok, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 1000000
+               AS order_e8
+           FROM orders),
+         j AS (SELECT o.o_orderpriority, line.line_e8,
+             abs(coalesce(line.line_e8, 0) - o.order_e8) AS diff_e8
+           FROM o LEFT JOIN line ON o.ok = line.ok)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN diff_e8 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN line_e8 IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_no_lines,
+           CAST(max(diff_e8) AS BIGINT) AS max_diff_e8,
+           CAST(sum(diff_e8) AS BIGINT) AS sum_diff_e8
+         FROM j GROUP BY 1 ORDER BY 1""",
     // a80: the CUSUM closed form replayed — per-type totals via a CTE
     // join (same integers as the Spark windows), prefix sums, running
     // min, max statistic + earliest argmax day + alarm-day count.

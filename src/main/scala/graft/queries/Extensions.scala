@@ -1024,6 +1024,34 @@ object Extensions {
     "x125_spearman" -> ((s, dir) =>
       spearmanLengthVocab(T.documents(s, dir))),
 
+    // Tokenizer economics per source — chars-per-token under the
+    // corpus-learned BPE table (x67b/x70's merges, ONE learn per
+    // session via the bpeMergeCache): the compression-ratio readout
+    // that decides token budgets and flags domains the tokenizer
+    // serves badly (low chars/token = expensive to train on). Exact
+    // integer rollups; the ratio lands as chars·2^20 div tokens (the
+    // a86 truncating division).
+    // 100 TB: the encode is one scan-side fold over the broadcast
+    // merge table (x70's shape); one source-keyed partial rollup.
+    "x126_bpe_compression" -> ((s, dir) =>
+      bpeCompression(T.documents(s, dir),
+        bpeMerges(s, dir, steps = 4).map(m => (m._2, m._3)))),
+
+    // MinHash estimator calibration — the dedup-quality audit at the
+    // heart of every banded pipeline: over the REAL banded candidate
+    // set (x03's parameters), how far does the lane-agreement estimate
+    // (matching lanes / 16) sit from the exact shingle Jaccard? Pure
+    // integer error buckets: bucket = |lanes·union − 16·inter| div
+    // union ∈ [0, 16] (bucket b ⇔ error in [b/16, (b+1)/16)), with
+    // over/under-estimate counts. A calibration collapse (mass in high
+    // buckets) means the banding parameters are lying about the corpus.
+    // 100 TB: candidates are banding-bounded (never all-pairs); the
+    // signature and shingle-set tables are the session-cached frames
+    // every dedup query shares; lane agreement is 16 codegen'd
+    // comparisons, no HOF.
+    "x127_minhash_calibration" -> ((s, dir) =>
+      minhashCalibration(T.documents(s, dir))),
+
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
     // typo→correction pairs via the deletion-neighborhood equi-join
     // over the VOCABULARY — never an all-pairs or corpus-sized string
@@ -2073,7 +2101,12 @@ object Extensions {
     * (the learner skips applying the last one; the encoder must not),
     * then per-doc token counts and the encoded stream's md5.
     */
-  private def bpeEncodeSql(steps: Int): String = {
+  /** The x70 BPE learn+encode CTE chain (WITH-body text, no leading
+    * WITH) ending at `s$steps(doc_id, stream)` — shared by the x70 and
+    * x126 oracles so the merge-election and encoding arithmetic can
+    * never drift between them.
+    */
+  private def bpeEncodeCtes(steps: Int): String = {
     val B = "chr(31)"
     val BB = s"($B || $B)"
     def pairCtes(k: Int): String =
@@ -2094,11 +2127,17 @@ object Extensions {
            FROM s${k - 1} s, w$k w)"""
     val ctes = (1 to steps).map(k =>
       pairCtes(k) + ",\n         " + applyCte(k)).mkString(",\n         ")
-    s"""WITH s0 AS (
+    s"""s0 AS (
          SELECT doc_id,
            $BB || array_to_string(regexp_split_to_array(lower(text), '\\s+'), $BB) || $BB AS stream
          FROM documents),
-         $ctes
+         $ctes"""
+  }
+
+  private def bpeEncodeSql(steps: Int): String = {
+    val B = "chr(31)"
+    val BB = s"($B || $B)"
+    s"""WITH ${bpeEncodeCtes(steps)}
        SELECT doc_id,
          CAST(len(ws) - 2 AS INTEGER) AS n_tokens,
          CAST(len(list_filter(ws[2:len(ws)-1], t -> contains(t, ' '))) AS INTEGER) AS n_merged,
@@ -2492,6 +2531,66 @@ object Extensions {
         greatest(col("den"), lit(1L))))
       .select(col("source"), col("n_docs"), col("sum_d2"), col("rho_q"))
       .orderBy("source")
+  }
+
+  /** x126's per-source tokenizer-economics rollup under a given merge
+    * table — extracted so the exact rollup and the truncating ratio
+    * are unit-testable with a crafted merge list (Round15OpsSpec); the
+    * x126 entry passes the session-memoized corpus-learned merges.
+    */
+  private[graft] def bpeCompression(docs: org.apache.spark.sql.DataFrame,
+                                    merges: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val grid = 1048576L
+    TextAnalysis.bpeEncodeWith(docs, "text", "doc_id", merges)
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("n_merged").cast("long")).as("total_merged"))
+      .withColumn("chars_per_token_q", call_function("div",
+        col("total_chars") * grid, greatest(col("total_tokens"), lit(1L))))
+      .orderBy("source")
+  }
+
+  /** x127's estimator-calibration histogram over the banded candidate
+    * set — extracted so the identical-doc (bucket 0, neither over nor
+    * under) and zero-overlap edge semantics are certifiable on crafted
+    * frames (Round15OpsSpec). See the x127 entry for the scale notes.
+    */
+  private[graft] def minhashCalibration(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cand = Dedup.minhashBandPairs(docs, "text", "doc_id")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id")
+    val sets = Dedup.shingles(docs, "text", "doc_id")
+    val lanes = (0 until 16).map(i =>
+      when(element_at(col("s1"), i + 1) === element_at(col("s2"), i + 1),
+        1L).otherwise(0L)).reduce(_ + _)
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+      .join(sets.select(col("doc_id").as("d1"),
+        col("shingles").as("sh1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"),
+        col("shingles").as("sh2")), "d2")
+      .select(lanes.as("lanes"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("inter"),
+        (size(col("sh1")).cast("long") + size(col("sh2")).cast("long"))
+          .as("szsum"))
+      .withColumn("uni", col("szsum") - col("inter"))
+      .withColumn("err_bucket", call_function("div",
+        abs(col("lanes") * col("uni") - lit(16L) * col("inter")),
+        col("uni")))
+      .groupBy("err_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("lanes") * col("uni") > lit(16L) * col("inter"), 1L)
+          .otherwise(0L)).as("n_over"),
+        sum(when(col("lanes") * col("uni") < lit(16L) * col("inter"), 1L)
+          .otherwise(0L)).as("n_under"))
+      .orderBy("err_bucket")
   }
 
   /** The SQL side of [[injectPii]] — a CTE named `pii` over
@@ -4994,6 +5093,69 @@ object Extensions {
              // greatest(n_docs * (n_docs * n_docs - 1), 1) AS BIGINT)
              AS rho_q
          FROM g ORDER BY source""",
+
+    // x126: the shared x70 learn+encode CTE chain (bpeEncodeCtes — the
+    // merge election and replacement arithmetic can never drift), then
+    // the per-source rollup and the same truncating ratio.
+    "x126_bpe_compression" -> {
+      val B = "chr(31)"
+      val BB = s"($B || $B)"
+      s"""WITH ${bpeEncodeCtes(4)},
+         enc AS (
+           SELECT doc_id,
+             CAST(len(ws) - 2 AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(ws[2:len(ws)-1], t -> contains(t, ' ')))
+               AS BIGINT) AS n_merged
+           FROM (SELECT doc_id, string_split(stream, $BB) AS ws
+                 FROM s4))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_merged) AS BIGINT) AS total_merged,
+           CAST(sum(n_chars) * 1048576
+             // greatest(sum(n_tokens), 1) AS BIGINT) AS chars_per_token_q
+         FROM enc JOIN documents USING (doc_id)
+         GROUP BY source ORDER BY source"""
+    },
+
+    // x127: the x03 signature/banding machinery (minhashSigBandCtes —
+    // shared with x03/x66 so the lane arithmetic cannot drift),
+    // bucket-collision candidates, exact shingle intersections
+    // LEFT-joined (a candidate pair can share zero shingles), and the
+    // same integer bucket division.
+    "x127_minhash_calibration" ->
+      s"""WITH $minhashSigBandCtes,
+         cand AS (
+           SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+           FROM banded b1 JOIN banded b2
+             ON b1.band = b2.band AND b1.bucket = b2.bucket
+              AND b1.doc_id < b2.doc_id),
+         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           FROM sh GROUP BY 1),
+         iv AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(count(*) AS BIGINT) AS n_inter
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         calc AS (
+           SELECT c.d1, c.d2,
+             CAST(len(list_filter(range(1, 17),
+               i -> g1.sig[i] = g2.sig[i])) AS BIGINT) AS lanes,
+             coalesce(iv.n_inter, 0) AS inter,
+             z1.sz + z2.sz - coalesce(iv.n_inter, 0) AS uni
+           FROM cand c
+           JOIN sigs g1 ON g1.doc_id = c.d1
+           JOIN sigs g2 ON g2.doc_id = c.d2
+           JOIN sizes z1 ON z1.doc_id = c.d1
+           JOIN sizes z2 ON z2.doc_id = c.d2
+           LEFT JOIN iv ON iv.d1 = c.d1 AND iv.d2 = c.d2)
+         SELECT CAST(abs(lanes * uni - 16 * inter) // uni AS BIGINT)
+             AS err_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN lanes * uni > 16 * inter THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_over,
+           CAST(sum(CASE WHEN lanes * uni < 16 * inter THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_under
+         FROM calc GROUP BY 1 ORDER BY 1""",
 
     // x117: the filter bits and probe positions rebuilt from the same
     // sha256 48-bit hex slices (the x31/Bloom replay scheme), key-domain

@@ -328,7 +328,18 @@ object StreamingQ {
     "st30_window_first_dedup" -> ((s, dir) =>
       EventStreams.statefulWindowFirst(T.events(s, dir))
         .toDF()
-        .orderBy("user_id", "event_type", "w_start"))
+        .orderBy("user_id", "event_type", "w_start")),
+
+    // Per-user inter-arrival gap profile as keyed stream state — the
+    // live readout that sizes the session gap and watermark horizon
+    // knobs (st03/st28's 6 h, the sink's lateness budget). Six-long
+    // state folded in (tu, event_id) order; single-event users report
+    // null gaps (the lag-window convention). In batch the fold over
+    // full history IS the lag formulation the oracle replays.
+    "st31_gap_profile" -> ((s, dir) =>
+      EventStreams.statefulGapProfile(T.events(s, dir))
+        .toDF()
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -363,6 +374,22 @@ object StreamingQ {
     // the streaming surface.
     "st30_window_first_dedup" ->
       graft.queries.Extensions.oracle("x45_event_dedup_window"),
+    // st31: the keyed gap fold over the (tu, event_id) total order IS
+    // the lag window over the same order; aggregates over an empty gap
+    // set are NULL on both engines (single-event users).
+    "st31_gap_profile" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tu,
+             event_id FROM events),
+         g AS (SELECT user_id,
+             tu - lag(tu) OVER (PARTITION BY user_id
+               ORDER BY tu, event_id) AS gap
+           FROM e)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_us
+         FROM g GROUP BY user_id ORDER BY user_id""",
     "st29_temporal_enrich" ->
       """WITH u AS (
            SELECT user_id, 0 AS side, event_id, ts,

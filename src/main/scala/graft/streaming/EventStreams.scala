@@ -1487,6 +1487,82 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Live per-user inter-arrival gap profile (st31) — the readout that
+    * SIZES the streaming knobs: the gap distribution is what justifies
+    * a session gap ([[statefulSessionAssign]]'s 6 h) or a watermark
+    * horizon, and maintaining it IN the stream means the knobs can be
+    * audited on live traffic, not a batch sample. Per user: event
+    * count, consecutive-gap count, min/max/sum of the event-time gaps
+    * (µs; mean derivable) — a single-event user reports null gaps, the
+    * lag-window convention.
+    *
+    * State per user: FIVE LONGS + a count (last event µs, n, n_gaps,
+    * min/max/sum gap); each micro-batch folds in (tu, event_id) order
+    * — equal-time events contribute a 0 gap — and emits the running
+    * row (Update mode; the latest emission per user is the current
+    * profile). In batch each key folds once over full history, so the
+    * fold IS the lag-window formulation the oracle replays.
+    *
+    * 100 TB/streaming: ONE user_id shuffle, O(1) state per user,
+    * per-batch sort bounded by per-user batch activity (the st28
+    * discipline).
+    */
+  final case class GapProfile(user_id: Long, n_events: Long, n_gaps: Long,
+                              min_gap_us: Option[Long],
+                              max_gap_us: Option[Long],
+                              sum_gap_us: Option[Long])
+  final case class GapState(lastTu: Long, n: Long, nGaps: Long,
+                            minGap: Long, maxGap: Long, sumGap: Long)
+
+  private class GapProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), GapProfile] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: ValueState[GapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GapState]("gaps",
+        E.product[GapState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Long, Long)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[GapProfile] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var s: GapState =
+        if (st.exists()) st.get() else GapState(Long.MinValue, 0L, 0L, 0L, 0L, 0L)
+      sorted.foreach { case (_, tu, _) =>
+        if (s.n == 0L) s = GapState(tu, 1L, 0L, 0L, 0L, 0L)
+        else {
+          val gap = tu - s.lastTu
+          s = GapState(tu, s.n + 1, s.nGaps + 1,
+            if (s.nGaps == 0L) gap else math.min(s.minGap, gap),
+            if (s.nGaps == 0L) gap else math.max(s.maxGap, gap),
+            s.sumGap + gap)
+        }
+      }
+      st.update(s)
+      val some = s.nGaps > 0L
+      Iterator.single(GapProfile(user, s.n, s.nGaps,
+        if (some) Some(s.minGap) else None,
+        if (some) Some(s.maxGap) else None,
+        if (some) Some(s.sumGap) else None))
+    }
+  }
+
+  def statefulGapProfile(events: DataFrame): Dataset[GapProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    twsReady(events.sparkSession)
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new GapProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def temporalEnrich(events: DataFrame): Dataset[EnrichedClick] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode

@@ -172,4 +172,65 @@ class Round15OpsSpec extends SparkTestBase {
     assert(out((8L, 2, 0)) === 1L)
     assert(out.values.sum === cust.count())
   }
+
+  test("orderReconciliation: exact-match, discrepancy and no-lines " +
+       "cells in all-integer e8 units; the discounted+taxed line value " +
+       "is exact") {
+    val orders = Seq(
+      (1L, "1-URGENT", 100.0),  // two 50.00 lines → exact
+      (2L, "1-URGENT", 10.01),  // one 10.01 line, 3% disc, 8% tax
+      (3L, "2-HIGH", 25.5))     // no lines at all
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val li = Seq(
+      (1L, 50.0, 0.0, 0.0), (1L, 50.0, 0.0, 0.0),
+      (2L, 10.01, 0.03, 0.08))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val out = graft.queries.Analytics.orderReconciliation(orders, li)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // order 2: v4 = 10.01·0.97·10000 = 97097 exactly; line_e8 =
+    // 97097·(10000+800) = 1,048,647,600; header e8 = 1001·10^6 →
+    // diff = 47,647,600 (the 8% tax the header ignores)
+    assert(out("1-URGENT") === (2L, 1L, 0L, 47647600L, 47647600L))
+    // order 3: no lines → diff = the full header total (2550·10^6)
+    assert(out("2-HIGH") === (1L, 0L, 1L, 2550000000L, 2550000000L))
+  }
+
+  test("bpeCompression: exact rollup and truncating chars-per-token " +
+       "ratio under a crafted (empty) merge table") {
+    val docs = Seq(
+      (1L, "ab cd", "s1", 5L),
+      (2L, "xyz", "s1", 3L),
+      (3L, "a b c d", "s2", 7L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = graft.queries.Extensions.bpeCompression(docs, Seq.empty)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // s1: 8 chars / 3 tokens → 8·2^20 div 3 = 2796202 (trunc)
+    assert(out("s1") === (2L, 8L, 3L, 0L, 2796202L))
+    // s2: 7 chars / 4 tokens → 7·2^20 div 4 = 1835008
+    assert(out("s2") === (1L, 7L, 4L, 0L, 1835008L))
+  }
+
+  test("minhashCalibration: identical-text candidate pairs land in " +
+       "error bucket 0, neither over- nor under-estimated") {
+    // two identity clusters; every within-cluster pair has jaccard 1
+    // AND identical signatures (lanes 16) → bucket 0 exactly
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s"),
+      (2L, "alpha beta gamma delta epsilon", "s"),
+      (3L, "alpha beta gamma delta epsilon", "s"),
+      (4L, "omega psi chi phi upsilon", "s"),
+      (5L, "omega psi chi phi upsilon", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = graft.queries.Extensions.minhashCalibration(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // 3+2 identity clusters → C(3,2) + C(2,2) = 4 bucket-0 pairs; any
+    // chance cross-cluster band collision would surface as a high
+    // bucket — there is none on these fixed seeds
+    assert(rows === Map(0L -> (4L, 0L, 0L)))
+  }
 }

@@ -111,6 +111,42 @@ class Round15PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("st31 gap profile: ONE user_id keyed exchange into the " +
+       "stateful operator; no join") {
+    val s = planString(graft.queries.StreamingQ
+      .queries("st31_gap_profile")(spark, sf))
+    assert(s.contains("TransformWithState"), s"keyed-state op expected:\n$s")
+    assert(hashExchanges(s) === 1,
+      s"expected exactly 1 hash exchange (the user_id shuffle):\n$s")
+    assert(!s.contains("Join"), s"no join of any kind expected:\n$s")
+  }
+
+  test("a90 reconciliation: one orderkey-partial rollup, one order-key " +
+       "join, one priority rollup — no window, no cartesian") {
+    val s = planString(graft.queries.Analytics
+      .queries("a90_order_reconciliation")(spark, sf))
+    assert(hashExchanges(s) <= 4, s"unexpected extra exchange:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("Window"), s)
+  }
+
+  test("x126 bpe compression: the encode is a scan-side fold (no " +
+       "explode of the stream), one doc_id join, one source rollup") {
+    val s = planString(graft.queries.Extensions
+      .queries("x126_bpe_compression")(spark, sf))
+    assert(hashExchanges(s) <= 4, s"unexpected extra exchange:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x127 minhash calibration: rides the session-cached signature " +
+       "and shingle-set frames; banding-bounded candidates, never " +
+       "all-pairs (no cartesian)") {
+    val s = planString(graft.queries.Extensions
+      .queries("x127_minhash_calibration")(spark, sf))
+    assert(s.contains("InMemoryTableScan"),
+      s"the shared signature/set caches should feed the audit:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("a88 ABC pareto: the parts dim broadcasts into the lineitem " +
        "scan; rank, cumulative, brand totals and the class rollup ride " +
        "the (brand, part) rollup + ONE brand exchange") {

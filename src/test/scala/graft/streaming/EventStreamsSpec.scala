@@ -1287,4 +1287,54 @@ class EventStreamsSpec extends SparkTestBase {
     assert(lastPerKey === batch)
     assert(batch.map(_.getLong(4)) === Seq(3L, 9L, 20L))
   }
+
+  test("st31 gap profile across micro-batches equals the batch fold; " +
+       "equal-time events contribute a zero gap; a single-event user " +
+       "reports null gaps") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),
+      EvJ(2L, t("2024-01-01 00:10:00"), 1L, "click"),
+      EvJ(10L, t("2024-01-01 00:30:00"), 2L, "view"), // lone event
+      // batch 2: a 300 s gap, then a same-µs tie (gap 0)
+      EvJ(3L, t("2024-01-01 00:15:00"), 1L, "click"),
+      EvJ(4L, t("2024-01-01 00:15:00"), 1L, "click"))
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulGapProfile(input.toDF())
+      .writeStream.format("memory").queryName("gaps_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(3))
+      q.processAllAvailable()
+      input.addData(evs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per user (one per batch per active key)
+    val rows = spark.table("gaps_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("n_events"),
+          org.apache.spark.sql.functions.col("n_gaps"),
+          org.apache.spark.sql.functions.col("min_gap_us"),
+          org.apache.spark.sql.functions.col("max_gap_us"),
+          org.apache.spark.sql.functions.col("sum_gap_us"))).as("f"))
+      .select("user_id", "f.n_events", "f.n_gaps", "f.min_gap_us",
+        "f.max_gap_us", "f.sum_gap_us")
+      .orderBy("user_id").collect().toSeq
+    val batch = EventStreams.statefulGapProfile(evs.toDF()).toDF()
+      .orderBy("user_id").collect().toSeq
+    assert(rows === batch)
+    // user 1: gaps 600 s, 300 s, 0 (the tie) → min 0, max 600 s
+    val u1 = batch.head
+    assert((u1.getLong(1), u1.getLong(2)) === (4L, 3L))
+    assert(u1.getLong(3) === 0L)
+    assert(u1.getLong(4) === 600000000L)
+    assert(u1.getLong(5) === 900000000L)
+    // user 2: single event → null gap stats
+    val u2 = batch(1)
+    assert(u2.getLong(1) === 1L && u2.getLong(2) === 0L)
+    assert(u2.isNullAt(3) && u2.isNullAt(4) && u2.isNullAt(5))
+  }
 }
