@@ -1503,6 +1503,14 @@ object EventStreams {
     * profile). In batch each key folds once over full history, so the
     * fold IS the lag-window formulation the oracle replays.
     *
+    * Event-time-ordered delivery per key is the stream ≡ batch
+    * precondition (the [[statefulSessionAssign]] condition): a
+    * cross-batch straggler OLDER than the cursor contributes a
+    * NEGATIVE gap to the stream's profile — it measures the observed
+    * arrival disorder — where the batch sort over full history would
+    * splice it between its event-time neighbors. Best-effort, pinned
+    * as a known divergence in EventStreamsSpec, like st28's.
+    *
     * 100 TB/streaming: ONE user_id shuffle, O(1) state per user,
     * per-batch sort bounded by per-user batch activity (the st28
     * discipline).

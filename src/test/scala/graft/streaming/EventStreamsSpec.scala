@@ -1337,4 +1337,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(u2.getLong(1) === 1L && u2.getLong(2) === 0L)
     assert(u2.isNullAt(3) && u2.isNullAt(4) && u2.isNullAt(5))
   }
+
+  test("st31 KNOWN DIVERGENCE: a cross-batch straggler contributes a " +
+       "NEGATIVE gap (observed arrival disorder), where the batch sort " +
+       "splices it between its event-time neighbors") {
+    implicit val ctx = spark.sqlContext
+    val evs = Seq(
+      EvJ(1L, t("2024-01-01 00:00:00"), 1L, "click"),
+      EvJ(2L, t("2024-01-01 00:10:00"), 1L, "click"),
+      // batch 2: 00:05 straggler — stream sees gap −300 s from the
+      // 00:10 cursor; batch sorts it between 00:00 and 00:10 (gaps
+      // 300 s + 300 s)
+      EvJ(3L, t("2024-01-01 00:05:00"), 1L, "click"))
+    val input = MemoryStream[EvJ]
+    val q = EventStreams.statefulGapProfile(input.toDF())
+      .writeStream.format("memory").queryName("gaps_div_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(evs.take(2))
+      q.processAllAvailable()
+      input.addData(evs.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val s = spark.table("gaps_div_out")
+      .orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+      .collect().head
+    assert((s.getLong(2), s.getLong(3), s.getLong(4)) ===
+      (2L, -300000000L, 600000000L)) // the disorder, measured
+    val b = EventStreams.statefulGapProfile(evs.toDF()).toDF()
+      .collect().head
+    assert((b.getLong(2), b.getLong(3), b.getLong(4)) ===
+      (2L, 300000000L, 300000000L)) // the spliced full-history fold
+  }
 }
