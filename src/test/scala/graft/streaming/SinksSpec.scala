@@ -382,4 +382,146 @@ class SinksSpec extends SparkTestBase {
         "post-GC compaction must retain every pre-GC row")
     } finally q.stop()
   }
+
+  // -------------------------------------------------------------------
+  // Single-compactor discipline: enforced/detected (r15 verdict task 2)
+  // -------------------------------------------------------------------
+
+  private def backdate(path: String, ageMs: Long): Unit =
+    Files.setLastModifiedTime(Paths.get(path),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ageMs))
+
+  test("a LIVE concurrent compactor on the same cut is detected: the " +
+       "newcomer aborts with ConcurrentCompactionException, the view " +
+       "stays readable, and the run converges once the lease is free") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkrace1").toString
+    val (out, cp, tgt, tgtI) = (s"$dir/out", s"$dir/cp", s"$dir/comp", s"$dir/inc")
+    val part = partOf("doc_id")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+    } finally q.stop()
+    val before = viewKey(Sinks.readCommitted(spark, out))
+    // another compactor holds cut 1's lease (fresh file)
+    Files.createDirectories(Paths.get(s"$tgt/_leases"))
+    Files.createFile(Paths.get(s"$tgt/_leases/1"))
+    Files.createDirectories(Paths.get(s"$tgtI/_pleases"))
+    Files.createFile(Paths.get(s"$tgtI/_pleases/1"))
+    intercept[Sinks.ConcurrentCompactionException] {
+      Sinks.compactCommitted(spark, out, tgt, part)
+    }
+    intercept[Sinks.ConcurrentCompactionException] {
+      Sinks.compactIncremental(spark, out, tgtI, part)
+    }
+    // aborting wrote nothing: no manifests, views unchanged
+    assert(Sinks.latestCompaction(spark, tgt) === None)
+    assert(Sinks.incrementalCuts(spark, tgtI) === Seq.empty)
+    assert(viewKey(Sinks.readCompactedView(spark, out, tgt)) === before)
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgtI)) === before)
+    // holder released (deleted) the lease: both converge
+    Files.delete(Paths.get(s"$tgt/_leases/1"))
+    Files.delete(Paths.get(s"$tgtI/_pleases/1"))
+    assert(Sinks.compactCommitted(spark, out, tgt, part) === Some(1L))
+    assert(Sinks.compactIncremental(spark, out, tgtI, part) === Some(1L))
+    assert(viewKey(Sinks.readCompactedView(spark, out, tgt)) === before)
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgtI)) === before)
+    // success releases the lease (no stale residue for the next run)
+    assert(!Files.exists(Paths.get(s"$tgt/_leases/1")))
+    assert(!Files.exists(Paths.get(s"$tgtI/_pleases/1")))
+  }
+
+  test("a STALE lease (crashed holder) is taken over: compaction " +
+       "proceeds and commits") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkrace2").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/inc")
+    val part = partOf("doc_id")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try { input.addData(docsA); q.processAllAvailable() } finally q.stop()
+    Files.createDirectories(Paths.get(s"$tgt/_pleases"))
+    Files.createFile(Paths.get(s"$tgt/_pleases/0"))
+    backdate(s"$tgt/_pleases/0", Sinks.LeaseStaleMs + 60000)
+    assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(0L))
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) ===
+      viewKey(Sinks.readCommitted(spark, out)))
+  }
+
+  test("two compactors interleaved on DIFFERENT cuts converge: the slow " +
+       "one's stale observation commits a lower cut AFTER the fresh one; " +
+       "readers resolve the newest version per partition — no duplicate " +
+       "and no lost rows; GC then sweeps the superseded cut") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkrace3").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/inc")
+    val part = partOf("doc_id")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      input.addData(docsB); q.processAllAvailable()
+      input.addData(docsC); q.processAllAvailable()
+    } finally q.stop()
+    val committed = viewKey(Sinks.readCommitted(spark, out))
+    // Compactor A observed {0,1} (prev none) and stalled; compactor B
+    // observed all three batches and committed cut 2 first.
+    assert(Sinks.compactIncrementalFrom(spark, out, tgt, part,
+      ids = Set(0L, 1L, 2L), prev = None) === Some(2L))
+    // A resumes with its STALE observation and commits cut 1. Its
+    // read-set is pinned as-of ITS prev (none) — it must not read B's
+    // v=2 (which already contains batches 0-1) and double-count.
+    assert(Sinks.compactIncrementalFrom(spark, out, tgt, part,
+      ids = Set(0L, 1L), prev = None) === Some(1L))
+    assert(Sinks.incrementalCuts(spark, tgt) === Seq(1L, 2L))
+    // convergent: every partition resolves at its newest cut (2, which
+    // covers all batches), so the view is exactly the committed rows —
+    // viewKey is a sorted multiset, so duplicates would fail equality
+    assert(Sinks.incrementalVersions(spark, tgt).values.toSet === Set(2L),
+      "the fresher cut must supersede the stale compactor's cut")
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === committed)
+    // the stale cut is wholly superseded: GC folds it away, manifest too
+    val (sub, _) = Sinks.gcIncremental(spark, out, tgt, keepCuts = 1)
+    assert(sub >= 1)
+    assert(Sinks.incrementalCuts(spark, tgt) === Seq(2L))
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === committed)
+  }
+
+  test("GC is lease-aware: a fresh lease suspends the snapshot/pdata " +
+       "sweep (in-flight work is not debris); a stale or completed " +
+       "lease is swept and GC resumes") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkrace4").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/inc")
+    val part = partOf("doc_id")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(0L))
+      input.addData(docsB); q.processAllAvailable()
+      assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(1L))
+    } finally q.stop()
+    val before = viewKey(Sinks.readIncrementalView(spark, out, tgt))
+    // an in-flight compactor: fresh lease + its marker-less version dir
+    Seq(docsA.head).toDF()
+      .withColumn(Sinks.CompactPartCol, org.apache.spark.sql.functions.lit("0"))
+      .write.partitionBy(Sinks.CompactPartCol).parquet(s"$tgt/pdata/v=9")
+    Files.createDirectories(Paths.get(s"$tgt/_pleases"))
+    Files.createFile(Paths.get(s"$tgt/_pleases/9"))
+    assert(Sinks.gcIncremental(spark, out, tgt, keepCuts = 1) === (0, 0),
+      "a fresh lease must suspend the pdata sweep")
+    assert(Files.exists(Paths.get(s"$tgt/pdata/v=9")),
+      "in-flight work must not be swept as debris")
+    // the holder crashed: the lease goes stale → swept, sweep resumes
+    backdate(s"$tgt/_pleases/9", Sinks.LeaseStaleMs + 60000)
+    val (sub, _) = Sinks.gcIncremental(spark, out, tgt, keepCuts = 1)
+    assert(sub >= 1)
+    assert(!Files.exists(Paths.get(s"$tgt/pdata/v=9")))
+    assert(!Files.exists(Paths.get(s"$tgt/_pleases/9")))
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === before)
+  }
 }
