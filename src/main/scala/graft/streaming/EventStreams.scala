@@ -1580,8 +1580,14 @@ object EventStreams {
       .select(col("user_id"),
         when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
         col("event_id"), col("ts"), unix_micros(col("ts")).as("tu"),
-        // exact cents BEFORE the keyed shuffle (codegen'd scan-side)
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        // exact cents BEFORE the keyed shuffle (codegen'd scan-side).
+        // coalesce: the tuple field is a non-nullable Long, so a NULL
+        // value (legal in the events contract, absent in the fixture)
+        // would fail at the encoder instead of producing a row — a
+        // null-valued purchase enriches as 0 cents, mirrored in the
+        // st29 oracle's coalesce (lockstep by construction).
+        coalesce(floor(col("value") * 100 + lit(0.5)).cast("long"),
+          lit(0L)).as("cents"))
       .as[(Long, Int, Long, Timestamp, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new TemporalEnrichProcessor,

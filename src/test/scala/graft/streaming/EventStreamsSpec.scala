@@ -1370,4 +1370,33 @@ class EventStreamsSpec extends SparkTestBase {
     assert((b.getLong(2), b.getLong(3), b.getLong(4)) ===
       (2L, 300000000L, 300000000L)) // the spliced full-history fold
   }
+
+  test("st29: a NULL-valued purchase/click row enriches as 0 cents " +
+       "instead of failing at the non-nullable Long encoder (r15 " +
+       "ADVICE), mirroring the oracle's coalesce") {
+    import org.apache.spark.sql.functions.col
+    // Option[Double] → nullable value column, which EvV cannot carry
+    val evs = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "purchase", None: Option[Double]),
+      (2L, t("2024-01-01 01:00:00"), 1L, "click", Some(0.0)),
+      (3L, t("2024-01-01 02:00:00"), 1L, "purchase", Some(12.34)),
+      (4L, t("2024-01-01 03:00:00"), 1L, "click", None: Option[Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.temporalEnrich(evs).toDF()
+      .orderBy("event_id").collect()
+    assert(out.length === 2)
+    // click 2: enriched by the null-valued purchase 1 → 0 cents
+    assert((out(0).getLong(1), out(0).getLong(3), out(0).getLong(4)) ===
+      (2L, 1L, 0L))
+    // click 4 (itself null-valued — its cents are never read):
+    // enriched by purchase 3 → 1234 cents
+    assert((out(1).getLong(1), out(1).getLong(3), out(1).getLong(4)) ===
+      (4L, 3L, 1234L))
+    assert(out.forall(!_.isNullAt(4)))
+    // and the view/other-type path still ignores value entirely
+    assert(EventStreams.temporalEnrich(
+      Seq((9L, t("2024-01-01 00:00:00"), 1L, "view", None: Option[Double]))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .toDF().filter(col("event_id") === 9L).count() === 0L)
+  }
 }
