@@ -1622,7 +1622,11 @@ object Analytics {
     // ((cum−rev)·20 < tot·19), C beyond. Revenue in e4 units
     // (ten-thousandths of a dollar): price×(1−discount) is exact at
     // scale 4, so ×10000 casts to BIGINT with zero truncation — no
-    // float sum, no rounding rule to match.
+    // float sum, no rounding rule to match. BIGINT headroom bound (the
+    // a90 convention): the boundary products tot·19/cum·20 need
+    // per-BRAND e4 revenue ≤ ~4.6e17 ($46 B/brand) — holds to ~sf1000;
+    // beyond that the boundaries want DECIMAL(38,0) (non-ANSI Spark
+    // would wrap silently while DuckDB promotes to HUGEINT).
     // 100 TB: the (brand, part) rollup partial-aggregates; the parts
     // dim broadcasts into the lineitem scan; rank, cumulative and
     // brand-total windows all ride ONE brand-keyed exchange (the a87
@@ -1664,7 +1668,72 @@ object Analytics {
     // the order key, one priority rollup — no window, no skew risk
     // (orderkey is the uniform key).
     "a90_order_reconciliation" -> ((s, dir) =>
-      orderReconciliation(T.orders(s, dir), T.lineitem(s, dir)))
+      orderReconciliation(T.orders(s, dir), T.lineitem(s, dir))),
+
+    // Supplier revenue concentration per nation (the CR1/CR4 market-
+    // concentration readout a sourcing desk watches): active suppliers
+    // ranked by exact discounted revenue (e4 units, the a88 route)
+    // within their nation; top-1 and top-4 revenue beside the total,
+    // plus CR4 in basis points via truncating integer division (the
+    // x125 div discipline — no float share). BIGINT headroom (the a90
+    // convention): top4_e4·10⁴ needs per-NATION e4 revenue ≤ ~9.2e14
+    // ($92 B/nation) — holds to ~sf1000; beyond, the share wants
+    // DECIMAL.
+    // 100 TB: the per-supplier rollup partial-aggregates on suppkey;
+    // supplier + nation dims broadcast; the rank window and the nation
+    // rollup ride ONE nation-keyed exchange whose partitions are
+    // SUPPLIER-count sized (the a87 discipline). A global rank would
+    // single-partition — the per-nation cut is the scale-legal AND the
+    // actionable readout.
+    "a91_supplier_concentration" -> ((s, dir) =>
+      supplierConcentration(T.lineitem(s, dir),
+        T.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+        T.nation(s, dir).select(col("n_nationkey"), col("n_name")))),
+
+    // Supply redundancy per brand (the single-source-risk histogram):
+    // how many parts have k observed suppliers, k from the distinct
+    // (part, supplier) pairs actually shipped; parts never shipped
+    // report k = 0 (the base is the part dim — the a89 class-0
+    // convention). Pure exact counts.
+    // 100 TB: countDistinct plans the pair-dedup as a MAP-SIDE partial
+    // (repeat shipments of a (part, supplier) pair collapse before the
+    // wire) + a (pk, sk) exchange + the pk count exchange — both keyed
+    // and skew-free (pair cardinality ≤ parts × suppliers-per-part);
+    // the dim join is partkey-keyed and the (brand, k) rollup
+    // partial-aggregates. Output is brands × max-k rows — nothing
+    // corpus-sized.
+    "a92_supplier_redundancy" -> ((s, dir) =>
+      supplierRedundancy(T.lineitem(s, dir),
+        T.part(s, dir).select(col("p_partkey"), col("p_brand")))),
+
+    // Supplier-nation × customer-nation trade matrix (TPC-H Q7
+    // generalized to the full import/export cross): exact e4 revenue
+    // and line counts per directed nation pair, with the domestic flag
+    // computed post-rollup. a03 reads the customer geography only;
+    // this is the BILATERAL readout a trade desk actually plots.
+    // 100 TB: ONE orderkey-keyed big-big join (lineitem ⋈ orders, the
+    // standard co-partitioned shuffle); customer/supplier/nation dims
+    // broadcast (the a03 house call); the matrix rollup
+    // partial-aggregates to ≤ nations² rows. No window anywhere.
+    "a93_trade_matrix" -> ((s, dir) =>
+      tradeMatrix(T.lineitem(s, dir), T.orders(s, dir),
+        T.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        T.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+        T.nation(s, dir).select(col("n_nationkey"), col("n_name")))),
+
+    // Repeat-purchase share per brand (the loyalty/merchandising
+    // readout): a line is a REPEAT when the same (customer, part) pair
+    // shipped before — row_number ≥ 2 over the (shipdate, orderkey,
+    // linenumber) total order within the pair; per brand the line and
+    // exact-e4 revenue split, repeat share in basis points via the
+    // truncating div (the a91 route, same BIGINT headroom note).
+    // 100 TB: the (custkey, partkey) window is FINE-grained (billions
+    // of tiny partitions — never the a87 single-partition hazard); one
+    // orderkey join + one (ck, pk) exchange + the broadcast-dim brand
+    // rollup.
+    "a94_repeat_purchase" -> ((s, dir) =>
+      repeatPurchaseShare(T.lineitem(s, dir), T.orders(s, dir),
+        T.part(s, dir).select(col("p_partkey"), col("p_brand"))))
   )
 
   /** a90's all-integer reconciliation over orders-/lineitem-shaped
@@ -1727,6 +1796,123 @@ object Analytics {
       .groupBy("nk", "c1", "c2")
       .agg(count(lit(1)).as("n_cust"))
       .orderBy("nk", "c1", "c2")
+  }
+
+  /** a91's per-nation supplier concentration over lineitem-/supplier-/
+    * nation-shaped frames — extracted so the rank tiebreak, the CR
+    * prefix sums and the truncating basis-point division are
+    * unit-testable on crafted frames (Round16OpsSpec). See the a91
+    * entry for the scale notes.
+    */
+  private[graft] def supplierConcentration(lineitem: DataFrame,
+                                           supplier: DataFrame,
+                                           nation: DataFrame): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_suppkey").as("sk"))
+      .agg(sum((Exact.dec(col("l_extendedprice")) *
+        (lit(1) - Exact.dec(col("l_discount"))) * 10000).cast("long"))
+        .as("rev_e4"))
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("rev_e4").desc, col("sk"))
+    rev
+      .join(broadcast(supplier), col("sk") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("r", row_number().over(w))
+      // group on the window's partition key too (1:1 with n_name):
+      // hashpartitioning(s_nationkey) satisfies the clustering, so the
+      // rollup rides the window exchange (the a87 subset discipline)
+      .groupBy(col("s_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev_e4")).as("tot_rev_e4"),
+        sum(when(col("r") === 1, col("rev_e4")).otherwise(0L))
+          .as("top1_rev_e4"),
+        sum(when(col("r") <= 4, col("rev_e4")).otherwise(0L))
+          .as("top4_rev_e4"))
+      // greatest guard: an all-zero-revenue nation is impossible on
+      // real money columns but keeps the division total-function
+      .withColumn("cr4_bp", call_function("div",
+        col("top4_rev_e4") * 10000, greatest(col("tot_rev_e4"), lit(1L))))
+      .drop("s_nationkey")
+      .orderBy("n_name")
+  }
+
+  /** a92's suppliers-per-part histogram over lineitem-/part-shaped
+    * frames — extracted so the k = 0 never-shipped convention and the
+    * distinct-pair counting are unit-testable on crafted frames
+    * (Round16OpsSpec). See the a92 entry for the scale notes.
+    */
+  private[graft] def supplierRedundancy(lineitem: DataFrame,
+                                        part: DataFrame): DataFrame = {
+    // countDistinct: the pair-dedup runs as a map-side partial before
+    // the (pk, sk) exchange — repeat shipments never hit the wire
+    val k = lineitem
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .groupBy("pk").agg(countDistinct(col("sk")).as("ks"))
+    part.select(col("p_partkey").as("pk"), col("p_brand"))
+      .join(k, Seq("pk"), "left")
+      .withColumn("n_suppliers", coalesce(col("ks"), lit(0L)))
+      .groupBy(col("p_brand"), col("n_suppliers"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("p_brand", "n_suppliers")
+  }
+
+  /** a93's bilateral trade matrix over lineitem-/orders-/dim-shaped
+    * frames — extracted so the directed-pair semantics and the
+    * domestic flag are unit-testable on crafted frames
+    * (Round16OpsSpec). See the a93 entry for the scale notes.
+    */
+  private[graft] def tradeMatrix(lineitem: DataFrame, orders: DataFrame,
+                                 customer: DataFrame, supplier: DataFrame,
+                                 nation: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      (Exact.dec(col("l_extendedprice")) *
+        (lit(1) - Exact.dec(col("l_discount"))) * 10000).cast("long")
+        .as("rev"))
+    li.join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"),
+        col("c_nationkey").as("cnk"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"),
+        col("s_nationkey").as("snk"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), Seq("snk"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), Seq("cnk"))
+      .groupBy("supp_nation", "cust_nation")
+      .agg(sum(col("rev")).as("rev_e4"), count(lit(1)).as("n_items"))
+      .withColumn("is_domestic", col("supp_nation") === col("cust_nation"))
+      .orderBy("supp_nation", "cust_nation")
+  }
+
+  /** a94's per-brand repeat-purchase split over lineitem-/orders-/part-
+    * shaped frames — extracted so the first-vs-repeat boundary (the
+    * second shipment of a pair is the first REPEAT) and the tiebreak
+    * order are unit-testable on crafted frames (Round16OpsSpec). See
+    * the a94 entry for the scale notes.
+    */
+  private[graft] def repeatPurchaseShare(lineitem: DataFrame,
+                                         orders: DataFrame,
+                                         part: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"),
+      col("l_linenumber"), col("l_shipdate"),
+      (Exact.dec(col("l_extendedprice")) *
+        (lit(1) - Exact.dec(col("l_discount"))) * 10000).cast("long")
+        .as("rev"))
+    val w = Window.partitionBy("o_custkey", "l_partkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("seq", row_number().over(w))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("seq") >= 2, 1L).otherwise(0L)).as("n_repeat_lines"),
+        sum(col("rev")).as("rev_e4"),
+        sum(when(col("seq") >= 2, col("rev")).otherwise(0L))
+          .as("repeat_rev_e4"))
+      .withColumn("repeat_bp", call_function("div",
+        col("repeat_rev_e4") * 10000, greatest(col("rev_e4"), lit(1L))))
+      .orderBy("p_brand")
   }
 
   /** a88's per-brand ABC classification over lineitem-/part-shaped
@@ -2819,6 +3005,88 @@ object Analytics {
            CAST(max(diff_e8) AS BIGINT) AS max_diff_e8,
            CAST(sum(diff_e8) AS BIGINT) AS sum_diff_e8
          FROM j GROUP BY 1 ORDER BY 1""",
+    // a91: per-line e4 cast before the sum (the a88/a90 exactness
+    // route), the same (rev desc, suppkey) rank tiebreak, and the
+    // identical truncating `//` basis-point division (positive
+    // operands, so floor ≡ truncate).
+    "a91_supplier_concentration" ->
+      """WITH rev AS (SELECT l_suppkey AS sk,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+                 AS BIGINT)) AS BIGINT) AS rev_e4
+           FROM lineitem GROUP BY 1),
+         j AS (SELECT n.n_name, rev.sk, rev.rev_e4,
+             row_number() OVER (PARTITION BY s.s_nationkey
+               ORDER BY rev.rev_e4 DESC, rev.sk) AS r
+           FROM rev JOIN supplier s ON rev.sk = s.s_suppkey
+             JOIN nation n ON s.s_nationkey = n.n_nationkey)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(rev_e4) AS BIGINT) AS tot_rev_e4,
+           CAST(sum(CASE WHEN r = 1 THEN rev_e4 ELSE 0 END) AS BIGINT)
+             AS top1_rev_e4,
+           CAST(sum(CASE WHEN r <= 4 THEN rev_e4 ELSE 0 END) AS BIGINT)
+             AS top4_rev_e4,
+           CAST(sum(CASE WHEN r <= 4 THEN rev_e4 ELSE 0 END) * 10000
+             // greatest(sum(rev_e4), 1) AS BIGINT) AS cr4_bp
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    // a92: count(DISTINCT supplier) per part ≡ the Spark pair-distinct
+    // + count; the LEFT JOIN from the part dim carries k = 0.
+    "a92_supplier_redundancy" ->
+      """WITH k AS (SELECT l_partkey AS pk,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ks
+           FROM lineitem GROUP BY 1)
+         SELECT p_brand, CAST(coalesce(k.ks, 0) AS BIGINT) AS n_suppliers,
+           CAST(count(*) AS BIGINT) AS n_parts
+         FROM part LEFT JOIN k ON p_partkey = k.pk
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // a93: per-line e4 cast before the sum (the a88/a90 route); the
+    // domestic flag computed on the grouped pair in the outer select.
+    "a93_trade_matrix" ->
+      """WITH j AS (SELECT sn.n_name AS supp_nation,
+             cn.n_name AS cust_nation,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+               AS BIGINT) AS rev
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey)
+         SELECT supp_nation, cust_nation,
+           CAST(sum(rev) AS BIGINT) AS rev_e4,
+           CAST(count(*) AS BIGINT) AS n_items,
+           supp_nation = cust_nation AS is_domestic
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // a94: the same (shipdate, orderkey, linenumber) total order per
+    // (customer, part) pair and the identical truncating `//` division
+    // (positive operands — floor ≡ truncate).
+    "a94_repeat_purchase" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey, l_linenumber,
+             l_shipdate,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+               AS BIGINT) AS rev
+           FROM lineitem),
+         s AS (SELECT li.*, o.o_custkey,
+             row_number() OVER (PARTITION BY o.o_custkey, li.l_partkey
+               ORDER BY li.l_shipdate, li.l_orderkey, li.l_linenumber)
+               AS seq
+           FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN seq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat_lines,
+           CAST(sum(rev) AS BIGINT) AS rev_e4,
+           CAST(sum(CASE WHEN seq >= 2 THEN rev ELSE 0 END) AS BIGINT)
+             AS repeat_rev_e4,
+           CAST(sum(CASE WHEN seq >= 2 THEN rev ELSE 0 END) * 10000
+             // greatest(sum(rev), 1) AS BIGINT) AS repeat_bp
+         FROM s JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+
     // a80: the CUSUM closed form replayed — per-type totals via a CTE
     // join (same integers as the Spark windows), prefix sums, running
     // min, max statistic + earliest argmax day + alarm-day count.

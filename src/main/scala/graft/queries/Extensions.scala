@@ -964,7 +964,10 @@ object Extensions {
     // readout (no float logs, the x79 length(bin) discipline): tokens
     // ranked by (count desc, token), r50/r90 = how many distinct
     // tokens cover 50% / 90% of the source's token MASS (cum*2 ≥
-    // total, cum*10 ≥ 9·total — pure integer comparisons). A healthy
+    // total, cum*10 ≥ 9·total — pure integer comparisons; BIGINT
+    // headroom: cum·10 needs per-source token mass ≤ ~9.2e17, far
+    // above a 100 TB corpus's ~2e13 tokens — the a90 convention of
+    // stating the bound). A healthy
     // natural-language source has small r50 and a long tail; spam /
     // template / synthetic text shows up as an r90 collapse. top_cnt
     // beside total lets the reader form the head share exactly.
@@ -1051,6 +1054,32 @@ object Extensions {
     // comparisons, no HOF.
     "x127_minhash_calibration" -> ((s, dir) =>
       minhashCalibration(T.documents(s, dir))),
+
+    // Code-vs-prose detection (the training-mix separation filter every
+    // code-aware corpus runs): per source — docs flagged as code by
+    // symbol density (structural chars > 2% of text: count·50 >
+    // n_chars, pure integer comparison) plus the exact char sums the
+    // threshold reads. The synthetic corpus carries no organic code,
+    // so every (doc_id % 6 = 1) doc gets a deterministic code block
+    // appended (a pure integer function of doc_id, replayed verbatim
+    // by the oracle — the x120 injection discipline; positives AND
+    // negatives at every SF).
+    // 100 TB: pure scan-side regex counting inside WholeStageCodegen —
+    // no HOF, no UDF; ONE source-keyed rollup exchange.
+    "x128_code_detect" -> ((s, dir) =>
+      codeDetect(injectStructured(T.documents(s, dir)))),
+
+    // Numeric-junk density (the C4/Gopher numeric filter readout —
+    // tables, serial dumps, sensor logs): per source — docs flagged
+    // numeric-heavy by all-digit-token fraction (> 5%: count·20 >
+    // n_tokens) plus digit-char and token sums. Injection: every
+    // (doc_id % 9 = 4) doc gains a deterministic digit run; doc_id ≡
+    // 13 (mod 18) carries BOTH injections (code symbols and digits
+    // interact — the x120 0-3-kinds discipline).
+    // 100 TB: scan-side split + filter over the token array (bounded
+    // per row), ONE source-keyed rollup exchange.
+    "x129_numeric_density" -> ((s, dir) =>
+      numericDensity(injectStructured(T.documents(s, dir)))),
 
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
     // typo→correction pairs via the deletion-neighborhood equi-join
@@ -2462,9 +2491,17 @@ object Extensions {
       (col("t_a") + col("t_b")).cast("double")
     val da = col("n_a").cast("double") - ea
     val db = col("n_b").cast("double") - eb
+    // Degenerate-slice guard: if one parity slice has zero mass in the
+    // topV cut (t_a or t_b = 0), e = 0 and d = 0 too, so the chi-square
+    // convention is a 0 contribution — but 0/0 is NaN, and Spark's
+    // floor(double)→long maps NaN to 0 while DuckDB keeps NaN, so
+    // unguarded the engines would diverge in value AND sort order.
+    // Mirrored in the x123 oracle's CASE (lockstep by construction).
+    val termA = when(ea === 0d, 0d).otherwise(da * da / ea)
+    val termB = when(eb === 0d, 0d).otherwise(db * db / eb)
     vocab.crossJoin(broadcast(tot))
       .withColumn("chisq_q",
-        floor((da * da / ea + db * db / eb) * grid + lit(0.5)) / grid)
+        floor((termA + termB) * grid + lit(0.5)) / grid)
       .select(col("token"), col("n_a"), col("n_b"), col("chisq_q"))
       .orderBy(col("chisq_q").desc, col("token"))
       .limit(topK)
@@ -2595,6 +2632,88 @@ object Extensions {
 
   /** The SQL side of [[injectPii]] — a CTE named `pii` over
     * `documents`. */
+  /** x128/x129's deterministic structure injection (the synthetic
+    * corpus carries no organic code or digits — the injectPii
+    * discipline): (doc_id % 6 = 1) docs gain a code block, (doc_id %
+    * 9 = 4) docs a digit run; doc_id ≡ 13 (mod 18) carries both. Each
+    * a pure integer function of doc_id, replayed verbatim by
+    * [[structuredInjectCte]].
+    */
+  private[graft] def injectStructured(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(6L)) === 1,
+        concat(lit(" for (i = 0; i < "),
+          pmod(col("doc_id"), lit(64L)).cast("string"),
+          lit("; i++) { x[i] = x[i] + 1; }"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(9L)) === 4,
+        concat(lit(" 12 345 "),
+          pmod(col("doc_id"), lit(1000L)).cast("string"),
+          lit(" 6789 0 42 7 88 901 23456"))).otherwise(lit(""))))
+
+  /** [[injectStructured]] replayed as a DuckDB CTE named `inj`. */
+  private[queries] val structuredInjectCte: String =
+    """inj AS (SELECT doc_id, source, text
+         || CASE WHEN doc_id % 6 = 1 THEN ' for (i = 0; i < '
+              || CAST(doc_id % 64 AS VARCHAR)
+              || '; i++) { x[i] = x[i] + 1; }'
+            ELSE '' END
+         || CASE WHEN doc_id % 9 = 4 THEN ' 12 345 '
+              || CAST(doc_id % 1000 AS VARCHAR)
+              || ' 6789 0 42 7 88 901 23456'
+            ELSE '' END AS text
+       FROM documents)"""
+
+  /** Structural characters whose density flags a doc as code (x128). */
+  private[graft] val CodeSymbolRe = "[{}();=\\[\\]<>]"
+
+  /** x128's per-source code-detection rollup — extracted so the 2%
+    * symbol-density boundary (count·50 > chars, strict) and the regex
+    * char class are unit-testable on crafted frames (Round16OpsSpec).
+    */
+  private[graft] def codeDetect(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col("text")
+    docs.select(col("source"),
+        length(t).cast("long").as("n_chars"),
+        (length(t) - length(regexp_replace(t, CodeSymbolRe, "")))
+          .cast("long").as("n_code_chars"))
+      .withColumn("is_code",
+        (col("n_code_chars") * 50 > col("n_chars")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_code")).as("n_code_docs"),
+        sum(col("n_code_chars")).as("sum_code_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** x129's per-source numeric-density rollup — extracted so the 5%
+    * all-digit-token boundary (count·20 > tokens, strict) and the
+    * full-match token rule ("0;" is not numeric) are unit-testable on
+    * crafted frames (Round16OpsSpec).
+    */
+  private[graft] def numericDensity(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ws = split(lower(col("text")), "\\s+")
+    docs.select(col("source"),
+        size(ws).cast("long").as("n_tokens"),
+        size(filter(ws, w => w.rlike("^[0-9]+$"))).cast("long")
+          .as("n_numeric_tokens"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit_chars"))
+      .withColumn("is_numeric_heavy",
+        (col("n_numeric_tokens") * 20 > col("n_tokens")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_numeric_heavy")).as("n_numeric_docs"),
+        sum(col("n_numeric_tokens")).as("sum_numeric_tokens"),
+        sum(col("n_digit_chars")).as("sum_digit_chars"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("source")
+  }
+
   private[queries] val piiInjectCte: String =
     """pii AS (SELECT doc_id, source, text
          || CASE WHEN doc_id % 7 = 0 THEN ' reach user'
@@ -5019,6 +5138,8 @@ object Extensions {
     // order (t*(a+b)/N, then d²/e + d²/e) before the 2^-20 grid —
     // IEEE arithmetic is deterministic given the same expression tree,
     // so values AND the (chisq_q desc, token) order replay exactly.
+    // The CASE-on-zero-expected mirrors tokenChisq's degenerate-slice
+    // guard (t_a or t_b = 0 ⇒ contribution 0, never 0/0 NaN).
     "x123_token_chisq" ->
       """WITH tok AS (SELECT
              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ina,
@@ -5038,10 +5159,12 @@ object Extensions {
                / CAST(t_a + t_b AS DOUBLE) AS e_b
            FROM v, t)
          SELECT token, n_a, n_b,
-           floor(((CAST(n_a AS DOUBLE) - e_a) * (CAST(n_a AS DOUBLE) - e_a)
-               / e_a
-             + (CAST(n_b AS DOUBLE) - e_b) * (CAST(n_b AS DOUBLE) - e_b)
-               / e_b) * 1048576 + 0.5) / 1048576 AS chisq_q
+           floor(((CASE WHEN e_a = 0 THEN 0 ELSE
+               (CAST(n_a AS DOUBLE) - e_a) * (CAST(n_a AS DOUBLE) - e_a)
+               / e_a END)
+             + (CASE WHEN e_b = 0 THEN 0 ELSE
+               (CAST(n_b AS DOUBLE) - e_b) * (CAST(n_b AS DOUBLE) - e_b)
+               / e_b END)) * 1048576 + 0.5) / 1048576 AS chisq_q
          FROM x ORDER BY chisq_q DESC, token LIMIT 20""",
 
     // x124: the x14 closure machinery (jaccardPairsCtes + closureCtes,
@@ -5123,6 +5246,44 @@ object Extensions {
     // bucket-collision candidates, exact shingle intersections
     // LEFT-joined (a candidate pair can share zero shingles), and the
     // same integer bucket division.
+    // x128: the shared injection CTE + the identical regex char class
+    // and the strict ·50 integer boundary.
+    "x128_code_detect" ->
+      s"""WITH $structuredInjectCte,
+         m AS (SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text,
+               '[{}();=\\[\\]<>]', '', 'g')) AS BIGINT) AS n_code_chars
+           FROM inj)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_code_chars * 50 > n_chars THEN 1 ELSE 0
+             END) AS BIGINT) AS n_code_docs,
+           CAST(sum(n_code_chars) AS BIGINT) AS sum_code_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM m GROUP BY 1 ORDER BY 1""",
+
+    // x129: the shared injection CTE, full-match numeric tokens (the
+    // "0;" negative), and the strict ·20 integer boundary.
+    "x129_numeric_density" ->
+      s"""WITH $structuredInjectCte,
+         m AS (SELECT source,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+               AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               w -> regexp_full_match(w, '[0-9]+'))) AS BIGINT)
+               AS n_numeric_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]',
+               '', 'g')) AS BIGINT) AS n_digit_chars
+           FROM inj)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_numeric_tokens * 20 > n_tokens THEN 1
+             ELSE 0 END) AS BIGINT) AS n_numeric_docs,
+           CAST(sum(n_numeric_tokens) AS BIGINT) AS sum_numeric_tokens,
+           CAST(sum(n_digit_chars) AS BIGINT) AS sum_digit_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM m GROUP BY 1 ORDER BY 1""",
+
     "x127_minhash_calibration" ->
       s"""WITH $minhashSigBandCtes,
          cand AS (

@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, call_function, col, count, greatest, lit, max, min, sum, unix_micros, when}
+import org.apache.spark.sql.functions.{broadcast, call_function, col, count, datediff, lit, greatest, max, min, sha2, sum, to_date, unix_micros, when}
+import org.apache.spark.sql.expressions.Window
 import graft.streaming.{DocStreams, EventStreams}
 import graft.tables.{Tables => T}
 
@@ -339,8 +340,113 @@ object StreamingQ {
     "st31_gap_profile" -> ((s, dir) =>
       EventStreams.statefulGapProfile(T.events(s, dir))
         .toDF()
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Watermark late-drop accounting (the dual of st31: st31 measures
+    // the gaps a lateness budget must cover, this COUNTS what a given
+    // budget would drop) — over the orders-INGEST stream, where the
+    // fixture has real event-time disorder (o_orderdate regresses up
+    // to ~2400 days against o_orderkey arrival order; the events
+    // stream arrives in-order, late count 0 — measured, not assumed).
+    // The frontier is batch-quantized exactly like Spark's watermark:
+    // the watermark a row meets is the max event time of PRIOR
+    // micro-batches (minus the delay), so late = date < frontier of
+    // its arrival batch, dropped at budget D = late by MORE than D
+    // days. Per priority class: arrivals, late, dropped at 7d/30d,
+    // max lateness.
+    // 100 TB: the per-batch max partial-aggregates on the batch key;
+    // the running-max window runs over #BATCHES rows (bounded by
+    // ingest cadence — a year of minutely micro-batches is 526 k rows
+    // — never by data volume); the frontier broadcast-joins back; the
+    // priority rollup partial-aggregates. No corpus-sized window.
+    "st32_watermark_audit" -> ((s, dir) =>
+      watermarkAudit(T.orders(s, dir))),
+
+    // Per-source dedup governance over the STREAMING near-dup state —
+    // x124's audit readout recast on st12's semantics: a doc is
+    // removed-exact when an identical text arrived earlier (stream
+    // arrival order = doc_id, the st12 convention), removed-near when
+    // st12's banded SimHash state flags an earlier partner (identical
+    // docs always collide on every band, so the two removal classes
+    // are disjoint by construction), kept otherwise. Differs from
+    // x124 deliberately: x124 audits the BATCH connected-component
+    // canon (cluster-elected survivors); this audits the streaming
+    // first-seen-wins filter — the two governance readouts a crawl
+    // pipeline publishes side by side.
+    // 100 TB: rides st12's machinery (one fingerprint scan, band-key
+    // candidate join — never all-pairs) + one content-hash rollup
+    // (32-byte keys on the wire) + doc_id-keyed joins + the source
+    // rollup. Stream ≡ batch inherits st12's DocStreamsSpec
+    // certification; the rollup is additive counters.
+    "st33_dedup_audit" -> ((s, dir) =>
+      streamDedupAudit(T.documents(s, dir)))
   )
+
+  /** Arrival micro-batch grain for [[watermarkAudit]]: 1000 order keys
+    * per ingest batch — the fixture-scale stand-in for a micro-batch
+    * id column a real ingest log carries.
+    */
+  private[graft] val IngestBatchKeys = 1000L
+
+  /** st32's batch-quantized watermark audit over an orders-shaped
+    * frame — extracted so the frontier rule (strictly PRIOR batches;
+    * first batch never late) and the budget edges (late at 1 day,
+    * dropped only when strictly beyond the budget) are unit-testable
+    * on crafted frames (Round16OpsSpec).
+    */
+  private[graft] def watermarkAudit(orders: DataFrame): DataFrame = {
+    val o = orders.select(
+      call_function("div", col("o_orderkey"), lit(IngestBatchKeys)).as("b"),
+      to_date(col("o_orderdate")).as("d"),
+      col("o_orderpriority"))
+    val batchMax = o.groupBy("b").agg(max(col("d")).as("bd"))
+    // running max over strictly-prior batches: #batches rows (see the
+    // st32 entry's scale note), so the unpartitioned window is legal
+    val frontier = batchMax.withColumn("front",
+      max(col("bd")).over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    o.join(broadcast(frontier.select("b", "front")), "b")
+      .withColumn("late_days",
+        when(col("front").isNotNull && col("d") < col("front"),
+          datediff(col("front"), col("d")).cast("long")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("late_days").isNotNull, 1L).otherwise(0L))
+          .as("n_late"),
+        sum(when(col("late_days") > 7, 1L).otherwise(0L))
+          .as("n_drop_7d"),
+        sum(when(col("late_days") > 30, 1L).otherwise(0L))
+          .as("n_drop_30d"),
+        max(col("late_days")).as("max_late_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** st33's per-source audit of the streaming dedup decisions —
+    * extracted so the disjoint kept/exact/near convention (exact wins;
+    * identical docs always band-collide so near never double-counts
+    * them) is unit-testable on crafted frames (Round16OpsSpec).
+    */
+  private[graft] def streamDedupAudit(docs: DataFrame): DataFrame = {
+    val flags = DocStreams.nearDupFlags(docs, "text", "doc_id")
+    // content-hash first-copy (the x124 route: 32-byte keys on the
+    // wire, never raw text)
+    val firsts = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    docs.select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+      .join(firsts, "h")
+      .join(flags.select(col("doc_id"), col("is_dup")), "doc_id")
+      .select(col("source"),
+        (col("doc_id") > col("first_id")).cast("long").as("isx"),
+        col("is_dup").cast("long").as("isn"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("isx") === 0 && col("isn") === 0, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(col("isx")).as("n_removed_exact"),
+        sum(when(col("isx") === 0 && col("isn") === 1, 1L).otherwise(0L))
+          .as("n_removed_near"))
+      .orderBy("source")
+  }
 
   val oracle: Map[String, String] = Map(
     // st25: a73's oracle VERBATIM — the stream's trailing-8 ring state
@@ -393,7 +499,8 @@ object StreamingQ {
     "st29_temporal_enrich" ->
       """WITH u AS (
            SELECT user_id, 0 AS side, event_id, ts,
-                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                  CAST(coalesce(floor(value * 100 + 0.5), 0) AS BIGINT)
+                    AS cents
              FROM events WHERE event_type = 'purchase'
            UNION ALL
            SELECT user_id, 1 AS side, event_id, ts,
@@ -616,27 +723,61 @@ object StreamingQ {
          ORDER BY us.user_id""",
     // st12: the x19 banded-candidate machinery (shared simhash CTEs)
     // with the Hamming gate and a per-doc min-earlier-partner reduce —
-    // the relational statement of the keyed-state semantics.
+    // the relational statement of the keyed-state semantics. The CTE
+    // block is [[neardupFlagCtes]], shared verbatim with st33's audit
+    // so the two surfaces cannot drift.
     "st12_stream_neardup" ->
-      s"""WITH ${Extensions.simhashUnsignedSql},
-         banded AS (
-           SELECT doc_id, hu, bb.b AS band,
-             (hu >> CAST(16 * bb.b AS INTEGER)) % 65536 AS key
-           FROM fpu, (SELECT unnest(range(0, 4)) AS b) bb),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-             a.hu AS h1, b.hu AS h2
-           FROM banded a JOIN banded b
-             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         dups AS (
-           SELECT d2 AS doc_id, min(d1) AS dup_of
-           FROM cand
-           WHERE CAST(bit_count(xor(h1, h2)) AS INTEGER) <= 3
-           GROUP BY d2)
-         SELECT f.doc_id, d.dup_of,
-           CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup
-         FROM fpu f LEFT JOIN dups d USING (doc_id)
-         ORDER BY f.doc_id""",
+      s"""WITH $neardupFlagCtes
+         SELECT doc_id, dup_of, is_dup
+         FROM fl ORDER BY doc_id""",
+
+    // st33: st12's flag CTEs VERBATIM (lockstep by construction) + the
+    // x124-style text-partition first-copy window + the disjoint
+    // kept/exact/near rollup per source (exact wins; identical docs
+    // always band-collide, so `near` never double-counts them).
+    "st33_dedup_audit" ->
+      s"""WITH $neardupFlagCtes,
+         ex AS (SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY text) AS first_id
+           FROM documents),
+         j AS (SELECT dd.source,
+             CASE WHEN e.first_id < e.doc_id THEN 1 ELSE 0 END AS isx,
+             fl.is_dup AS isn
+           FROM documents dd JOIN ex e ON dd.doc_id = e.doc_id
+             JOIN fl ON dd.doc_id = fl.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN isx = 0 AND isn = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(sum(isx) AS BIGINT) AS n_removed_exact,
+           CAST(sum(CASE WHEN isx = 0 AND isn = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed_near
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    // st32: the batch-quantized frontier replayed — per-batch maxima,
+    // the strictly-prior running max, the same (late, >7, >30) day
+    // arithmetic on DATEs in both engines.
+    "st32_watermark_audit" ->
+      s"""WITH o AS (SELECT o_orderkey // $IngestBatchKeys AS b,
+             CAST(o_orderdate AS DATE) AS d, o_orderpriority
+           FROM orders),
+         bm AS (SELECT b, max(d) AS bd FROM o GROUP BY 1),
+         f AS (SELECT b, max(bd) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS front
+           FROM bm),
+         j AS (SELECT o.o_orderpriority,
+             CASE WHEN front IS NOT NULL AND d < front
+                  THEN CAST(date_diff('day', d, front) AS BIGINT)
+             END AS late_days
+           FROM o JOIN f USING (b))
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN late_days IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_late,
+           CAST(sum(CASE WHEN late_days > 7 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_drop_7d,
+           CAST(sum(CASE WHEN late_days > 30 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_drop_30d,
+           CAST(max(late_days) AS BIGINT) AS max_late_days
+         FROM j GROUP BY 1 ORDER BY 1""",
     "st11_stream_enrich" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP) AS w_start,
            c.c_mktsegment, e.event_type, CAST(count(*) AS BIGINT) AS n
@@ -779,6 +920,32 @@ object StreamingQ {
          FROM closed WHERE valid_to IS NOT NULL
          ORDER BY user_id, version"""
   )
+
+  /** The st12 near-dup flag machinery as a reusable CTE block ending in
+    * `fl(doc_id, dup_of, is_dup)` — shared verbatim by st12 and st33 so
+    * the streaming dedup semantics and its governance audit cannot
+    * drift (the bpeEncodeCtes discipline).
+    */
+  private lazy val neardupFlagCtes: String =
+    s"""${Extensions.simhashUnsignedSql},
+         banded AS (
+           SELECT doc_id, hu, bb.b AS band,
+             (hu >> CAST(16 * bb.b AS INTEGER)) % 65536 AS key
+           FROM fpu, (SELECT unnest(range(0, 4)) AS b) bb),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.hu AS h1, b.hu AS h2
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         dups AS (
+           SELECT d2 AS doc_id, min(d1) AS dup_of
+           FROM cand
+           WHERE CAST(bit_count(xor(h1, h2)) AS INTEGER) <= 3
+           GROUP BY d2),
+         fl AS (
+           SELECT f.doc_id, d.dup_of,
+             CASE WHEN d.dup_of IS NULL THEN 0 ELSE 1 END AS is_dup
+           FROM fpu f LEFT JOIN dups d USING (doc_id))"""
 
   /** st10's oracle: the a23 HLL arithmetic (murmur3 hashLong CTEs,
     * register max-rank, harmonic estimate) grouped by the st01 window

@@ -1,0 +1,115 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan pins for the round-16 queries: the watermark audit's
+  * frontier must broadcast (never shuffle the fact side) with its
+  * running-max window over the BATCH rollup only, the concentration
+  * readout must ride one nation exchange for window + rollup, the
+  * redundancy histogram must keep its map-side pair-dedup, and the
+  * streaming dedup audit must stay banded (no cartesian).
+  */
+class Round16PlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def hashExchanges(s: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(s).size
+
+  test("st32 watermark audit: the frontier BROADCASTS back to the fact " +
+       "scan (BroadcastHashJoin — the orders side never shuffles for " +
+       "it); the running-max window sits over the per-batch rollup, " +
+       "not the fact table; 2 hash exchanges (batch rollup + priority " +
+       "rollup)") {
+    val s = planString(graft.queries.StreamingQ
+      .queries("st32_watermark_audit")(spark, sf))
+    assert(s.contains("BroadcastHashJoin"),
+      s"frontier should broadcast into the fact scan:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+    assert(hashExchanges(s) === 2,
+      s"expected exactly 2 hash exchanges (batch + priority rollups):\n$s")
+    // the window's input is the b-keyed aggregate — the single
+    // partition it needs holds #batches rows, never the fact table
+    assert("Window .*\n.*Sort".r.findFirstIn(s).isDefined ||
+      s.contains("Window"), s)
+  }
+
+  test("st33 streaming dedup audit: banded candidates (no cartesian, " +
+       "no all-pairs) — every join is band-key, content-hash or doc_id " +
+       "keyed; the rollup is partial+final") {
+    val s = planString(graft.queries.StreamingQ
+      .queries("st33_dedup_audit")(spark, sf))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"an unkeyed join would be the all-pairs smell:\n$s")
+    assert(hashExchanges(s) <= 6, s"unexpected extra exchange:\n$s")
+  }
+
+  test("a91 supplier concentration: supplier + nation dims broadcast; " +
+       "the rank window AND the nation rollup ride ONE nation exchange " +
+       "(subset clustering) on top of the suppkey rollup — 2 hash " +
+       "exchanges total") {
+    val s = planString(graft.queries.Analytics
+      .queries("a91_supplier_concentration")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(s).size === 2,
+      s"both dims should broadcast:\n$s")
+    assert(hashExchanges(s) === 2,
+      s"expected exactly 2 hash exchanges (suppkey rollup + nation " +
+        s"window/rollup):\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("a93 trade matrix: no window anywhere; dims broadcast (5 " +
+       "broadcast joins at this SF); the matrix rollup is the only " +
+       "hash exchange; no cartesian") {
+    val s = planString(graft.queries.Analytics
+      .queries("a93_trade_matrix")(spark, sf))
+    assert(!s.contains("Window"), s"no window expected:\n$s")
+    assert("BroadcastHashJoin".r.findAllIn(s).size === 5,
+      s"all five joins should broadcast at sf0.001:\n$s")
+    assert(hashExchanges(s) === 1,
+      s"the matrix rollup should be the only hash exchange:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("a94 repeat purchase: ONE (custkey, partkey) window exchange — " +
+       "fine-grained keys, never a priority-sized partition — plus the " +
+       "brand rollup; part dim broadcasts; no cartesian") {
+    val s = planString(graft.queries.Analytics
+      .queries("a94_repeat_purchase")(spark, sf))
+    assert(s.contains("Window"), s)
+    assert("Exchange hashpartitioning\\(o_custkey".r.findFirstIn(s)
+      .isDefined, s"window should shuffle on (custkey, partkey):\n$s")
+    assert(hashExchanges(s) <= 2, s"unexpected extra exchange:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x128 code detect / x129 numeric density: pure scan-side " +
+       "counting — ONE source rollup exchange, no join, no HOF-free " +
+       "regression to UDFs") {
+    for (q <- Seq("x128_code_detect", "x129_numeric_density")) {
+      val s = planString(graft.queries.Extensions.queries(q)(spark, sf))
+      assert(hashExchanges(s) === 1,
+        s"$q: the source rollup should be the only hash exchange:\n$s")
+      assert(!s.contains("Join"), s"$q: no join expected:\n$s")
+      assert(!s.toLowerCase.contains("batchevalpython") &&
+        !s.contains("ScalaUDF"), s"$q: no UDF expected:\n$s")
+    }
+  }
+
+  test("a92 supplier redundancy: the pair-dedup is a MAP-SIDE partial " +
+       "before its exchange (repeat shipments never hit the wire); " +
+       "keyed exchanges only, part join off the dim base") {
+    val df = graft.queries.Analytics
+      .queries("a92_supplier_redundancy")(spark, sf)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(hashExchanges(s) <= 4, s"unexpected extra exchange:\n$s")
+    // partial-aggregate BELOW the first exchange = the map-side dedup
+    val firstExchange = s.indexOf("Exchange hashpartitioning")
+    assert(s.indexOf("HashAggregate", firstExchange) > 0, s)
+  }
+}
