@@ -153,6 +153,48 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadAvg()
+    // CONTROL-SET SHIFT (r15 verdict task 1): the median per-query
+    // ratio vs the previous COMMITTED capture over a FIXED control set
+    // of queries untouched for many rounds (the parity family +
+    // a01–a55). This round's window forensics — same-binary captures
+    // spreading 0.80–1.32× p10–p90 — is exactly the host drift this
+    // field carries mechanically: the ledger divides per-query ratios
+    // by it before flagging movers, so a uniform host shift never
+    // reads as per-query code deltas. The previous capture is HEAD's
+    // BENCH_DETAIL.json (at capture time that IS the prior round's
+    // committed artifact; a re-run after committing self-compares to
+    // ~1.0, which is harmless and disclosed by the value itself).
+    val controlSet: String => Boolean = n =>
+      n.matches("^p\\d{2}_.*") || n.matches("^a(0[1-9]|[1-4]\\d|5[0-5])_.*")
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")
+    val prevQueries: Map[String, Double] =
+      try {
+        val p = new ProcessBuilder("git", "-C", repoDir, "show",
+          "HEAD:BENCH_DETAIL.json").redirectErrorStream(false).start()
+        val bytes = p.getInputStream.readAllBytes()
+        if (p.waitFor() != 0) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          val q = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(bytes).get("queries")
+          if (q == null) Map.empty
+          else q.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] control shift: no prev capture (${e.getMessage})")
+        Map.empty
+      }
+    val controlRatios = results.collect {
+      case (n, v) if controlSet(n) && v > 0 &&
+        prevQueries.get(n).exists(_ > 0) => v / prevQueries(n)
+    }.sorted
+    val controlShift: Option[Double] =
+      if (controlRatios.size < 10) None // too few controls to be a signal
+      else Some(controlRatios(controlRatios.size / 2))
+    val controlJson = controlShift
+      .map(v => s""""control_shift":${fmt(v)},"control_n":${controlRatios.size},""")
+      .getOrElse(s""""control_shift":null,"control_n":${controlRatios.size},""")
     // Full per-pass detail goes to a repo file: the driver keeps only the
     // last ~2000 chars of output, so the stdout contract line must stay
     // short or it is truncated mid-JSON and unparseable.
@@ -160,7 +202,7 @@ object Bench {
       .map { case (p, i) => s""""queries_pass${i + 1}":${jsonMap(p.toSeq.sortBy(_._1))}""" }
       .mkString(",")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","passes":${passes.size},"timing":"min","value_cold":${fmt(coldTotal)},"value_warm":${fmt(warmTotal)},"queries_cold":${jsonMap(cold.sortBy(_._1))},"queries_warm":${jsonMap(warm.sortBy(_._1))},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_gate":$loadGate,"load_wait_sec":${waitedStart + waitedMid},"load_gate_exceeded":$gateExceeded,$passJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir","passes":${passes.size},"timing":"min","value_cold":${fmt(coldTotal)},"value_warm":${fmt(warmTotal)},"queries_cold":${jsonMap(cold.sortBy(_._1))},"queries_warm":${jsonMap(warm.sortBy(_._1))},${controlJson}"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"load_gate":$loadGate,"load_wait_sec":${waitedStart + waitedMid},"load_gate_exceeded":$gateExceeded,$passJson}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_DETAIL.json")
     try {
@@ -175,7 +217,7 @@ object Bench {
     // the most expensive subset (cost-ranked, so hot spots are visible),
     // and the full map's location. Kept well under the 2000-char capture.
     val shown = results.sortBy { case (_, v) => -v }.take(45).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"sf":"$sfDir","n_queries":${results.size},"queries_shown":${shown.size},"passes":${passes.size},"timing":"min","value_cold":${fmt(coldTotal)},"value_warm":${fmt(warmTotal)},"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"load_gate":$loadGate,"load_wait_sec":${waitedStart + waitedMid},"load_gate_exceeded":$gateExceeded,"detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"sf":"$sfDir","n_queries":${results.size},"queries_shown":${shown.size},"passes":${passes.size},"timing":"min","value_cold":${fmt(coldTotal)},"value_warm":${fmt(warmTotal)},${controlJson}"load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"load_gate":$loadGate,"load_wait_sec":${waitedStart + waitedMid},"load_gate_exceeded":$gateExceeded,"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

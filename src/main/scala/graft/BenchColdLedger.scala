@@ -45,9 +45,10 @@ object BenchColdLedger {
     val topN = sys.env.getOrElse("SPARK_GRAFT_LEDGER_TOP", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_LEDGER_REPS", "3").toInt
 
-    def queriesMap(path: String): Map[String, Double] = {
-      val root = new ObjectMapper().readTree(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    def rootOf(path: String) = new ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    def queriesMap(root: com.fasterxml.jackson.databind.JsonNode,
+                   path: String): Map[String, Double] = {
       val q = root.get("queries")
       require(q != null, s"$path has no \"queries\" map — pass " +
         "BENCH_DETAIL-shaped captures (the driver's BENCH_rNN.json " +
@@ -56,18 +57,33 @@ object BenchColdLedger {
       q.properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
     }
-    val cur = queriesMap(curPath).filter(_._2 >= 0)
+    val curRoot = rootOf(curPath)
+    val cur = queriesMap(curRoot, curPath).filter(_._2 >= 0)
     val prev = if (prevPath == "-") Map.empty[String, Double]
-      else queriesMap(prevPath).filter(_._2 >= 0)
+      else queriesMap(rootOf(prevPath), prevPath).filter(_._2 >= 0)
+
+    // Host-shift normalization (r15 verdict task 1): the capture's
+    // control_shift field is the median cur/prev ratio over the FIXED
+    // untouched control set (parity + a01–a55, computed in Bench).
+    // Divide every per-query ratio by it before flagging movers, so a
+    // uniform window shift (this host's same-day captures spread
+    // 0.80–1.32× p10–p90) never floods the ledger with false movers.
+    val controlShift: Double = {
+      val n = curRoot.get("control_shift")
+      if (n == null || n.isNull) 1.0 else n.asDouble(1.0)
+    }
+    System.err.println(f"[ledger] control_shift=$controlShift%.3f " +
+      "(per-query ratios normalized by it before mover detection)")
 
     val top = cur.toSeq.sortBy(-_._2).take(topN).map(_._1)
     val movers = prev.keySet.intersect(cur.keySet).toSeq.filter { k =>
-      val (a, b) = (prev(k), cur(k))
+      val (a, b) = (prev(k), cur(k) / controlShift)
       (a.max(b) >= MoveFloorSec) && math.abs(b - a) > MoveFrac * a
     }
     val selected = (top ++ movers.filterNot(top.contains)).distinct.sorted
     System.err.println(s"[ledger] top$topN=${top.sorted.mkString(",")}")
-    System.err.println(s"[ledger] movers(>20%)=${movers.sorted.mkString(",")}")
+    System.err.println(
+      s"[ledger] movers(>20% after shift)=${movers.sorted.mkString(",")}")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -119,7 +135,7 @@ object BenchColdLedger {
       s""""$name":{"cold_reps":[${ts.map(fmt).mkString(",")}],"cold_min":${fmt(ts.min)},"inbench_cur":${cur.get(name).map(fmt).getOrElse("null")},"inbench_prev":$prevS,"why":[${why.map("\"" + _ + "\"").mkString(",")}]}"""
     }.mkString(",")
     val json =
-      s"""{"sf":"$sfDir","cpus":$cpus,"reps":$reps,"top_n":$topN,"move_frac":$MoveFrac,"move_floor_sec":$MoveFloorSec,"cur_detail":"$curPath","prev_detail":"$prevPath","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"load_wait_sec":$waited,"regime":"cache-cleared per rep (TimeQuery cold); bench rows amortize shared caches","queries":{$body}}"""
+      s"""{"sf":"$sfDir","cpus":$cpus,"reps":$reps,"top_n":$topN,"move_frac":$MoveFrac,"move_floor_sec":$MoveFloorSec,"control_shift":${fmt(controlShift)},"cur_detail":"$curPath","prev_detail":"$prevPath","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"load_wait_sec":$waited,"regime":"cache-cleared per rep (TimeQuery cold); bench rows amortize shared caches; mover ratios normalized by control_shift","queries":{$body}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     println(json)
