@@ -481,16 +481,20 @@ object Sinks {
     acquireLease(hfs, lease, leaseStaleMs)
     try {
       val tail = ids.filter(id => prev.forall(id > _)).toSeq.sorted
-      // persistOnce-style single materialization (r15 verdict nit): the
-      // tail is read for the touched-partition distinct AND the union
-      // write — persisted so the new batches are scanned once, not
-      // twice. Bounded by the tail (never history), unpersisted before
-      // return.
+      // The tail is consumed twice (touched-partition distinct + union
+      // write) and is deliberately NOT persisted: the distinct's scan
+      // is COLUMN-PRUNED to the partition expression's inputs (a date
+      // column — a sliver of the bytes), while persist() would
+      // materialize the FULL-width tail into the cache. Measured
+      // (graft.SinkCompactBench, 100 k-row 4-batch tail at sf0.1,
+      // steady state): persisted 1.48 s vs double-read 1.26 s — the
+      // persist costs ~18% MORE at this shape and scales with row
+      // width where the pruned re-read scales with one column. The
+      // "redundant read" is the cheaper half of the pair.
       val fresh = spark.read
         .parquet(tail.map(id => s"$outDir/data/batch_id=$id"): _*)
         .withColumn(CompactPartCol, partition.cast("string"))
-        .persist()
-      try {
+      locally {
         val touched = fresh.select(CompactPartCol).distinct()
           .collect().map(_.getString(0))
         require(!touched.contains(null),
@@ -528,7 +532,7 @@ object Sinks {
           .write.mode("overwrite")
           .partitionBy(CompactPartCol)
           .parquet(s"$targetDir/pdata/v=$cut")
-      } finally fresh.unpersist()
+      }
       hfs.mkdirs(marker.getParent)
       if (!hfs.createNewFile(marker))
         // reachable only through a stale-lease takeover race; content
