@@ -1081,6 +1081,28 @@ object Extensions {
     "x129_numeric_density" -> ((s, dir) =>
       numericDensity(injectStructured(T.documents(s, dir)))),
 
+    // Token-weighted dedup savings per source (x124 counts DOCS; this
+    // weights by TOKENS — the number a training-compute budget actually
+    // reads, since a duplicated 10k-token doc wastes 100× a duplicated
+    // 100-token doc): kept vs saved token mass under the x14-parameter
+    // keep-one canon, savings in basis points via the truncating div.
+    // 100 TB: rides the session-memoized clusterLabels frame (ONE
+    // chain build shared with x14/x44/x59/x124 — InMemoryTableScan);
+    // token counts are scan-side; one doc_id join + one source rollup.
+    "x130_dedup_token_savings" -> ((s, dir) =>
+      dedupTokenSavings(T.documents(s, dir), clusterLabels(s, dir))),
+
+    // Language-ID confidence margin per source (the ambiguity audit
+    // over x07's classifier — low-margin docs are where an n-gram
+    // language filter silently misroutes): margin = best − second-best
+    // stopword hits; und = no hits at all, ambiguous = margin ≤ 1 with
+    // some hits. Pure integer comparisons; the hit arithmetic is
+    // x07's, and the oracle shares its scored CTE verbatim (lockstep).
+    // 100 TB: scan-side token-array filters (bounded per row), ONE
+    // source-keyed rollup exchange, no join.
+    "x131_langid_margin" -> ((s, dir) =>
+      langMargin(T.documents(s, dir))),
+
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
     // typo→correction pairs via the deletion-neighborhood equi-join
     // over the VOCABULARY — never an all-pairs or corpus-sized string
@@ -2537,6 +2559,60 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** x130's token-weighted dedup savings over a docs frame and a
+    * (doc_id, canonical_id) component-label frame — extracted so the
+    * kept/saved token split and the truncating basis-point division
+    * are unit-testable on crafted frames (Round16OpsSpec). See the
+    * x130 entry for the scale notes.
+    */
+  private[graft] def dedupTokenSavings(docs: org.apache.spark.sql.DataFrame,
+                                       canon: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .join(canon, "doc_id")
+      .select(col("source"), col("n_tokens"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("kept") === 1, col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("kept") === 0, col("n_tokens")).otherwise(0L))
+          .as("saved_tokens"))
+      .withColumn("saved_bp", call_function("div",
+        col("saved_tokens") * 10000, greatest(col("sum_tokens"), lit(1L))))
+      .orderBy("source")
+
+  /** x131's per-source language-margin rollup over x07's classifier —
+    * extracted so the margin rule (best − second via the sorted hit
+    * array), the und/ambiguous split and the strict ≤ 1 boundary are
+    * unit-testable on crafted frames (Round16OpsSpec).
+    */
+  private[graft] def langMargin(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = graft.operators.TextAnalysis.langId(docs, "text")
+    val arr = sort_array(array(col("en_hits"), col("de_hits"),
+      col("es_hits"), col("fr_hits")), asc = false)
+    scored
+      .withColumn("best", element_at(arr, 1))
+      .withColumn("margin", (element_at(arr, 1) - element_at(arr, 2))
+        .cast("long"))
+      .withColumn("cls",
+        when(col("best") === 0, lit("und"))
+          .when(col("margin") <= 1, lit("ambiguous"))
+          .otherwise(lit("confident")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls") === "und", 1L).otherwise(0L)).as("n_und"),
+        sum(when(col("cls") === "ambiguous", 1L).otherwise(0L))
+          .as("n_ambiguous"),
+        sum(when(col("cls") === "confident", 1L).otherwise(0L))
+          .as("n_confident"),
+        sum(col("margin")).as("sum_margin"))
+      .orderBy("source")
+  }
+
   /** x125's per-source Spearman ρ between token count and distinct
     * token count — extracted so the row_number-tiebreak rank
     * convention, the single-doc den fence, and the exact integer ρ_q
@@ -2713,6 +2789,23 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("source")
   }
+
+  /** x07's language scoring as a reusable CTE block ending in
+    * `scored(doc_id, lang, source, en/de/es/fr_hits)` — shared
+    * verbatim by x07 and x131 so the hit arithmetic cannot drift (the
+    * neardupFlagCtes discipline).
+    */
+  private[queries] val langScoredCtes: String =
+    """w AS (
+           SELECT doc_id, lang, source,
+             regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+         scored AS (
+           SELECT doc_id, lang, source,
+             CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS INTEGER) AS en_hits,
+             CAST(len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS INTEGER) AS de_hits,
+             CAST(len(list_filter(ws, t -> list_contains(['el','la','de','y','es','un'], t))) AS INTEGER) AS es_hits,
+             CAST(len(list_filter(ws, t -> list_contains(['le','la','de','et','est','un'], t))) AS INTEGER) AS fr_hits
+           FROM w)"""
 
   private[queries] val piiInjectCte: String =
     """pii AS (SELECT doc_id, source, text
@@ -5246,6 +5339,29 @@ object Extensions {
     // bucket-collision candidates, exact shingle intersections
     // LEFT-joined (a candidate pair can share zero shingles), and the
     // same integer bucket division.
+    // x130: the x14 closure machinery (jaccardPairsCtes + closureCtes,
+    // shared so the chain cannot drift — the x124 route) + scan-side
+    // token counts + the kept/saved split and truncating division.
+    "x130_dedup_token_savings" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         $closureCtes,
+         canon AS (
+           SELECT d.doc_id, d.source,
+             CAST(len(regexp_split_to_array(lower(d.text), '\\s+'))
+               AS BIGINT) AS n_tokens,
+             $canonicalIdExpr AS canonical_id
+           FROM documents d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(CASE WHEN doc_id = canonical_id THEN n_tokens
+             ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN doc_id = canonical_id THEN 0
+             ELSE n_tokens END) AS BIGINT) AS saved_tokens,
+           CAST(sum(CASE WHEN doc_id = canonical_id THEN 0
+             ELSE n_tokens END) * 10000
+             // greatest(sum(n_tokens), 1) AS BIGINT) AS saved_bp
+         FROM canon GROUP BY 1 ORDER BY 1""",
+
     // x128: the shared injection CTE + the identical regex char class
     // and the strict ·50 integer boundary.
     "x128_code_detect" ->
@@ -5795,16 +5911,10 @@ object Extensions {
                ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // x07: the scored CTE is [[langScoredCtes]], shared verbatim with
+    // x131's margin audit so the hit arithmetic cannot drift.
     "x07_lang_id" ->
-      """WITH w AS (
-           SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
-         scored AS (
-           SELECT doc_id, lang,
-             CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS INTEGER) AS en_hits,
-             CAST(len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS INTEGER) AS de_hits,
-             CAST(len(list_filter(ws, t -> list_contains(['el','la','de','y','es','un'], t))) AS INTEGER) AS es_hits,
-             CAST(len(list_filter(ws, t -> list_contains(['le','la','de','et','est','un'], t))) AS INTEGER) AS fr_hits
-           FROM w)
+      s"""WITH $langScoredCtes
          SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
            CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
                 WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
@@ -5812,6 +5922,28 @@ object Extensions {
                 WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
                 ELSE 'fr' END AS pred_lang
          FROM scored ORDER BY doc_id""",
+
+    // x131: x07's scored CTE VERBATIM + the sorted-hit-list margin and
+    // the strict ≤ 1 ambiguity boundary (pure integers both engines).
+    "x131_langid_margin" ->
+      s"""WITH $langScoredCtes,
+         m AS (SELECT source,
+             (list_sort([en_hits, de_hits, es_hits, fr_hits],
+               'DESC'))[1] AS best,
+             CAST((list_sort([en_hits, de_hits, es_hits, fr_hits],
+               'DESC'))[1]
+               - (list_sort([en_hits, de_hits, es_hits, fr_hits],
+               'DESC'))[2] AS BIGINT) AS margin
+           FROM scored)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN best = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_und,
+           CAST(sum(CASE WHEN best > 0 AND margin <= 1 THEN 1 ELSE 0
+             END) AS BIGINT) AS n_ambiguous,
+           CAST(sum(CASE WHEN best > 0 AND margin > 1 THEN 1 ELSE 0
+             END) AS BIGINT) AS n_confident,
+           CAST(sum(margin) AS BIGINT) AS sum_margin
+         FROM m GROUP BY 1 ORDER BY 1""",
     "x08_text_quality" ->
       """WITH w AS (
            SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),

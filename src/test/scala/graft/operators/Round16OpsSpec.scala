@@ -260,6 +260,53 @@ class Round16OpsSpec extends SparkTestBase {
       "fixture must exercise the both-injections overlap")
   }
 
+  test("dedupTokenSavings: kept/saved token masses split on the canon " +
+       "identity and the basis-point division truncates") {
+    val docs = Seq(
+      (1L, "a b c", "s1"),   // canonical → kept, 3 tokens
+      (2L, "a b", "s1"),     // removed → saved, 2 tokens
+      (3L, "x", "s2"))       // canonical → kept
+      .toDF("doc_id", "text", "source")
+    val canon = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "canonical_id")
+    val out = graft.queries.Extensions.dedupTokenSavings(docs, canon)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // s1: 5 tokens, 3 kept, 2 saved → 2·10000/5 = 4000 bp exactly
+    assert(out("s1") === (2L, 5L, 3L, 2L, 4000L))
+    assert(out("s2") === (1L, 1L, 1L, 0L, 0L))
+    // truncation: 1 of 3 tokens saved → 3333 bp, never 3334
+    val docs2 = Seq((1L, "a b", "s"), (2L, "c", "s"))
+      .toDF("doc_id", "text", "source")
+    val canon2 = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_id")
+    assert(graft.queries.Extensions.dedupTokenSavings(docs2, canon2)
+      .collect().head.getLong(5) === 3333L)
+  }
+
+  test("langMargin: margin = best − second over the sorted hit array; " +
+       "margin ≤ 1 is ambiguous (strict boundary: margin 2 is " +
+       "confident), no hits at all is und") {
+    val docs = Seq(
+      (1L, "the of and", "s1"),      // en 3, rest 0 → margin 3, confident
+      (2L, "the the der", "s1"),     // en 2, de 1 → margin 1, ambiguous
+      (3L, "the the der zz", "s1"),  // same hits → still ambiguous
+      (4L, "la de", "s2"),           // es 2, fr 2 tie → margin 0, ambiguous
+      (5L, "zz qq", "s2"),           // no hits → und (margin 0)
+      (6L, "the of der", "s2"))      // en 2, de 1 → margin 1, ambiguous
+      .toDF("doc_id", "text", "source")
+    val out = graft.queries.Extensions.langMargin(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("s1") === (3L, 0L, 2L, 1L, 5L))
+    assert(out("s2") === (3L, 1L, 2L, 0L, 1L))
+    // the margin-2 boundary: en 3 de 1 → confident
+    val b = graft.queries.Extensions.langMargin(
+      Seq((7L, "the of and der", "s3")).toDF("doc_id", "text", "source"))
+      .collect().head
+    assert((b.getLong(4), b.getLong(5)) === (1L, 2L),
+      "margin 2 must be confident, not ambiguous")
+  }
+
   test("supplierRedundancy: k counts DISTINCT suppliers (repeat " +
        "shipments collapse); never-shipped parts report k = 0 off the " +
        "part-dim base") {

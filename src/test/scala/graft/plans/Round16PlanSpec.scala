@@ -100,6 +100,26 @@ class Round16PlanSpec extends SparkTestBase {
     }
   }
 
+  test("x130 dedup token savings: rides the session-memoized cluster-" +
+       "label cache (InMemoryTableScan); scan-side token counts; no " +
+       "cartesian") {
+    val s = planString(graft.queries.Extensions
+      .queries("x130_dedup_token_savings")(spark, sf))
+    assert(s.contains("InMemoryTableScan"),
+      s"the shared clusterLabels cache should feed the rollup:\n$s")
+    assert(hashExchanges(s) <= 3, s"unexpected extra exchange:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("x131 langid margin: pure scan-side hit counting — ONE source " +
+       "rollup exchange, no join") {
+    val s = planString(graft.queries.Extensions
+      .queries("x131_langid_margin")(spark, sf))
+    assert(hashExchanges(s) === 1,
+      s"the source rollup should be the only hash exchange:\n$s")
+    assert(!s.contains("Join"), s"no join expected:\n$s")
+  }
+
   test("a92 supplier redundancy: the pair-dedup is a MAP-SIDE partial " +
        "before its exchange (repeat shipments never hit the wire); " +
        "keyed exchanges only, part join off the dim base") {
