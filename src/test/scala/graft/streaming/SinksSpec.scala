@@ -490,6 +490,51 @@ class SinksSpec extends SparkTestBase {
     assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === committed)
   }
 
+  test("a REAL two-thread race: gcIncremental runs WHILE a compactor " +
+       "thread holds the lease mid-write — GC skips the in-flight " +
+       "version, the compaction commits, and the view converges") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("sinkrace5").toString
+    val (out, cp, tgt) = (s"$dir/out", s"$dir/cp", s"$dir/inc")
+    val part = partOf("doc_id")
+    val input = MemoryStream[Doc]
+    val q = startQuery(input, out, cp)
+    try {
+      input.addData(docsA); q.processAllAvailable()
+      assert(Sinks.compactIncremental(spark, out, tgt, part) === Some(0L))
+      input.addData(docsB); q.processAllAvailable()
+      input.addData(docsC); q.processAllAvailable()
+    } finally q.stop()
+    val committed = viewKey(Sinks.readCommitted(spark, out))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val compactor = Future {
+      Sinks.compactIncremental(spark, out, tgt, part)
+    }
+    // wait until the compactor thread actually holds cut 2's lease,
+    // then GC repeatedly DURING its write window
+    val lease = Paths.get(s"$tgt/_pleases/2")
+    var spins = 0
+    while (!Files.exists(lease) && !compactor.isCompleted && spins < 600) {
+      Thread.sleep(10); spins += 1
+    }
+    var gcRuns = 0
+    while (!compactor.isCompleted) {
+      Sinks.gcIncremental(spark, out, tgt, keepCuts = 1)
+      gcRuns += 1
+    }
+    assert(Await.result(compactor, 60.seconds) === Some(2L),
+      "the compaction must commit despite concurrent GC")
+    assert(gcRuns >= 1, "GC must actually have raced the compactor")
+    assert(Sinks.incrementalCuts(spark, tgt).contains(2L))
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === committed,
+      "the converged view must be exactly the committed rows")
+    // a final GC after the race still leaves a complete view
+    Sinks.gcIncremental(spark, out, tgt, keepCuts = 1)
+    assert(viewKey(Sinks.readIncrementalView(spark, out, tgt)) === committed)
+  }
+
   test("GC is lease-aware: a fresh lease suspends the snapshot/pdata " +
        "sweep (in-flight work is not debris); a stale or completed " +
        "lease is swept and GC resumes") {
