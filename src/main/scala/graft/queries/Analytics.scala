@@ -1733,7 +1733,25 @@ object Analytics {
     // rollup.
     "a94_repeat_purchase" -> ((s, dir) =>
       repeatPurchaseShare(T.lineitem(s, dir), T.orders(s, dir),
-        T.part(s, dir).select(col("p_partkey"), col("p_brand"))))
+        T.part(s, dir).select(col("p_partkey"), col("p_brand")))),
+
+    // Net trade position per nation (the balance readout a93's matrix
+    // implies but a desk reads directly): CROSS-border flows only —
+    // exports = revenue supplied TO foreign customers, imports =
+    // revenue bought FROM foreign suppliers, balance = the exact e4
+    // difference; a one-sided trader reports 0 on the other side.
+    // Shares a93's joined frame by construction (one join tree, two
+    // readouts — lockstep).
+    // 100 TB: ONE pass — each cross-border line explodes into its two
+    // flow rows scan-side and a single nation rollup carries all four
+    // cells (two per-flow rollups would recompute the five-way join
+    // per branch — 2× the dominant cost, measured and rejected); the
+    // same single big-big orderkey join as a93; no window.
+    "a95_trade_balance" -> ((s, dir) =>
+      tradeBalance(T.lineitem(s, dir), T.orders(s, dir),
+        T.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        T.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+        T.nation(s, dir).select(col("n_nationkey"), col("n_name"))))
   )
 
   /** a90's all-integer reconciliation over orders-/lineitem-shaped
@@ -1861,9 +1879,13 @@ object Analytics {
     * domestic flag are unit-testable on crafted frames
     * (Round16OpsSpec). See the a93 entry for the scale notes.
     */
-  private[graft] def tradeMatrix(lineitem: DataFrame, orders: DataFrame,
-                                 customer: DataFrame, supplier: DataFrame,
-                                 nation: DataFrame): DataFrame = {
+  /** The a93/a95 shared joined frame: one row per line with
+    * (supp_nation, cust_nation, rev) — factored so the matrix and the
+    * balance read the SAME join tree (lockstep by construction).
+    */
+  private def tradeJoined(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame,
+                          nation: DataFrame): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
       (Exact.dec(col("l_extendedprice")) *
         (lit(1) - Exact.dec(col("l_discount"))) * 10000).cast("long")
@@ -1878,10 +1900,52 @@ object Analytics {
         col("n_name").as("supp_nation"))), Seq("snk"))
       .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
         col("n_name").as("cust_nation"))), Seq("cnk"))
+  }
+
+  private[graft] def tradeMatrix(lineitem: DataFrame, orders: DataFrame,
+                                 customer: DataFrame, supplier: DataFrame,
+                                 nation: DataFrame): DataFrame =
+    tradeJoined(lineitem, orders, customer, supplier, nation)
       .groupBy("supp_nation", "cust_nation")
       .agg(sum(col("rev")).as("rev_e4"), count(lit(1)).as("n_items"))
       .withColumn("is_domestic", col("supp_nation") === col("cust_nation"))
       .orderBy("supp_nation", "cust_nation")
+
+  /** a95's per-nation net trade position over the SAME joined frame as
+    * a93 (domestic flows excluded on both sides by construction) —
+    * extracted so the export/import split, the one-sided-trader zeros
+    * and the balance sign are unit-testable on crafted frames
+    * (Round16OpsSpec). See the a95 entry for the scale notes.
+    */
+  private[graft] def tradeBalance(lineitem: DataFrame, orders: DataFrame,
+                                  customer: DataFrame, supplier: DataFrame,
+                                  nation: DataFrame): DataFrame = {
+    // ONE pass over the joined frame: each cross-border line explodes
+    // into its two flow rows scan-side (export at the supplier nation,
+    // import at the customer nation) and one nation rollup carries all
+    // four cells — two separate flow rollups would recompute the
+    // five-way join per branch (measured 2× the dominant cost). A
+    // nation with one-sided trade naturally reports 0 on the other
+    // side; a nation with no cross-border trade at all has no row
+    // (the FULL-join-with-coalesce semantics, without the join).
+    tradeJoined(lineitem, orders, customer, supplier, nation)
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .select(explode(array(
+        struct(col("supp_nation").as("nation"), lit(1L).as("is_ex"),
+          col("rev")),
+        struct(col("cust_nation").as("nation"), lit(0L).as("is_ex"),
+          col("rev")))).as("f"))
+      .select(col("f.nation").as("nation"), col("f.is_ex").as("is_ex"),
+        col("f.rev").as("rev"))
+      .groupBy("nation")
+      .agg(sum(when(col("is_ex") === 1, col("rev")).otherwise(0L))
+          .as("export_e4"),
+        sum(when(col("is_ex") === 0, col("rev")).otherwise(0L))
+          .as("import_e4"),
+        sum(col("is_ex")).as("n_export_lines"),
+        sum(lit(1L) - col("is_ex")).as("n_import_lines"))
+      .withColumn("balance_e4", col("export_e4") - col("import_e4"))
+      .orderBy("nation")
   }
 
   /** a94's per-brand repeat-purchase split over lineitem-/orders-/part-
@@ -3086,6 +3150,35 @@ object Analytics {
              // greatest(sum(rev), 1) AS BIGINT) AS repeat_bp
          FROM s JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY 1""",
+
+    // a95: the same five-join tree as a93, cross-border filter, the
+    // UNION ALL dual of the Spark side's explode-to-flows, one rollup.
+    "a95_trade_balance" ->
+      """WITH j AS (SELECT sn.n_name AS supp_nation,
+             cn.n_name AS cust_nation,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000
+               AS BIGINT) AS rev
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           WHERE sn.n_name <> cn.n_name),
+         f AS (SELECT supp_nation AS nation, 1 AS is_ex, rev FROM j
+           UNION ALL SELECT cust_nation, 0, rev FROM j)
+         SELECT nation,
+           CAST(sum(CASE WHEN is_ex = 1 THEN rev ELSE 0 END) AS BIGINT)
+             AS export_e4,
+           CAST(sum(CASE WHEN is_ex = 0 THEN rev ELSE 0 END) AS BIGINT)
+             AS import_e4,
+           CAST(sum(is_ex) AS BIGINT) AS n_export_lines,
+           CAST(sum(1 - is_ex) AS BIGINT) AS n_import_lines,
+           CAST(sum(CASE WHEN is_ex = 1 THEN rev ELSE 0 END)
+             - sum(CASE WHEN is_ex = 0 THEN rev ELSE 0 END) AS BIGINT)
+             AS balance_e4
+         FROM f GROUP BY 1 ORDER BY 1""",
 
     // a80: the CUSUM closed form replayed — per-type totals via a CTE
     // join (same integers as the Spark windows), prefix sums, running

@@ -1103,6 +1103,20 @@ object Extensions {
     "x131_langid_margin" -> ((s, dir) =>
       langMargin(T.documents(s, dir))),
 
+    // Dedup survivorship bias (the governance cross-tab after x124/
+    // x130: is the keep-one canon systematically discarding GOOD
+    // documents?): per source, the kept/removed × quality-gate 2×2
+    // cell counts, quality_ok being x08's exact composite (token-count
+    // band + punct-ratio threshold — the single-division determinism
+    // x08 already certifies). A removed_ok-heavy source means its
+    // duplicates were quality content worth one retained copy — the
+    // mix designer's signal to re-weight, not just drop.
+    // 100 TB: quality flags are scan-side; rides the session-memoized
+    // clusterLabels frame (InMemoryTableScan — the x130 route); one
+    // doc_id join + one source rollup.
+    "x132_dedup_quality_bias" -> ((s, dir) =>
+      dedupQualityBias(T.documents(s, dir), clusterLabels(s, dir))),
+
     // SymSpell typo mining (TextAnalysis.typoPairs): edit-distance-1
     // typo→correction pairs via the deletion-neighborhood equi-join
     // over the VOCABULARY — never an all-pairs or corpus-sized string
@@ -2613,6 +2627,34 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** x132's per-source survivorship cross-tab over a docs frame and a
+    * (doc_id, canonical_id) component-label frame — extracted so the
+    * 2×2 cell accounting (kept/removed × ok/low) is unit-testable on
+    * crafted frames (Round16OpsSpec). Quality is x08's composite via
+    * [[graft.operators.TextAnalysis.qualityScore]] — one flag
+    * implementation on the Spark side, one CTE template on the oracle
+    * side (lockstep by construction on both).
+    */
+  private[graft] def dedupQualityBias(docs: org.apache.spark.sql.DataFrame,
+                                      canon: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.TextAnalysis.qualityScore(docs, "text")
+      .select(col("doc_id"), col("source"), col("quality_ok"))
+      .join(canon, "doc_id")
+      .select(col("source"), col("quality_ok"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept") === 1 && col("quality_ok") === 1, 1L)
+          .otherwise(0L)).as("kept_ok"),
+        sum(when(col("kept") === 1 && col("quality_ok") === 0, 1L)
+          .otherwise(0L)).as("kept_low"),
+        sum(when(col("kept") === 0 && col("quality_ok") === 1, 1L)
+          .otherwise(0L)).as("removed_ok"),
+        sum(when(col("kept") === 0 && col("quality_ok") === 0, 1L)
+          .otherwise(0L)).as("removed_low"))
+      .orderBy("source")
+
   /** x125's per-source Spearman ρ between token count and distinct
     * token count — extracted so the row_number-tiebreak rank
     * convention, the single-doc den fence, and the exact integer ρ_q
@@ -2789,6 +2831,32 @@ object Extensions {
         sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("source")
   }
+
+  /** x08's quality metrics as a PREFIXABLE CTE template ending in
+    * `<p>m(doc_id, n_tokens, mean_token_len, punct_ratio,
+    * stopword_ratio)` — instantiated with "" by x08 and with "q" by
+    * x132 (whose oracle also mounts the closure CTEs, which own the
+    * bare `w` name). One template ⇒ the quality arithmetic cannot
+    * drift between consumers.
+    */
+  private[queries] def qualityMetricCtes(p: String): String =
+    s"""${p}w AS (
+           SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+         ${p}m AS (
+           SELECT doc_id,
+             CAST(len(ws) AS INTEGER) AS n_tokens,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(ws) AS mean_token_len,
+             CASE WHEN length(text) = 0 THEN NULL
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_ratio,
+             CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
+               / len(ws) AS stopword_ratio
+           FROM ${p}w)"""
+
+  /** x08/x132's quality gate over a [[qualityMetricCtes]] `<p>m` row. */
+  private[queries] val qualityOkExpr: String =
+    """CASE WHEN n_tokens BETWEEN 10 AND 100000 AND punct_ratio < 0.3
+                THEN 1 ELSE 0 END"""
 
   /** x07's language scoring as a reusable CTE block ending in
     * `scored(doc_id, lang, source, en/de/es/fr_hits)` — shared
@@ -5362,6 +5430,34 @@ object Extensions {
              // greatest(sum(n_tokens), 1) AS BIGINT) AS saved_bp
          FROM canon GROUP BY 1 ORDER BY 1""",
 
+    // x132: the x14 closure machinery (x124/x130 lockstep) + the
+    // shared quality template instantiated with the "q" prefix (the
+    // closure CTEs own the bare `w` name) + the 2×2 rollup.
+    "x132_dedup_quality_bias" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         $closureCtes,
+         canon AS (
+           SELECT d.doc_id, d.source,
+             $canonicalIdExpr AS canonical_id
+           FROM documents d),
+         ${qualityMetricCtes("q")},
+         qf AS (SELECT doc_id, $qualityOkExpr AS quality_ok FROM qm)
+         SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.doc_id = c.canonical_id
+             AND q.quality_ok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_ok,
+           CAST(sum(CASE WHEN c.doc_id = c.canonical_id
+             AND q.quality_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_low,
+           CAST(sum(CASE WHEN c.doc_id <> c.canonical_id
+             AND q.quality_ok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS removed_ok,
+           CAST(sum(CASE WHEN c.doc_id <> c.canonical_id
+             AND q.quality_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS removed_low
+         FROM canon c JOIN qf q ON c.doc_id = q.doc_id
+         GROUP BY 1 ORDER BY 1""",
+
     // x128: the shared injection CTE + the identical regex char class
     // and the strict ·50 integer boundary.
     "x128_code_detect" ->
@@ -5944,22 +6040,12 @@ object Extensions {
              END) AS BIGINT) AS n_confident,
            CAST(sum(margin) AS BIGINT) AS sum_margin
          FROM m GROUP BY 1 ORDER BY 1""",
+    // x08: the metric CTEs are the shared [[qualityMetricCtes]]
+    // template (x132 lockstep — see its entry).
     "x08_text_quality" ->
-      """WITH w AS (
-           SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
-         m AS (
-           SELECT doc_id,
-             CAST(len(ws) AS INTEGER) AS n_tokens,
-             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(ws) AS mean_token_len,
-             CASE WHEN length(text) = 0 THEN NULL
-                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-                       / length(text) END AS punct_ratio,
-             CAST(len(list_filter(ws, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS DOUBLE)
-               / len(ws) AS stopword_ratio
-           FROM w)
+      s"""WITH ${qualityMetricCtes("")}
          SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
-           CASE WHEN n_tokens BETWEEN 10 AND 100000 AND punct_ratio < 0.3
-                THEN 1 ELSE 0 END AS quality_ok
+           $qualityOkExpr AS quality_ok
          FROM m ORDER BY doc_id""",
     "x09_token_counts" ->
       """SELECT doc_id,

@@ -307,6 +307,55 @@ class Round16OpsSpec extends SparkTestBase {
       "margin 2 must be confident, not ambiguous")
   }
 
+  test("dedupQualityBias: the 2×2 cells are disjoint, exhaustive, and " +
+       "split on the canon identity × the x08 quality gate (a short " +
+       "doc fails the 10-token band)") {
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, good, "s1"),          // kept + ok (12 tokens, no punct)
+      (2L, good, "s1"),          // removed + ok
+      (3L, "too short", "s1"),   // kept (own cluster) + low (2 tokens)
+      (4L, good + " x", "s2"))   // kept + ok
+      .toDF("doc_id", "text", "source")
+    val canon = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "canonical_id")
+    val out = graft.queries.Extensions.dedupQualityBias(docs, canon)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("s1") === (3L, 1L, 1L, 1L, 0L))
+    assert(out("s2") === (1L, 1L, 0L, 0L, 0L))
+    out.values.foreach { case (n, a, b, c, d) => assert(a + b + c + d === n) }
+  }
+
+  test("tradeBalance: cross-border flows only (domestic excluded from " +
+       "BOTH sides), never-trading sides coalesce to 0, balance sign " +
+       "is export minus import") {
+    val li = Seq(
+      (100L, 10L, 10.0, 0.0),  // N1 supp → N2 cust: N1 exports 100000
+      (200L, 10L, 7.0, 0.0),   // N1 supp → N1 cust: DOMESTIC — excluded
+      (300L, 20L, 4.0, 0.0))   // N2 supp → N1 cust: N1 imports 40000
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Seq((100L, 2L), (200L, 1L), (300L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+    val cust = Seq((1L, 1L), (2L, 2L)).toDF("c_custkey", "c_nationkey")
+    val sup = Seq((10L, 1L), (20L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1L, "N1"), (2L, "N2")).toDF("n_nationkey", "n_name")
+    val out = graft.queries.Analytics.tradeBalance(li, o, cust, sup, nat)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("N1") === (100000L, 40000L, 1L, 1L, 60000L))
+    assert(out("N2") === (40000L, 100000L, 1L, 1L, -60000L))
+    // a nation that only exports: the import side coalesces to 0
+    val li2 = Seq((100L, 10L, 10.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out2 = graft.queries.Analytics.tradeBalance(li2,
+      Seq((100L, 2L)).toDF("o_orderkey", "o_custkey"), cust, sup, nat)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(5))).toMap
+    assert(out2("N1") === (100000L, 0L, 100000L))
+    assert(out2("N2") === (0L, 100000L, -100000L))
+  }
+
   test("supplierRedundancy: k counts DISTINCT suppliers (repeat " +
        "shipments collapse); never-shipped parts report k = 0 off the " +
        "part-dim base") {

@@ -120,6 +120,31 @@ class Round16PlanSpec extends SparkTestBase {
     assert(!s.contains("Join"), s"no join expected:\n$s")
   }
 
+  test("x132 dedup quality bias: rides the cluster-label cache " +
+       "(InMemoryTableScan); quality flags scan-side; no cartesian") {
+    val s = planString(graft.queries.Extensions
+      .queries("x132_dedup_quality_bias")(spark, sf))
+    assert(s.contains("InMemoryTableScan"),
+      s"the shared clusterLabels cache should feed the cross-tab:\n$s")
+    assert(hashExchanges(s) <= 3, s"unexpected extra exchange:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("a95 trade balance: ONE pass over the a93 join tree (exactly 5 " +
+       "broadcast joins — the flow split is a scan-side explode, never " +
+       "a second join branch), one nation rollup, no window") {
+    val s = planString(graft.queries.Analytics
+      .queries("a95_trade_balance")(spark, sf))
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert("BroadcastHashJoin".r.findAllIn(s).size === 5,
+      s"the join tree must appear ONCE (a doubled branch would show " +
+        s"10 broadcast joins):\n$s")
+    assert(s.contains("Generate"), s"flow split should be an explode:\n$s")
+    assert(hashExchanges(s) === 1,
+      s"the nation rollup should be the only hash exchange:\n$s")
+  }
+
   test("a92 supplier redundancy: the pair-dedup is a MAP-SIDE partial " +
        "before its exchange (repeat shipments never hit the wire); " +
        "keyed exchanges only, part join off the dim base") {
