@@ -11,8 +11,38 @@ import org.apache.spark.sql.functions._
   * directories, which exercises the identical DataSource V2 scan path.
   */
 object Tables {
+  /** Session-scoped catalog of RESOLVED relations (r16 optimization).
+    *
+    * `spark.read.parquet` re-resolves the datasource on every call —
+    * file listing + footer schema inference — measured at 0.10–0.17 s
+    * per call on this host (FloorProfile). Every query entry builds its
+    * inputs through here, so an un-memoized load taxes each of the 276
+    * bench queries ~0.1–0.4 s of pure metadata work per RUN (builds
+    * happen inside the timed region). A catalog table resolves once per
+    * session; this memo is exactly that analog: it caches the ANALYZED
+    * RELATION (schema + file index) only — no data, no results, nothing
+    * persisted across sessions. Every action still scans the parquet.
+    *
+    * Keyed weakly per session so stopped test sessions don't leak;
+    * values are immutable DataFrames, safe to share across queries.
+    */
+  private val catalogs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private def catalog(spark: SparkSession) = catalogs.synchronized {
+    var m = catalogs.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      catalogs.put(spark, m)
+    }
+    m
+  }
+  private[tables] def memo(spark: SparkSession, key: String)
+                          (load: => DataFrame): DataFrame =
+    catalog(spark).getOrElseUpdate(key, load)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, s"$dir/$name")(spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
@@ -33,9 +63,14 @@ object Tables {
     * reading). Branch on the inferred schema so both generations load
     * to the same TimestampType column.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"$dir/events#ts") { eventsUnmemoized(spark, dir) }
+
+  private def eventsUnmemoized(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(spark, dir, "events")
+    // bypass the bare-table memo: the raw load must observe the conf
+    // set above on first resolution in this session
+    val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
