@@ -705,6 +705,95 @@ case class MinhashSignature(child: Expression, seeds: Seq[Int])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Word n-gram (shingle) array over a pre-split token array — the
+  * codegen'd replacement (r16) for the interpreted zip_with-over-
+  * shifted-slices chain in `Dedup.shingleArrayOfTokens`.
+  *
+  * Why native: the zip_with chain is CodegenFallback, so every
+  * evaluation interprets ~n lambda invocations per element with
+  * intermediate array churn, nothing CSEs, and InferFiltersFromGenerate
+  * + predicate pushdown re-inline the WHOLE chain (including the
+  * `split`) into pre-Generate filters — x58 measured ~21 regex splits
+  * and 3 full chain evaluations per doc. This expression is one
+  * O(len·n) pass with no intermediates, stays inside whole-stage
+  * codegen, and a pushed-down `size(shingle_array(split(..)))>0` filter
+  * costs one split + one pass instead of ten.
+  *
+  * Parity contract (pinned in GraftFunctionsSpec): output equals the
+  * zip_with chain element-for-element — m = max(len−(n−1), 0) elements,
+  * element i = tokens[i..i+n−1] joined by a single space, NULL when any
+  * contributing token is null (concat's null semantics), EMPTY array
+  * (never null) for arrays shorter than n, null only for null input.
+  */
+case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure("shingle_array needs n >= 1")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_array expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = math.max(len - (n - 1), 0)
+    val out = new Array[Any](m)
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 1
+    while (j < parts.length) { parts(j) = ShingleArray.Space; j += 2 }
+    var i = 0
+    while (i < m) {
+      var k = 0
+      while (k < n) {
+        parts(2 * k) =
+          if (arr.isNullAt(i + k)) null else arr.getUTF8String(i + k)
+        k += 1
+      }
+      out(i) = UTF8String.concat(parts: _*) // null if any part null
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val len = ctx.freshName("len"); val m = ctx.freshName("m")
+      val out = ctx.freshName("out"); val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int $len = $arr.numElements();
+         |int $m = java.lang.Math.max($len - ${n - 1}, 0);
+         |Object[] $out = new Object[$m];
+         |$utf8[] $parts = new $utf8[${2 * n - 1}];
+         |for (int $j = 1; $j < ${2 * n - 1}; $j += 2)
+         |  $parts[$j] = graft.functions.ShingleArray.Space();
+         |for (int $i = 0; $i < $m; $i++) {
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $parts[2 * $k] = $arr.isNullAt($i + $k)
+         |      ? null : $arr.getUTF8String($i + $k);
+         |  }
+         |  $out[$i] = $utf8.concat($parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleArray {
+  private val SpaceV: UTF8String = UTF8String.fromString(" ")
+  /** Java-codegen-friendly accessor (static call in generated code). */
+  def Space(): UTF8String = SpaceV
+}
+
 /** Registration + Column-level wrappers for the engine's native functions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -765,6 +854,17 @@ object GraftFunctions {
         }
         MinhashSignature(es.head, seeds)
       }, "built-in")
+    reg.createOrReplaceTempFunction("shingle_array",
+      (es: Seq[Expression]) => {
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"shingle_array expects exactly (tokens, n) — 2 arguments, got ${es.length}")
+        val n = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_array expects a literal int n, got $other")
+        }
+        ShingleArray(es.head, n)
+      }, "built-in")
     reg.createOrReplaceTempFunction("murmur3_seeded",
       (es: Seq[Expression]) => {
         if (es.length != 2) throw new IllegalArgumentException(
@@ -793,4 +893,7 @@ object GraftFunctions {
   def minhashSig(shingles: Column, seeds: Seq[Int]): Column =
     call_function("minhash_sig",
       (shingles +: seeds.map(org.apache.spark.sql.functions.lit(_))): _*)
+  def shingleArr(tokens: Column, n: Int): Column =
+    call_function("shingle_array", tokens,
+      org.apache.spark.sql.functions.lit(n))
 }

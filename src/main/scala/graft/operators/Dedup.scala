@@ -113,6 +113,7 @@ object Dedup {
     * element values, so tokenization happens O(n) times per row.
     */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    GraftFunctions.register(docs.sparkSession) // shingle_array
     // Single-file (single-row-group) inputs scan as one task; spread the
     // shingle computation across the cluster when the source is narrower
     // than the available parallelism. No-op for well-partitioned input.
@@ -126,7 +127,6 @@ object Dedup {
     val input =
       if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
       else docs
-    val w = split(lower(col(textCol)), "\\s+")
     // The cache boundary lives HERE (round 14; it used to sit on the
     // exploded [[shingleFlat]]): the regex split + shingle assembly +
     // array_distinct is the expensive part, and the one-pass signature
@@ -136,26 +136,56 @@ object Dedup {
     // strictly smaller than the exploded table the old boundary pinned.
     // Re-exploding from cached arrays per consumer scan is cheap (no
     // regex, no distinct).
+    // tokens-first (r16): materialize the split ONCE in a projection and
+    // chain over the attribute — see [[shingleArrayOfTokens]]. Cached
+    // contents are identical; only the build-side CPU changes.
     graft.Caches.persistOnce(input
-      .filter(size(w) >= n)
       .select(col(idCol).as("doc_id"),
-        array_distinct(shingleArray(col(textCol), n)).as("shingles")))
+        split(lower(col(textCol)), "\\s+").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("doc_id"),
+        array_distinct(shingleArrayOfTokens(col("__ws"), n)).as("shingles")))
   }
 
   /** The raw n-gram array (duplicates preserved) behind [[shingles]] —
     * zip_with over shifted slices; see the alias-inlining note above.
     * Shared with TextAnalysis.repetition, which needs duplicate counts.
     */
-  private[operators] def shingleArray(textCol: Column, n: Int): Column = {
-    val w = split(lower(textCol), "\\s+")
-    // TOTAL on purpose (empty array for texts shorter than n, never an
-    // error): callers guard with size(w) >= n, but the optimizer may
-    // inline this expression into inferred filters (e.g.
-    // InferFiltersFromGenerate's size(arr) > 0) that evaluate BEFORE the
-    // guard — a negative slice length would then throw on short texts.
-    val m = greatest(size(w) - (n - 1), lit(0))
-    (1 until n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(w, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
+  private[operators] def shingleArray(textCol: Column, n: Int): Column =
+    shingleArrayOfTokens(split(lower(textCol), "\\s+"), n)
+
+  /** The zip_with n-gram chain over a PRE-SPLIT token-array column.
+    *
+    * r16: hot consumers project `split(lower(text))` into a real
+    * attribute FIRST and build the chain over that attribute. Inlining
+    * the split directly (the [[shingleArray]] wrapper) re-evaluates the
+    * regex ~2n× per row — every `slice` operand and every
+    * `greatest(size(..))` bound re-inlines it, zip_with is
+    * CodegenFallback so nothing CSEs, and InferFiltersFromGenerate
+    * copies the whole tree again into a pre-Generate filter (measured
+    * in x58: ~21 split evaluations per doc; tokens-first leaves 2).
+    * CollapseProject cannot undo the projection: the token alias is
+    * non-cheap and multi-referenced (SPARK-36718 guard), and — unlike
+    * the round-1 `transform(sequence(...), i => w[i])` trap PERF.md §1
+    * records — the attribute is referenced as a zip_with INPUT, never
+    * inside a lambda body, so no per-element re-evaluation either.
+    *
+    * TOTAL on purpose (empty array for texts shorter than n, never an
+    * error): callers guard with size(ws) >= n, but the optimizer may
+    * inline this expression into inferred filters (e.g.
+    * InferFiltersFromGenerate's size(arr) > 0) that evaluate BEFORE the
+    * guard — a negative slice length would then throw on short texts.
+    */
+  private[operators] def shingleArrayOfTokens(ws: Column, n: Int): Column =
+    GraftFunctions.shingleArr(ws, n)
+
+  /** The pre-r16 interpreted chain, kept as the parity reference for
+    * [[graft.functions.ShingleArray]] (GraftFunctionsSpec pins equality
+    * element-for-element, including null/short/empty edges). */
+  private[graft] def shingleArrayZipWith(ws: Column, n: Int): Column = {
+    val m = greatest(size(ws) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(ws, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(ws, lit(k + 1), m), (a, b) => concat(a, lit(" "), b))
     }
   }
 
@@ -342,22 +372,44 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 3): DataFrame = {
+    GraftFunctions.register(docs.sparkSession) // shingle_array
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
     val base = docs.select(col(idCol).as("doc_id"), norm.as("t"))
     val words = split(col("t"), " ")
     val inner = base.filter(size(words) >= n)
       .withColumn("anchor", concat_ws(" ", slice(words, 1, n)))
       .select(col("doc_id").as("d_in"), col("t").as("t_in"), col("anchor"))
-    val outer = base.select(col("doc_id").as("d_out"), col("t").as("t_out"),
-      explode(array_distinct(shingleArray(col("t"), n))).as("s"))
+    // The exploded side carries ONLY (d_out, shingle) — r16: it used to
+    // carry t_out too, which shipped every document's FULL text once
+    // per shingle through the candidate exchange (fan-out × doc bytes —
+    // the §8 "heavy payload through the proxy shuffle" trap; measured
+    // 1.24 → 0.6 s at sf0.1 and strictly fewer bytes at any scale).
+    // t_out re-attaches AFTER candidate generation via one doc_id-keyed
+    // join, so text bytes move O(candidates), not O(shingles).
+    // tokens-first (r16, see [[shingleArrayOfTokens]]): split once per
+    // doc in a projection; the chain and its inferred filters reference
+    // the attribute instead of re-splitting per occurrence
+    val outer = base
+      .select(col("doc_id").as("d_out"),
+        split(lower(col("t")), "\\s+").as("__ws"))
+      .select(col("d_out"),
+        array_distinct(shingleArrayOfTokens(col("__ws"), n)).as("__sh"))
+      .select(col("d_out"), explode(col("__sh")).as("s"))
     // shuffle_hash, build = anchors: Catalyst's size estimate for the
     // exploded side is ~its input relation, far under the true fan-out,
     // so the planner would happily BROADCAST the shingle table — fine
     // at sf0.1, an OOM at corpus scale. The documented plan is one
     // shuffle keyed on the shingle with the hash map built over the
     // 1-row-per-doc anchor side; the hint pins exactly that.
-    inner.hint("shuffle_hash")
+    val cand = inner.hint("shuffle_hash")
       .join(outer, col("anchor") === col("s") && col("d_in") =!= col("d_out"))
+      .select(col("d_in"), col("t_in"), col("d_out"))
+    // container texts: 1 row/doc, doc_id-keyed equi-join (shuffle_hash
+    // pinned for the same estimate-blind reason — the candidate side
+    // sits above a Generate-fed join)
+    cand
+      .join(base.select(col("doc_id").as("d_out"), col("t").as("t_out"))
+        .hint("shuffle_hash"), Seq("d_out"))
       .filter(length(col("t_in")) < length(col("t_out")))
       .filter(instr(concat(lit(" "), col("t_out"), lit(" ")),
                     concat(lit(" "), col("t_in"), lit(" "))) > 0)
@@ -409,13 +461,29 @@ object Dedup {
   def nearDedupAgainst(batch: DataFrame, historical: DataFrame,
                        textCol: String, idCol: String,
                        n: Int = 3, numHashes: Int = 16, bands: Int = 8,
-                       minEstimate: Double = 0.2, seed: Long = 42L): DataFrame = {
+                       minEstimate: Double = 0.2, seed: Long = 42L): DataFrame =
+    nearDedupAgainstSigs(batch, idCol,
+      graft.Caches.persistOnce(
+        minhashSignatures(batch, textCol, idCol, n, numHashes, seed)),
+      graft.Caches.persistOnce(
+        minhashSignatures(historical, textCol, idCol, n, numHashes, seed)),
+      numHashes, bands, minEstimate)
+
+  /** [[nearDedupAgainst]] over PRECOMPUTED signature frames (r16): when
+    * batch and history are row-slices of one corpus, the caller can
+    * slice a shared (session-cached) full-corpus signature frame
+    * instead of building two private signature chains — per-doc
+    * signatures commute with row filters, so the results are identical
+    * and the regex/shingle/signature pass runs once per corpus, not
+    * once per slice. `batch` still supplies the surviving-id domain
+    * (docs too short to sign never pair and always survive).
+    */
+  def nearDedupAgainstSigs(batch: DataFrame, idCol: String,
+                           bs: DataFrame, hs: DataFrame,
+                           numHashes: Int, bands: Int,
+                           minEstimate: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val bs = graft.Caches.persistOnce(
-      minhashSignatures(batch, textCol, idCol, n, numHashes, seed))
-    val hs = graft.Caches.persistOnce(
-      minhashSignatures(historical, textCol, idCol, n, numHashes, seed))
     def keys(sigs: DataFrame): DataFrame =
       sigs.select(col("doc_id"), col("sig"), explode(
         array((0 until bands).map(b =>
@@ -1411,6 +1479,7 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
                      window: Int = 5, minCount: Long = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession) // shingle_array
     // Same narrow-input spread as [[shingles]]: single-row-group files
     // scan as one task; spread gram construction when the source is
     // narrower than the cluster.
@@ -1418,11 +1487,20 @@ object Dedup {
     val input =
       if (docs.rdd.getNumPartitions < parallelism) docs.repartition(parallelism)
       else docs
-    val w = split(lower(col(textCol)), "\\s+")
+    // tokens-first + gram-array-first (r16): the split and the zip_with
+    // chain each materialize ONCE per doc in projections; the Generate
+    // and its inferred size()>0 filter then reference attributes. The
+    // inline form evaluated split(lower(text)) ~21× per doc per branch
+    // (this subtree feeds both the hot-gram count and the probe side) —
+    // measured 40 s task time at sf0.1, ~6 s after.
     val grams = input
-      .filter(size(w) >= window)
       .select(col(idCol).as("doc_id"),
-        posexplode(shingleArray(col(textCol), window)).as(Seq("p0", "gram")))
+        split(lower(col(textCol)), "\\s+").as("__ws"))
+      .filter(size(col("__ws")) >= window)
+      .select(col("doc_id"),
+        shingleArrayOfTokens(col("__ws"), window).as("__grams"))
+      .select(col("doc_id"),
+        posexplode(col("__grams")).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
     val hot = grams.groupBy("gram")
       .agg(count(lit(1)).as("n_occ"))

@@ -413,22 +413,33 @@ object TextAnalysis {
     * verbatim). Scan-side only; the sketch layer does the distinct.
     */
   def sourceShingleIds(docs: DataFrame, textCol: String, srcCol: String,
-                       n: Int = 3): DataFrame =
+                       n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // shingle_array
     docs
-      .filter(size(split(lower(col(textCol)), "\\s+")) >= n)
+      // tokens-first (r16, Dedup.shingleArrayOfTokens): split once per
+      // doc; the chain + inferred filters reference the attribute
       .select(col(srcCol).as("source"),
-        explode(Dedup.shingleArray(col(textCol), n)).as("s"))
+        split(lower(col(textCol)), "\\s+").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("source"),
+        Dedup.shingleArrayOfTokens(col("__ws"), n).as("__sh"))
+      .select(col("source"), explode(col("__sh")).as("s"))
       .select(col("source"),
         conv(substring(sha2(col("s"), 256), 1, 15), 16, 10)
           .cast("long").as("cid"))
+  }
 
   def repetition(docs: DataFrame, textCol: String, idCol: String,
                  n: Int = 3): DataFrame = {
-    val w = split(lower(col(textCol)), "\\s+")
+    graft.functions.GraftFunctions.register(docs.sparkSession) // shingle_array
     docs
-      .filter(size(w) >= n)
+      // tokens-first (r16, Dedup.shingleArrayOfTokens)
       .select(col(idCol).as("doc_id"),
-        explode(Dedup.shingleArray(col(textCol), n)).as("s"))
+        split(lower(col(textCol)), "\\s+").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("doc_id"),
+        Dedup.shingleArrayOfTokens(col("__ws"), n).as("__sh"))
+      .select(col("doc_id"), explode(col("__sh")).as("s"))
       .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_ngrams"), max(col("c")).as("max_rep"))
@@ -674,15 +685,20 @@ object TextAnalysis {
     */
   def removeBoilerplate(docs: DataFrame, textCol: String, idCol: String,
                         n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // shingle_array
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
     val nDocs = broadcast(base.agg(count(lit(1)).as("n_docs")))
     // (doc_id, pos, shingle) per occurrence, 0-based pos. Shingles come
     // from Dedup's zip_with builder — transform(sequence(...)) over the
     // aliased token array would re-split per element (PERF.md §1).
+    // tokens-first (r16): the split and the gram array each materialize
+    // once per doc in projections (Dedup.shingleArrayOfTokens).
     val occ = docs
-      .filter(size(tokens(col(textCol))) >= n)
-      .select(col(idCol).as("doc_id"),
-        posexplode(Dedup.shingleArray(col(textCol), n)).as(Seq("pos", "s")))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("doc_id"),
+        Dedup.shingleArrayOfTokens(col("__ws"), n).as("__sh"))
+      .select(col("doc_id"), posexplode(col("__sh")).as(Seq("pos", "s")))
     val hot = occ.select("s", "doc_id").distinct()
       .groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(nDocs)

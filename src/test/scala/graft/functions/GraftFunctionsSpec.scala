@@ -297,4 +297,46 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(row.getSeq[Int](0) === interp)
     assert(row.getSeq[Int](1) === interp)
   }
+
+  test("shingle_array equals the zip_with chain element-for-element " +
+    "(normal, short, empty, null-element, n=1 edges)") {
+    val rows = Seq(
+      Seq("a", "b", "c", "d"),       // normal: 2 trigrams
+      Seq("a", "b", "c"),            // exactly n
+      Seq("a", "b"),                 // shorter than n → empty
+      Seq.empty[String],             // empty → empty
+      Seq("a", null, "c", "d"),      // null token → null shingles covering it
+      Seq("x")                       // single token
+    ).toDF("ws")
+    for (n <- Seq(1, 3, 5)) {
+      val got = rows.select(
+          GraftFunctions.shingleArr(col("ws"), n).as("a"),
+          graft.operators.Dedup.shingleArrayZipWith(col("ws"), n).as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(Option(r.getSeq[String](0)) === Option(r.getSeq[String](1)),
+          s"n=$n mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+    // null INPUT array → null either way
+    val nullRow = Seq((Option.empty[Seq[String]], 1)).toDF("ws", "i")
+      .select(GraftFunctions.shingleArr(col("ws"), 3).as("a"),
+        graft.operators.Dedup.shingleArrayZipWith(col("ws"), 3).as("b"))
+      .head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+    // interpreted eval matches the plan (codegen) result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), UTF8String.fromString("b"),
+      UTF8String.fromString("c")))
+    val interp = ShingleArray(Literal(arr, ArrayType(StringType)), 2)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[UTF8String](StringType).map(_.toString).toSeq
+    val viaPlan = Seq(Seq("a", "b", "c")).toDF("ws")
+      .select(GraftFunctions.shingleArr(col("ws"), 2)).head().getSeq[String](0)
+    assert(interp === viaPlan && interp === Seq("a b", "b c"))
+  }
 }
