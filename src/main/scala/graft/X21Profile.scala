@@ -61,6 +61,39 @@ object X21Profile {
       TextAnalysis.fingerprints(TextAnalysis.tokenCounts(kept, "text"), "text")
         .select("doc_id", "ws_tokens", "fp_md5")
         .orderBy("doc_id").count())
+    // WARM pass (r16): rebuild the pipeline exactly as the bench's
+    // second run does — shows which stages still execute when the
+    // session caches are hot (persistOnce frames hit via canonical-plan
+    // matching; anything timed >0.1 s here re-runs per warm rep).
+    println("== warm pass ==")
+    val surviving2 = graft.Caches.persistOnce(TextAnalysis.qualityScore(
+        TextAnalysis.langId(T.documents(spark, dir), "text"), "text")
+      .filter(col("pred_lang") === "en" && col("quality_ok") === 1)
+      .select("doc_id", "text"))
+    t("w:scan+lang+quality")(surviving2.count())
+    val exactKeep2 = surviving2
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped2 = graft.Caches.persistOnce(surviving2.join(exactKeep2, "doc_id"))
+    t("w:exact-dedup")(deduped2.count())
+    val pairs2 = t("w:banded-pairs") {
+      val p = Dedup.bandedJaccardMinhash(deduped2, "text", "doc_id",
+        n = 3, threshold = 0.2, numHashes = 16, bands = 8,
+        collapseExactDups = false).select("d1", "d2")
+      p.count(); p
+    }
+    val canonical2 = t("w:connected-components") {
+      val c = Dedup.connectedComponentsKeepOne(deduped2, "doc_id", pairs2)
+        .filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id")
+      c.count(); c
+    }
+    t("w:fingerprints+sort")(
+      TextAnalysis.fingerprints(
+          TextAnalysis.tokenCounts(deduped2.join(canonical2, "doc_id"), "text"), "text")
+        .select("doc_id", "ws_tokens", "fp_md5")
+        .orderBy("doc_id").count())
     spark.stop()
   }
 }

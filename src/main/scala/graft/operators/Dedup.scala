@@ -490,8 +490,7 @@ object Dedup {
           struct(lit(b).as("band"),
             hash(slice(col("sig"), b * r + 1, r)).as("bucket"))): _*)).as("bk"))
     def est(s1: Column, s2: Column): Column =
-      size(filter(zip_with(s1, s2, (x, y) => x === y), b => b))
-        .cast("double") / numHashes
+      lanesAgree(s1, s2, numHashes).cast("double") / numHashes
     // the batch's banded key projection feeds THREE consumers (the
     // history probe plus both sides of the domination self-join) —
     // persist it so the band explode over the signatures runs once per
@@ -642,11 +641,22 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .withColumn("jaccard_est",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+        lanesAgree(col("sig1"), col("sig2"), numHashes)
           .cast("double") / numHashes)
       .filter(col("jaccard_est") >= minEstimate)
       .select("d1", "d2", "jaccard_est")
   }
+
+  /** Count of agreeing signature lanes — k codegen'd element
+    * comparisons (r16; the x127 "no HOF" discipline applied to every
+    * estimator site): `size(filter(zip_with(==)))` is CodegenFallback
+    * and interprets k lambda calls + an array alloc per CANDIDATE row;
+    * the unrolled when-sum stays in whole-stage codegen. Identical
+    * semantics: a null comparison contributes 0 either way.
+    */
+  private def lanesAgree(s1: Column, s2: Column, k: Int): Column =
+    (0 until k).map(i =>
+      when(s1.getItem(i) === s2.getItem(i), 1).otherwise(0)).reduce(_ + _)
 
   /** One-permutation MinHash signatures (Li, Owen & Zhang 2012) with
     * rotation densification (Shrivastava & Li 2014): ONE murmur3 per
@@ -717,7 +727,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .withColumn("jaccard_est",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+        lanesAgree(col("sig1"), col("sig2"), k)
           .cast("double") / k)
       .filter(col("jaccard_est") >= minEstimate)
       .select("d1", "d2", "jaccard_est")
