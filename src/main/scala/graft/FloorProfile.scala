@@ -11,7 +11,8 @@ object FloorProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(10)
-    val names = if (args.length > 2) args.drop(2).toSeq
+    val names = if (args.length > 2 && args(2) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2) args.drop(2).toSeq
       else Seq("x128_length_filter", "a01_agg_pricing", "p07_count_rows")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

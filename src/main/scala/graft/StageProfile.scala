@@ -38,17 +38,21 @@ object StageProfile {
           i.name.takeWhile(_ != '\n'))
       }
     })
-    val fn = SparkEntry.queries(name)
-    (1 to reps).foreach { rep =>
-      stages.clear()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      val total = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let listener drain
-      println(f"== $name rep$rep total $total%.2f s, ${stages.size} stages ==")
-      stages.sortBy(-_.dur).take(15).foreach { s =>
-        println(f"  stage ${s.id}%4d  wall ${s.dur / 1e3}%6.2f s  task ${s.taskMs / 1e3}%7.2f s  " +
-          f"in ${s.input / 1e6}%7.1f MB  sr ${s.shufRead / 1e6}%7.1f MB  sw ${s.shufWrite / 1e6}%7.1f MB  ${s.nameLine.take(70)}")
+    // comma-separated names profile several queries in ONE session (the
+    // bench's warm regime: earlier queries materialize the shared caches)
+    name.split(',').foreach { qn =>
+      val fn = SparkEntry.queries(qn)
+      (1 to reps).foreach { rep =>
+        stages.clear()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let listener drain
+        println(f"== $qn rep$rep total $total%.2f s, ${stages.size} stages ==")
+        stages.sortBy(-_.dur).take(15).foreach { s =>
+          println(f"  stage ${s.id}%4d  wall ${s.dur / 1e3}%6.2f s  task ${s.taskMs / 1e3}%7.2f s  " +
+            f"in ${s.input / 1e6}%7.1f MB  sr ${s.shufRead / 1e6}%7.1f MB  sw ${s.shufWrite / 1e6}%7.1f MB  ${s.nameLine.take(70)}")
+        }
       }
     }
     spark.stop()

@@ -270,12 +270,15 @@ object Sketches {
 
   /** Count-min-sketch heavy hitters over the corpus token stream.
     *
-    * Pass 1 folds every token occurrence into a d×w counter grid —
+    * The corpus folds into a d×w counter grid —
     * `counter[r][c] = Σ count(tokens hashing to c under row r)` — whose
     * state is d·w integers REGARDLESS of corpus size (the property that
-    * makes it a sketch; both groupBys are partial-aggregatable, so the
-    * wire cost is O(partitions·d·w)). Pass 2 re-streams candidate
-    * tokens and estimates `est(t) = min_r counter[r][pos_r(t)]` — an
+    * makes it a sketch). r17 shape: ONE token rollup (the corpus's only
+    * exchange, partial-aggregated) feeds the grid build — each DISTINCT
+    * token hashed once, contributing its count, which sums to the same
+    * cells as per-occurrence increments — and the candidate arm, which
+    * reads `est(t) = min_r counter[r][pos_r(t)]` scan-side off the
+    * 1-row broadcast grid map. The estimate is an
     * overestimate by construction (collisions only add), within εN
     * (ε = e/w) with probability 1-δ (δ = e^-d). Returned rows carry the
     * exact count alongside so the overestimate is observable; the
@@ -291,23 +294,40 @@ object Sketches {
                       d: Int = 4, w: Int = 64,
                       minShareBp: Int = 100): DataFrame = {
     require(d >= 1 && d <= 5, s"d=$d rows need 12d hex chars; sha256 has 64")
-    def slices(h: Column): Column = array((0 until d).map { r =>
+    def pos(h: Column, r: Int): Column =
       conv(substring(h, 1 + 12 * r, 12), 16, 10).cast("long") % w
-    }: _*)
-    val toks = docs
+    // ONE per-token rollup feeds everything (r17): the grid cell
+    // `counter[r][c] = Σ count(tokens hashing to c)` is identical whether
+    // each OCCURRENCE contributes 1 or each DISTINCT token contributes
+    // its count — so hash |vocab| tokens instead of |stream| occurrences
+    // (sha256 was the dominant task CPU) and fold counts. The stream
+    // total is the same rollup summed. Corpus crosses the wire once,
+    // keyed on the token (partial-aggregated).
+    // persistOnce: BOTH arms (grid build, candidate read) consume this
+    // rollup — uncached, each re-tokenizes the corpus. Vocab-bounded
+    // (distinct tokens), so the pinned bytes are sketch-small at scale.
+    val tokCounts = graft.Caches.persistOnce(graft.tables.Tables
+      .spread(docs) // single-split local files: spread the tokenize+hash
       .select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
-    val totals = toks.agg(count(lit(1)).as("n_stream"))
-    // pass 1: the bounded grid, straight off the stream (one sha per row)
-    val counters = toks.select(sha2(col("tok"), 256).as("hh"))
-      .select(posexplode(slices(col("hh"))).as(Seq("r", "pos")))
-      .groupBy("r", "pos").agg(count(lit(1)).as("c"))
-    // pass 2: candidate estimates + exact verify
-    toks.groupBy("tok").agg(count(lit(1)).as("exact"))
-      .select(col("tok"), col("exact"),
-        posexplode(slices(sha2(col("tok"), 256))).as(Seq("r", "pos")))
-      .join(broadcast(counters), Seq("r", "pos"))
-      .groupBy("tok", "exact").agg(min(col("c")).as("est"))
-      .crossJoin(broadcast(totals))
+      .groupBy("tok").agg(count(lit(1)).as("exact")))
+    // the grid as a 1-row broadcast map (d·w ≤ 320 entries): estimates
+    // then read scan-side via element_at — no per-candidate join, no
+    // (tok, exact) re-shuffle. Lookups always hit: a token's own count
+    // is in every cell it hashes to.
+    val gridRow = tokCounts
+      .select(col("exact"), sha2(col("tok"), 256).as("hh"))
+      .select(col("exact"), posexplode(array((0 until d).map(pos(col("hh"), _)): _*))
+        .as(Seq("r", "pos")))
+      .groupBy("r", "pos").agg(sum(col("exact")).as("c"))
+      .agg(
+        map_from_entries(collect_list(struct(col("r") * w + col("pos"), col("c"))))
+          .as("grid"),
+        sum(when(col("r") === 0, col("c"))).as("n_stream"))
+    val h = sha2(col("tok"), 256)
+    val ests = (0 until d).map(r => element_at(col("grid"), lit(r) * w + pos(h, r)))
+    tokCounts
+      .crossJoin(broadcast(gridRow))
+      .withColumn("est", if (d == 1) ests.head else least(ests: _*))
       .filter(col("est") * 10000 >= col("n_stream") * minShareBp)
       .select(col("tok"), col("est"), col("exact"))
   }

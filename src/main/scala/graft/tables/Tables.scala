@@ -87,6 +87,21 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Spread a narrow input across the cluster before CPU-heavy per-row
+    * work (the [[graft.operators.Dedup.shingles]] pattern, shared):
+    * single-file/single-row-group local fixtures scan as ONE task, so a
+    * hash- or shingle-heavy stage runs serially on one core regardless
+    * of cluster size. No-op for inputs already at least as wide as the
+    * default parallelism — at scale the scan has thousands of splits and
+    * this adds nothing. The `.rdd` probe converts the plan once per
+    * DataFrame instance (driver-side milliseconds); a files peek cannot
+    * see the real scan-task count.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }
 
 /** Cross-engine determinism helpers.

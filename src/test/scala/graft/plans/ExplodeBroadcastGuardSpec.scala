@@ -37,7 +37,9 @@ class ExplodeBroadcastGuardSpec extends SparkTestBase {
     "x06_ann_lsh" -> 1, "x19_simhash_candidates" -> 0,
     "x20_banded_jaccard" -> 0, "x25_decontaminate" -> 1,
     "x28_tfidf" -> 0, "x31_bloom_dedup" -> 1,
-    "x32_heavy_hitters" -> 2, "x34_boilerplate" -> 1,
+    // x32 r17: the grid collapsed to a 1-row broadcast map (exact d·w
+    // bound unchanged); the remaining site is that single row
+    "x32_heavy_hitters" -> 1, "x34_boilerplate" -> 1,
     "x37_fuzzy_dedup" -> 0, "x38_passage_dedup" -> 0,
     // x50's 4th site (round 7): the probe list is now built by
     // explode(slice(array_sort(...), 1, nProbe)) on the QUERY side —

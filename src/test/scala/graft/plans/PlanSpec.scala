@@ -212,9 +212,15 @@ class PlanSpec extends SparkTestBase {
   test("x32 count-min: the counter grid broadcasts to the estimate join") {
     val df = graft.queries.Extensions.queries("x32_heavy_hitters")(spark, sf)
     val s = planString(df)
-    // counters are d·w rows regardless of corpus size — they must
-    // broadcast, not shuffle the candidate side
-    assert(s.contains("BroadcastHashJoin"), s"expected broadcast counters join:\n$s")
+    // r17 shape: the whole d×w grid is ONE broadcast row (a map column);
+    // estimates read it scan-side via element_at, so the only join is
+    // the 1-row broadcast cross join — the candidate side never
+    // shuffles for the grid and never re-groups per (tok, exact)
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"expected 1-row broadcast grid join:\n$s")
+    assert(!s.contains("BroadcastHashJoin") && !s.contains("SortMergeJoin") &&
+      !s.contains("ShuffledHashJoin"),
+      s"estimate read must be scan-side off the broadcast grid map:\n$s")
   }
 
   test("x33 pii redaction is a single scan-stage projection — no shuffle, no join") {
