@@ -794,6 +794,171 @@ object ShingleArray {
   def Space(): UTF8String = SpaceV
 }
 
+/** All n-character substrings (char n-grams) of a string — the
+  * whole-stage-codegen replacement for
+  * `transform(sequence(1, length(p) - (n-1)), i -> substring(p, i, n))`
+  * (x42/x60's char-trigram build): higher-order functions are
+  * CodegenFallback, so the SQL form broke codegen for the scan stage
+  * and paid interpreted lambda dispatch per gram. One byte pass finds
+  * the code-point starts, each gram is a byte-range slice — O(len +
+  * gram bytes), no per-element substring rescans. Element-for-element
+  * parity with the SQL chain is pinned in GraftFunctionsSpec.
+  */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      TypeCheckResult.TypeCheckFailure("char_grams needs n >= 1")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_grams expects string, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CharGrams.grams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharGrams.grams($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CharGrams {
+  /** Shared by interpreted eval and generated code — parity by
+    * construction. Code-point semantics match SQL `substring`.
+    */
+  def grams(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    // code-point start offsets (continuation bytes are 10xxxxxx)
+    var nc = 0
+    var i = 0
+    while (i < b.length) { if ((b(i) & 0xC0) != 0x80) nc += 1; i += 1 }
+    val starts = new Array[Int](nc + 1)
+    var ci = 0
+    i = 0
+    while (i < b.length) {
+      if ((b(i) & 0xC0) != 0x80) { starts(ci) = i; ci += 1 }
+      i += 1
+    }
+    starts(nc) = b.length
+    val m = math.max(nc - (n - 1), 0)
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(b, starts(i), starts(i + n) - starts(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Sliding-window minimum over a long array — the codegen replacement
+  * for the winnowing selector
+  * `transform(sequence(1, size(kh) - (w-1)), i -> array_min(slice(kh, i, w)))`
+  * (x97): the HOF form is CodegenFallback AND allocates a w-element
+  * slice per window. One pass, no allocations beyond the output; the
+  * len<w case yields an empty array (the SQL form needed a CASE guard
+  * because sequence(1, k) descends for k < 1). Parity pinned in
+  * GraftFunctionsSpec.
+  */
+case class SlidingMin(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) =>
+      TypeCheckResult.TypeCheckFailure("sliding_min needs w >= 1")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sliding_min expects array<long> without nulls, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SlidingMin.mins(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SlidingMin.mins($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SlidingMin {
+  /** Shared by interpreted eval and generated code. O(len·w) with w
+    * small by contract (winnowing windows are 4-ish); no per-window
+    * slice allocation.
+    */
+  def mins(arr: ArrayData, w: Int): ArrayData = {
+    val len = arr.numElements()
+    val m = math.max(len - (w - 1), 0)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var mn = arr.getLong(i)
+      var k = 1
+      while (k < w) {
+        val v = arr.getLong(i + k)
+        if (v < mn) mn = v
+        k += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Longest run of equal ADJACENT elements in a string array — the
+  * codegen replacement for gopherQuality's `aggregate(array_sort(ws),
+  * struct(prev,run,best), ...)` mode counter (x40/x47): the aggregate
+  * HOF is CodegenFallback and paid interpreted struct churn per token.
+  * Same fold semantics: a null element never extends a run (and starts
+  * its own singleton), empty arrays yield 0. Callers sort first when
+  * they want the mode count. Parity pinned in GraftFunctionsSpec.
+  */
+case class MaxRunLen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"max_run_len expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MaxRunLen.maxRun(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MaxRunLen.maxRun($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MaxRunLen {
+  /** Shared by interpreted eval and generated code. */
+  def maxRun(arr: ArrayData): Int = {
+    val len = arr.numElements()
+    var best = 0
+    var run = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < len) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      run = if (cur != null && cur.equals(prev)) run + 1 else 1
+      if (cur != null && run > best) best = run
+      else if (cur == null && best == 0) best = 1
+      prev = cur
+      i += 1
+    }
+    best
+  }
+}
+
 /** Registration + Column-level wrappers for the engine's native functions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -865,6 +1030,26 @@ object GraftFunctions {
         }
         ShingleArray(es.head, n)
       }, "built-in")
+    def arityLitInt(name: String)(es: Seq[Expression]): (Expression, Int) = {
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments, got ${es.length}")
+      val k = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name expects a literal int, got $other")
+      }
+      (es(0), k)
+    }
+    reg.createOrReplaceTempFunction("char_grams",
+      (es: Seq[Expression]) => {
+        val (c, n) = arityLitInt("char_grams")(es); CharGrams(c, n)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("sliding_min",
+      (es: Seq[Expression]) => {
+        val (c, w) = arityLitInt("sliding_min")(es); SlidingMin(c, w)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("max_run_len",
+      (es: Seq[Expression]) => MaxRunLen(es.head), "built-in")
     reg.createOrReplaceTempFunction("murmur3_seeded",
       (es: Seq[Expression]) => {
         if (es.length != 2) throw new IllegalArgumentException(
@@ -896,4 +1081,9 @@ object GraftFunctions {
   def shingleArr(tokens: Column, n: Int): Column =
     call_function("shingle_array", tokens,
       org.apache.spark.sql.functions.lit(n))
+  def charGrams(s: Column, n: Int): Column =
+    call_function("char_grams", s, org.apache.spark.sql.functions.lit(n))
+  def slidingMin(arr: Column, w: Int): Column =
+    call_function("sliding_min", arr, org.apache.spark.sql.functions.lit(w))
+  def maxRunLen(arr: Column): Column = call_function("max_run_len", arr)
 }

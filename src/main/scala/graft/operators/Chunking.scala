@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.functions.{col, explode, expr, posexplode}
+import org.apache.spark.sql.functions.{array_distinct, col, explode, expr, posexplode}
 
 /** Content-defined chunking (CDC) — the storage-layer dedup primitive
   * (LBFS/FastCDC family): chunk boundaries are chosen where a rolling
@@ -55,7 +55,7 @@ object Chunking {
                 passthrough: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val keep = passthrough.map(col)
-    docs
+    graft.tables.Tables.spread(docs) // byte-rolling hash is the scan cost
       .select(col(idCol).as("doc_id") +: col(textCol).as("t") +: keep: _*)
       // The hash stream is byte-domain (the rolling window slides over
       // UTF-8 bytes) but SAMPLED at character ends
@@ -161,17 +161,17 @@ object Chunking {
     require(winnowW >= 1, s"winnowW must be >= 1, got $winnowW")
     require(maxDf >= 2, s"maxDf < 2 can never form a pair, got $maxDf")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val fps = docs
+    val fps = graft.tables.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), col(textCol).as("t"))
       // same codegen'd stream as cdcChunks — the k-gram hashing is the
       // scan-dominant cost and now rides whole-stage codegen
       .withColumn("kh",
         graft.functions.GraftFunctions.cdcHashes(col("t")))
-      .withColumn("fp", explode(expr(
-        s"""CASE WHEN size(kh) >= $winnowW THEN
-              array_distinct(transform(sequence(1, size(kh) - ${winnowW - 1}),
-                i -> array_min(slice(kh, i, $winnowW))))
-            ELSE array() END""")))
+      // sliding_min (r17): the transform/slice HOF was CodegenFallback
+      // and allocated a w-element slice per window; the native form is
+      // one codegen'd pass (empty for size<w, so no CASE guard needed)
+      .withColumn("fp", explode(array_distinct(
+        graft.functions.GraftFunctions.slidingMin(col("kh"), winnowW))))
       .select("doc_id", "fp")
     // df prune as a partial-aggregatable count + semi-join — NOT a
     // count().over(partitionBy(fp)) window, which would full-sort every

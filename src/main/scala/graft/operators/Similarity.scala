@@ -721,7 +721,9 @@ object Similarity {
     */
   def int8Quantize(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val vd = transform(col(vecCol), x => x.cast("double"))
-    emb.select(col(idCol).as("vec_id"), vd.as("vd"))
+    // spread: the element-wise HOF passes are the whole cost, and the
+    // single-split local embeddings file scans as one task
+    graft.tables.Tables.spread(emb).select(col(idCol).as("vec_id"), vd.as("vd"))
       .withColumn("max_abs", array_max(transform(col("vd"), x => abs(x))))
       .select(col("vec_id"),
         // raw division, NOT round-6: a single IEEE op on identical

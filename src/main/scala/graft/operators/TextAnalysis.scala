@@ -415,7 +415,7 @@ object TextAnalysis {
   def sourceShingleIds(docs: DataFrame, textCol: String, srcCol: String,
                        n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession) // shingle_array
-    docs
+    graft.tables.Tables.spread(docs) // sha256-per-shingle is the scan cost
       // tokens-first (r16, Dedup.shingleArrayOfTokens): split once per
       // doc; the chain + inferred filters reference the attribute
       .select(col(srcCol).as("source"),
@@ -468,7 +468,12 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // persistOnce (r17): BOTH consumers (the df rollup and the join's
+    // left side) read this frame — uncached, each re-tokenized the
+    // corpus, so every run paid two explode+count passes. Same
+    // MEMORY_AND_DISK policy as the shingle table (Caches scaladoc).
+    val tf = graft.Caches.persistOnce(
+      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
@@ -693,7 +698,7 @@ object TextAnalysis {
     // aliased token array would re-split per element (PERF.md §1).
     // tokens-first (r16): the split and the gram array each materialize
     // once per doc in projections (Dedup.shingleArrayOfTokens).
-    val occ = docs
+    val occ = graft.tables.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= n)
       .select(col("doc_id"),
@@ -756,21 +761,16 @@ object TextAnalysis {
     val ws = tokens(col(textCol))
     val nw = size(ws)
     val mwl = length(regexp_replace(col(textCol), "\\s", "")).cast("double") / nw
-    // mode count via run-length over the SORTED array: O(n) lambda steps
-    // per row where the distinct×filter formulation is O(u·n) —
-    // higher-order functions evaluate interpreted, so the constant
-    // matters (measured 1.9 s → sub-second for the x47 rollup at sf0.1).
-    // The value is the same count either way, so oracles are unaffected.
-    val topShare = aggregate(
-      array_sort(ws),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, w) => {
-        val run = when(w === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(w.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best")).cast("double") / nw
+    // mode count via run-length over the SORTED array: O(n) per row
+    // where the distinct×filter formulation is O(u·n). r17: the
+    // aggregate() HOF fold was CodegenFallback (interpreted struct
+    // churn per token); max_run_len is the same fold as a native
+    // codegen'd expression (element-for-element parity pinned in
+    // GraftFunctionsSpec). The value is identical, so oracles are
+    // unaffected.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val topShare = graft.functions.GraftFunctions
+      .maxRunLen(array_sort(ws)).cast("double") / nw
     val reasons = filter(array(
       when(nw < minWords, lit("too_short")),
       when(nw > maxWords, lit("too_long")),
@@ -811,11 +811,15 @@ object TextAnalysis {
     // frequency table (sum of counts) and the per-doc score (weighted
     // by counts) — the occurrence table is never materialized twice,
     // and the join carries distinct (doc, tri) rows, not occurrences.
-    val triCounts = graft.Caches.persistOnce(docs
+    // char_grams (r17): the transform(sequence(...)) HOF was
+    // CodegenFallback — interpreted lambda dispatch per gram broke
+    // whole-stage codegen for the corpus scan stage
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val triCounts = graft.Caches.persistOnce(graft.tables.Tables.spread(docs)
       .withColumn("p", substring(lower(col(textCol)), 1, prefixChars))
       .filter(length(col("p")) >= 3)
       .select(col(idCol).as("doc_id"),
-        explode(expr("transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")).as("tri"))
+        explode(graft.functions.GraftFunctions.charGrams(col("p"), 3)).as("tri"))
       .groupBy("doc_id", "tri").agg(count(lit(1)).as("c")))
     val freq = triCounts.groupBy("tri").agg(sum(col("c")).as("freq"))
     triCounts.join(broadcast(freq), Seq("tri"))

@@ -847,8 +847,12 @@ object Analytics {
       val baskets = graft.Caches.persistOnce(
         fencedBaskets(T.lineitem(s, dir)))
       val nOrders = broadcast(baskets.agg(count(lit(1)).as("n_orders")))
-      val support = baskets.select(explode(col("parts")).as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("n_p"))
+      // persistOnce (r17): joined on both pair sides below, and the
+      // canonical plan matches a62's support — one cache entry serves
+      // both queries. Part-cardinality bounded.
+      val support = graft.Caches.persistOnce(
+        baskets.select(explode(col("parts")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("n_p")))
       val pairs = baskets
         .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
         .select(col("p1"),
@@ -978,10 +982,20 @@ object Analytics {
     // (a vocabulary-sized side — shuffled, never broadcast: the a56
     // lesson) + the top-k exchange on the part key.
     "a62_item_similarity" -> ((s, dir) => {
-      val li = T.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val sup = li.groupBy("pk").agg(count(lit(1)).as("n_p"))
+      // Per-part support off the SHARED cached baskets frame (r17):
+      // exploding the per-order collect_set yields exactly the distinct
+      // (order, part) pairs, so this equals the old
+      // lineitem.distinct().groupBy(pk) — without a second corpus scan
+      // + distinct exchange per run, and the subtree canonicalizes to
+      // a56's support (one cache entry serves both).
+      // persistOnce on the rollup too: the support joins BOTH sides of
+      // the directed-edge frame, and AQE does not reuse the two arms'
+      // identical exchanges (measured: both map sides ran per run).
+      // Part-cardinality bounded — dimension-sized pinned bytes.
+      val sup = graft.Caches.persistOnce(
+        graft.Caches.persistOnce(fencedBaskets(T.lineitem(s, dir)))
+          .select(explode(col("parts")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("n_p")))
       val e = repeatEdges(s, dir)
       val dir2 = e.select(col("p1").as("part"), col("p2").as("sim_part"), col("n_ab"))
         .union(e.select(col("p2").as("part"), col("p1").as("sim_part"), col("n_ab")))

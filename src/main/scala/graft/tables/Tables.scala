@@ -99,6 +99,11 @@ object Tables {
     * see the real scan-task count.
     */
   def spread(df: DataFrame): DataFrame = {
+    // Streaming frames can't be probed (.rdd is a batch-only
+    // conversion) and micro-batch sources already size their own
+    // partitions — pass them through untouched so operators shared with
+    // the streaming surface (e.g. cdcChunks) stay stream-legal.
+    if (df.isStreaming) return df
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

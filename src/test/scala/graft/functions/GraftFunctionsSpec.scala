@@ -339,4 +339,61 @@ class GraftFunctionsSpec extends SparkTestBase {
       .select(GraftFunctions.shingleArr(col("ws"), 2)).head().getSeq[String](0)
     assert(interp === viaPlan && interp === Seq("a b", "b c"))
   }
+
+  test("char_grams equals the transform(sequence) chain element-for-element " +
+    "(normal, exactly-n, short, empty, multibyte, n=1 edges)") {
+    val rows = Seq("hello world", "abc", "ab", "", "héllo wörld", "x", "日本語のテキスト")
+      .toDF("p")
+    for (n <- Seq(1, 3, 5)) {
+      val got = rows.select(
+          GraftFunctions.charGrams(col("p"), n).as("a"),
+          expr(s"CASE WHEN length(p) >= $n THEN " +
+            s"transform(sequence(1, length(p) - ${n - 1}), i -> substring(p, i, $n)) " +
+            "ELSE array() END").as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"n=$n mismatch on ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+    // null input → null
+    val nullRow = Seq(Option.empty[String]).toDF("p")
+      .select(GraftFunctions.charGrams(col("p"), 3)).head()
+    assert(nullRow.isNullAt(0))
+    // interpreted eval matches the plan (codegen shares the same helper)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val interp = CharGrams(Literal(UTF8String.fromString("abcd"), StringType), 3)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[UTF8String](StringType).map(_.toString).toSeq
+    assert(interp === Seq("abc", "bcd"))
+  }
+
+  test("sliding_min equals the transform/slice/array_min chain " +
+    "(normal, exactly-w, short, empty, w=1 edges)") {
+    val rows = Seq(
+      Seq(5L, 3L, 8L, 1L, 9L, 2L),
+      Seq(4L, 4L, 4L, 4L),
+      Seq(7L, 2L),
+      Seq.empty[Long],
+      Seq(42L)
+    ).toDF("kh")
+    for (w <- Seq(1, 4)) {
+      val got = rows.select(
+          GraftFunctions.slidingMin(col("kh"), w).as("a"),
+          expr(s"CASE WHEN size(kh) >= $w THEN " +
+            s"transform(sequence(1, size(kh) - ${w - 1}), i -> array_min(slice(kh, i, $w))) " +
+            "ELSE array() END").as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"w=$w mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+    }
+    // null input → null
+    val nullRow = Seq((Option.empty[Seq[Long]], 1)).toDF("kh", "i")
+      .select(GraftFunctions.slidingMin(col("kh"), 4)).head()
+    assert(nullRow.isNullAt(0))
+  }
 }
