@@ -1188,8 +1188,12 @@ object Extensions {
     "x114_ks_drift" -> ((s, dir) => {
       val d = T.documents(s, dir)
         .select(col("source"), col("doc_id"), col("n_chars"))
-      val srcSk = Sketches.quantileSketch(d, Seq("source"), col("n_chars"),
-        col("doc_id"))
+      // persistOnce (r17): consumed three times below (global merge,
+      // per-source points, source spine) — uncached, each rebuilt the
+      // typed sketch aggregate over the corpus. |sources| rows pinned.
+      val srcSk = graft.Caches.persistOnce(
+        Sketches.quantileSketch(d, Seq("source"), col("n_chars"),
+          col("doc_id")))
       val globSk = srcSk.agg(Sketches.quantileMergeSketches(
         collect_list(col("qsketch"))).as("gsk"))
       def vs(c: org.apache.spark.sql.Column) =

@@ -23,13 +23,34 @@ object Tables {
     * RELATION (schema + file index) only — no data, no results, nothing
     * persisted across sessions. Every action still scans the parquet.
     *
-    * Keyed weakly per session so stopped test sessions don't leak;
-    * values are immutable DataFrames, safe to share across queries.
+    * Keyed per session; values are immutable DataFrames, safe to share
+    * across queries. The weak keying alone cannot collect entries — the
+    * cached DataFrames strongly reference their session, so the value
+    * chain pins the key (ADVICE r16) — hence the explicit stopped-
+    * session sweep on every catalog access.
+    *
+    * Aliasing note (ADVICE r16): [[memo]] returns the SAME Dataset
+    * instance for repeated loads, so two loads of one table share
+    * exprIds — a future query self-joining two loads with
+    * `df1("c") === df2("c")` would hit failAmbiguousSelfJoin. Current
+    * queries all disambiguate via `.as()`/renamed projections (the
+    * house style); keep doing that, or `.toDF()` one side.
+    *
+    * Immutability assumption (ADVICE r16): the memo pins the resolved
+    * FILE LISTING for the session. Driver test data is immutable by
+    * contract; any code path that rewrites a table directory
+    * mid-session must call [[invalidate]] first or readers serve stale
+    * listings / missing-file errors. Sink paths stay unmemoized for
+    * exactly this reason.
     */
   private val catalogs =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
   private def catalog(spark: SparkSession) = catalogs.synchronized {
+    val it = catalogs.keySet().iterator()
+    while (it.hasNext) {
+      if (it.next().sparkContext.isStopped) it.remove()
+    }
     var m = catalogs.get(spark)
     if (m == null) {
       m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -37,6 +58,15 @@ object Tables {
     }
     m
   }
+
+  /** Drop memoized relations under `dir` for `spark` — call before
+    * rewriting a table directory mid-session (see the immutability
+    * note above). */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    catalogs.synchronized {
+      val m = catalogs.get(spark)
+      if (m != null) m.keys.filter(_.startsWith(dir)).foreach(m.remove)
+    }
   private[tables] def memo(spark: SparkSession, key: String)
                           (load: => DataFrame): DataFrame =
     catalog(spark).getOrElseUpdate(key, load)

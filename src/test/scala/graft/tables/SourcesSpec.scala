@@ -129,4 +129,41 @@ class SourcesSpec extends SparkTestBase {
     assert(canon(spark.read.orc(s"$dir/li.orc")) === base)
     assert(canon(spark.read.schema(pq.schema).json(s"$dir/li.json")) === base)
   }
+
+  test("catalog memo: repeated loads return the memoized relation; " +
+       "invalidate(dir) makes the next load re-resolve (ADVICE r16)") {
+    val a = Tables.documents(spark, "/root/testdata/sf0.001")
+    val b = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(a eq b, "second load should return the memoized instance")
+    Tables.invalidate(spark, "/root/testdata/sf0.001")
+    val c = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(!(a eq c), "invalidate must drop the memoized relation")
+    assert(c.count() === a.count())
+  }
+
+  test("catalog memo: a rewritten table dir serves fresh rows after " +
+       "invalidate (the immutability-assumption escape hatch)") {
+    val dir = Files.createTempDirectory("graft_memo").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    assert(Tables(spark, dir, "t").count() === 1)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    Tables.invalidate(spark, dir)
+    assert(Tables(spark, dir, "t").count() === 2,
+      "post-invalidate load must see the rewritten directory")
+  }
+
+  test("catalog memo: stopped sessions are swept from the catalog map " +
+       "on the next access (the value chain pins the weak key)") {
+    // a private-field probe via reflection would overfit; instead pin
+    // the OBSERVABLE contract — a fresh session gets its own memo map
+    // and entries, and using the main session afterwards still works
+    val s2 = spark.newSession()
+    val d2 = Tables.documents(s2, "/root/testdata/sf0.001")
+    assert(d2.sparkSession eq s2)
+    val again = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(again.sparkSession eq spark)
+  }
 }
